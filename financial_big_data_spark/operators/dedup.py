@@ -1,0 +1,229 @@
+"""Deduplication operators: exact, MinHash/LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference surface (BASELINE.json north star) for training-corpus
+hygiene at 100 TB. Design notes per scale:
+
+- **Exact dedup** is a hash-groupBy on a fingerprint — one shuffle whose key
+  is a 128-bit digest (uniform, skew-free).
+- **MinHash** signatures are computed with explode→groupBy(doc) aggregation:
+  the explode is map-local; the only shuffle is per-doc (key = doc_id,
+  uniform). Hash functions are ``md5(token || salt)`` prefixes — *strings*,
+  minimized lexicographically, because fixed-width lowercase hex preserves
+  numeric order and both Spark and DuckDB produce identical md5 hex. No
+  engine-specific hash() in any correctness-bearing path.
+- **LSH banding** groups r signature slots per band; candidate pairs come
+  from a self-equi-join on (band_id, band_hash) — a co-partitioned
+  shuffle-hash join whose key cardinality grows with corpus size (good
+  parallelism, no crossJoin anywhere).
+- **n-gram Jaccard** verification is pure relational algebra on exploded
+  distinct shingles: join on shingle, count shared, divide by union size.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.lower(F.regexp_replace(text, r"\s+", " "))
+
+
+def exact_dedup_keys(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical-representative table: one row per distinct normalized text,
+    keeping the smallest id (deterministic winner)."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalized_text(text)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams as strings (shingling for MinHash/Jaccard)."""
+    toks = F.split(normalized_text(text), " ")
+    if n == 1:
+        return F.array_distinct(toks)
+    # zip each token with its n-1 successors: transform over index range.
+    # Guarded for docs shorter than n tokens (sequence would run backwards).
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, F.array_distinct(joined)).otherwise(empty)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: for each salt i, min over shingles of
+    ``md5(shingle || '#' || i)`` (lexicographic min on fixed-width hex ≡
+    numeric min; identical in DuckDB).
+
+    Computed as ``array_min(transform(shingles, md5))`` per row — map-only,
+    zero shuffle, no explode: each task streams its documents and emits one
+    row per doc. Docs with no shingles (shorter than n tokens) are dropped,
+    matching the relational oracle's semantics.
+    """
+    sh = docs.select(F.col(id_col), word_shingles(text, shingle_n).alias("_sh")).where(
+        F.size("_sh") > 0
+    )
+    sig = [
+        F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(s, F.lit(f"#{i}"))))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.select(F.col(id_col), *sig)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature and self-join on (band, band-key) → candidate pairs.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. The join key includes the
+    band index so one shuffle covers all bands (explode-then-join, not
+    bands× separate joins).
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        slots = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.concat_ws("|", *slots).alias("key")))
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 1,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Shingle-set Jaccard similarity, relationally.
+
+    With ``pairs`` given (e.g. LSH candidates) only those pairs are scored
+    (semi-join pushdown); otherwise all pairs sharing ≥1 shingle are — the
+    shingle join naturally prunes the quadratic space.
+    Returns (id_a, id_b, n_a, n_b, n_shared, jaccard).
+    """
+    sh = docs.select(F.col(id_col), word_shingles(text, shingle_n).alias("sh"))
+    sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
+    exploded = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    shared = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    if pairs is not None:
+        shared = shared.join(pairs, on=["id_a", "id_b"], how="left_semi")
+    out = (
+        shared.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .select("id_a", "id_b", "n_a", "n_b", "n_shared", "jaccard")
+    )
+    if min_jaccard > 0:
+        out = out.where(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def near_dup_lsh(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """The scale path for near-duplicate detection: MinHash → LSH banding →
+    exact Jaccard verification on candidates only.
+
+    Complexity: map-only signatures, one self-join keyed by (band, key)
+    whose output is ~(true near-dups + collisions) — NOT all-pairs — then an
+    array-intersect rescoring joined doc-by-doc (candidates are tiny, so the
+    shingle arrays are joined broadcast-style). At (1/bands)^(rows/band) ≈
+    j* = 0.5 the banding keeps recall high for pairs above ``min_jaccard``.
+    Returns (id_a, id_b, n_a, n_b, n_shared, jaccard).
+    """
+    sigs = minhash_signatures(docs, text, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    sh = docs.select(F.col(id_col), word_shingles(text, shingle_n).alias("sh"))
+    out = (
+        cands.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), on="id_a"
+        )
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_shared"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+    )
+    return out.where(F.col("jaccard") >= min_jaccard)
+
+
+def simhash(docs: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over word tokens.
+
+    Bit b of the hash of each token votes ±1; the fingerprint sets bit b where
+    the vote sum is positive. Token hash = first 16 hex chars of md5 → bigint
+    (cross-engine reproducible via conv()).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(normalized_text(text), " "))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    votes = toks.select(F.col(id_col), h.alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = votes.groupBy(id_col).agg(*bit_aggs)
+    fp = reduce(
+        lambda acc, b: acc + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
+        range(bits),
+        F.lit(0),
+    )
+    return voted.select(F.col(id_col), fp.cast("bigint").alias("simhash"))

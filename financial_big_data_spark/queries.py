@@ -1,0 +1,1130 @@
+"""Query registry: every implemented operator exposed as (spark_fn, oracle_sql).
+
+This is the engine's public correctness surface (driver contract in
+``__spark_entry__.py``). Each entry maps a SURVEY.md §2 operator (or a
+north-star training-data operator) onto the driver's test tables:
+
+- ``events``  plays the bar/time-series role (series key ``user_id``,
+  time ``ts``, price proxy ``value``) for window/regime/transition operators;
+- ``lineitem``/``orders``/... exercise the relational surface (joins, aggs,
+  pivots, top-k);
+- ``documents``/``embeddings`` carry the dedup / text / similarity operators.
+
+Cross-engine determinism rules applied throughout (the driver hash-compares
+against DuckDB):
+- every float output is ``round(x, 6)`` (unit-scale) or ``round(x, 2)``
+  (large sums) on BOTH sides — absorbs summation-order noise;
+- every window orders by ``(ts, event_id)`` — total order, no tie ambiguity;
+- every LIMIT has a full deterministic ORDER BY;
+- divisions are null-guarded (``try_divide`` ↔ ``nullif``) — ANSI-safe;
+- hashes are md5 hex (identical in both engines); no engine-native hash().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.stats import kurtosis_pandas, skew_pandas
+from .functions.windows import bar_window, bollinger, log_return, pct_change, price_diff, rolling_mean, rolling_std, rsi
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as X
+from .operators.profile import series_profile
+from .operators.regime import ShortTermThresholds, coarse_regime, detect_regime_5way, regime_features
+from .operators.transitions import regime_transitions, top_transitions, transition_matrix
+from .sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# The canonical per-user event window: total order via (ts, event_id).
+_EV_ORDER = ["ts", "event_id"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _r6(c) -> F.Column:
+    return F.round(c, 6)
+
+
+# --------------------------------------------------------------------------
+# Relational block (TPC-H-style: scans, joins, aggregations, top-k, pivot)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → groupBy → multi-agg (SURVEY A1-A6 analog).
+
+    Catalyst pushes the shipdate predicate into the parquet scan; the
+    aggregate is partial map-side, one tiny shuffle on (flag, status).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            _r6(F.avg("l_extendedprice")).alias("avg_price"),
+            _r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+       round(avg(l_quantity), 6)                                            AS avg_qty,
+       round(avg(l_extendedprice), 6)                                       AS avg_price,
+       round(avg(l_discount), 6)                                            AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + group + deterministic top-10 (TPC-H Q3 shape; SURVEY J*, O2).
+
+    customer is the small side → broadcast hash join, no shuffle of lineitem
+    beyond the orderkey aggregation.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+_SQL_TOP_REVENUE = """
+SELECT o_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join → per-nation revenue (TPC-H Q5 shape).
+
+    All dimensions broadcast; lineitem is the only large input and is
+    aggregated with partial (map-side) combine.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_SQL_NATION_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab: priority × status counts (SURVEY A13/J2 pivot analog)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+
+
+_SQL_ORDER_PIVOT = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS "F",
+       count(*) FILTER (o_orderstatus = 'O') AS "O",
+       count(*) FILTER (o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def q_top_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-desc + head-N (SURVEY O2: TakeOrderedAndProject, no full sort)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), "p_partkey")
+        .limit(15)
+    )
+
+
+_SQL_TOP_PARTS = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 15
+"""
+
+
+def q_customer_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group stats + distinct counts per segment (SURVEY A3/A9)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        _r6(F.avg("c_acctbal")).alias("avg_acctbal"),
+        _r6(F.stddev_samp("c_acctbal")).alias("std_acctbal"),
+        _r6(F.min("c_acctbal")).alias("min_acctbal"),
+        _r6(F.max("c_acctbal")).alias("max_acctbal"),
+    )
+
+
+_SQL_SEGMENT_STATS = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       count(DISTINCT c_nationkey) AS n_nations,
+       round(avg(c_acctbal), 6) AS avg_acctbal,
+       round(stddev_samp(c_acctbal), 6) AS std_acctbal,
+       round(min(c_acctbal), 6) AS min_acctbal,
+       round(max(c_acctbal), 6) AS max_acctbal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Window / feature block on events (SURVEY W1-W11, F11, C11)
+# --------------------------------------------------------------------------
+
+_EV_WINDOW_SQL = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def q_ev_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2/W3/W4: pct_change(1), pct_change(5), diff, log-return per user."""
+    ev = _events(spark, sf_dir)
+    w = bar_window("user_id", _EV_ORDER)
+    v = F.col("value")
+    return ev.select(
+        "user_id",
+        "event_id",
+        _r6(pct_change(v, w)).alias("ret_1"),
+        _r6(pct_change(v, w, periods=5)).alias("ret_5"),
+        _r6(price_diff(v, w)).alias("diff_1"),
+        _r6(F.when(v > 0, log_return(F.when(v > 0, v), w))).alias("log_ret"),
+    )
+
+
+_SQL_EV_RETURNS = f"""
+WITH base AS (
+  SELECT user_id, event_id, value,
+         value / nullif(lag(value) OVER w, 0) - 1      AS ret_1,
+         value / nullif(lag(value, 5) OVER w, 0) - 1   AS ret_5,
+         value - lag(value) OVER w                     AS diff_1,
+         CASE WHEN value > 0 THEN
+           ln(CASE WHEN value > 0 THEN value END)
+           - lag(ln(CASE WHEN value > 0 THEN value END)) OVER w
+         END AS log_ret
+  FROM events
+  WINDOW w AS ({_EV_WINDOW_SQL})
+)
+SELECT user_id, event_id, round(ret_1, 6) AS ret_1, round(ret_5, 6) AS ret_5,
+       round(diff_1, 6) AS diff_1, round(log_ret, 6) AS log_ret
+FROM base
+"""
+
+
+def q_ev_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/W6: rolling mean/std(24) with pandas warm-up NULLs + min_periods=1 mean."""
+    ev = _events(spark, sf_dir)
+    w = bar_window("user_id", _EV_ORDER)
+    return ev.select(
+        "user_id",
+        "event_id",
+        _r6(rolling_mean("value", w, 24)).alias("ma_24"),
+        _r6(rolling_std("value", w, 24)).alias("std_24"),
+        _r6(rolling_mean("value", w, 24, min_periods=1)).alias("ma_24_mp1"),
+    )
+
+
+_SQL_EV_ROLLING = f"""
+SELECT user_id, event_id,
+  round(CASE WHEN count(value) OVER w24 >= 24 THEN avg(value)         OVER w24 END, 6) AS ma_24,
+  round(CASE WHEN count(value) OVER w24 >= 24 THEN stddev_samp(value) OVER w24 END, 6) AS std_24,
+  round(avg(value) OVER w24, 6) AS ma_24_mp1
+FROM events
+WINDOW w24 AS ({_EV_WINDOW_SQL} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_ev_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: RSI(14), reference formulation (simple rolling means, neutral 50)."""
+    ev = _events(spark, sf_dir)
+    w = bar_window("user_id", _EV_ORDER)
+    return ev.select("user_id", "event_id", _r6(rsi("value", w, 14)).alias("rsi_14"))
+
+
+_SQL_EV_RSI = f"""
+WITH d AS (
+  SELECT user_id, event_id, ts, value - lag(value) OVER ({_EV_WINDOW_SQL}) AS delta
+  FROM events
+), g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+         CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+  FROM d
+), r AS (
+  SELECT user_id, event_id,
+         avg(gain) OVER w14 AS avg_gain,
+         avg(loss) OVER w14 AS avg_loss
+  FROM g
+  WINDOW w14 AS ({_EV_WINDOW_SQL} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       round(coalesce(100.0 - 100.0 / (1.0 + avg_gain / nullif(avg_loss, 0.0)), 50.0), 6) AS rsi_14
+FROM r
+"""
+
+
+def q_ev_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: Bollinger position/width (20, 2σ)."""
+    ev = _events(spark, sf_dir)
+    w = bar_window("user_id", _EV_ORDER)
+    pos, width = bollinger("value", w, 20, 2.0)
+    return ev.select(
+        "user_id", "event_id", _r6(pos).alias("bb_position"), _r6(width).alias("bb_width")
+    )
+
+
+_SQL_EV_BOLLINGER = f"""
+WITH b AS (
+  SELECT user_id, event_id,
+         avg(value)         OVER w20 AS ma,
+         stddev_samp(value) OVER w20 AS sd,
+         value
+  FROM events
+  WINDOW w20 AS ({_EV_WINDOW_SQL} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       round((value - (ma - 2.0 * sd)) / nullif((ma + 2.0 * sd) - (ma - 2.0 * sd), 0.0), 6) AS bb_position,
+       round(sd / nullif(ma, 0.0), 6) AS bb_width
+FROM b
+"""
+
+
+def q_ev_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: forward-fill (last non-null) — nulls synthesized where value < 20."""
+    ev = _events(spark, sf_dir)
+    w = bar_window("user_id", _EV_ORDER).rowsBetween(Window.unboundedPreceding, 0)
+    nv = F.when(F.col("value") >= 20, F.col("value"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        _r6(F.last(nv, ignorenulls=True).over(w)).alias("value_ffill"),
+    )
+
+
+_SQL_EV_FFILL = f"""
+SELECT user_id, event_id,
+       round(last_value(CASE WHEN value >= 20 THEN value END IGNORE NULLS)
+             OVER ({_EV_WINDOW_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill
+FROM events
+"""
+
+
+def q_ev_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: per-user z-score, sklearn parity (population σ)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        _r6(F.try_divide(F.col("value") - F.avg("value").over(w), F.stddev_pop("value").over(w))).alias(
+            "value_z"
+        ),
+    )
+
+
+_SQL_EV_ZSCORE = """
+SELECT user_id, event_id,
+       round((value - avg(value) OVER wu) / nullif(stddev_pop(value) OVER wu, 0.0), 6) AS value_z
+FROM events
+WINDOW wu AS (PARTITION BY user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Regime block (F6-F8, W12, C6, A17, A11, A18)
+# --------------------------------------------------------------------------
+
+
+def _ev_as_bars(ev: DataFrame) -> DataFrame:
+    # events in the bar role: close = value; volume = value (positive scalar)
+    return ev
+
+
+def q_ev_coarse_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8/C10: 3-state regime with per-user exact-percentile thresholds."""
+    ev = _events(spark, sf_dir)
+    out = coarse_regime(
+        ev, series="user_id", time="ts", close="value", order_tiebreak=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        _r6(F.col("volatility")).alias("volatility"),
+        _r6(F.col("momentum")).alias("momentum"),
+        F.col("market_regime"),
+    )
+
+
+_SQL_EV_COARSE = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, value,
+         value / nullif(lag(value) OVER w, 0) - 1     AS ret,
+         value / nullif(lag(value, 24) OVER w, 0) - 1 AS momentum
+  FROM events
+  WINDOW w AS ({_EV_WINDOW_SQL})
+), feats AS (
+  SELECT user_id, event_id, momentum,
+         CASE WHEN count(ret) OVER w24 >= 24 THEN stddev_samp(ret) OVER w24 END AS volatility
+  FROM base
+  WINDOW w24 AS ({_EV_WINDOW_SQL} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+), thr AS (
+  SELECT user_id,
+         quantile_cont(volatility, 0.8)    AS vthr,
+         quantile_cont(abs(momentum), 0.9) AS mthr
+  FROM feats GROUP BY user_id
+)
+SELECT f.user_id, f.event_id,
+       round(f.volatility, 6) AS volatility,
+       round(f.momentum, 6)   AS momentum,
+       CASE WHEN (f.momentum < -t.mthr) OR (f.momentum < 0 AND f.volatility >= t.vthr) THEN 1
+            WHEN (f.momentum >  t.mthr) OR (f.momentum > 0 AND f.volatility >= t.vthr) THEN 0
+            ELSE 2 END AS market_regime
+FROM feats f JOIN thr t USING (user_id)
+"""
+
+
+# 5-way regime CTE reused by several oracles. Feature defs mirror
+# operators.regime.regime_features(window_size=24) exactly.
+_SQL_REGIME5_CTE = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, value,
+         value / nullif(lag(value) OVER w, 0) - 1     AS hourly_ret,
+         value / nullif(lag(value, 24) OVER w, 0) - 1 AS daily_ret
+  FROM events
+  WINDOW w AS ({_EV_WINDOW_SQL})
+), feats AS (
+  SELECT user_id, event_id, ts,
+         daily_ret,
+         CASE WHEN count(hourly_ret) OVER w24 >= 24
+              THEN stddev_samp(hourly_ret) OVER w24 * sqrt(24.0) END AS volatility,
+         CASE WHEN count(sign(daily_ret)) OVER w24 >= 24
+              THEN abs(avg(sign(daily_ret)) OVER w24) END            AS trend_strength
+  FROM base
+  WINDOW w24 AS ({_EV_WINDOW_SQL} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+), labeled AS (
+  SELECT user_id, event_id, ts,
+         CASE
+           WHEN daily_ret >  0.01 AND trend_strength > 0.6 AND NOT (volatility > 0.02) THEN 'stable_bull'
+           WHEN daily_ret >  0.01 AND trend_strength > 0.6 AND volatility > 0.02       THEN 'volatile_bull'
+           WHEN daily_ret < -0.01 AND trend_strength > 0.6 AND NOT (volatility > 0.02) THEN 'stable_bear'
+           WHEN daily_ret < -0.01 AND trend_strength > 0.6 AND volatility > 0.02       THEN 'volatile_bear'
+           ELSE 'consolidation'
+         END AS regime
+  FROM feats
+)
+"""
+
+
+def _ev_regime5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    feats = regime_features(
+        ev, series="user_id", time="ts", close="value", volume="value",
+        window_size=24, order_tiebreak=["event_id"],
+    )
+    return detect_regime_5way(feats, ShortTermThresholds())
+
+
+def q_ev_regime5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: 5-state regime label per (user, event)."""
+    return _ev_regime5(spark, sf_dir).select("user_id", "event_id", "regime")
+
+
+_SQL_EV_REGIME5 = _SQL_REGIME5_CTE + "SELECT user_id, event_id, regime FROM labeled"
+
+
+def q_ev_regime_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A16: regime counts + share of total per regime (the flagship shape)."""
+    labeled = _ev_regime5(spark, sf_dir)
+    counts = labeled.groupBy("regime").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return counts.select(
+        "regime", "n", _r6(F.col("n") / F.sum("n").over(total)).alias("share")
+    )
+
+
+_SQL_EV_REGIME_DIST = _SQL_REGIME5_CTE + """
+SELECT regime, count(*) AS n,
+       round(count(*) / (sum(count(*)) OVER ()), 6) AS share
+FROM labeled GROUP BY regime
+"""
+
+
+def q_ev_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12/C6/C2: gaps-and-islands transitions with durations + flags."""
+    labeled = _ev_regime5(spark, sf_dir)
+    tr = regime_transitions(
+        labeled, series="user_id", time="ts", regime="regime", order_tiebreak=["event_id"]
+    )
+    return tr.select(
+        "user_id",
+        "from_regime",
+        "to_regime",
+        "start_time",
+        "end_time",
+        _r6(F.col("duration")).alias("duration"),
+        _r6(F.col("duration_days")).alias("duration_days"),
+        "is_volatility_increase",
+        "is_trend_change",
+    )
+
+
+_SQL_EV_TRANSITIONS = _SQL_REGIME5_CTE + """
+, flagged AS (
+  SELECT user_id, event_id, ts, regime,
+         CASE WHEN lag(regime) OVER w IS NULL OR regime <> lag(regime) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM labeled
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, event_id, ts, regime,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), runs AS (
+  SELECT user_id, island, regime, min(ts) AS start_time, max(ts) AS end_time
+  FROM islands GROUP BY user_id, island, regime
+), paired AS (
+  SELECT user_id, regime AS from_regime,
+         lead(regime) OVER (PARTITION BY user_id ORDER BY island) AS to_regime,
+         start_time, end_time
+  FROM runs
+)
+SELECT user_id, from_regime, to_regime, start_time, end_time,
+       round(date_diff('microsecond', start_time, end_time) / 3600000000.0, 6) AS duration,
+       round(date_diff('microsecond', start_time, end_time) / 3600000000.0 / 24.0, 6) AS duration_days,
+       (from_regime NOT LIKE '%volatile%') AND (to_regime LIKE '%volatile%') AS is_volatility_increase,
+       ((from_regime LIKE '%bull%') AND (to_regime LIKE '%bear%'))
+         OR ((from_regime LIKE '%bear%') AND (to_regime LIKE '%bull%')) AS is_trend_change
+FROM paired WHERE to_regime IS NOT NULL
+"""
+
+
+def q_ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: transition counts + P(to|from)."""
+    labeled = _ev_regime5(spark, sf_dir)
+    tr = regime_transitions(
+        labeled, series="user_id", time="ts", regime="regime", order_tiebreak=["event_id"]
+    )
+    m = transition_matrix(tr)
+    return m.select(
+        "from_regime", "to_regime", "n_transitions", _r6(F.col("probability")).alias("probability")
+    )
+
+
+_SQL_EV_TRANSITION_MATRIX = _SQL_EV_TRANSITIONS.replace(
+    """SELECT user_id, from_regime, to_regime, start_time, end_time,
+       round(date_diff('microsecond', start_time, end_time) / 3600000000.0, 6) AS duration,
+       round(date_diff('microsecond', start_time, end_time) / 3600000000.0 / 24.0, 6) AS duration_days,
+       (from_regime NOT LIKE '%volatile%') AND (to_regime LIKE '%volatile%') AS is_volatility_increase,
+       ((from_regime LIKE '%bull%') AND (to_regime LIKE '%bear%'))
+         OR ((from_regime LIKE '%bear%') AND (to_regime LIKE '%bull%')) AS is_trend_change
+FROM paired WHERE to_regime IS NOT NULL""",
+    """SELECT from_regime, to_regime, count(*) AS n_transitions,
+       round(count(*) / (sum(count(*)) OVER (PARTITION BY from_regime)), 6) AS probability
+FROM paired WHERE to_regime IS NOT NULL
+GROUP BY from_regime, to_regime""",
+)
+
+
+def q_ev_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/O2: top-5 transitions, deterministic tiebreak."""
+    labeled = _ev_regime5(spark, sf_dir)
+    tr = regime_transitions(
+        labeled, series="user_id", time="ts", regime="regime", order_tiebreak=["event_id"]
+    )
+    return top_transitions(tr, k=5)
+
+
+_SQL_EV_TOP_TRANSITIONS = _SQL_EV_TRANSITION_MATRIX.replace(
+    """SELECT from_regime, to_regime, count(*) AS n_transitions,
+       round(count(*) / (sum(count(*)) OVER (PARTITION BY from_regime)), 6) AS probability
+FROM paired WHERE to_regime IS NOT NULL
+GROUP BY from_regime, to_regime""",
+    """SELECT from_regime, to_regime, count(*) AS n_transitions
+FROM paired WHERE to_regime IS NOT NULL
+GROUP BY from_regime, to_regime
+ORDER BY n_transitions DESC, from_regime, to_regime
+LIMIT 5""",
+)
+
+
+def q_ev_daily_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18/C7: daily tumbling regime distribution."""
+    labeled = _ev_regime5(spark, sf_dir)
+    return (
+        labeled.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "regime"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQL_EV_DAILY_REGIME = _SQL_REGIME5_CTE + """
+SELECT date_trunc('day', ts)::DATE AS day, regime, count(*) AS n
+FROM labeled GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregation / profile block (A5-A10, A16, J6/A8 analog)
+# --------------------------------------------------------------------------
+
+
+def q_ev_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A16: value_counts + normalized share."""
+    ev = _events(spark, sf_dir)
+    total = Window.partitionBy()
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _r6(F.avg("value")).alias("avg_value"))
+        .select("event_type", "n", "avg_value", _r6(F.col("n") / F.sum("n").over(total)).alias("share"))
+    )
+
+
+_SQL_EV_TYPE_SHARE = """
+SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value,
+       round(count(*) / (sum(count(*)) OVER ()), 6) AS share
+FROM events GROUP BY event_type
+"""
+
+
+def q_ev_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5-A9: per-user stats incl. pandas-parity skew/kurtosis."""
+    ev = _events(spark, sf_dir).withColumn("hod", F.hour("ts").cast("double"))
+    prof = series_profile(
+        ev, series="user_id", time="ts", close="value", volume="hod", order_tiebreak=["event_id"]
+    )
+    return prof.select(
+        "user_id",
+        "n_obs",
+        _r6(F.col("mean_return")).alias("mean_return"),
+        _r6(F.col("volatility")).alias("volatility"),
+        _r6(F.col("skewness")).alias("skewness"),
+        _r6(F.col("kurtosis")).alias("kurtosis"),
+        _r6(F.col("volume_price_corr")).alias("volume_price_corr"),
+        _r6(F.col("price_min")).alias("price_min"),
+        _r6(F.col("price_max")).alias("price_max"),
+        _r6(F.col("price_range")).alias("price_range"),
+    )
+
+
+_SQL_EV_USER_PROFILE = f"""
+WITH base AS (
+  SELECT user_id, value, date_part('hour', ts)::DOUBLE AS hod,
+         value / nullif(lag(value) OVER ({_EV_WINDOW_SQL}), 0) - 1 AS ret
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_obs,
+       round(avg(ret), 6) AS mean_return,
+       round(stddev_samp(ret), 6) AS volatility,
+       round(skewness(ret), 6) AS skewness,
+       round(kurtosis(ret), 6) AS kurtosis,
+       round(corr(hod, value), 6) AS volume_price_corr,
+       round(min(value), 6) AS price_min,
+       round(max(value), 6) AS price_max,
+       round((max(value) - min(value)) / nullif(avg(value), 0), 6) AS price_range
+FROM base GROUP BY user_id
+"""
+
+
+def q_ev_hour_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: wide matrix via pivot — hour-of-day × event_type mean value."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.hour("ts").cast("long").alias("hod"))
+        .pivot("event_type", types)
+        .agg(_r6(F.avg("value")))
+    )
+    return out
+
+
+_SQL_EV_HOUR_PIVOT = """
+SELECT date_part('hour', ts) AS hod,
+       round(avg(value) FILTER (event_type = 'click'), 6)    AS click,
+       round(avg(value) FILTER (event_type = 'error'), 6)    AS error,
+       round(avg(value) FILTER (event_type = 'purchase'), 6) AS purchase,
+       round(avg(value) FILTER (event_type = 'signup'), 6)   AS signup,
+       round(avg(value) FILTER (event_type = 'view'), 6)     AS view
+FROM events GROUP BY 1
+"""
+
+
+def q_ev_type_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/A8: pairwise correlation between event-type hourly mean series."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+    ).agg(F.avg("value").alias("v"))
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    return (
+        a.join(b, on="hr")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_hours"), _r6(F.corr("a.v", "b.v")).alias("corr"))
+    )
+
+
+_SQL_EV_TYPE_CORR = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, event_type, avg(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_hours, round(corr(a.v, b.v), 6) AS corr
+FROM hourly a JOIN hourly b USING (hr)
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Text / dedup block (north star; documents table)
+# --------------------------------------------------------------------------
+
+
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = X.text_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_chars_text",
+        "n_tokens",
+        _r6(F.col("avg_token_len")).alias("avg_token_len"),
+        _r6(F.col("punct_ratio")).alias("punct_ratio"),
+        _r6(F.col("digit_ratio")).alias("digit_ratio"),
+        _r6(F.col("stopword_ratio")).alias("stopword_ratio"),
+    )
+
+
+_STOPWORD_SUM = " + ".join(
+    f"len(list_filter(string_split(text, ' '), t -> t = '{wd}'))" for wd in X.STOPWORDS
+)
+
+_SQL_DOC_TEXT_STATS = f"""
+SELECT doc_id,
+       length(text) AS n_chars_text,
+       len(string_split(text, ' ')) AS n_tokens,
+       round((length(text) - (length(text) - length(replace(text, ' ', ''))))::DOUBLE
+             / nullif(len(string_split(text, ' ')), 0), 6) AS avg_token_len,
+       round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE
+             / nullif(length(text), 0), 6) AS punct_ratio,
+       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+             / nullif(length(text), 0), 6) AS digit_ratio,
+       round(({_STOPWORD_SUM})::DOUBLE
+             / nullif(len(string_split(text, ' ')), 0), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.language_id(docs)
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t = '{wd}'))"
+        for wd in X.LANG_MARKERS[lang]
+    )
+
+
+_SQL_DOC_LANG_ID = f"""
+WITH scores AS (
+  SELECT doc_id,
+         {_lang_score_sql('en')} AS score_en,
+         {_lang_score_sql('es')} AS score_es,
+         {_lang_score_sql('fr')} AS score_fr,
+         {_lang_score_sql('de')} AS score_de
+  FROM documents
+)
+SELECT doc_id, score_en, score_es, score_fr, score_de,
+       CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'und'
+            WHEN score_de = greatest(score_en, score_es, score_fr, score_de) THEN 'de'
+            WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+            WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM scores
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.fingerprint(docs)
+
+
+_SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup stats per source: docs vs distinct normalized texts."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(D.normalized_text("text"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_dups"),
+    )
+
+
+_SQL_DOC_EXACT_DEDUP = """
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_distinct,
+       count(*) - count(DISTINCT md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_dups
+FROM documents GROUP BY source
+"""
+
+
+def q_doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 perms, 3-word shingles), md5-based — engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, num_hashes=8, shingle_n=3)
+
+
+_SQL_SHINGLES_CTE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok,
+         generate_subscripts(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '), 1) AS idx
+  FROM documents
+), shingles AS (
+  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+  FROM toks t1
+  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.idx = t1.idx + 1
+  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.idx = t1.idx + 2
+)
+"""
+
+_SQL_DOC_MINHASH = _SQL_SHINGLES_CTE + """
+SELECT doc_id,
+""" + ",\n".join(
+    f"       min(md5(shingle || '#{i}')) AS mh_{i}" for i in range(8)
+) + """
+FROM shingles GROUP BY doc_id
+"""
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over word tokens (md5-derived bits, engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, bits=16)
+
+
+_SIMHASH_VOTES = ",\n".join(
+    f"       sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16)
+)
+_SIMHASH_BITS = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+
+_SQL_DOC_SIMHASH = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id,
+""" + _SIMHASH_VOTES + """
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, (""" + _SIMHASH_BITS + """)::BIGINT AS simhash FROM votes
+"""
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup scoring over 3-shingles (pairs sharing ≥ 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.jaccard_pairs(docs, shingle_n=3)
+    return out.where(F.col("n_shared") >= 3).select(
+        "id_a", "id_b", "n_a", "n_b", "n_shared", _r6(F.col("jaccard")).alias("jaccard")
+    )
+
+
+_SQL_DOC_JACCARD = _SQL_SHINGLES_CTE + """
+, sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_shared,
+       round(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared >= 3
+"""
+
+
+def q_doc_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→LSH→Jaccard-verify near-dup pipeline (the 100 TB-scale path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.near_dup_lsh(docs, num_hashes=8, bands=4, shingle_n=3, min_jaccard=0.5)
+    return out.select(
+        "id_a", "id_b", "n_a", "n_b", "n_shared", _r6(F.col("jaccard")).alias("jaccard")
+    )
+
+
+_SQL_DOC_NEAR_DUP = _SQL_SHINGLES_CTE + """
+, sigs AS (
+  SELECT doc_id,
+""" + ",\n".join(
+    f"         min(md5(shingle || '#{i}')) AS mh_{i}" for i in range(8)
+) + """
+  FROM shingles GROUP BY doc_id
+), bands AS (
+""" + "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, mh_{2*b} || '|' || mh_{2*b+1} AS key FROM sigs"
+    for b in range(4)
+) + """
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+), shared AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_shared
+  FROM cands c
+  JOIN shingles s1 ON s1.doc_id = c.id_a
+  JOIN shingles s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_shared,
+       round(n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_shared::DOUBLE / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity block (north star; embeddings table)
+# --------------------------------------------------------------------------
+
+
+def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for probe vectors (vec_id < 5)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = S.brute_force_topk(emb, queries, k=10)
+    return out.select("query_id", "vec_id", _r6(F.col("cosine_sim")).alias("cosine_sim"), "rank")
+
+
+_SQL_EMB_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(q.qv, e.embedding::DOUBLE[])
+           / nullif(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 0.0)
+           AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cosine_sim, 6) AS cosine_sim, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_emb_label_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + mean member distance to it (cluster-quality agg).
+
+    Two aggregation passes expressed relationally: centroid via per-dimension
+    avg (posexplode → groupBy), then distance of each member to its centroid.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnsRenamed({"pos": "dim", "col": "x"})
+    centroids = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    joined = dims.join(centroids, on=["label", "dim"])
+    sq = joined.groupBy("vec_id", "label").agg(
+        F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))).alias("dist")
+    )
+    return sq.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"), _r6(F.avg("dist")).alias("mean_dist")
+    )
+
+
+_SQL_EMB_CENTROID = """
+WITH dims AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+), centroids AS (
+  SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim
+), dists AS (
+  SELECT d.vec_id, d.label, sqrt(sum((d.x - c.c) * (d.x - c.c))) AS dist
+  FROM dims d JOIN centroids c ON d.label = c.label AND d.dim = c.dim
+  GROUP BY d.vec_id, d.label
+)
+SELECT label, count(*) AS n_members, round(avg(dist), 6) AS mean_dist
+FROM dists GROUP BY label
+"""
+
+
+def q_emb_knn_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 analog: nearest-neighbor euclidean distance per vector (eps elbow input).
+
+    Brute force over the sample corpus; the scale path is hyperplane-LSH
+    bucketing (operators.similarity.lsh_topk).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
+    d = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("dist"),
+        )
+        .groupBy("id_a")
+        .agg(_r6(F.min("dist")).alias("nn_dist"))
+    )
+    return d
+
+
+_SQL_EMB_KNN = """
+WITH sub AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100)
+SELECT a.vec_id AS id_a, round(min(list_distance(a.v, b.v)), 6) AS nn_dist
+FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+GROUP BY a.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+# name -> (query fn, oracle SQL or None for rows-only checks)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # relational
+    "pricing_summary": (q_pricing_summary, _SQL_PRICING),
+    "top_revenue_orders": (q_top_revenue_orders, _SQL_TOP_REVENUE),
+    "nation_revenue": (q_nation_revenue, _SQL_NATION_REVENUE),
+    "order_priority_pivot": (q_order_priority_pivot, _SQL_ORDER_PIVOT),
+    "top_parts_by_price": (q_top_parts_by_price, _SQL_TOP_PARTS),
+    "customer_segment_stats": (q_customer_segment_stats, _SQL_SEGMENT_STATS),
+    # windows
+    "ev_returns": (q_ev_returns, _SQL_EV_RETURNS),
+    "ev_rolling": (q_ev_rolling, _SQL_EV_ROLLING),
+    "ev_rsi": (q_ev_rsi, _SQL_EV_RSI),
+    "ev_bollinger": (q_ev_bollinger, _SQL_EV_BOLLINGER),
+    "ev_ffill": (q_ev_ffill, _SQL_EV_FFILL),
+    "ev_zscore": (q_ev_zscore, _SQL_EV_ZSCORE),
+    # regimes
+    "ev_coarse_regime": (q_ev_coarse_regime, _SQL_EV_COARSE),
+    "ev_regime5": (q_ev_regime5, _SQL_EV_REGIME5),
+    "ev_regime_distribution": (q_ev_regime_distribution, _SQL_EV_REGIME_DIST),
+    "ev_transitions": (q_ev_transitions, _SQL_EV_TRANSITIONS),
+    "ev_transition_matrix": (q_ev_transition_matrix, _SQL_EV_TRANSITION_MATRIX),
+    "ev_top_transitions": (q_ev_top_transitions, _SQL_EV_TOP_TRANSITIONS),
+    "ev_daily_regime": (q_ev_daily_regime, _SQL_EV_DAILY_REGIME),
+    # aggregates / matrices
+    "ev_type_share": (q_ev_type_share, _SQL_EV_TYPE_SHARE),
+    "ev_user_profile": (q_ev_user_profile, _SQL_EV_USER_PROFILE),
+    "ev_hour_type_pivot": (q_ev_hour_type_pivot, _SQL_EV_HOUR_PIVOT),
+    "ev_type_corr_pairs": (q_ev_type_corr_pairs, _SQL_EV_TYPE_CORR),
+    # text / dedup
+    "doc_text_stats": (q_doc_text_stats, _SQL_DOC_TEXT_STATS),
+    "doc_lang_id": (q_doc_lang_id, _SQL_DOC_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, _SQL_DOC_FINGERPRINT),
+    "doc_exact_dedup": (q_doc_exact_dedup, _SQL_DOC_EXACT_DEDUP),
+    "doc_minhash": (q_doc_minhash, _SQL_DOC_MINHASH),
+    "doc_simhash": (q_doc_simhash, _SQL_DOC_SIMHASH),
+    "doc_jaccard_pairs": (q_doc_jaccard_pairs, _SQL_DOC_JACCARD),
+    "doc_near_dup_lsh": (q_doc_near_dup_lsh, _SQL_DOC_NEAR_DUP),
+    # embeddings
+    "emb_topk": (q_emb_topk, _SQL_EMB_TOPK),
+    "emb_label_centroid_dist": (q_emb_label_centroid_dist, _SQL_EMB_CENTROID),
+    "emb_knn_dist": (q_emb_knn_dist, _SQL_EMB_KNN),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
