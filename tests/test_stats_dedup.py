@@ -1,0 +1,116 @@
+"""Pandas-parity stats + dedup/similarity operator unit tests."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.functions.stats import kurtosis_pandas, skew_pandas
+from financial_big_data_spark.operators import dedup as D
+from financial_big_data_spark.operators import similarity as S
+
+
+def test_skew_kurtosis_pandas_parity(spark):
+    rng = np.random.default_rng(7)
+    xs = rng.normal(3, 2, 501).tolist()
+    pdf = pd.Series(xs)
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    row = df.agg(skew_pandas("x").alias("s"), kurtosis_pandas("x").alias("k")).collect()[0]
+    assert abs(row.s - pdf.skew()) < 1e-9
+    assert abs(row.k - pdf.kurtosis()) < 1e-9
+
+
+def test_skew_kurtosis_small_n_null(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    row = df.agg(skew_pandas("x").alias("s"), kurtosis_pandas("x").alias("k")).collect()[0]
+    assert row.s is None and row.k is None
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different words entirely here now table chair"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "tiny"),  # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = D.exact_dedup_keys(_docs(spark)).collect()
+    by_n = sorted([r.n_copies for r in out], reverse=True)
+    assert by_n[0] == 2  # docs 0 and 3
+    keep = {r.keep_id for r in out if r.n_copies == 2}
+    assert keep == {0}
+
+
+def test_word_shingles_short_doc(spark):
+    df = _docs(spark).select("doc_id", D.word_shingles("text", 3).alias("sh"))
+    sizes = {r.doc_id: len(r.sh) for r in df.collect()}
+    assert sizes[4] == 0  # 1 token < 3 → empty, not garbage
+    assert sizes[0] == 7  # 9 tokens → 7 trigrams
+
+
+def test_minhash_identical_docs_equal_signatures(spark):
+    sig = D.minhash_signatures(_docs(spark), num_hashes=4, shingle_n=2)
+    rows = {r.doc_id: tuple(r)[1:] for r in sig.collect()}
+    assert rows[0] == rows[3]
+    assert rows[0] != rows[2]
+    assert 4 not in rows  # shingle-less doc dropped
+
+
+def test_lsh_finds_exact_dup_pair(spark):
+    sig = D.minhash_signatures(_docs(spark), num_hashes=4, shingle_n=2)
+    pairs = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sig, num_hashes=4, bands=2).collect()}
+    assert (0, 3) in pairs
+
+
+def test_near_dup_lsh_end_to_end(spark):
+    out = D.near_dup_lsh(_docs(spark), num_hashes=8, bands=4, shingle_n=2, min_jaccard=0.5)
+    rows = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert rows.get((0, 3)) == 1.0
+
+
+def test_simhash_similar_docs_close(spark):
+    out = {r.doc_id: r.simhash for r in D.simhash(_docs(spark), bits=16).collect()}
+    assert out[0] == out[3]  # identical docs, identical fingerprint
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[0], out[1]) < hamming(out[0], out[2])
+
+
+def test_cosine_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [1, 2, 3]
+    assert abs(out[0].cosine_sim - (0.9 / math.sqrt(0.82))) < 1e-6
+
+
+def test_lsh_topk_recalls_nearest(spark):
+    rng = np.random.default_rng(0)
+    base = rng.normal(0, 1, (50, 8))
+    base[7] = base[0] + rng.normal(0, 0.01, 8)  # plant a near neighbor of 0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    planes = rng.normal(0, 1, (4, 8)).tolist()
+    out = S.lsh_topk(emb, q, planes, k=5)
+    ids = [r.vec_id for r in out.orderBy("rank").collect()]
+    assert 7 in ids  # a ~identical vector lands in the same bucket
