@@ -25,8 +25,9 @@ from financial_big_data_spark import queries as _q  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the EP2 regime-analytics
-    shape — scan → per-series windows → 5-way classify → distribution."""
-    return _q.q_ev_regime_distribution(spark, "/root/testdata/sf0.001")
+    shape — scan → per-series windows → percentile thresholds → classify →
+    distribution (all three classes present by construction)."""
+    return _q.q_ev_coarse_distribution(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,81 @@
+"""Exponentially-weighted recurrences via grouped-map pandas UDFs (SURVEY W8).
+
+``ewm(span, adjust=False)`` is the one reference operator with a genuinely
+sequential recurrence (y_t = (1-α)·y_{t-1} + α·x_t, reference
+src/models/lstm_forecasting.py:153-156), which no Spark window frame can
+express. The physical choice is ``applyInPandas`` per series:
+
+- one Arrow-batched task per series group — the shuffle key is the series,
+  so parallelism = #series (same key as every other per-series stage: AQE
+  reuses the exchange when chained after the window stage);
+- memory bound: ONE series' history per task. At 100 TB with ~1e5 series ×
+  ~1e5 rows each this is ~MBs per task — safe. A single pathological series
+  that exceeds executor memory would need chunked carry-over (stateful
+  streaming), declared out of scope here;
+- everything around the recurrence (the MACD arithmetic) stays in pandas
+  inside the same task — no extra passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def ewm_mean(
+    df: DataFrame,
+    value: str,
+    span: int,
+    series: str = "symbol",
+    time: str = "ts",
+    out: str = "ewm",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Append ``out`` = ewm(span, adjust=False).mean() of ``value`` per series."""
+    order = [time] + (order_tiebreak or [])
+    schema = T.StructType(df.schema.fields + [T.StructField(out, T.DoubleType())])
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order)
+        pdf[out] = pdf[value].ewm(span=span, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(series).applyInPandas(fn, schema)
+
+
+def macd(
+    df: DataFrame,
+    close: str = "close",
+    series: str = "symbol",
+    time: str = "ts",
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """MACD(fast, slow, signal): appends macd, macd_signal, macd_hist.
+
+    Reference lstm_forecasting.py:150-163. One grouped-map pass computes all
+    three EWMs (they share the sort) — not three separate shuffles.
+    """
+    order = [time] + (order_tiebreak or [])
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("macd", T.DoubleType()),
+            T.StructField("macd_signal", T.DoubleType()),
+            T.StructField("macd_hist", T.DoubleType()),
+        ]
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order)
+        ema_fast = pdf[close].ewm(span=fast, adjust=False).mean()
+        ema_slow = pdf[close].ewm(span=slow, adjust=False).mean()
+        pdf["macd"] = ema_fast - ema_slow
+        pdf["macd_signal"] = pdf["macd"].ewm(span=signal, adjust=False).mean()
+        pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
+        return pdf
+
+    return df.groupBy(series).applyInPandas(fn, schema)

@@ -145,5 +145,10 @@ def bollinger(close: ColumnOrName, w: WindowSpec, n: int = 20, k: float = 2.0) -
 
 
 def clip(c: Column, lo: float, hi: float) -> Column:
-    """pandas ``.clip(lo, hi)`` (lstm_forecasting.py:70,80-104)."""
-    return F.least(F.greatest(c, F.lit(lo)), F.lit(hi))
+    """pandas ``.clip(lo, hi)`` (lstm_forecasting.py:70,80-104).
+
+    Null-preserving: Spark's greatest/least *skip* nulls (returning the
+    bound), while pandas clip propagates NaN — guard so downstream fills
+    see the null.
+    """
+    return F.when(c.isNotNull(), F.least(F.greatest(c, F.lit(lo)), F.lit(hi)))

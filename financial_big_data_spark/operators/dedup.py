@@ -43,11 +43,17 @@ def exact_dedup_keys(docs: DataFrame, text: str = "text", id_col: str = "doc_id"
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams as strings (shingling for MinHash/Jaccard)."""
+    """Distinct word n-grams as an array column (small-input/test helper).
+
+    NOTE: higher-order-function lambdas are evaluated *interpreted* in Spark
+    with no common-subexpression elimination — the inner ``split`` re-runs
+    per ``element_at``, so this expression is O(tokens²) per document. The
+    hot paths below use :func:`shingle_table` (posexplode + self-joins),
+    where every intermediate is a materialized attribute computed once.
+    """
     toks = F.split(normalized_text(text), " ")
     if n == 1:
         return F.array_distinct(toks)
-    # zip each token with its n-1 successors: transform over index range.
     # Guarded for docs shorter than n tokens (sequence would run backwards).
     joined = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
@@ -57,6 +63,48 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(joined)).otherwise(empty)
 
 
+def shingle_table(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) rows, relationally — the scale formulation.
+
+    ``posexplode`` evaluates the tokenizing ``split`` ONCE per document (a
+    generator materializes its child), then n-grams come from n-1 self-joins
+    on (id, idx+k) — co-partitioned hash joins on narrow rows, fully
+    codegen'd. Mirrors the DuckDB oracle's CTE structure exactly.
+    """
+    toks = _repartitioned(docs).select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(text), " ")).alias("idx", "tok"),
+    )
+    if n == 1:
+        return toks.select(id_col, F.col("tok").alias("shingle")).distinct()
+    t = [toks.alias(f"t{j}") for j in range(n)]
+    joined = t[0]
+    for j in range(1, n):
+        joined = joined.join(
+            t[j],
+            (F.col(f"t0.{id_col}") == F.col(f"t{j}.{id_col}"))
+            & (F.col(f"t{j}.idx") == F.col("t0.idx") + j),
+        )
+    shingle = F.concat_ws(" ", *[F.col(f"t{j}.tok") for j in range(n)])
+    return joined.select(F.col(f"t0.{id_col}").alias(id_col), shingle.alias("shingle")).distinct()
+
+
+def _repartitioned(docs: DataFrame) -> DataFrame:
+    """Spread CPU-bound per-row hashing across all cores.
+
+    A small single-file parquet scans as ONE partition (maxPartitionBytes ≫
+    file size), serializing the md5-heavy map work; text bytes are tiny
+    relative to the hashing cost, so a round-robin repartition to the
+    cluster's parallelism is pure win. At 100 TB the scan is already
+    many-partitioned and this becomes a no-op-sized shuffle — callers can
+    pass pre-partitioned input to skip it.
+    """
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(target)
+
+
 def minhash_signatures(
     docs: DataFrame,
     text: str = "text",
@@ -64,25 +112,27 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for each salt i, min over shingles of
-    ``md5(shingle || '#' || i)`` (lexicographic min on fixed-width hex ≡
-    numeric min; identical in DuckDB).
+    """Per-doc MinHash signature, map-only (no explode, no shuffle).
 
-    Computed as ``array_min(transform(shingles, md5))`` per row — map-only,
-    zero shuffle, no explode: each task streams its documents and emits one
-    row per doc. Docs with no shingles (shorter than n tokens) are dropped,
-    matching the relational oracle's semantics.
+    Hash family: one md5 per salt bucket yields FOUR independent 32-bit
+    hashes (disjoint 8-hex-char slices) — ``num_hashes`` signatures cost
+    ceil(num_hashes/4) md5 calls per shingle, not num_hashes. Fixed-width
+    lowercase hex preserves numeric order, so ``array_min`` over slices ≡
+    numeric MinHash; DuckDB reproduces it with the same md5/substr.
+    Docs with no shingles (shorter than n tokens) are dropped, matching the
+    relational oracle's semantics.
     """
-    sh = docs.select(F.col(id_col), word_shingles(text, shingle_n).alias("_sh")).where(
-        F.size("_sh") > 0
+    n_digests = -(-num_hashes // 4)  # ceil
+    sh = shingle_table(docs, text, id_col, shingle_n)
+    digest = F.concat(
+        *[F.md5(F.concat(F.col("shingle"), F.lit(f"#{d}"))) for d in range(n_digests)]
     )
-    sig = [
-        F.array_min(
-            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(s, F.lit(f"#{i}"))))
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.select(F.col(id_col), *sig)
+    # digest becomes a materialized attribute at the aggregate boundary —
+    # the md5s run once per shingle row; the 8 substr-mins are trivial.
+    hashed = sh.select(F.col(id_col), digest.alias("h"))
+    return hashed.groupBy(id_col).agg(
+        *[F.min(F.col("h").substr(1 + 8 * i, 8)).alias(f"mh_{i}") for i in range(num_hashes)]
+    )
 
 
 def lsh_candidate_pairs(
@@ -133,9 +183,8 @@ def jaccard_pairs(
     shingle join naturally prunes the quadratic space.
     Returns (id_a, id_b, n_a, n_b, n_shared, jaccard).
     """
-    sh = docs.select(F.col(id_col), word_shingles(text, shingle_n).alias("sh"))
-    sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
-    exploded = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    exploded = shingle_table(docs, text, id_col, shingle_n)
+    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     shared = (
@@ -179,14 +228,22 @@ def near_dup_lsh(
     j* = 0.5 the banding keeps recall high for pairs above ``min_jaccard``.
     Returns (id_a, id_b, n_a, n_b, n_shared, jaccard).
     """
-    sigs = minhash_signatures(docs, text, id_col, num_hashes, shingle_n)
+    sh = shingle_table(docs, text, id_col, shingle_n).cache()
+    digest = F.concat(
+        *[F.md5(F.concat(F.col("shingle"), F.lit(f"#{d}"))) for d in range(-(-num_hashes // 4))]
+    )
+    sigs = (
+        sh.select(F.col(id_col), digest.alias("h"))
+        .groupBy(id_col)
+        .agg(*[F.min(F.col("h").substr(1 + 8 * i, 8)).alias(f"mh_{i}") for i in range(num_hashes)])
+    )
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    sh = docs.select(F.col(id_col), word_shingles(text, shingle_n).alias("sh"))
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
     out = (
         cands.join(
-            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), on="id_a"
+            sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), on="id_a"
         )
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), on="id_b")
         .select(
             "id_a",
             "id_b",
@@ -209,7 +266,7 @@ def simhash(docs: DataFrame, text: str = "text", id_col: str = "doc_id", bits: i
     the vote sum is positive. Token hash = first 16 hex chars of md5 → bigint
     (cross-engine reproducible via conv()).
     """
-    toks = docs.select(
+    toks = _repartitioned(docs).select(
         F.col(id_col), F.explode(F.array_distinct(F.split(normalized_text(text), " "))).alias("tok")
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")

@@ -482,6 +482,39 @@ def _ev_regime5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_regime_5way(feats, ShortTermThresholds())
 
 
+def q_ev_coarse_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship shape: scan → windows → percentile thresholds → classify →
+    distribution. Coarse labels are percentile-based, so all three classes
+    appear at any scale (non-degenerate smoke signal)."""
+    ev = _events(spark, sf_dir)
+    out = coarse_regime(ev, series="user_id", time="ts", close="value", order_tiebreak=["event_id"])
+    total = Window.partitionBy()
+    return (
+        out.groupBy("market_regime")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("market_regime", "n", _r6(F.col("n") / F.sum("n").over(total)).alias("share"))
+    )
+
+
+_SQL_EV_COARSE_DIST = _SQL_EV_COARSE.replace(
+    """SELECT f.user_id, f.event_id,
+       round(f.volatility, 6) AS volatility,
+       round(f.momentum, 6)   AS momentum,
+       CASE WHEN (f.momentum < -t.mthr) OR (f.momentum < 0 AND f.volatility >= t.vthr) THEN 1
+            WHEN (f.momentum >  t.mthr) OR (f.momentum > 0 AND f.volatility >= t.vthr) THEN 0
+            ELSE 2 END AS market_regime
+FROM feats f JOIN thr t USING (user_id)""",
+    """SELECT market_regime, count(*) AS n,
+       round(count(*) / (sum(count(*)) OVER ()), 6) AS share
+FROM (
+  SELECT CASE WHEN (f.momentum < -t.mthr) OR (f.momentum < 0 AND f.volatility >= t.vthr) THEN 1
+              WHEN (f.momentum >  t.mthr) OR (f.momentum > 0 AND f.volatility >= t.vthr) THEN 0
+              ELSE 2 END AS market_regime
+  FROM feats f JOIN thr t USING (user_id)
+) GROUP BY market_regime""",
+)
+
+
 def q_ev_regime5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: 5-state regime label per (user, event)."""
     return _ev_regime5(spark, sf_dir).select("user_id", "event_id", "regime")
@@ -860,12 +893,19 @@ WITH toks AS (
 )
 """
 
+# sliced-digest hash family: mh_i = min over shingles of the i-th 8-hex-char
+# slice of md5(shingle#0) || md5(shingle#1) — 2 md5 calls for 8 hashes.
+_MINHASH_SLICES = ",\n".join(
+    f"       min(substr(h, {1 + 8 * i}, 8)) AS mh_{i}" for i in range(8)
+)
+
 _SQL_DOC_MINHASH = _SQL_SHINGLES_CTE + """
+, hashed AS (
+  SELECT doc_id, md5(shingle || '#0') || md5(shingle || '#1') AS h FROM shingles
+)
 SELECT doc_id,
-""" + ",\n".join(
-    f"       min(md5(shingle || '#{i}')) AS mh_{i}" for i in range(8)
-) + """
-FROM shingles GROUP BY doc_id
+""" + _MINHASH_SLICES + """
+FROM hashed GROUP BY doc_id
 """
 
 
@@ -933,12 +973,12 @@ def q_doc_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_DOC_NEAR_DUP = _SQL_SHINGLES_CTE + """
-, sigs AS (
+, hashed AS (
+  SELECT doc_id, md5(shingle || '#0') || md5(shingle || '#1') AS h FROM shingles
+), sigs AS (
   SELECT doc_id,
-""" + ",\n".join(
-    f"         min(md5(shingle || '#{i}')) AS mh_{i}" for i in range(8)
-) + """
-  FROM shingles GROUP BY doc_id
+""" + _MINHASH_SLICES.replace("       min", "         min") + """
+  FROM hashed GROUP BY doc_id
 ), bands AS (
 """ + "\n  UNION ALL\n".join(
     f"  SELECT doc_id, {b} AS band, mh_{2*b} || '|' || mh_{2*b+1} AS key FROM sigs"
@@ -1074,6 +1114,332 @@ GROUP BY a.vec_id
 
 
 # --------------------------------------------------------------------------
+# Sequences / ordered split (W13, W14)
+# --------------------------------------------------------------------------
+
+
+def q_ev_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13: sliding 30-element value sequences per user (complete windows only)."""
+    ev = _events(spark, sf_dir)
+    w = bar_window("user_id", _EV_ORDER).rowsBetween(-29, 0)
+    out = ev.select(
+        "user_id",
+        "event_id",
+        F.collect_list(_r6(F.col("value"))).over(w).alias("seq"),
+    )
+    return out.where(F.size("seq") == 30).withColumn("seq_len", F.size("seq"))
+
+
+_SQL_EV_SEQUENCES = f"""
+WITH s AS (
+  SELECT user_id, event_id,
+         list(round(value, 6)) OVER ({_EV_WINDOW_SQL} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS seq
+  FROM events
+)
+SELECT user_id, event_id, seq, len(seq) AS seq_len FROM s WHERE len(seq) = 30
+"""
+
+
+def q_ev_ordered_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14: deterministic time-ordered 70/15/15 split — counts per split."""
+    from .operators.features import ordered_split
+
+    ev = _events(spark, sf_dir)
+    out = ordered_split(ev, series="user_id", time="ts", order_tiebreak=["event_id"])
+    return out.groupBy("user_id", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SQL_EV_ORDERED_SPLIT = f"""
+WITH ranked AS (
+  SELECT user_id,
+         row_number() OVER ({_EV_WINDOW_SQL}) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_rows
+  FROM events
+)
+SELECT user_id,
+       CASE WHEN rn <= floor(n_rows * 0.70) THEN 'train'
+            WHEN rn <= floor(n_rows * 0.85) THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n
+FROM ranked GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Model-eval metrics (A13-A15) over a deterministic predictions table
+# --------------------------------------------------------------------------
+
+# predictions: true = event_type, pred = previous event_type of same user
+_SQL_PREDS_CTE = f"""
+WITH preds AS (
+  SELECT user_id, event_id, event_type AS true_label,
+         lag(event_type) OVER ({_EV_WINDOW_SQL}) AS pred_label
+  FROM events
+)
+, p AS (SELECT * FROM preds WHERE pred_label IS NOT NULL)
+"""
+
+
+def _ev_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = bar_window("user_id", _EV_ORDER)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("true_label"),
+            F.lag("event_type").over(w).alias("pred_label"),
+        )
+        .where(F.col("pred_label").isNotNull())
+    )
+
+
+def q_pred_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: confusion matrix counts."""
+    from .ml.metrics import confusion_matrix
+
+    return confusion_matrix(_ev_preds(spark, sf_dir))
+
+
+_SQL_PRED_CONFUSION = _SQL_PREDS_CTE + """
+SELECT true_label, pred_label, count(*) AS n FROM p GROUP BY 1, 2
+"""
+
+
+def q_pred_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: overall accuracy."""
+    from .ml.metrics import accuracy
+
+    out = accuracy(_ev_preds(spark, sf_dir))
+    return out.select(_r6(F.col("accuracy")).alias("accuracy"), "n")
+
+
+_SQL_PRED_ACCURACY = _SQL_PREDS_CTE + """
+SELECT round(avg(CASE WHEN true_label = pred_label THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+       count(*) AS n
+FROM p
+"""
+
+
+def q_pred_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: per-class precision/recall/F1 with support."""
+    from .ml.metrics import per_class_f1
+
+    out = per_class_f1(_ev_preds(spark, sf_dir))
+    return out.select(
+        "label",
+        "support",
+        _r6(F.col("precision")).alias("precision"),
+        _r6(F.col("recall")).alias("recall"),
+        _r6(F.col("f1")).alias("f1"),
+    )
+
+
+_SQL_PRED_F1 = _SQL_PREDS_CTE + """
+, cm AS (SELECT true_label, pred_label, count(*) AS n FROM p GROUP BY 1, 2),
+  by_true AS (SELECT true_label AS label, sum(n) AS support FROM cm GROUP BY 1),
+  by_pred AS (SELECT pred_label AS label, sum(n) AS n_pred FROM cm GROUP BY 1),
+  tp AS (SELECT true_label AS label, n AS tp FROM cm WHERE true_label = pred_label),
+  joined AS (
+    SELECT coalesce(t.label, q.label) AS label,
+           coalesce(support, 0) AS support, coalesce(n_pred, 0) AS n_pred,
+           coalesce(tp.tp, 0) AS tp
+    FROM by_true t FULL JOIN by_pred q ON t.label = q.label
+    LEFT JOIN tp ON coalesce(t.label, q.label) = tp.label
+  )
+SELECT label, support,
+       round(tp / nullif(n_pred, 0), 6) AS precision,
+       round(tp / nullif(support, 0), 6) AS recall,
+       round(coalesce(
+         2.0 * (tp / nullif(n_pred, 0)) * (tp / nullif(support, 0))
+             / nullif((tp / nullif(n_pred, 0)) + (tp / nullif(support, 0)), 0),
+         0.0), 6) AS f1
+FROM joined
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar functions, percentiles, set ops, rollup (C*, U*, beyond)
+# --------------------------------------------------------------------------
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C8 kitchen sink: string/date/math scalar parity on orders."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_replace("o_orderpriority", "-", "_").alias("prio_norm"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_rank"),
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.col("o_orderpriority").contains("URGENT").alias("is_urgent"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        _r6(F.sqrt(F.abs(F.col("o_totalprice")))).alias("sqrt_price"),
+        _r6(F.log(F.col("o_totalprice") + 1)).alias("log_price"),
+        F.signum(F.col("o_totalprice") - 100000).cast("int").alias("price_sign"),
+    )
+
+
+_SQL_SCALAR_FUNCS = """
+SELECT o_orderkey,
+       replace(o_orderpriority, '-', '_') AS prio_norm,
+       o_orderstatus || '|' || o_orderpriority AS status_prio,
+       substr(o_orderpriority, 1, 1)::INT AS prio_rank,
+       upper(o_orderstatus) AS status_upper,
+       contains(o_orderpriority, 'URGENT') AS is_urgent,
+       date_trunc('month', o_orderdate)::DATE AS order_month,
+       date_part('year', o_orderdate) AS order_year,
+       round(sqrt(abs(o_totalprice)), 6) AS sqrt_price,
+       round(ln(o_totalprice + 1), 6) AS log_price,
+       sign(o_totalprice - 100000)::INT AS price_sign
+FROM orders
+"""
+
+
+def q_customer_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: exact linear-interpolation percentiles (numpy parity) per segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        _r6(F.expr("percentile(c_acctbal, 0.5)")).alias("p50"),
+        _r6(F.expr("percentile(c_acctbal, 0.8)")).alias("p80"),
+        _r6(F.expr("percentile(c_acctbal, 0.9)")).alias("p90"),
+        _r6(F.expr("percentile(c_acctbal, 0.99)")).alias("p99"),
+    )
+
+
+_SQL_CUSTOMER_PCTL = """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.5), 6)  AS p50,
+       round(quantile_cont(c_acctbal, 0.8), 6)  AS p80,
+       round(quantile_cont(c_acctbal, 0.9), 6)  AS p90,
+       round(quantile_cont(c_acctbal, 0.99), 6) AS p99
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U3: union / intersect / except over nation-key sets, one plan.
+
+    Each set op is a DataFrame op (distinct/union/intersect/except) and the
+    five cardinalities are cross-joined 1-row aggregates — a single job.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+
+    def one(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    return (
+        one(cust.distinct(), "n_cust_nations")
+        .crossJoin(one(supp.distinct(), "n_supp_nations"))
+        .crossJoin(one(cust.union(supp).distinct(), "n_union"))
+        .crossJoin(one(cust.distinct().intersect(supp.distinct()), "n_intersect"))
+        .crossJoin(one(cust.distinct().exceptAll(supp.distinct()), "n_cust_only"))
+    )
+
+
+_SQL_NATION_COVERAGE = """
+SELECT (SELECT count(DISTINCT c_nationkey) FROM customer) AS n_cust_nations,
+       (SELECT count(DISTINCT s_nationkey) FROM supplier) AS n_supp_nations,
+       (SELECT count(*) FROM (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)) AS n_union,
+       (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS nk FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier)) AS n_intersect,
+       (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS nk FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier)) AS n_cust_only
+"""
+
+
+def q_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: ROLLUP aggregation (priority → status hierarchy)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+_SQL_ORDER_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       grouping(o_orderpriority, o_orderstatus) AS gid
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# ML block (rows-only checks: no SQL equivalent)
+# --------------------------------------------------------------------------
+
+
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: K-Means(k=10, seed=42) over embeddings → cluster sizes."""
+    from .ml.clustering import kmeans_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = 64
+    cols = [F.col("embedding")[i].alias(f"e{i}") for i in range(dims)]
+    flat = emb.select("vec_id", *cols)
+    assigned, _metrics = kmeans_clusters(
+        flat, [f"e{i}" for i in range(dims)], k=10, seed=42, standardize=False
+    )
+    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: PCA(3) projection of embeddings."""
+    from .ml.clustering import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = 64
+    cols = [F.col("embedding")[i].alias(f"e{i}") for i in range(dims)]
+    flat = emb.select("vec_id", *cols)
+    out = pca_project(flat, [f"e{i}" for i in range(dims)], k=3, standardize=False)
+    return out.select("vec_id", F.col("pc")[0].alias("pc1"), F.col("pc")[1].alias("pc2"), F.col("pc")[2].alias("pc3"))
+
+
+def q_ev_user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: Louvain communities over the user correlation graph."""
+    from .ml.clustering import corr_edges, correlation_matrix, louvain_communities_df
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.col("user_id").cast("string").alias("uid"), F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.avg("value").alias("v"))
+    corr = correlation_matrix(hourly, key="uid", time="hr", value="v")
+    edges = corr_edges(corr, threshold=0.1)
+    communities, _m = louvain_communities_df(spark, edges)
+    return communities.groupBy("community").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+def q_emb_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/M4: DBSCAN over a sample of embeddings (eps from kNN percentile)."""
+    from .ml.clustering import dbscan
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    dims = 64
+    cols = [F.col("embedding")[i].alias(f"e{i}") for i in range(dims)]
+    flat = emb.select(F.col("vec_id").cast("string").alias("vid"), *cols)
+    out, _params = dbscan(flat, "vid", [f"e{i}" for i in range(dims)])
+    return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_ev_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: MACD(12,26,9) via grouped-map EWM recurrence (no SQL equivalent;
+    pinned instead by the pandas-golden test suite)."""
+    from .functions.ewm import macd
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    out = macd(ev, close="value", series="user_id", time="ts", order_tiebreak=["event_id"])
+    return out.select(
+        "user_id", "event_id", _r6(F.col("macd")).alias("macd"),
+        _r6(F.col("macd_signal")).alias("macd_signal"), _r6(F.col("macd_hist")).alias("macd_hist"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1095,6 +1461,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_zscore": (q_ev_zscore, _SQL_EV_ZSCORE),
     # regimes
     "ev_coarse_regime": (q_ev_coarse_regime, _SQL_EV_COARSE),
+    "ev_coarse_distribution": (q_ev_coarse_distribution, _SQL_EV_COARSE_DIST),
     "ev_regime5": (q_ev_regime5, _SQL_EV_REGIME5),
     "ev_regime_distribution": (q_ev_regime_distribution, _SQL_EV_REGIME_DIST),
     "ev_transitions": (q_ev_transitions, _SQL_EV_TRANSITIONS),
@@ -1119,6 +1486,24 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_topk": (q_emb_topk, _SQL_EMB_TOPK),
     "emb_label_centroid_dist": (q_emb_label_centroid_dist, _SQL_EMB_CENTROID),
     "emb_knn_dist": (q_emb_knn_dist, _SQL_EMB_KNN),
+    # sequences / split
+    "ev_sequences": (q_ev_sequences, _SQL_EV_SEQUENCES),
+    "ev_ordered_split": (q_ev_ordered_split, _SQL_EV_ORDERED_SPLIT),
+    # eval metrics
+    "pred_confusion": (q_pred_confusion, _SQL_PRED_CONFUSION),
+    "pred_accuracy": (q_pred_accuracy, _SQL_PRED_ACCURACY),
+    "pred_f1": (q_pred_f1, _SQL_PRED_F1),
+    # scalar / percentile / set ops / rollup
+    "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCS),
+    "customer_percentiles": (q_customer_percentiles, _SQL_CUSTOMER_PCTL),
+    "nation_coverage": (q_nation_coverage, _SQL_NATION_COVERAGE),
+    "order_rollup": (q_order_rollup, _SQL_ORDER_ROLLUP),
+    # ML (rows-only: non-SQL-expressible)
+    "emb_kmeans": (q_emb_kmeans, None),
+    "emb_pca": (q_emb_pca, None),
+    "ev_user_communities": (q_ev_user_communities, None),
+    "emb_dbscan": (q_emb_dbscan, None),
+    "ev_macd": (q_ev_macd, None),
 }
 
 
