@@ -1,0 +1,160 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+North-star surface (BASELINE.json): treat image/audio/video as ``binary``
+columns with a typed metadata struct, and run decode / feature-extract /
+resize / frame-sample as Arrow-batched ``mapInPandas`` stages. The decode
+kernels themselves are STUBBED (the media libraries are not in this
+container): ``decoder`` defaults to a deterministic fake that derives
+"features" from the payload bytes, and a real pipeline injects e.g. a
+PIL/ffmpeg-backed callable with the same signature. Everything Spark-side —
+schema, batching, partitioning, output contract — is real and tested.
+
+Scale design: mapInPandas streams Arrow batches through the Python worker;
+payloads never land on the driver. Batch size is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` — for ~MB media payloads
+set it low (e.g. 32) to cap worker memory. Decode is embarrassingly
+parallel: parallelism = input partitions, no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for plumbing tests (payload = seeded
+    bytes; metadata consistent with kind)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=256 + (i % 7) * 64, dtype=np.uint8).tobytes()
+        rows.append(
+            (
+                i,
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                bytearray(payload),
+                64 if kind != "audio" else None,
+                48 if kind != "audio" else None,
+                None if kind == "image" else 1000 + i,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, kind: str, dim: int) -> list[float]:
+    """Deterministic stand-in for a real decoder: hash-derived features.
+
+    Replace with a real kernel (PIL / torchaudio / ffmpeg) of the same
+    signature; raise NotImplementedError to mark unported media kinds.
+    """
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw / np.float64(2**32)).tolist()
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = 16,
+    decoder: Callable[[bytes, str, int], list[float]] | None = None,
+) -> DataFrame:
+    """Decode/feature-extract each payload → (media_id, kind, n_bytes, features).
+
+    ``decoder`` runs inside mapInPandas per Arrow batch. The output schema is
+    fixed regardless of decoder, so swapping the stub for a real kernel is a
+    pure function change.
+    """
+    decode = decoder or _fake_decode
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode(bytes(p), k, dim) for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "n_bytes": pdf["payload"].map(len).astype("int64").values,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(fn, out_schema)
+
+
+def frame_sample(
+    media: DataFrame,
+    every_ms: int = 500,
+    sampler: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (media_id,
+    frame_idx, frame_ts_ms, frame_payload). Stub sampler slices the payload
+    deterministically; a real one decodes with ffmpeg."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame_payload", T.BinaryType()),
+        ]
+    )
+
+    def default_sampler(payload: bytes, n_frames: int) -> list[bytes]:
+        step = max(len(payload) // max(n_frames, 1), 1)
+        return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
+    sample = sampler or default_sampler
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, payloads = [], [], [], []
+            for _, row in pdf.iterrows():
+                if row["kind"] != "video" or row["duration_ms"] is None:
+                    continue
+                n_frames = max(int(row["duration_ms"] // every_ms), 1)
+                for j, frame in enumerate(sample(bytes(row["payload"]), n_frames)):
+                    ids.append(row["media_id"])
+                    idxs.append(j)
+                    tss.append(j * every_ms)
+                    payloads.append(frame)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.array(tss, dtype="int64"),
+                    "frame_payload": payloads,
+                }
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(fn, out_schema)

@@ -1,0 +1,169 @@
+"""Structured Streaming variants of the batch regime operators (SURVEY §2.10).
+
+The reference is batch-only; its paginated fetch loop (reference
+src/data_processing/data_fetching.py:91-113) is an incremental append source,
+so the natural streaming surface declared in SURVEY §2.10 is:
+
+    bar stream → watermark(ts) → tumbling aggregates        (stateless path)
+    bar stream → stateful per-series labeler + transitions  (stateful path)
+
+Design constraints Structured Streaming imposes (and how we meet them):
+
+- Arbitrary window functions (lag/row_number) are unsupported on streams →
+  the per-series rolling features are computed inside
+  ``applyInPandasWithState``: the GroupState carries the last
+  ``window_size×2`` closes per series (bounded state, ~KB per series), so
+  each micro-batch labels its rows exactly as the batch operator would given
+  the same prefix.
+- Late data: the stateless path uses an event-time watermark; the stateful
+  path assumes per-series in-order arrival within a group (exchange-
+  partitioned by series) and sorts each micro-batch — matching the batch
+  semantics for availableNow/file replays.
+- State TTL: timeout is configurable; idle series are dropped after
+  ``state_ttl_ms`` (processing-time) to bound total state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.regime import ShortTermThresholds
+
+
+def streaming_bar_stats(
+    stream: DataFrame,
+    time: str = "ts",
+    series: str = "symbol",
+    value: str = "close",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateless path: watermarked tumbling per-series stats (A18 analog)."""
+    return (
+        stream.withWatermark(time, watermark)
+        .groupBy(F.window(F.col(time), window).alias("w"), F.col(series))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value).alias("mean_value"),
+            F.stddev_samp(value).alias("std_value"),
+            F.min(value).alias("min_value"),
+            F.max(value).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            series,
+            "n",
+            "mean_value",
+            "std_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def _label_rows(
+    closes: pd.Series, window_size: int, t: ShortTermThresholds
+) -> pd.Series:
+    """Batch-identical 5-way labeling over a (prefix + batch) close series.
+
+    Pure pandas mirror of operators.regime.regime_features +
+    detect_regime_5way so streaming output converges to batch output.
+    """
+    import numpy as np
+
+    hourly = closes.pct_change()
+    daily = closes.pct_change(window_size)
+    vol = hourly.rolling(window_size).std() * np.sqrt(window_size)
+    trend = np.sign(daily).rolling(window_size).mean().abs()
+    bull = (daily > t.ret) & (trend > t.trend)
+    bear = (daily < -t.ret) & (trend > t.trend)
+    hivol = vol > t.volatility
+    out = pd.Series("consolidation", index=closes.index)
+    out[bull & ~hivol] = "stable_bull"
+    out[bull & hivol] = "volatile_bull"
+    out[bear & ~hivol] = "stable_bear"
+    out[bear & hivol] = "volatile_bear"
+    return out
+
+
+def streaming_label_transitions(
+    stream: DataFrame,
+    series: str = "symbol",
+    time: str = "ts",
+    close: str = "close",
+    window_size: int = 24,
+    thresholds: ShortTermThresholds | None = None,
+    state_ttl_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Stateful path: per-series regime labels + transition flags on a stream.
+
+    Emits one row per input bar: (series, ts, close, regime, prev_regime,
+    is_transition). GroupState per series: the last ``2×window_size`` closes
+    (warm-up prefix) + the last emitted regime — bounded regardless of
+    stream length.
+    """
+    t = thresholds or ShortTermThresholds()
+    out_schema = T.StructType(
+        [
+            T.StructField(series, T.StringType()),
+            T.StructField(time, T.TimestampType()),
+            T.StructField(close, T.DoubleType()),
+            T.StructField("regime", T.StringType()),
+            T.StructField("prev_regime", T.StringType()),
+            T.StructField("is_transition", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("closes", T.ArrayType(T.DoubleType())),
+            T.StructField("last_regime", T.StringType()),
+        ]
+    )
+    keep = 2 * window_size
+
+    def fn(
+        key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            closes_prefix, last_regime = state.get
+            closes_prefix = list(closes_prefix)
+        else:
+            closes_prefix, last_regime = [], None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([time])
+            full = pd.Series(closes_prefix + pdf[close].astype(float).tolist())
+            labels = _label_rows(full, window_size, t).iloc[len(closes_prefix):]
+            prev = [last_regime] + labels.tolist()[:-1]
+            out = pd.DataFrame(
+                {
+                    series: pdf[series].astype(str),
+                    time: pdf[time].values,
+                    close: pdf[close].astype(float).values,
+                    "regime": labels.values,
+                    "prev_regime": prev,
+                    "is_transition": [
+                        p is not None and p != r for p, r in zip(prev, labels)
+                    ],
+                }
+            )
+            closes_prefix = (closes_prefix + pdf[close].astype(float).tolist())[-keep:]
+            last_regime = labels.iloc[-1] if len(labels) else last_regime
+            yield out
+        state.update((closes_prefix, last_regime))
+        state.setTimeoutDuration(state_ttl_ms)
+
+    return stream.groupBy(series).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,107 @@
+"""Physical-plan shape assertions: the scale properties SURVEY §4.2 promises.
+
+These tests pin the *plan*, not the results: filter/column pushdown reaches
+the parquet scan, the per-series window block compiles to ONE exchange, and
+small dimensions broadcast. A regression here is a silent 100TB-scale
+performance bug even when answers stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.operators.regime import detect_regime_5way, regime_features
+from financial_big_data_spark.operators.transitions import regime_transitions
+from financial_big_data_spark.queries import (
+    q_nation_revenue,
+    q_pricing_summary,
+    q_top_revenue_orders,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from financial_big_data_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz")
+    ).select("l_quantity")
+    plan = _plan(li)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    from financial_big_data_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_quantity", "l_discount")
+    plan = _plan(li)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" in read_schema and "l_discount" in read_schema
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_window_block_single_exchange(spark, bars_df):
+    """All regime features + classification: exactly one shuffle (on symbol)."""
+    feats = detect_regime_5way(
+        regime_features(bars_df, series="symbol", time="ts", close="close", volume="volume")
+    )
+    plan = _plan(feats)
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "hashpartitioning(symbol" in plan
+
+
+def test_transitions_reuse_series_partitioning(spark, bars_df):
+    """Windows + islands + run aggregation: the island groupBy must NOT add
+    a full re-shuffle of the labeled rows — only the final tiny run-table
+    exchanges are allowed beyond the series shuffle."""
+    labeled = detect_regime_5way(
+        regime_features(bars_df, series="symbol", time="ts", close="close", volume="volume")
+    )
+    tr = regime_transitions(labeled)
+    plan = _plan(tr)
+    # exchanges: 1 (series shuffle for windows; islands groupBy on
+    # (symbol,_island,...) reuses it) + ≤2 for the run-level lead() window
+    # over the ~runs-sized table
+    assert plan.count("Exchange") <= 3, plan[:3000]
+
+
+def test_broadcast_joins_for_dimensions(spark):
+    plan = _plan(q_nation_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 3
+
+
+def test_top_revenue_uses_broadcast_for_customer(spark):
+    plan = _plan(q_top_revenue_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """Hash aggregate must be two-phase (partial map-side before exchange)."""
+    plan = _plan(q_pricing_summary(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    first_agg = plan.index("HashAggregate")
+    assert "partial_sum" in plan or "partial" in plan[first_agg:]
+
+
+def test_whole_stage_codegen_covers_window_prep(spark):
+    """After execution the finalized AQE plan must show fused codegen stages
+    around the window prep (scan→project pipeline stays JVM-compiled)."""
+    from financial_big_data_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    feats = regime_features(
+        ev, series="user_id", time="ts", close="value", volume="value",
+        order_tiebreak=["event_id"],
+    )
+    feats.collect()  # finalize THIS df's own adaptive execution
+    plan = _plan(feats)
+    assert "isFinalPlan=true" in plan
+    # codegen'd stages print as "*(n)" in the final-plan rendering
+    assert "*(" in plan
