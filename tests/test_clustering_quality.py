@@ -1,0 +1,128 @@
+"""Deterministic-seed ML quality checks (SURVEY §5.2 item 3) + S5 scan test."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.ml.clustering import (
+    corr_edges,
+    correlation_matrix,
+    dbscan,
+    kmeans_clusters,
+    louvain_communities_df,
+    pca_project,
+)
+
+
+@pytest.fixture(scope="module")
+def blobs_df(spark):
+    """3 well-separated gaussian blobs in 4-D (seeded)."""
+    rng = np.random.default_rng(42)
+    centers = np.array([[0, 0, 0, 0], [10, 10, 0, 0], [0, 10, 10, 10]], dtype=float)
+    rows = []
+    for ci, c in enumerate(centers):
+        for i in range(40):
+            p = c + rng.normal(0, 0.5, 4)
+            rows.append((f"p{ci}_{i}", ci, *p.tolist()))
+    return spark.createDataFrame(
+        rows, "id string, true_cluster int, x0 double, x1 double, x2 double, x3 double"
+    )
+
+
+FEATS = ["x0", "x1", "x2", "x3"]
+
+
+def test_kmeans_recovers_blobs(spark, blobs_df):
+    assigned, metrics = kmeans_clusters(blobs_df, FEATS, k=3, seed=42, standardize=False)
+    # silhouette on separated blobs must be high; inertia finite
+    assert metrics["silhouette"] > 0.8
+    assert metrics["inertia"] >= 0
+    # each true blob maps to exactly one kmeans cluster
+    purity = (
+        assigned.groupBy("true_cluster")
+        .agg(F.countDistinct("cluster").alias("k"))
+        .collect()
+    )
+    assert all(r.k == 1 for r in purity)
+
+
+def test_kmeans_deterministic_across_runs(spark, blobs_df):
+    a, ma = kmeans_clusters(blobs_df, FEATS, k=3, seed=42, standardize=False)
+    b, mb = kmeans_clusters(blobs_df, FEATS, k=3, seed=42, standardize=False)
+    assert abs(ma["silhouette"] - mb["silhouette"]) < 1e-12
+    ra = {r.id: r.cluster for r in a.collect()}
+    rb = {r.id: r.cluster for r in b.collect()}
+    assert ra == rb
+
+
+def test_pca_variance_concentration(spark, blobs_df):
+    out = pca_project(blobs_df, FEATS, k=3, standardize=False)
+    pcs = np.array([r.pc for r in out.collect()])
+    # 3 blobs → 2 principal directions dominate; pc3 variance small vs pc1
+    var = pcs.var(axis=0)
+    assert var[0] > var[2] * 5
+
+
+def test_correlation_and_louvain_structure(spark):
+    """Two groups of series: correlated within, independent across."""
+    rng = np.random.default_rng(7)
+    base_a = rng.normal(0, 1, 200).cumsum()
+    base_b = rng.normal(0, 1, 200).cumsum()
+    rows = []
+    for g, base in (("a", base_a), ("b", base_b)):
+        for j in range(3):
+            series = base + rng.normal(0, 0.05, 200)
+            for t, v in enumerate(series):
+                rows.append((f"{g}{j}", t, float(v)))
+    df = spark.createDataFrame(rows, "key string, t int, value double")
+    corr = correlation_matrix(df, key="key", time="t", value="value")
+    edges = corr_edges(corr, threshold=0.9)
+    communities, metrics = louvain_communities_df(spark, edges)
+    groups = {
+        r.node: r.community for r in communities.collect()
+    }
+    # within-group nodes share a community; across-group nodes don't
+    assert groups["a0"] == groups["a1"] == groups["a2"]
+    assert groups["b0"] == groups["b1"] == groups["b2"]
+    assert groups["a0"] != groups["b0"]
+    assert metrics["n_communities"] == 2
+    assert metrics["modularity"] > 0.3
+
+
+def test_dbscan_blobs_and_noise(spark, blobs_df):
+    # add 5 far-away isolated noise points
+    noise = spark.createDataFrame(
+        [(f"n{i}", -1, 100.0 + 30 * i, -100.0 - 30 * i, 300.0 + 30 * i, -200.0) for i in range(5)],
+        blobs_df.schema,
+    )
+    df = blobs_df.union(noise)
+    out, params = dbscan(df, "id", FEATS, eps=3.0, min_pts=4)
+    got = {r.id: (r.cluster, r.is_noise) for r in out.collect()}
+    assert params["n_clusters"] == 3
+    assert all(got[f"n{i}"][1] for i in range(5))  # isolated points are noise
+    # blob members share their cluster label
+    for ci in range(3):
+        labels = {got[f"p{ci}_{i}"][0] for i in range(40)}
+        assert len(labels) == 1 and -1 not in labels
+
+
+def test_multifile_scan_filename_symbol(spark, tmp_path, bars_df):
+    """S5: multi-file scan with filename-derived series column
+    (input_file_name + regexp_extract replaces the reference's glob loop,
+    data_merger.py:17-39)."""
+    base = tmp_path / "per_symbol"
+    for sym in ["AAA", "BBB"]:
+        bars_df.where(F.col("symbol") == f"{sym}/USDT").drop("symbol").write.mode(
+            "overwrite"
+        ).parquet(str(base / f"{sym}_data.parquet"))
+    scanned = (
+        spark.read.parquet(str(base / "*_data.parquet"))
+        .withColumn(
+            "symbol",
+            F.regexp_extract(F.input_file_name(), r"([A-Z]+)_data\.parquet", 1),
+        )
+    )
+    counts = {r.symbol: r["count"] for r in scanned.groupBy("symbol").count().collect()}
+    assert counts == {"AAA": 400, "BBB": 400}
