@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.profile import series_profile
+from ..functions.stats import kurtosis_pandas, skew_pandas
 from ..operators.regime import ShortTermThresholds, detect_regime_5way, regime_features
 from ..operators.transitions import regime_transitions, top_transitions, transition_matrix
 
@@ -72,7 +72,13 @@ def market_analysis_plan(
         bars, series=series, time=time, close=close, volume=volume,
         window_size=24, order_tiebreak=order_tiebreak,
     )
-    labeled = detect_regime_5way(feats, thresholds).cache()
+    # Cache ONLY what the downstream branches read — a narrow projection
+    # caches ~4x cheaper than the full feature frame and every branch is a
+    # pure aggregate over these columns.
+    keep = [series, time, *(order_tiebreak or []), close, "regime", "hourly_returns"]
+    if volume != close:
+        keep.append(volume)
+    labeled = detect_regime_5way(feats, thresholds).select(*dict.fromkeys(keep)).cache()
 
     total = Window.partitionBy()
     regime_distribution = (
@@ -91,8 +97,21 @@ def market_analysis_plan(
         F.date_trunc("day", F.col(time)).cast("date").alias("day"), "regime"
     ).agg(F.count(F.lit(1)).alias("n"))
 
-    profiles = series_profile(
-        bars, series=series, time=time, close=close, volume=volume, order_tiebreak=order_tiebreak
+    # profiles reuse the cached per-row returns — no second scan or window
+    # stage over the bars (the reference recomputes detect_regime per branch,
+    # the anti-pattern SURVEY §4.1 flags; we share one pass)
+    profiles = labeled.groupBy(series).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.avg("hourly_returns").alias("mean_return"),
+        F.stddev_samp("hourly_returns").alias("volatility"),
+        skew_pandas(F.col("hourly_returns")).alias("skewness"),
+        kurtosis_pandas(F.col("hourly_returns")).alias("kurtosis"),
+        F.avg(volume).alias("volume_mean"),
+        F.try_divide(F.stddev_samp(volume), F.avg(volume)).alias("volume_cv"),
+        F.corr(volume, close).alias("volume_price_corr"),
+        F.min(close).alias("price_min"),
+        F.max(close).alias("price_max"),
+        F.try_divide(F.max(close) - F.min(close), F.avg(close)).alias("price_range"),
     )
 
     # period statistics block (reference market_analysis.py:607-626)
