@@ -1297,6 +1297,32 @@ FROM orders
 """
 
 
+def q_ev_parse_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/C5: format → parse roundtrip + epoch-ms conversion parity."""
+    ev = _events(spark, sf_dir)
+    formatted = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    parsed = F.to_timestamp(formatted, "yyyy-MM-dd HH:mm:ss").cast("timestamp_ntz")
+    return ev.select(
+        "event_id",
+        formatted.alias("ts_str"),
+        parsed.alias("ts_parsed"),
+        F.timestamp_diff("SECOND", parsed, F.col("ts")).alias("trunc_loss_s"),
+        F.hour("ts").cast("long").alias("hr"),
+        F.dayofmonth("ts").cast("long").alias("dom"),
+    )
+
+
+_SQL_EV_PARSE = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_parsed,
+       date_diff('second', strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'), ts) AS trunc_loss_s,
+       date_part('hour', ts) AS hr,
+       date_part('day', ts) AS dom
+FROM events
+"""
+
+
 def q_customer_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: exact linear-interpolation percentiles (numpy parity) per segment."""
     cust = load_table(spark, sf_dir, "customer")
@@ -1647,6 +1673,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # scalar / percentile / set ops / rollup
     "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCS),
     "customer_percentiles": (q_customer_percentiles, _SQL_CUSTOMER_PCTL),
+    "ev_parse_datetime": (q_ev_parse_datetime, _SQL_EV_PARSE),
     "nation_coverage": (q_nation_coverage, _SQL_NATION_COVERAGE),
     "order_rollup": (q_order_rollup, _SQL_ORDER_ROLLUP),
     # ML (rows-only: non-SQL-expressible)
