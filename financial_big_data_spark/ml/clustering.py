@@ -4,9 +4,10 @@ MLlib carries K-Means, PCA and silhouette natively. Louvain and DBSCAN have
 no MLlib implementation; the reference runs them on ≤100-node symbol graphs
 (reference market_analysis.py:310-374), so the engine computes the *inputs*
 distributed (correlation matrix → edge list → ε-graph) and runs the tiny
-graph algorithms driver-side (networkx), with the scale path documented:
-GraphFrames label propagation / connected components over the same edge
-DataFrame when the node count outgrows the driver.
+graph algorithms driver-side (networkx). When the node count outgrows the
+driver, the implemented scale path is ``ml.graph``: pure-DataFrame
+label_propagation (community detection) and connected_components (the
+ε-graph labelling step of distributed DBSCAN) over the same edge DataFrame.
 """
 
 from __future__ import annotations

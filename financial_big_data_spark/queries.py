@@ -368,21 +368,27 @@ FROM events
 
 
 def q_ev_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C11: per-user z-score, sklearn parity (population σ)."""
+    """C11 + W15: per-user z-score (population σ, sklearn parity) and the
+    global max-|x| normalization guard (reference lstm_forecasting.py:90-97)."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id")
+    wg = Window.partitionBy()
     return ev.select(
         "user_id",
         "event_id",
         _r6(F.try_divide(F.col("value") - F.avg("value").over(w), F.stddev_pop("value").over(w))).alias(
             "value_z"
         ),
+        _r6(F.try_divide(F.col("value"), F.max(F.abs(F.col("value"))).over(wg))).alias(
+            "value_maxnorm"
+        ),
     )
 
 
 _SQL_EV_ZSCORE = """
 SELECT user_id, event_id,
-       round((value - avg(value) OVER wu) / nullif(stddev_pop(value) OVER wu, 0.0), 6) AS value_z
+       round((value - avg(value) OVER wu) / nullif(stddev_pop(value) OVER wu, 0.0), 6) AS value_z,
+       round(value / nullif(max(abs(value)) OVER (), 0.0), 6) AS value_maxnorm
 FROM events
 WINDOW wu AS (PARTITION BY user_id)
 """
