@@ -94,6 +94,49 @@ def persistence_baseline(dataset: DataFrame) -> DataFrame:
     )
 
 
+def mllib_regime_classifier(
+    dataset: DataFrame,
+    feature_cols: list[str] | None = None,
+    max_iter: int = 30,
+    reg_param: float = 0.01,
+) -> DataFrame:
+    """Distributed trainable model path (no torch needed): multinomial
+    logistic regression on the per-bar feature block, trained on the train
+    split and scored everywhere.
+
+    This is the M6/M7 slot done Spark-native — MLlib's LBFGS runs as Spark
+    jobs over the training rows, so the same code trains on a 1000-executor
+    cluster. The LSTM topology (torch) remains the pluggable upgrade; the
+    evaluation protocol (test-split metrics) is identical either way.
+    Returns dataset + pred_label.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+
+    feature_cols = feature_cols or FEATURE_COLS
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="_fv", handleInvalid="keep")
+    indexer = StringIndexer(inputCol="target_regime", outputCol="_label", handleInvalid="keep")
+    idx_model = indexer.fit(dataset)
+    prepared = idx_model.transform(assembler.transform(dataset))
+    train = prepared.where(F.col("split") == "train")
+    lr = LogisticRegression(
+        featuresCol="_fv", labelCol="_label", maxIter=max_iter, regParam=reg_param,
+        family="multinomial",
+    )
+    model = lr.fit(train)
+    scored = model.transform(prepared)
+    labels = idx_model.labelsArray[0]
+    mapping = F.array(*[F.lit(x) for x in labels])
+    out = scored.withColumn(
+        "pred_label",
+        F.when(
+            F.col("prediction").cast("int") < len(labels),
+            mapping[F.col("prediction").cast("int")],
+        ).otherwise(F.lit(labels[0])),
+    )
+    return out.drop("_fv", "_label", "rawPrediction", "probability", "prediction")
+
+
 def forecast_and_evaluate(
     bars: DataFrame,
     series: str = "symbol",
@@ -102,19 +145,27 @@ def forecast_and_evaluate(
     high: str = "high",
     low: str = "low",
     volume: str = "volume",
+    model: str = "baseline",
     order_tiebreak: list[str] | None = None,
 ) -> ForecastResult:
-    """End-to-end EP3: dataset → split → score (torch or baseline) → metrics.
+    """End-to-end EP3: dataset → split → score → metrics.
 
-    Metrics are computed on the test split only, per the reference's
-    evaluation protocol (lstm_forecasting.py:288-302).
+    ``model``: "baseline" (persistence) or "logistic" (distributed MLlib
+    multinomial LR trained on the train split). Metrics are computed on the
+    test split only, per the reference's evaluation protocol
+    (lstm_forecasting.py:288-302).
     """
     ds = regime_prediction_dataset(
         bars, series=series, time=time, close=close, high=high, low=low,
         volume=volume, order_tiebreak=order_tiebreak,
     )
     ds = ordered_split(ds, series=series, time=time, order_tiebreak=order_tiebreak)
-    scored = persistence_baseline(ds)  # torch path would replace pred_label here
+    if model == "logistic":
+        scored = mllib_regime_classifier(ds).withColumn(
+            "true_label", F.col("target_regime")
+        )
+    else:
+        scored = persistence_baseline(ds)
     test = scored.where(F.col("split") == "test").select(
         series, time, "true_label", "pred_label", "split"
     )

@@ -399,11 +399,6 @@ WINDOW wu AS (PARTITION BY user_id)
 # --------------------------------------------------------------------------
 
 
-def _ev_as_bars(ev: DataFrame) -> DataFrame:
-    # events in the bar role: close = value; volume = value (positive scalar)
-    return ev
-
-
 def q_ev_coarse_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7/F8/C10: 3-state regime with per-user exact-percentile thresholds."""
     ev = _events(spark, sf_dir)

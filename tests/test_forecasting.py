@@ -57,3 +57,15 @@ def test_forecast_and_evaluate_end_to_end(spark, bars_df):
 
 def test_torch_flag_reflects_environment():
     assert HAS_TORCH is False  # this container ships no torch; baseline path
+
+
+def test_mllib_logistic_model_path(spark, bars_df):
+    res = forecast_and_evaluate(bars_df, model="logistic")
+    acc = res.accuracy.collect()[0]
+    assert 0.0 <= acc.accuracy <= 1.0 and acc.n > 0
+    # trained model must beat uniform-random guessing over 5 classes
+    assert acc.accuracy > 0.2
+    preds = {r.pred_label for r in res.predictions.select("pred_label").distinct().collect()}
+    assert preds <= {
+        "stable_bull", "volatile_bull", "stable_bear", "volatile_bear", "consolidation"
+    }
