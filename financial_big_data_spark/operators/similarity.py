@@ -84,6 +84,112 @@ def hyperplane_lsh_buckets(
     return corpus.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partition the corpus
+    into ``n_cells`` cells, search each query only in its ``n_probe``
+    nearest cells.
+
+    The coarse quantizer trains distributed (MLlib KMeans); cell assignment
+    is a map-only transform; the candidate join is keyed by cell id. At
+    corpus scale N and Q queries this reads ~Q·(n_probe/n_cells)·N vectors
+    instead of Q·N — the standard recall/throughput dial.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_fv", array_to_vector("_v"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell").fit(c)
+    assigned = km.transform(c).select(id_col, "_v", "_cell")
+
+    centers = [np.asarray(ctr).tolist() for ctr in km.clusterCenters()]
+    q_rows = queries.select(F.col(query_id), _as_double(F.col(vec_col)).alias("_qv"))
+
+    # nearest n_probe cells per query, computed as expressions over the
+    # (small) broadcast centroid list
+    def cell_dist(i: int):
+        ctr = F.array(*[F.lit(float(x)) for x in centers[i]])
+        d = F.aggregate(
+            F.zip_with(F.col("_qv"), ctr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.struct(d.alias("d"), F.lit(i).alias("cell"))
+
+    cells = F.array_sort(F.array(*[cell_dist(i) for i in range(len(centers))]))
+    probes = q_rows.withColumn(
+        "_cell", F.explode(F.transform(F.slice(cells, 1, n_probe), lambda s: s["cell"]))
+    )
+    scored = (
+        assigned.join(probes, on=assigned["_cell"] == probes["_cell"])
+        .where(F.col(id_col) != F.col(query_id))
+        .select(
+            F.col(query_id),
+            F.col(id_col),
+            cosine(F.col("_qv"), F.col("_v")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup mode).
+
+    With ``planes`` given, candidates come from hyperplane-LSH buckets (the
+    scale path: pairs only form inside a bucket); without, all pairs are
+    scored (exact, quadratic — small corpora only). Returns
+    (id_a, id_b, cosine_sim ≥ threshold).
+    """
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    if planes is not None:
+        b = hyperplane_lsh_buckets(
+            corpus.select(id_col, vec_col), planes, id_col, vec_col
+        ).select(F.col(id_col), F.col("bucket"))
+        c = c.join(b, on=id_col)
+        join_cond = ["bucket"]
+        a1 = c.select(
+            F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "bucket"
+        )
+        a2 = c.select(
+            F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "bucket"
+        )
+        pairs = a1.join(a2, on=join_cond).where(F.col("id_a") < F.col("id_b"))
+    else:
+        a1 = c.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+        a2 = c.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+        pairs = a1.join(a2, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim")
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -964,6 +964,57 @@ WHERE n_shared >= 3
 """
 
 
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex units + distincts.
+
+    The regex splits words from digit runs and punctuation — the shape a
+    byte-pair pre-tokenizer produces; identical char-class semantics in
+    Java regex (Spark) and RE2 (DuckDB).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    toks_ws = F.split(F.col("text"), " ")
+    toks_re = F.regexp_extract_all(F.col("text"), F.lit(pattern), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks_ws).alias("n_ws_tokens"),
+        F.size(toks_re).alias("n_bpe_units"),
+        F.size(F.array_distinct(toks_ws)).alias("n_distinct_ws"),
+        F.size(F.array_distinct(toks_re)).alias("n_distinct_bpe"),
+    )
+
+
+_SQL_DOC_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_units,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_ws,
+       len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS n_distinct_bpe
+FROM documents
+"""
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact mode over a bounded
+    sample; the LSH-bucketed mode is the scale path, tested separately)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    out = S.embedding_near_dups(emb, threshold=0.9)
+    return out.select("id_a", "id_b", _r6(F.col("cosine_sim")).alias("cosine_sim"))
+
+
+_SQL_EMB_NEAR_DUP = """
+WITH sub AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0) AS cosine_sim
+  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine_sim, 6) AS cosine_sim
+FROM scored WHERE cosine_sim >= 0.9
+"""
+
+
 def q_doc_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash→LSH→Jaccard-verify near-dup pipeline (the 100 TB-scale path)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1654,6 +1705,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_simhash": (q_doc_simhash, _SQL_DOC_SIMHASH),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, _SQL_DOC_JACCARD),
     "doc_near_dup_lsh": (q_doc_near_dup_lsh, _SQL_DOC_NEAR_DUP),
+    "doc_token_counts": (q_doc_token_counts, _SQL_DOC_TOKEN_COUNTS),
+    "emb_near_dup": (q_emb_near_dup, _SQL_EMB_NEAR_DUP),
     # embeddings
     "emb_topk": (q_emb_topk, _SQL_EMB_TOPK),
     "emb_label_centroid_dist": (q_emb_label_centroid_dist, _SQL_EMB_CENTROID),
