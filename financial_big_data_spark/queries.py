@@ -1165,6 +1165,46 @@ GROUP BY a.vec_id
 """
 
 
+def q_ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward inclusive as-of join: each purchase gets the most recent
+    prior-or-equal view's value for the same user (union + ordered-ffill —
+    one shuffle, no range blow-up). Oracle: DuckDB native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(
+        purchases, views, key="user_id", left_time="ts", right_cols=["view_value"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        _r6(F.col("value")).alias("value"),
+        _r6(F.col("view_value_asof")).alias("view_value_asof"),
+    )
+
+
+_SQL_EV_ASOF = """
+WITH purchases AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.user_id, p.event_id, round(p.value, 6) AS value,
+       round(v.view_value, 6) AS view_value_asof
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # Sequences / ordered split (W13, W14)
 # --------------------------------------------------------------------------
@@ -1711,6 +1751,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_topk": (q_emb_topk, _SQL_EMB_TOPK),
     "emb_label_centroid_dist": (q_emb_label_centroid_dist, _SQL_EMB_CENTROID),
     "emb_knn_dist": (q_emb_knn_dist, _SQL_EMB_KNN),
+    # as-of join
+    "ev_asof_join": (q_ev_asof_join, _SQL_EV_ASOF),
     # sequences / split
     "ev_sequences": (q_ev_sequences, _SQL_EV_SEQUENCES),
     "ev_ordered_split": (q_ev_ordered_split, _SQL_EV_ORDERED_SPLIT),
