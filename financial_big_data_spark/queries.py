@@ -1205,6 +1205,54 @@ FROM purchases p ASOF LEFT JOIN views v
 """
 
 
+def q_ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 2h starts a new session (gaps-and-islands on
+    time deltas — same machinery as regime runs, W12 generalized). Emits
+    per-session: start/end, events, total value, distinct types."""
+    ev = _events(spark, sf_dir)
+    w = bar_window("user_id", _EV_ORDER)
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 2 * 3600 * 1_000_000), 1
+    ).otherwise(0)
+    with_session = ev.withColumn(
+        "_session",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_session.groupBy("user_id", "_session")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value")).alias("total_value"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .withColumnRenamed("_session", "session_id")
+    )
+
+
+_SQL_EV_SESSIONS = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value, event_type,
+         date_diff('microsecond', lag(ts) OVER ({_EV_WINDOW_SQL}), ts) AS gap_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 7200000000 THEN 1 ELSE 0 END AS new_s
+  FROM gaps
+), sessions AS (
+  SELECT *, sum(new_s) OVER ({_EV_WINDOW_SQL}
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS total_value,
+       count(DISTINCT event_type) AS n_types
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Sequences / ordered split (W13, W14)
 # --------------------------------------------------------------------------
@@ -1753,6 +1801,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_knn_dist": (q_emb_knn_dist, _SQL_EMB_KNN),
     # as-of join
     "ev_asof_join": (q_ev_asof_join, _SQL_EV_ASOF),
+    # sessionization
+    "ev_sessions": (q_ev_sessions, _SQL_EV_SESSIONS),
     # sequences / split
     "ev_sequences": (q_ev_sequences, _SQL_EV_SEQUENCES),
     "ev_ordered_split": (q_ev_ordered_split, _SQL_EV_ORDERED_SPLIT),
