@@ -19,7 +19,6 @@ express. The physical choice is ``applyInPandas`` per series:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 

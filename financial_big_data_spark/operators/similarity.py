@@ -107,7 +107,7 @@ def ivf_topk(
     import numpy as np
 
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_v")

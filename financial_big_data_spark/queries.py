@@ -27,7 +27,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.stats import kurtosis_pandas, skew_pandas
 from .functions.windows import bar_window, bollinger, log_return, pct_change, price_diff, rolling_mean, rolling_std, rsi
 from .operators import dedup as D
 from .operators import similarity as S
