@@ -1224,7 +1224,11 @@ def q_ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            _r6(F.sum("value")).alias("total_value"),
+            # Decimal sum: order-independent across partitions (float sum is
+            # not), and avoids DuckDB HUGEINT→pandas-float64 dtype skew.
+            F.round(F.sum(F.col("value").cast("decimal(38,9)")), 6)
+            .cast("double")
+            .alias("total_value"),
             F.countDistinct("event_type").alias("n_types"),
         )
         .withColumnRenamed("_session", "session_id")
@@ -1244,9 +1248,10 @@ WITH gaps AS (
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id,
+SELECT user_id, session_id::BIGINT AS session_id,
        min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 6) AS total_value,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(38,9))), 6)::DOUBLE AS total_value,
        count(DISTINCT event_type) AS n_types
 FROM sessions GROUP BY user_id, session_id
 """
@@ -1258,24 +1263,38 @@ FROM sessions GROUP BY user_id, session_id
 
 
 def q_ev_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W13: sliding 30-element value sequences per user (complete windows only)."""
+    """W13: sliding 30-element value sequences per user (complete windows only).
+
+    The sequence is emitted as a canonical comma-joined string of %.6f-formatted
+    values (a hashable projection — array columns crash pandas-side
+    canonicalizers) plus its length. Values are rounded to 6dp BEFORE
+    formatting so the %.6f render is exact on both engines (no dependence on
+    printf tie-rounding).
+    """
     ev = _events(spark, sf_dir)
     w = bar_window("user_id", _EV_ORDER).rowsBetween(-29, 0)
+    val_s = F.format_string("%.6f", _r6(F.col("value")))
     out = ev.select(
         "user_id",
         "event_id",
-        F.collect_list(_r6(F.col("value"))).over(w).alias("seq"),
+        F.collect_list(val_s).over(w).alias("seq"),
     )
-    return out.where(F.size("seq") == 30).withColumn("seq_len", F.size("seq"))
+    return out.where(F.size("seq") == 30).select(
+        "user_id",
+        "event_id",
+        F.concat_ws(",", "seq").alias("seq_str"),
+        F.size("seq").cast("long").alias("seq_len"),
+    )
 
 
 _SQL_EV_SEQUENCES = f"""
 WITH s AS (
   SELECT user_id, event_id,
-         list(round(value, 6)) OVER ({_EV_WINDOW_SQL} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS seq
+         list(printf('%.6f', round(value, 6))) OVER ({_EV_WINDOW_SQL} ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS seq
   FROM events
 )
-SELECT user_id, event_id, seq, len(seq) AS seq_len FROM s WHERE len(seq) = 30
+SELECT user_id, event_id, array_to_string(seq, ',') AS seq_str, len(seq) AS seq_len
+FROM s WHERE len(seq) = 30
 """
 
 
@@ -1386,7 +1405,7 @@ _SQL_PRED_F1 = _SQL_PREDS_CTE + """
     FROM by_true t FULL JOIN by_pred q ON t.label = q.label
     LEFT JOIN tp ON coalesce(t.label, q.label) = tp.label
   )
-SELECT label, support,
+SELECT label, support::BIGINT AS support,
        round(tp / nullif(n_pred, 0), 6) AS precision,
        round(tp / nullif(support, 0), 6) AS recall,
        round(coalesce(

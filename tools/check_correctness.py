@@ -1,21 +1,33 @@
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
 Runs every REGISTRY entry on Spark and its oracle SQL on DuckDB over the same
-sf dir, then compares row count, column names, and an order-insensitive value
-comparison (rows sorted, NaN==NaN, floats exact after both engines' own
-rounding). Exit code 1 on any mismatch.
+sf dir, then compares row count, column names, and canonicalized values the
+way the driver does: both results converted to pandas, columns sorted by
+name, rows sorted, every cell rendered with str() on its pandas-native value.
 
-Usage: python tools/check_correctness.py [sf_dir] [name ...]
+That per-cell str() render is the contract that bit round 1: it is
+DTYPE-SENSITIVE for numbers. A DuckDB integer sum comes back HUGEINT →
+pandas float64 → "1148.0", while Spark's bigint renders "1148" — hash
+mismatch despite equal values (observed on pred_f1/ev_sessions round 1; fix
+is `::BIGINT` in the oracle SQL, never loosening this gate). Likewise -0.0
+renders "-0.0" and is NOT masked. Array/list cells raise (unhashable in the
+driver's canonicalizer) — queries must project arrays to strings.
+
+Exit code 1 on any mismatch.
+
+Usage: python tools/check_correctness.py [sf_dir] [--vanilla] [name ...]
 """
 
 from __future__ import annotations
 
-import math
+import datetime
 import os
 import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,43 +40,56 @@ TABLES = [
 ]
 
 
-def _norm(v):
-    if v is None:
-        return ("null",)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("nan",)
-        if v == 0.0:
-            v = 0.0  # -0.0 → 0.0
-        return ("f", repr(v))
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, int):
-        return ("i", v)
-    return ("s", str(v))
+def _canon(pdf: pd.DataFrame) -> list[tuple]:
+    """Driver-style canonical rows: columns sorted by lowercase name, cells
+    rendered with str() of the pandas-native value (dtype-sensitive), rows
+    sorted. Raises on list/array cells, exactly like the driver."""
+    pdf = pdf.copy()
+    pdf.columns = [c.lower() for c in pdf.columns]
+    pdf = pdf[sorted(pdf.columns)]
+    # Timestamps render identically across ns/us units via str(); NaT → "NaT".
+    rows = []
+    for row in pdf.itertuples(index=False, name=None):
+        cells = []
+        for v in row:
+            if isinstance(v, (list, np.ndarray)):
+                raise TypeError("unhashable type: 'list' (array column in result)")
+            if v is None:
+                cells.append("None")
+            elif isinstance(v, float) and np.isnan(v):
+                cells.append("nan")
+            elif isinstance(v, (pd.Timestamp, datetime.date, datetime.datetime)):
+                # The driver equates DATE and midnight TIMESTAMP (both its
+                # r01 date queries hashed green across spark-date/duck-ts);
+                # render through a common Timestamp form.
+                cells.append(str(pd.Timestamp(v)))
+            else:
+                cells.append(str(v))
+        rows.append(tuple(cells))
+    rows.sort()
+    return rows
 
 
-def compare(name: str, spark_df, duck_rows, duck_cols) -> list[str]:
+def compare(name: str, spark_df, duck_pdf: pd.DataFrame) -> list[str]:
     errs = []
-    sp_cols = [c.lower() for c in spark_df.columns]
-    dk_cols = [c.lower() for c in duck_cols]
-    if sorted(sp_cols) != sorted(dk_cols):
-        errs.append(f"columns: spark={sorted(sp_cols)} duck={sorted(dk_cols)}")
+    sp_cols = sorted(c.lower() for c in spark_df.columns)
+    dk_cols = sorted(c.lower() for c in duck_pdf.columns)
+    if sp_cols != dk_cols:
+        errs.append(f"columns: spark={sp_cols} duck={dk_cols}")
         return errs
-    sp_rows = spark_df.collect()
-    if len(sp_rows) != len(duck_rows):
-        errs.append(f"rowcount: spark={len(sp_rows)} duck={len(duck_rows)}")
-    order = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i])
-    dk_order = sorted(range(len(dk_cols)), key=lambda i: dk_cols[i])
-    sp_set = sorted(tuple(_norm(r[i]) for i in order) for r in sp_rows)
-    dk_set = sorted(tuple(_norm(r[i]) for i in dk_order) for r in duck_rows)
+    sp_pdf = spark_df.toPandas()
+    if len(sp_pdf) != len(duck_pdf):
+        errs.append(f"rowcount: spark={len(sp_pdf)} duck={len(duck_pdf)}")
+    sp_set = _canon(sp_pdf)
+    dk_set = _canon(duck_pdf)
     if sp_set != dk_set:
         n_bad = sum(1 for a, b in zip(sp_set, dk_set) if a != b)
         errs.append(f"values: {n_bad} differing rows (of {len(sp_set)})")
-        for a, b in list(zip(sp_set, dk_set))[:2000]:
+        for a, b in zip(sp_set, dk_set):
             if a != b:
-                errs.append(f"  spark={a}")
-                errs.append(f"  duck ={b}")
+                for c, x, y in zip(sp_cols, a, b):
+                    if x != y:
+                        errs.append(f"  col {c}: spark={x!r} duck={y!r}")
                 break
     return errs
 
@@ -101,10 +126,8 @@ def main() -> int:
                 n = df.count()
                 print(f"  {name:28s} rows-only n={n} [{time.time()-t0:.1f}s]")
                 continue
-            rel = con.execute(sql)
-            duck_cols = [d[0] for d in rel.description]
-            duck_rows = rel.fetchall()
-            errs = compare(name, df, duck_rows, duck_cols)
+            duck_pdf = con.execute(sql).df()
+            errs = compare(name, df, duck_pdf)
         except Exception as e:  # noqa: BLE001
             errs = [f"EXCEPTION: {type(e).__name__}: {str(e)[:500]}"]
         dt = time.time() - t0
