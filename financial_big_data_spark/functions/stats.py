@@ -51,3 +51,16 @@ def zscore(c: Column | str, w: WindowSpec) -> Column:
     """sklearn-``StandardScaler`` z-score over a window scope (ddof=0)."""
     c = F.col(c) if isinstance(c, str) else c
     return F.try_divide(c - F.avg(c).over(w), F.stddev_pop(c).over(w))
+
+
+def with_global_stats(df, aggs: list[Column]):
+    """Attach global aggregates to every row WITHOUT a global window.
+
+    ``expr OVER ()`` (``Window.partitionBy()`` with no keys) moves the whole
+    frame to ONE partition — a scale-killer on fact tables and a
+    ``WindowExec: No Partition Defined`` warning everywhere else. The
+    broadcast-crossJoin of a 1-row aggregate is the distributed equivalent:
+    the aggregate is a map-side-combined single row, and the join is a
+    broadcast nested loop that preserves the input partitioning.
+    """
+    return df.crossJoin(F.broadcast(df.agg(*aggs)))

@@ -27,10 +27,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.stats import kurtosis_pandas, skew_pandas
+from ..functions.stats import kurtosis_pandas, skew_pandas, with_global_stats
 from ..operators.regime import ShortTermThresholds, detect_regime_5way, regime_features
 from ..operators.transitions import regime_transitions, top_transitions, transition_matrix
 
@@ -80,11 +80,9 @@ def market_analysis_plan(
         keep.append(volume)
     labeled = detect_regime_5way(feats, thresholds).select(*dict.fromkeys(keep)).cache()
 
-    total = Window.partitionBy()
-    regime_distribution = (
-        labeled.groupBy("regime")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select("regime", "n", (F.col("n") / F.sum("n").over(total)).alias("share"))
+    counts = labeled.groupBy("regime").agg(F.count(F.lit(1)).alias("n"))
+    regime_distribution = with_global_stats(counts, [F.sum("n").alias("_total")]).select(
+        "regime", "n", (F.col("n") / F.col("_total")).alias("share")
     )
 
     transitions = regime_transitions(

@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.stats import with_global_stats
 from .functions.windows import bar_window, bollinger, log_return, pct_change, price_diff, rolling_mean, rolling_std, rsi
 from .operators import dedup as D
 from .operators import similarity as S
@@ -371,16 +372,16 @@ def q_ev_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     global max-|x| normalization guard (reference lstm_forecasting.py:90-97)."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id")
-    wg = Window.partitionBy()
+    # Global max via 1-row aggregate + broadcast crossJoin, NOT `OVER ()`
+    # (which single-partitions the whole fact table).
+    ev = with_global_stats(ev, [F.max(F.abs(F.col("value"))).alias("_gmax")])
     return ev.select(
         "user_id",
         "event_id",
         _r6(F.try_divide(F.col("value") - F.avg("value").over(w), F.stddev_pop("value").over(w))).alias(
             "value_z"
         ),
-        _r6(F.try_divide(F.col("value"), F.max(F.abs(F.col("value"))).over(wg))).alias(
-            "value_maxnorm"
-        ),
+        _r6(F.try_divide(F.col("value"), F.col("_gmax"))).alias("value_maxnorm"),
     )
 
 
@@ -488,11 +489,10 @@ def q_ev_coarse_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear at any scale (non-degenerate smoke signal)."""
     ev = _events(spark, sf_dir)
     out = coarse_regime(ev, series="user_id", time="ts", close="value", order_tiebreak=["event_id"])
-    total = Window.partitionBy()
-    return (
-        out.groupBy("market_regime")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select("market_regime", "n", _r6(F.col("n") / F.sum("n").over(total)).alias("share"))
+    counts = out.groupBy("market_regime").agg(F.count(F.lit(1)).alias("n"))
+    counts = with_global_stats(counts, [F.sum("n").alias("_total")])
+    return counts.select(
+        "market_regime", "n", _r6(F.col("n") / F.col("_total")).alias("share")
     )
 
 
@@ -527,9 +527,9 @@ def q_ev_regime_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A16: regime counts + share of total per regime (the flagship shape)."""
     labeled = _ev_regime5(spark, sf_dir)
     counts = labeled.groupBy("regime").agg(F.count(F.lit(1)).alias("n"))
-    total = Window.partitionBy()
+    counts = with_global_stats(counts, [F.sum("n").alias("_total")])
     return counts.select(
-        "regime", "n", _r6(F.col("n") / F.sum("n").over(total)).alias("share")
+        "regime", "n", _r6(F.col("n") / F.col("_total")).alias("share")
     )
 
 
@@ -664,11 +664,12 @@ FROM labeled GROUP BY 1, 2
 def q_ev_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/A16: value_counts + normalized share."""
     ev = _events(spark, sf_dir)
-    total = Window.partitionBy()
-    return (
-        ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), _r6(F.avg("value")).alias("avg_value"))
-        .select("event_type", "n", "avg_value", _r6(F.col("n") / F.sum("n").over(total)).alias("share"))
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), _r6(F.avg("value")).alias("avg_value")
+    )
+    counts = with_global_stats(counts, [F.sum("n").alias("_total")])
+    return counts.select(
+        "event_type", "n", "avg_value", _r6(F.col("n") / F.col("_total")).alias("share")
     )
 
 
