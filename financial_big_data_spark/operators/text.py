@@ -98,3 +98,39 @@ def fingerprint(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> 
         F.col(id_col),
         F.md5(normalized).alias("fingerprint"),
     )
+
+
+def text_profile(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """``text_stats`` + ``language_id`` fused into ONE map-only select.
+
+    Same columns as the two operators joined on ``id_col``, without the join:
+    every expression shares the single tokenize pass and the whole profile
+    stays inside one whole-stage-codegen span (no shuffle at any scale).
+    """
+    t = F.col(text)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    stop_hits = sum((_count_token(toks, wd) for wd in STOPWORDS), start=F.lit(0))
+    punct = n_chars - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
+    digits = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    spaces = n_chars - F.length(F.regexp_replace(t, r" ", ""))
+    scores = {
+        lang: sum((_count_token(toks, wd) for wd in words), start=F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+    out = docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_text"),
+        n_tokens.alias("n_tokens"),
+        F.try_divide((n_chars - spaces).cast("double"), n_tokens).alias("avg_token_len"),
+        F.try_divide(punct.cast("double"), n_chars).alias("punct_ratio"),
+        F.try_divide(digits.cast("double"), n_chars).alias("digit_ratio"),
+        F.try_divide(stop_hits.cast("double"), n_tokens).alias("stopword_ratio"),
+        *[s.alias(f"score_{lang}") for lang, s in scores.items()],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit(None).cast("string")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", F.when(best > 0, pred).otherwise(F.lit("und")))
