@@ -104,10 +104,14 @@ def main() -> None:
     # fixed job overhead amortizes (sublinear growth) while a single-node
     # engine grows linearly — the crossover the 100 TB design is for.
     t0 = time.time()
+    # Disjoint doubling: each iteration shifts by (max_id+1)·2^i so the 8
+    # copies never collide on user_id (additive shifts would overlap after
+    # the first doubling and duplicate 1/8 of the series).
+    max_id = ev.agg(F.max("user_id")).collect()[0][0] or 0
     ev8 = ev
     for i in range(3):  # 2^3 = 8x
         ev8 = ev8.unionByName(
-            ev8.withColumn("user_id", F.col("user_id") + F.lit(10_000 * (i + 1)))
+            ev8.withColumn("user_id", F.col("user_id") + F.lit((max_id + 1) * 2**i))
         )
     res8 = market_analysis_plan(
         ev8, series="user_id", time="ts", close="value", volume="value",

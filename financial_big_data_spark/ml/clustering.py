@@ -123,6 +123,16 @@ def louvain_communities_df(
     )
 
 
+def _sq_dist(va: str, vb: str) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(va, vb, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
 def dbscan(
     df: DataFrame,
     id_col: str,
@@ -130,44 +140,80 @@ def dbscan(
     eps: float | None = None,
     min_pts: int | None = None,
     eps_percentile: float = 0.9,
+    mode: str = "auto",
+    driver_max_nodes: int = 2000,
 ) -> tuple[DataFrame, dict]:
     """M3/M4: DBSCAN via ε-graph + connected components of core points.
 
-    Distributed parts: pairwise distances (a self-join — the reference's
-    sklearn call is O(n²) on the driver anyway), kNN distance for the eps
-    elbow (M4: P90 of 1-NN distances, the reference's KneeLocator fallback,
-    market_analysis.py:875-879), core-point filter. The component labelling
-    runs driver-side on the ε-edge list (≤ series count nodes); scale path:
-    GraphFrames connectedComponents on the same edge DataFrame.
+    Two physical regimes, routed automatically by node count (``mode`` can
+    pin ``"driver"``/``"distributed"``):
+
+    - **driver** (n ≤ driver_max_nodes): all-pairs distances + networkx
+      components — the reference's own scale class (sklearn DBSCAN on ≤100
+      symbols, market_analysis.py:310-374).
+    - **distributed** (everything else): ε-grid candidate pruning — each
+      point is hashed to a ⌊x/ε⌋ cell on up to two block dimensions, pairs
+      form only between adjacent cells (an exact superset of ε-neighbors —
+      no all-pairs cartesian), then core flags and the core-graph
+      ``ml.graph.connected_components`` labelling stay DataFrames end to
+      end. The only collects are cluster-count-bounded metadata (the dense
+      relabel map), never fact rows.
+
+    eps default (M4): P-``eps_percentile`` of 1-NN distances — the
+    reference's KneeLocator fallback (market_analysis.py:875-879) — over a
+    bounded sample at scale.
+
+    Core semantics match sklearn: ``min_pts`` counts the point itself, so
+    the neighbor-pair threshold is ``n_neigh >= min_pts - 1``.
     Returns ((id, cluster, is_noise) DataFrame, params). cluster = -1 → noise.
     """
-    import networkx as nx
+    import math
 
     n = df.count()
     if min_pts is None:
-        import math
-
         min_pts = max(int(math.log(max(n, 2))), 3)
     vec = F.array(*[F.col(c).cast("double") for c in feature_cols])
-    pts = df.select(F.col(id_col).alias("_id"), vec.alias("_v")).cache()
-    a = pts.select(F.col("_id").alias("ia"), F.col("_v").alias("va"))
-    b = pts.select(F.col("_id").alias("ib"), F.col("_v").alias("vb"))
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    pairs = a.join(b, F.col("ia") != F.col("ib")).select("ia", "ib", dist.alias("d")).cache()
+    n_block = min(2, len(feature_cols))
+    pts = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        vec.alias("_v"),
+        *[F.col(c).cast("double").alias(f"_b{i}") for i, c in enumerate(feature_cols[:n_block])],
+    ).cache()
+    dist = _sq_dist("va", "vb")
     if eps is None:
-        knn = pairs.groupBy("ia").agg(F.min("d").alias("nn"))
+        sample = pts if n <= driver_max_nodes else pts.limit(driver_max_nodes)
+        sa = sample.select(F.col("_id").alias("ia"), F.col("_v").alias("va"))
+        sb = sample.select(F.col("_id").alias("ib"), F.col("_v").alias("vb"))
+        knn = (
+            sa.join(sb, F.col("ia") != F.col("ib"))
+            .select("ia", dist.alias("d"))
+            .groupBy("ia")
+            .agg(F.min("d").alias("nn"))
+        )
         eps = float(
             knn.agg(F.expr(f"percentile(nn, {eps_percentile})").alias("p")).collect()[0].p
         )
-    neigh = pairs.where(F.col("d") <= eps)
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+
+    use_driver = mode == "driver" or (mode == "auto" and n <= driver_max_nodes)
+    if use_driver:
+        out, stats = _dbscan_driver(pts, dist, eps, min_pts, id_col)
+    else:
+        out, stats = _dbscan_distributed(pts, dist, eps, min_pts, n_block, id_col)
+    pts.unpersist()
+    return out, {"eps": eps, "min_pts": min_pts, **stats}
+
+
+def _dbscan_driver(pts, dist, eps, min_pts, id_col) -> tuple[DataFrame, dict]:
+    import networkx as nx
+
+    a = pts.select(F.col("_id").alias("ia"), F.col("_v").alias("va"))
+    b = pts.select(F.col("_id").alias("ib"), F.col("_v").alias("vb"))
+    pairs = a.join(b, F.col("ia") != F.col("ib")).select("ia", "ib", dist.alias("d"))
+    neigh = pairs.where(F.col("d") <= eps).cache()
     core = neigh.groupBy("ia").agg(F.count(F.lit(1)).alias("n_neigh")).where(
-        F.col("n_neigh") >= min_pts
+        F.col("n_neigh") >= min_pts - 1  # sklearn counts the point itself
     )
     core_ids = {r.ia for r in core.collect()}
     g = nx.Graph()
@@ -189,11 +235,100 @@ def dbscan(
         if core_ids
         else []
     )
+    neigh.unpersist()
     for r in border:
         label[r.ia] = label[r.via]
     all_ids = [r._id for r in pts.select("_id").collect()]
     rows = [(i, int(label.get(i, -1)), i not in label) for i in all_ids]
-    out = df.sparkSession.createDataFrame(rows, f"{id_col} string, cluster int, is_noise boolean")
+    out = pts.sparkSession.createDataFrame(
+        rows, f"{id_col} string, cluster int, is_noise boolean"
+    )
     n_clusters = len({v for v in label.values()})
-    return out, {"eps": eps, "min_pts": min_pts, "n_clusters": n_clusters,
-                 "n_noise": sum(1 for r in rows if r[2])}
+    return out, {"n_clusters": n_clusters, "n_noise": sum(1 for r in rows if r[2])}
+
+
+def _dbscan_distributed(pts, dist, eps, min_pts, n_block, id_col) -> tuple[DataFrame, dict]:
+    from .graph import connected_components
+
+    spark = pts.sparkSession
+    cells = pts.select(
+        "_id",
+        "_v",
+        *[F.floor(F.col(f"_b{i}") / F.lit(eps)).cast("long").alias(f"_c{i}") for i in range(n_block)],
+    )
+    # neighbor-cell offsets: each b-side point is replicated to its 3^n_block
+    # adjacent cells, so a pair meets on exactly ONE equi-join key
+    from itertools import product
+
+    offsets = list(product((-1, 0, 1), repeat=n_block))
+    off_df = spark.createDataFrame(
+        offsets, ", ".join(f"_d{i} int" for i in range(n_block))
+    )
+    a_side = cells.select(
+        F.col("_id").alias("ia"), F.col("_v").alias("va"),
+        *[F.col(f"_c{i}") for i in range(n_block)],
+    )
+    b_side = (
+        cells.crossJoin(F.broadcast(off_df))
+        .select(
+            F.col("_id").alias("ib"), F.col("_v").alias("vb"),
+            *[(F.col(f"_c{i}") + F.col(f"_d{i}")).alias(f"_c{i}") for i in range(n_block)],
+        )
+    )
+    neigh = (
+        a_side.join(b_side, on=[f"_c{i}" for i in range(n_block)])
+        .where(F.col("ia") != F.col("ib"))
+        .where(dist <= eps)
+        .select("ia", "ib")
+        .cache()
+    )
+    core = (
+        neigh.groupBy("ia")
+        .agg(F.count(F.lit(1)).alias("n_neigh"))
+        .where(F.col("n_neigh") >= min_pts - 1)  # sklearn counts the point itself
+        .select(F.col("ia").alias("node"))
+        .cache()
+    )
+    core_edges = (
+        neigh.join(core.select(F.col("node").alias("ia")), on="ia")
+        .join(core.select(F.col("node").alias("ib")), on="ib")
+        .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    )
+    comp = connected_components(core_edges)
+    # isolated core points (no core neighbor) are their own component
+    core_comp = (
+        core.join(comp, on="node", how="left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+        .cache()
+    )
+    # border: non-core with ≥1 core neighbor joins its min core neighbor
+    border_comp = (
+        neigh.join(core.select(F.col("node").alias("ia")), on="ia", how="left_anti")
+        .join(core.select(F.col("node").alias("ib")), on="ib")
+        .groupBy("ia")
+        .agg(F.min("ib").alias("via"))
+        .join(core_comp.select(F.col("node").alias("via"), "component"), on="via")
+        .select(F.col("ia").alias("node"), "component")
+    )
+    labels = core_comp.unionByName(border_comp)
+    # dense 0..k-1 relabel: the map is #clusters rows — cluster metadata,
+    # not fact data — so a driver-side enumerate + broadcast join is safe
+    comp_ids = sorted(r.component for r in core_comp.select("component").distinct().collect())
+    relabel = spark.createDataFrame(
+        [(c, i) for i, c in enumerate(comp_ids)], "component string, cluster int"
+    ) if comp_ids else spark.createDataFrame([], "component string, cluster int")
+    out = (
+        pts.select(F.col("_id"))
+        .join(labels.withColumnRenamed("node", "_id"), on="_id", how="left")
+        .join(F.broadcast(relabel), on="component", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("cluster", F.lit(-1)).alias("cluster"),
+            F.col("cluster").isNull().alias("is_noise"),
+        )
+    )
+    n_noise = out.where(F.col("is_noise")).count()
+    neigh.unpersist()
+    core.unpersist()
+    core_comp.unpersist()
+    return out, {"n_clusters": len(comp_ids), "n_noise": n_noise}

@@ -61,8 +61,20 @@ def asof_join(
 
     unioned = l_tagged.unionByName(r_tagged)
     order = [F.col(left_time).asc(), F.col("_side").asc()]
-    if right_tiebreak is not None and right_tiebreak in unioned.columns:
-        order.append(F.col(right_tiebreak).asc_nulls_first())
+    if right_tiebreak is not None:
+        # The tiebreak column may have been renamed with the suffix (when it
+        # is also carried as a right_col) — resolve against both forms, and
+        # fail loudly rather than silently dropping the requested tiebreak.
+        if right_tiebreak in out_cols:
+            tb = out_cols[right_tiebreak]
+        elif right_tiebreak in unioned.columns:
+            tb = right_tiebreak
+        else:
+            raise ValueError(
+                f"right_tiebreak {right_tiebreak!r} is neither a right_col "
+                f"nor a column of the unioned frame"
+            )
+        order.append(F.col(tb).asc_nulls_first())
     w = (
         Window.partitionBy(key)
         .orderBy(*order)

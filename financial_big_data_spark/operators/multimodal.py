@@ -140,7 +140,8 @@ def frame_sample(
         for pdf in batches:
             ids, idxs, tss, payloads = [], [], [], []
             for _, row in pdf.iterrows():
-                if row["kind"] != "video" or row["duration_ms"] is None:
+                # nullable longs arrive from Arrow as NaN floats, not None
+                if row["kind"] != "video" or pd.isna(row["duration_ms"]):
                     continue
                 n_frames = max(int(row["duration_ms"] // every_ms), 1)
                 for j, frame in enumerate(sample(bytes(row["payload"]), n_frames)):

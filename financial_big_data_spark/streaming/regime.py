@@ -132,6 +132,12 @@ def streaming_label_transitions(
     def fn(
         key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # TTL expiry: a timed-out invocation has an empty batch iterator —
+        # drop the state instead of re-arming the timeout, or idle series
+        # would be resurrected forever and state would grow with churn.
+        if state.hasTimedOut:
+            state.remove()
+            return iter([])
         if state.exists:
             closes_prefix, last_regime = state.get
             closes_prefix = list(closes_prefix)

@@ -126,3 +126,46 @@ def test_multifile_scan_filename_symbol(spark, tmp_path, bars_df):
     )
     counts = {r.symbol: r["count"] for r in scanned.groupBy("symbol").count().collect()}
     assert counts == {"AAA": 400, "BBB": 400}
+
+
+def test_dbscan_distributed_parity(spark, blobs_df):
+    """The ε-grid + connected-components path must produce the same cluster
+    PARTITION (same groupings, same noise set) as the driver/networkx path."""
+    noise = spark.createDataFrame(
+        [(f"n{i}", -1, 100.0 + 30 * i, -100.0 - 30 * i, 300.0 + 30 * i, -200.0) for i in range(5)],
+        blobs_df.schema,
+    )
+    df = blobs_df.union(noise)
+    drv, p_drv = dbscan(df, "id", FEATS, eps=3.0, min_pts=4, mode="driver")
+    dist, p_dist = dbscan(df, "id", FEATS, eps=3.0, min_pts=4, mode="distributed")
+    assert p_drv["n_clusters"] == p_dist["n_clusters"] == 3
+    assert p_drv["n_noise"] == p_dist["n_noise"] == 5
+    a = {r.id: (r.cluster, r.is_noise) for r in drv.collect()}
+    b = {r.id: (r.cluster, r.is_noise) for r in dist.collect()}
+    assert set(a) == set(b)
+    # partition equality: grouping-by-label must induce the same sets
+    def parts(m):
+        groups: dict = {}
+        for i, (c, noise_flag) in m.items():
+            groups.setdefault((c if not noise_flag else -1), set()).add(i)
+        return {frozenset(v) for k, v in groups.items() if k != -1}, {
+            i for i, (c, nf) in m.items() if nf
+        }
+    assert parts(a) == parts(b)
+
+
+def test_dbscan_distributed_scale(spark):
+    """1e4-node distributed DBSCAN: grid pruning must keep the candidate set
+    far below all-pairs and recover the planted structure."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for ci in range(20):
+        cx, cy = divmod(ci, 5)
+        for i in range(500):
+            p = np.array([cx * 50.0, cy * 50.0]) + rng.normal(0, 1.0, 2)
+            rows.append((f"s{ci}_{i}", *p.tolist()))
+    df = spark.createDataFrame(rows, "id string, x0 double, x1 double")
+    out, params = dbscan(df, "id", ["x0", "x1"], eps=3.0, min_pts=4, mode="distributed")
+    assert params["n_clusters"] == 20
+    assert params["n_noise"] == 0
+    assert out.count() == 10_000
