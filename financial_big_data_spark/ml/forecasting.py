@@ -137,6 +137,55 @@ def mllib_regime_classifier(
     return out.drop("_fv", "_label", "rawPrediction", "probability", "prediction")
 
 
+def batch_score(
+    dataset: DataFrame,
+    coefficients,
+    intercept,
+    labels: list[str],
+    feature_cols: list[str] | None = None,
+    batch_size: int = 1024,
+    out: str = "pred_label",
+) -> DataFrame:
+    """M6 distributed-inference seam: score rows through
+    ``pyspark.ml.functions.predict_batch_udf`` — the exact path a torch
+    LSTM would use in production (model materialized once per executor,
+    Arrow/NumPy batches in, labels out; reference scores with
+    ``model(X_test)`` on a collected array, lstm_forecasting.py:283-287).
+
+    The scorer here is a NumPy linear classifier (e.g. the coefficient
+    matrix of the MLlib logistic model — parity-tested against MLlib's own
+    transform); a torch model swaps in by replacing ``make_predict_fn``'s
+    body with ``torch.load`` + forward pass. Nothing else changes: same UDF,
+    same batching, same (features array → label) contract.
+    """
+    import numpy as np
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import StringType
+
+    feature_cols = feature_cols or FEATURE_COLS
+    W = np.asarray(coefficients, dtype=np.float64)
+    b = np.asarray(intercept, dtype=np.float64)
+    labs = list(labels)
+
+    def make_predict_fn():
+        lab_arr = np.array(labs)
+
+        def predict(inputs: np.ndarray) -> np.ndarray:
+            logits = inputs @ W.T + b
+            return lab_arr[np.argmax(logits, axis=1)]
+
+        return predict
+
+    udf = predict_batch_udf(
+        make_predict_fn,
+        return_type=StringType(),
+        batch_size=batch_size,
+        input_tensor_shapes=[[len(feature_cols)]],
+    )
+    features = F.array(*[F.col(c).cast("double") for c in feature_cols])
+    return dataset.withColumn(out, udf(features))
+
+
 def forecast_and_evaluate(
     bars: DataFrame,
     series: str = "symbol",

@@ -69,3 +69,55 @@ def test_mllib_logistic_model_path(spark, bars_df):
     assert preds <= {
         "stable_bull", "volatile_bull", "stable_bear", "volatile_bear", "consolidation"
     }
+
+
+def test_predict_batch_udf_scoring_seam(spark, bars_df):
+    """M6 distributed-inference seam: the predict_batch_udf path must
+    reproduce MLlib's own transform predictions exactly (same linear math,
+    executor-side batched scoring), with the (series, ts, true, pred)
+    output schema the metrics protocol consumes."""
+    import numpy as np
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+
+    from financial_big_data_spark.ml.forecasting import batch_score
+    from financial_big_data_spark.operators.features import FEATURE_COLS, ordered_split
+
+    ds = regime_prediction_dataset(bars_df)
+    ds = ordered_split(ds, series="symbol", time="ts")
+    ds = ds.fillna(0.0, subset=FEATURE_COLS).cache()
+
+    assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="_fv")
+    indexer = StringIndexer(inputCol="target_regime", outputCol="_label", handleInvalid="keep")
+    idx_model = indexer.fit(ds)
+    prepared = idx_model.transform(assembler.transform(ds))
+    lr = LogisticRegression(
+        featuresCol="_fv", labelCol="_label", maxIter=20, regParam=0.01,
+        family="multinomial",
+    )
+    model = lr.fit(prepared.where("split = 'train'"))
+    labels = list(idx_model.labelsArray[0])
+
+    # MLlib's own scoring of the test split
+    test = prepared.where("split = 'test'")
+    mllib_scored = model.transform(test).select(
+        "symbol", "ts", F.col("target_regime").alias("true_label"),
+        F.col("prediction").cast("int").alias("_pred_idx"),
+    )
+    expected = {
+        (r.symbol, r.ts): labels[r._pred_idx] for r in mllib_scored.collect()
+    }
+
+    # same weights through the predict_batch_udf seam
+    W = model.coefficientMatrix.toArray()
+    b = np.array(model.interceptVector.toArray())
+    scored = batch_score(
+        test, W, b, labels, feature_cols=FEATURE_COLS, batch_size=64
+    ).select("symbol", "ts", F.col("target_regime").alias("true_label"), "pred_label")
+
+    rows = scored.collect()
+    assert len(rows) == len(expected) > 0
+    assert set(scored.columns) == {"symbol", "ts", "true_label", "pred_label"}
+    for r in rows:
+        assert r.pred_label == expected[(r.symbol, r.ts)], (r.symbol, r.ts)
+    ds.unpersist()
