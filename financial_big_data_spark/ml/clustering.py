@@ -123,6 +123,39 @@ def louvain_communities_df(
     )
 
 
+def kneedle_elbow(y, s: float = 1.0) -> int | None:
+    """Knee point of a sorted increasing convex curve (Kneedle, Satopää et
+    al. 2011) — the reference's KneeLocator(curve='convex',
+    direction='increasing', S=1.0) without the kneed dependency
+    (reference market_analysis.py:858-871).
+
+    Normalizes the curve to the unit square and takes the argmax of the
+    gap below the diagonal (x_n − y_n); returns None when the maximum gap
+    fails the S-sensitivity threshold (flat/featureless curve), which
+    signals the caller to fall back to the percentile heuristic — the same
+    contract as ``knee.elbow is None``.
+
+    Driver-side numpy on a bounded curve (one value per sampled point).
+    """
+    import numpy as np
+
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    if n < 3 or not np.isfinite(y).all():
+        return None
+    x_n = np.linspace(0.0, 1.0, n)
+    rng = y[-1] - y[0]
+    if rng <= 0:
+        return None
+    y_n = (y - y[0]) / rng
+    diff = x_n - y_n  # convex increasing ⇒ curve below the diagonal
+    idx = int(np.argmax(diff))
+    threshold = s * np.mean(np.diff(x_n))
+    if diff[idx] <= threshold:
+        return None
+    return idx
+
+
 def _sq_dist(va: str, vb: str) -> F.Column:
     return F.sqrt(
         F.aggregate(
@@ -181,6 +214,11 @@ def dbscan(
     ).cache()
     dist = _sq_dist("va", "vb")
     if eps is None:
+        # M4: sorted 1-NN distance curve → Kneedle elbow, percentile
+        # fallback — the reference's two-step heuristic
+        # (market_analysis.py:856-872) over a bounded sample at scale.
+        import numpy as np
+
         sample = pts if n <= driver_max_nodes else pts.limit(driver_max_nodes)
         sa = sample.select(F.col("_id").alias("ia"), F.col("_v").alias("va"))
         sb = sample.select(F.col("_id").alias("ib"), F.col("_v").alias("vb"))
@@ -190,9 +228,12 @@ def dbscan(
             .groupBy("ia")
             .agg(F.min("d").alias("nn"))
         )
-        eps = float(
-            knn.agg(F.expr(f"percentile(nn, {eps_percentile})").alias("p")).collect()[0].p
-        )
+        nn_sorted = np.sort(np.array([r.nn for r in knn.collect()], dtype=float))
+        elbow = kneedle_elbow(nn_sorted)
+        if elbow is not None:
+            eps = float(nn_sorted[elbow])
+        else:
+            eps = float(np.percentile(nn_sorted, eps_percentile * 100))
     if eps <= 0:
         raise ValueError(f"eps must be positive, got {eps}")
 

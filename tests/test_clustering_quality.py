@@ -169,3 +169,33 @@ def test_dbscan_distributed_scale(spark):
     assert params["n_clusters"] == 20
     assert params["n_noise"] == 0
     assert out.count() == 10_000
+
+
+def test_kneedle_elbow_finds_knee():
+    from financial_big_data_spark.ml.clustering import kneedle_elbow
+
+    # flat floor then steep tail: knee at the bend (index ~80)
+    y = np.concatenate([np.linspace(0.1, 0.3, 80), np.linspace(0.3, 10.0, 20)])
+    k = kneedle_elbow(y)
+    assert k is not None and 70 <= k <= 85
+    # featureless straight line -> no knee, caller falls back to percentile
+    assert kneedle_elbow(np.linspace(0.0, 1.0, 100)) is None
+    assert kneedle_elbow(np.full(50, 2.0)) is None
+
+
+def test_dbscan_auto_eps_kneedle(spark, blobs_df):
+    """eps=None routes through the Kneedle elbow of the 1-NN curve and must
+    still recover the 3 blobs (elbow sits above in-cluster NN distances)."""
+    out, params = dbscan(blobs_df, "id", FEATS, min_pts=4)
+    assert params["eps"] > 0
+    # the elbow eps hugs the 1-NN floor more tightly than P90, so it may
+    # subdivide a loose blob and leave tail points as noise (the reference's
+    # kneed behavior on the same curve) — but it must never merge distinct
+    # blobs, and a majority of points must still cluster
+    assert 3 <= params["n_clusters"] <= 8
+    assert params["n_noise"] <= 48  # = 40% of 120
+    got = {r.id: r.cluster for r in out.collect() if not r.is_noise}
+    owner = {}
+    for i, c in got.items():
+        blob = i.split("_")[0]
+        assert owner.setdefault(c, blob) == blob  # one cluster never spans blobs
