@@ -64,3 +64,50 @@ def with_global_stats(df, aggs: list[Column]):
     broadcast nested loop that preserves the input partitioning.
     """
     return df.crossJoin(F.broadcast(df.agg(*aggs)))
+
+
+def global_running_sum(
+    df, order_col: str, value_col: str, out: str = "running_sum", partitions: int | None = None
+):
+    """Cumulative sum in a global ordering WITHOUT a global-order window.
+
+    ``sum() OVER (ORDER BY x)`` with no partition key funnels the whole
+    frame through one task. The scalable form is two-phase: range-partition
+    on the ordering key, compute per-partition local cumsums (parallel
+    windows), then add each partition's prefix offset — the offsets are one
+    row per partition (bounded metadata), computed driver-side and joined
+    back broadcast.
+    """
+    from pyspark.sql import Window
+
+    ranged = df.repartitionByRange(
+        *( [partitions] if partitions else [] ), F.col(order_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_local_cum", F.sum(value_col).over(w))
+    totals = sorted(
+        (r._pid, r._t)
+        for r in local.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        acc += t or 0
+    spark = df.sparkSession
+    is_float = dict(df.dtypes)[value_col] in ("double", "float")
+    schema = "_pid int, _offset double" if is_float else "_pid int, _offset bigint"
+    offsets = [(p, float(o) if is_float else int(o)) for p, o in offsets]
+    off_df = (
+        spark.createDataFrame(offsets, schema)
+        if offsets
+        else spark.createDataFrame([], schema)
+    )
+    return (
+        local.join(F.broadcast(off_df), on="_pid", how="left")
+        .withColumn(out, F.col("_local_cum") + F.coalesce("_offset", F.lit(0)))
+        .drop("_pid", "_local_cum", "_offset")
+    )

@@ -76,11 +76,18 @@ def correlation_matrix(
     k(k-1)/2 rows — tiny relative to the fact data, safe to collect/broadcast.
     """
     a, b = df.alias("a"), df.alias("b")
+    # moments-based Pearson: F.corr THROWS DIVIDE_BY_ZERO under ANSI when a
+    # joined pair's series is constant; try_divide yields NULL instead
+    # (pandas NaN semantics for zero-variance series)
+    va, vb = F.col(f"a.{value}"), F.col(f"b.{value}")
+    safe_corr = F.try_divide(
+        F.covar_pop(va, vb), F.stddev_pop(va) * F.stddev_pop(vb)
+    )
     return (
         a.join(b, on=time)
         .where(F.col(f"a.{key}") < F.col(f"b.{key}"))
         .groupBy(F.col(f"a.{key}").alias("key_a"), F.col(f"b.{key}").alias("key_b"))
-        .agg(F.corr(f"a.{value}", f"b.{value}").alias("corr"), F.count(F.lit(1)).alias("n"))
+        .agg(safe_corr.alias("corr"), F.count(F.lit(1)).alias("n"))
     )
 
 

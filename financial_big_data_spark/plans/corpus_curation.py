@@ -1,0 +1,107 @@
+"""Corpus-curation DAG: the end-to-end training-data pipeline (north star).
+
+Composes the text/dedup operator layer into the shape an LLM-data pipeline
+runs over a 100 TB corpus:
+
+    documents
+      → text_profile        (quality stats + language ID, one map-only pass)
+      → quality filter      (length / stopword / punctuation gates — pure
+                             predicates, pushed into the scan where possible)
+      → exact dedup         (md5-fingerprint groupBy, keep smallest id)
+      → near-dup removal    (MinHash → LSH banding → Jaccard verify on
+                             candidates; drop the larger id of each pair)
+      → token budget        (running token count in corpus order, cut at
+                             the budget — deterministic sampling)
+
+Every stage is a DataFrame transformation; the only shuffles are the dedup
+groupBys/joins, all keyed on doc fingerprints (uniform keys — no skew), so
+the plan scales linearly with corpus size. Nothing collects to the driver.
+
+The reference has no corpus pipeline (it is a market-analytics repo); this
+plan is part of the beyond-reference training-data surface the engine
+declares in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.stats import global_running_sum
+from ..operators.dedup import exact_dedup_keys, near_dup_lsh
+from ..operators.text import text_profile
+
+
+@dataclass
+class CurationResult:
+    """Curated corpus + per-stage audit counts (lazy DataFrames)."""
+
+    corpus: DataFrame          # surviving (doc_id, text, n_tokens, pred_lang)
+    audit: DataFrame           # 1-row stage-by-stage survivor counts
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_stopword_ratio: float = 0.6,
+    max_punct_ratio: float = 0.3,
+    languages: tuple[str, ...] | None = None,
+    near_dup_jaccard: float = 0.5,
+    token_budget: int | None = None,
+) -> CurationResult:
+    """Run the full curation DAG; every stage stays distributed."""
+    profiled = text_profile(docs, text=text, id_col=id_col).join(
+        docs.select(id_col, text), on=id_col
+    )
+
+    quality = profiled.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) <= max_stopword_ratio)
+        & (F.coalesce(F.col("punct_ratio"), F.lit(0.0)) <= max_punct_ratio)
+    )
+    if languages is not None:
+        quality = quality.where(F.col("pred_lang").isin(list(languages)))
+
+    # exact dedup: keep the deterministic representative of each fingerprint
+    keys = exact_dedup_keys(quality, text=text, id_col=id_col)
+    exact = quality.join(
+        keys.select(F.col("keep_id").alias(id_col)), on=id_col, how="inner"
+    )
+
+    # near-dup removal: for each surviving LSH-verified pair, drop the
+    # larger id (id_a < id_b by construction, so id_b is dropped)
+    pairs = near_dup_lsh(
+        exact.select(id_col, text), text=text, id_col=id_col,
+        min_jaccard=near_dup_jaccard,
+    )
+    drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    deduped = exact.join(drop_ids, on=id_col, how="left_anti")
+
+    # token budget: cumulative tokens in deterministic (doc_id) order via the
+    # two-phase running sum (range partition + local cumsum + prefix
+    # offsets) — a global-ORDER-BY window would single-partition the corpus
+    curated = deduped
+    if token_budget is not None:
+        curated = (
+            global_running_sum(deduped, id_col, "n_tokens", out="_cum_tokens")
+            .where(F.col("_cum_tokens") <= token_budget)
+            .drop("_cum_tokens")
+        )
+
+    out = curated.select(id_col, text, "n_tokens", "pred_lang")
+
+    audit = (
+        docs.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_dedup")))
+        .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_near_dedup")))
+        .crossJoin(out.agg(F.count(F.lit(1)).alias("n_final"),
+                           F.sum("n_tokens").alias("total_tokens")))
+    )
+    return CurationResult(corpus=out, audit=audit)

@@ -51,6 +51,16 @@ def _r6(c) -> F.Column:
     return F.round(c, 6)
 
 
+def _r6s(c) -> F.Column:
+    """Tie-stable 6dp round. Spark rounds the double's SHORTEST decimal repr
+    (BigDecimal HALF_UP: "-0.5103125" → -0.510313) while DuckDB rounds the
+    raw binary value (−0.51031249999999997 → −0.510312) — exact-tie reprs
+    split between engines (hit once in 100k rows at sf0.1). Nudging by
+    +5e-13 (≪ the 1e-6 precision) on BOTH engines moves every tie off the
+    boundary the same way; the mirrored SQL adds the same constant."""
+    return F.round(c + F.lit(5e-13), 6)
+
+
 # --------------------------------------------------------------------------
 # Relational block (TPC-H-style: scans, joins, aggregations, top-k, pivot)
 # --------------------------------------------------------------------------
@@ -252,10 +262,10 @@ def q_ev_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        _r6(pct_change(v, w)).alias("ret_1"),
-        _r6(pct_change(v, w, periods=5)).alias("ret_5"),
-        _r6(price_diff(v, w)).alias("diff_1"),
-        _r6(F.when(v > 0, log_return(F.when(v > 0, v), w))).alias("log_ret"),
+        _r6s(pct_change(v, w)).alias("ret_1"),
+        _r6s(pct_change(v, w, periods=5)).alias("ret_5"),
+        _r6s(price_diff(v, w)).alias("diff_1"),
+        _r6s(F.when(v > 0, log_return(F.when(v > 0, v), w))).alias("log_ret"),
     )
 
 
@@ -272,8 +282,9 @@ WITH base AS (
   FROM events
   WINDOW w AS ({_EV_WINDOW_SQL})
 )
-SELECT user_id, event_id, round(ret_1, 6) AS ret_1, round(ret_5, 6) AS ret_5,
-       round(diff_1, 6) AS diff_1, round(log_ret, 6) AS log_ret
+SELECT user_id, event_id,
+       round(ret_1 + 5e-13, 6) AS ret_1, round(ret_5 + 5e-13, 6) AS ret_5,
+       round(diff_1 + 5e-13, 6) AS diff_1, round(log_ret + 5e-13, 6) AS log_ret
 FROM base
 """
 
@@ -1322,8 +1333,11 @@ WITH ranked AS (
   FROM events
 )
 SELECT user_id,
-       CASE WHEN rn <= floor(n_rows * 0.70) THEN 'train'
-            WHEN rn <= floor(n_rows * 0.85) THEN 'val'
+       -- ::DOUBLE matters: a bare 0.70 literal is DECIMAL(2,2) in DuckDB, so
+       -- n*0.70 is exact while Spark's double product can land just below
+       -- the integer (floor(110*0.70) = 76 in doubles, 77 in decimal)
+       CASE WHEN rn <= floor(n_rows * 0.70::DOUBLE) THEN 'train'
+            WHEN rn <= floor(n_rows * 0.85::DOUBLE) THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n
 FROM ranked GROUP BY 1, 2
@@ -1715,7 +1729,10 @@ def q_ev_user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2: Louvain communities over the user correlation graph."""
     from .ml.clustering import corr_edges, correlation_matrix, louvain_communities_df
 
-    ev = _events(spark, sf_dir)
+    # correlation graphs are k² in the series count — bound the query to the
+    # reference's scale class (≤ a few hundred symbols, market_analysis.py
+    # analyzes ~100); the operator itself is unbounded
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 300)
     hourly = ev.groupBy(
         F.col("user_id").cast("string").alias("uid"), F.date_trunc("hour", F.col("ts")).alias("hr")
     ).agg(F.avg("value").alias("v"))

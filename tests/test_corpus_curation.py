@@ -1,0 +1,79 @@
+"""Corpus-curation DAG: stage semantics + running-sum helper."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.functions.stats import global_running_sum
+from financial_big_data_spark.plans import curate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away today "
+        "while the sun shines on the quiet green field near the old river"
+    )
+    rows = []
+    for i in range(20):
+        rows.append((i, base + f" variant token {i}"))          # near-dups of each other? no: one-token diff on long text => high jaccard
+    rows.append((100, base))                                     # near-dup of the family
+    rows.append((101, base))                                     # exact dup of 100
+    rows.append((102, "tiny"))                                   # fails min_tokens
+    rows.append((103, "el la de que y " * 20))                   # spanish, stopword-heavy? (es markers)
+    rows.append((104, "word " * 30 + ". , ; ! ? . , ; ! ? " * 30))  # punct-heavy
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_global_running_sum_matches_serial(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).alias("v")
+    )
+    out = global_running_sum(df, "k", "v", out="cum", partitions=8)
+    rows = sorted((r.k, r.cum) for r in out.collect())
+    acc = 0
+    for k, cum in rows:
+        acc += k % 7 + 1
+        assert cum == acc
+    # plan sanity: the cumsum window is keyed on the range-partition id, not
+    # a global ORDER BY (AQE may still coalesce the tiny test frame to one
+    # partition afterwards, so assert the window spec, not partition count)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_pid" in plan
+
+
+def test_curate_corpus_stages(spark, corpus_df):
+    res = curate_corpus(
+        corpus_df,
+        min_tokens=5,
+        max_punct_ratio=0.3,
+        languages=("en",),
+        near_dup_jaccard=0.5,
+    )
+    audit = res.audit.collect()[0]
+    assert audit.n_input == 25
+    # quality gates drop the tiny doc, the punct-heavy doc and the es doc
+    assert audit.n_quality <= 22
+    # exact dedup collapses 100/101 to one representative
+    assert audit.n_exact_dedup == audit.n_quality - 1
+    # near-dup pass removes most of the variant family (high pairwise jaccard)
+    assert audit.n_near_dedup < audit.n_exact_dedup
+    survivors = {r.doc_id for r in res.corpus.collect()}
+    assert 102 not in survivors and 103 not in survivors and 104 not in survivors
+    assert 101 not in survivors  # exact-dup loser (100 is the smaller id... of (100,101))
+    assert len(survivors) == audit.n_final
+
+
+def test_curate_corpus_token_budget(spark, corpus_df):
+    full = curate_corpus(corpus_df, near_dup_jaccard=0.99)
+    total = full.audit.collect()[0].total_tokens
+    budget = int(total // 2)
+    cut = curate_corpus(corpus_df, near_dup_jaccard=0.99, token_budget=budget)
+    a = cut.audit.collect()[0]
+    assert a.total_tokens <= budget
+    assert a.n_final < full.audit.collect()[0].n_final
+    # deterministic prefix: surviving ids are the smallest ids
+    ids_cut = sorted(r.doc_id for r in cut.corpus.collect())
+    ids_full = sorted(r.doc_id for r in full.corpus.collect())
+    assert ids_cut == ids_full[: len(ids_cut)]
