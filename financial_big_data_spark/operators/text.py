@@ -134,3 +134,36 @@ def text_profile(docs: DataFrame, text: str = "text", id_col: str = "doc_id") ->
     for lang in sorted(LANG_MARKERS, reverse=True):
         pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
     return out.withColumn("pred_lang", F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+# PII patterns: deliberately conservative, regex-only (JVM regexp_replace —
+# map-only, no UDF). A production pipeline would layer an NER model via
+# predict_batch_udf; these catch the high-volume mechanical identifiers.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_pii(
+    docs: DataFrame,
+    text: str = "text",
+    out: str = "text_redacted",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Replace mechanical PII (emails, phones, IPs, SSNs) with typed tokens
+    like ``<EMAIL>`` — one chained regexp_replace per pattern, all JVM-side,
+    map-only (scales linearly, no shuffle). Appends a redaction count per
+    doc so downstream quality filters can drop identifier-dense documents.
+    """
+    patterns = patterns or PII_PATTERNS
+    col = F.col(text)
+    n_redactions = F.lit(0)
+    for name, pat in patterns.items():
+        token = f"<{name.upper()}>"
+        # count BEFORE replacing (regexp_count on the running column)
+        n_redactions = n_redactions + F.regexp_count(col, F.lit(pat))
+        col = F.regexp_replace(col, pat, token)
+    return docs.withColumn(out, col).withColumn("n_redactions", n_redactions)

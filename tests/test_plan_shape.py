@@ -105,3 +105,31 @@ def test_whole_stage_codegen_covers_window_prep(spark):
     assert "isFinalPlan=true" in plan
     # codegen'd stages print as "*(n)" in the final-plan rendering
     assert "*(" in plan
+
+
+def test_global_stats_no_partitionless_window(spark):
+    """with_global_stats must attach global aggregates via broadcast
+    crossJoin — never a partitionless Window (single-partition funnel)."""
+    from financial_big_data_spark.queries import q_ev_zscore
+
+    df = q_ev_zscore(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    # a WindowExec with an empty partition spec prints 'windowspecdefinition('
+    # directly followed by the order spec; assert every window here is keyed
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.split(",")[0].strip().startswith("user_id"), frag[:80]
+
+
+def test_share_queries_reuse_grouped_exchange(spark):
+    """When the share-of-total pattern's two branches are identical
+    aggregations (ev_regime_distribution), Spark must reuse the groupBy
+    exchange rather than recompute the regime pipeline twice. (Queries whose
+    main branch carries extra agg columns, like ev_type_share, legitimately
+    re-aggregate — column pruning makes the exchanges differ.)"""
+    from financial_big_data_spark.queries import q_ev_regime_distribution
+
+    df = q_ev_regime_distribution(spark, SF)
+    df.collect()
+    assert "ReusedExchange" in _plan(df)

@@ -114,3 +114,25 @@ def test_lsh_topk_recalls_nearest(spark):
     out = S.lsh_topk(emb, q, planes, k=5)
     ids = [r.vec_id for r in out.orderBy("rank").collect()]
     assert 7 in ids  # a ~identical vector lands in the same bucket
+
+
+def test_redact_pii(spark):
+    from financial_big_data_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@x.com or call 555-123-4567 from 10.0.0.1"),
+            (2, "clean text no identifiers"),
+            (3, "ssn 123-45-6789 twice 123-45-6789"),
+            (4, "intl +44 202 555 0199 ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert "<EMAIL>" in out[1].text_redacted
+    assert "<PHONE>" in out[1].text_redacted
+    assert "<IPV4>" in out[1].text_redacted
+    assert out[1].n_redactions == 3
+    assert out[2].text_redacted == out[2].text and out[2].n_redactions == 0
+    assert out[3].text_redacted.count("<SSN>") == 2 and out[3].n_redactions == 2
+    assert "<PHONE>" in out[4].text_redacted
