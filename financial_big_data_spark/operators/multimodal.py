@@ -159,3 +159,78 @@ def frame_sample(
             )
 
     return media.where(F.col("kind") == "video").mapInPandas(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real container-header parsing — JVM Column expressions, no media libraries
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC_HEX = "89504E470D0A1A0A"
+
+
+def _be32(payload: F.Column, pos: int) -> F.Column:
+    """Big-endian uint32 at 1-indexed byte offset ``pos`` of a binary col."""
+    return F.conv(F.hex(F.substring(payload, pos, 4)), 16, 10).cast("long")
+
+
+def _le32(payload: F.Column, pos: int) -> F.Column:
+    """Little-endian uint32 at 1-indexed byte offset ``pos``."""
+    return sum(
+        F.conv(F.hex(F.substring(payload, pos + i, 1)), 16, 10).cast("long")
+        * (256 ** i)
+        for i in range(4)
+    )
+
+
+def _le16(payload: F.Column, pos: int) -> F.Column:
+    return sum(
+        F.conv(F.hex(F.substring(payload, pos + i, 1)), 16, 10).cast("long")
+        * (256 ** i)
+        for i in range(2)
+    )
+
+
+def parse_media_headers(
+    df: DataFrame, payload: str = "payload", prefix: str = "hdr_"
+) -> DataFrame:
+    """REAL (library-free) metadata decode of the two self-describing
+    container formats: PNG IHDR and canonical RIFF/WAVE headers, parsed as
+    pure JVM Column expressions over the binary payload — map-only,
+    whole-stage-codegen'd, no Python worker, scales with the scan.
+
+    - PNG (magic ``89 50 4E 47 0D 0A 1A 0A``): width/height are big-endian
+      uint32 at byte offsets 17/21 (IHDR is always the first chunk).
+    - canonical WAV (``RIFF….WAVE fmt ``): channels (LE16 @23),
+      sample_rate (LE32 @25), bits_per_sample (LE16 @35), data-chunk size
+      (LE32 @41 when the data chunk follows fmt directly) → duration_ms.
+
+    Non-matching payloads yield NULLs — this is the honest metadata level
+    of the decode stack; pixel/sample decode stays behind the injected
+    ``decoder`` kernels (no media libs in this environment).
+    """
+    p = F.col(payload)
+    is_png = F.hex(F.substring(p, 1, 8)) == F.lit(PNG_MAGIC_HEX)
+    is_wav = (
+        (F.substring(p, 1, 4).cast("string") == "RIFF")
+        & (F.substring(p, 9, 4).cast("string") == "WAVE")
+        & (F.substring(p, 13, 4).cast("string") == "fmt ")
+    )
+    sample_rate = _le32(p, 25)
+    channels = _le16(p, 23)
+    bits = _le16(p, 35)
+    data_bytes = _le32(p, 41)
+    bytes_per_sec = sample_rate * channels * (bits / F.lit(8.0))
+    duration_ms = F.round(
+        F.try_divide(data_bytes * 1000.0, bytes_per_sec)
+    ).cast("long")
+    return (
+        df.withColumn(
+            f"{prefix}format",
+            F.when(is_png, "png").when(is_wav, "wav").otherwise(F.lit(None)),
+        )
+        .withColumn(f"{prefix}width", F.when(is_png, _be32(p, 17)).cast("int"))
+        .withColumn(f"{prefix}height", F.when(is_png, _be32(p, 21)).cast("int"))
+        .withColumn(f"{prefix}channels", F.when(is_wav, channels).cast("int"))
+        .withColumn(f"{prefix}sample_rate", F.when(is_wav, sample_rate).cast("int"))
+        .withColumn(f"{prefix}duration_ms", F.when(is_wav, duration_ms))
+    )

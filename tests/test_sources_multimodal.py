@@ -119,3 +119,46 @@ def test_frame_sample(spark):
         assert n == max(durations[mid] // 500, 1)
     row = frames.limit(1).collect()[0]
     assert isinstance(row.frame_payload, (bytes, bytearray))
+
+
+def test_parse_media_headers_real_formats(spark):
+    """JVM-side container-header decode: real PNG IHDR and canonical WAV
+    headers parse without any media library; junk payloads yield NULLs."""
+    import struct
+    import zlib
+
+    from financial_big_data_spark.operators.multimodal import parse_media_headers
+
+    def png_bytes(w, h):
+        sig = bytes.fromhex("89504E470D0A1A0A")
+        ihdr_data = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            sig + struct.pack(">I", 13) + b"IHDR" + ihdr_data
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data))
+        )
+
+    def wav_bytes(rate, ch, bits, n_samples):
+        data_size = n_samples * ch * bits // 8
+        fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8, ch * bits // 8, bits)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", data_size) + b"\0" * min(data_size, 64)
+        )
+
+    rows = [
+        (1, bytearray(png_bytes(640, 480))),
+        (2, bytearray(png_bytes(1, 99999))),
+        (3, bytearray(wav_bytes(44100, 2, 16, 44100 * 3))),
+        (4, bytearray(wav_bytes(16000, 1, 8, 8000))),
+        (5, bytearray(b"garbage data here, not a container")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in parse_media_headers(df).collect()}
+    assert (got[1].hdr_format, got[1].hdr_width, got[1].hdr_height) == ("png", 640, 480)
+    assert (got[2].hdr_width, got[2].hdr_height) == (1, 99999)
+    assert (got[3].hdr_format, got[3].hdr_channels, got[3].hdr_sample_rate) == ("wav", 2, 44100)
+    assert got[3].hdr_duration_ms == 3000
+    assert (got[4].hdr_sample_rate, got[4].hdr_duration_ms) == (16000, 500)
+    assert got[5].hdr_format is None and got[5].hdr_width is None
+    assert got[5].hdr_duration_ms is None
