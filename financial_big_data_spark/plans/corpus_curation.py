@@ -67,12 +67,15 @@ def curate_corpus(
     )
     if languages is not None:
         quality = quality.where(F.col("pred_lang").isin(list(languages)))
+    # cache the frames every downstream branch (and the audit) re-reads —
+    # same pattern as market_analysis_plan's labeled frame
+    quality = quality.cache()
 
     # exact dedup: keep the deterministic representative of each fingerprint
     keys = exact_dedup_keys(quality, text=text, id_col=id_col)
     exact = quality.join(
         keys.select(F.col("keep_id").alias(id_col)), on=id_col, how="inner"
-    )
+    ).cache()
 
     # near-dup removal: for each surviving LSH-verified pair, drop the
     # larger id (id_a < id_b by construction, so id_b is dropped)
@@ -81,7 +84,7 @@ def curate_corpus(
         min_jaccard=near_dup_jaccard,
     )
     drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    deduped = exact.join(drop_ids, on=id_col, how="left_anti")
+    deduped = exact.join(drop_ids, on=id_col, how="left_anti").cache()
 
     # token budget: cumulative tokens in deterministic (doc_id) order via the
     # two-phase running sum (range partition + local cumsum + prefix

@@ -1742,6 +1742,42 @@ def q_ev_user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return communities.groupBy("community").agg(F.count(F.lit(1)).alias("n_members"))
 
 
+def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star corpus-curation DAG end-to-end: quality gates → exact
+    dedup → LSH near-dup removal → token budget; returns the 1-row audit
+    (stage-by-stage survivor counts). Rows-only: the multi-stage pipeline's
+    components are each individually oracle-checked (doc_text_stats,
+    doc_exact_dedup, doc_near_dup_lsh)."""
+    from .plans.corpus_curation import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = curate_corpus(docs, min_tokens=3, near_dup_jaccard=0.5, token_budget=None)
+    return res.audit
+
+
+def q_ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window sessionization in batch (same operator the streaming
+    surface uses; session boundaries proven equal to the gaps-and-islands
+    formulation in tests/test_streaming_sessions.py). Rows-only: the islands
+    formulation of the same semantics is the oracle-checked ev_sessions."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "2 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,9)")), 6)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def q_emb_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3/M4: DBSCAN over a sample of embeddings (eps from kNN percentile)."""
     from .ml.clustering import dbscan
@@ -1885,6 +1921,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_pca": (q_emb_pca, None),
     "ev_user_communities": (q_ev_user_communities, None),
     "emb_dbscan": (q_emb_dbscan, None),
+    # composite / operator-mirror entries (components oracle-checked above)
+    "doc_curation": (q_doc_curation, None),
+    "ev_session_windows": (q_ev_session_windows, None),
 }
 
 
