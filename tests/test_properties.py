@@ -105,3 +105,59 @@ def test_jaccard_bounds_and_identity(spark, texts):
     got = {(p.id_a, p.id_b): p.jaccard for p in pairs}
     for i, j in dup_ids:
         assert got.get((i, j)) == 1.0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=40),
+)
+def test_session_window_equals_islands(spark, gaps):
+    """For ANY event spacing, F.session_window(gap) must produce the same
+    session partition as the cumulative-flag islands formulation."""
+    t0 = dt.datetime(2024, 1, 1)
+    ts, cur = [], t0
+    for g in gaps:
+        cur = cur + dt.timedelta(minutes=g)
+        ts.append(cur)
+    df = spark.createDataFrame([(1, t) for t in ts], "uid long, ts timestamp_ntz")
+
+    sw = (
+        df.groupBy("uid", F.session_window("ts", "2 hours"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("start"))
+        .select("start", "n")
+        .collect()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("uid").orderBy("ts")
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    new_s = F.when(gap_us.isNull() | (gap_us > 2 * 3600 * 1_000_000), 1).otherwise(0)
+    isl = (
+        df.withColumn("_s", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("uid", "_s")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("start"))
+        .select("start", "n")
+        .collect()
+    )
+    assert sorted((r.start, r.n) for r in sw) == sorted((r.start, r.n) for r in isl)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=200),
+    parts=st.integers(min_value=1, max_value=6),
+)
+def test_global_running_sum_property(spark, vals, parts):
+    from financial_big_data_spark.functions.stats import global_running_sum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    )
+    got = sorted(
+        (r.k, r.cum) for r in global_running_sum(df, "k", "v", out="cum", partitions=parts).collect()
+    )
+    acc, expected = 0, []
+    for i, v in enumerate(vals):
+        acc += v
+        expected.append((i, acc))
+    assert got == expected
