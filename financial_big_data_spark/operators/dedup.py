@@ -178,12 +178,22 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Shingle-set Jaccard similarity, relationally.
 
-    With ``pairs`` given (e.g. LSH candidates) only those pairs are scored
-    (semi-join pushdown); otherwise all pairs sharing ≥1 shingle are — the
-    shingle join naturally prunes the quadratic space.
+    With ``pairs`` given (e.g. LSH candidates) only those pairs are scored,
+    and the candidate-id filter is applied BEFORE the shingle self-join (a
+    left-semi on the exploded table), so join input shrinks to candidate
+    docs — the hot-shingle quadratic blowup only ever sees the candidate
+    subset. Without ``pairs``, all pairs sharing ≥1 shingle are scored (the
+    exact mode; at corpus scale feed LSH candidates or use near_dup_lsh).
     Returns (id_a, id_b, n_a, n_b, n_shared, jaccard).
     """
     exploded = shingle_table(docs, text, id_col, shingle_n)
+    if pairs is not None:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        exploded = exploded.join(cand_ids, on=id_col, how="left_semi")
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")

@@ -136,3 +136,31 @@ def test_redact_pii(spark):
     assert out[2].text_redacted == out[2].text and out[2].n_redactions == 0
     assert out[3].text_redacted.count("<SSN>") == 2 and out[3].n_redactions == 2
     assert "<PHONE>" in out[4].text_redacted
+
+
+def test_jaccard_pairs_candidate_pushdown_equivalence(spark):
+    """The pairs-restricted path must score exactly like the full path
+    restricted to those pairs (the semi-join is pushed below the shingle
+    self-join, never changing n_a/n_b/n_shared)."""
+    from financial_big_data_spark.operators.dedup import jaccard_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "alpha beta gamma theta iota kappa"),
+        (4, "completely different words entirely here now"),
+        (5, "alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r.id_a, r.id_b): (r.n_a, r.n_b, r.n_shared, round(r.jaccard, 9))
+        for r in jaccard_pairs(docs, shingle_n=2).collect()
+    }
+    cand = spark.createDataFrame([(1, 2), (1, 5)], "id_a long, id_b long")
+    restricted = {
+        (r.id_a, r.id_b): (r.n_a, r.n_b, r.n_shared, round(r.jaccard, 9))
+        for r in jaccard_pairs(docs, pairs=cand, shingle_n=2).collect()
+    }
+    assert set(restricted) == {(1, 2), (1, 5)}
+    for k, v in restricted.items():
+        assert full[k] == v
