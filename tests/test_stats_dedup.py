@@ -164,3 +164,38 @@ def test_jaccard_pairs_candidate_pushdown_equivalence(spark):
     assert set(restricted) == {(1, 2), (1, 5)}
     for k, v in restricted.items():
         assert full[k] == v
+
+
+def test_stratified_systematic_sample(spark):
+    from financial_big_data_spark.operators.sampling import (
+        stratified_random_sample,
+        stratified_systematic_sample,
+    )
+
+    rows = [(i, "a" if i % 3 else "b", i * 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, stratum string, x long")
+    n_a = sum(1 for r in rows if r[1] == "a")  # 66
+    n_b = 100 - n_a  # 34
+
+    out = stratified_systematic_sample(df, "stratum", 0.25, order="id")
+    got = out.groupBy("stratum").count().collect()
+    counts = {r.stratum: r["count"] for r in got}
+    import math
+
+    assert counts == {"a": math.ceil(n_a * 0.25), "b": math.ceil(n_b * 0.25)}
+    # deterministic: two runs byte-identical; prefix property in id order
+    ids1 = sorted(r.id for r in out.collect())
+    ids2 = sorted(r.id for r in stratified_systematic_sample(df, "stratum", 0.25, order="id").collect())
+    assert ids1 == ids2
+    a_ids = [r[0] for r in rows if r[1] == "a"]
+    assert sorted(r.id for r in out.where("stratum='a'").collect()) == a_ids[: math.ceil(n_a * 0.25)]
+
+    # per-stratum dict: unlisted strata dropped
+    out2 = stratified_systematic_sample(df, "stratum", {"b": 0.5}, order="id")
+    assert out2.where("stratum='a'").count() == 0
+    assert out2.count() == math.ceil(n_b * 0.5)
+
+    # seeded Bernoulli path: deterministic under the same seed
+    r1 = {r.id for r in stratified_random_sample(df, "stratum", {"a": 0.3, "b": 0.3}, seed=7).collect()}
+    r2 = {r.id for r in stratified_random_sample(df, "stratum", {"a": 0.3, "b": 0.3}, seed=7).collect()}
+    assert r1 == r2 and 0 < len(r1) < 100
