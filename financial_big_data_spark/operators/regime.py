@@ -125,6 +125,13 @@ def coarse_regime(
         rolling_std(returns, w, volatility_window).alias("volatility"),
         pct_change(close, w, periods=momentum_window).alias("momentum"),
     )
+    # The feature frame feeds BOTH the threshold aggregate and the label
+    # branch; without a cache the scan+shuffle+window stage runs twice
+    # (the dominant cost at scale). MEMORY_AND_DISK keeps the contract safe
+    # when the projection exceeds executor memory.
+    from pyspark import StorageLevel
+
+    with_feats = with_feats.persist(StorageLevel.MEMORY_AND_DISK)
 
     thresholds = with_feats.groupBy(series).agg(
         F.expr(f"percentile(volatility, {volatility_percentile / 100.0})").alias("volatility_threshold"),
