@@ -104,6 +104,7 @@ def coarse_regime(
     volatility_percentile: float = 80.0,
     momentum_percentile: float = 90.0,
     order_tiebreak: list[str] | None = None,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """3-state regime with per-series dynamic thresholds (src/utils.py:4-34).
 
@@ -133,9 +134,24 @@ def coarse_regime(
 
     with_feats = with_feats.persist(StorageLevel.MEMORY_AND_DISK)
 
+    if approx_accuracy is None:
+        # exact linear-interpolation percentile (numpy parity, oracle-checked)
+        # — buffers one series' values per group; right up to ~1e6 rows/series
+        vol_thr = F.expr(f"percentile(volatility, {volatility_percentile / 100.0})")
+        mom_thr = F.expr(f"percentile(abs(momentum), {momentum_percentile / 100.0})")
+    else:
+        # scale path: KLL-sketch approx_percentile — constant memory per
+        # group regardless of series length; accuracy = 1/approx_accuracy
+        # relative rank error (e.g. 10000 → 0.01% rank error)
+        vol_thr = F.expr(
+            f"approx_percentile(volatility, {volatility_percentile / 100.0}, {approx_accuracy})"
+        )
+        mom_thr = F.expr(
+            f"approx_percentile(abs(momentum), {momentum_percentile / 100.0}, {approx_accuracy})"
+        )
     thresholds = with_feats.groupBy(series).agg(
-        F.expr(f"percentile(volatility, {volatility_percentile / 100.0})").alias("volatility_threshold"),
-        F.expr(f"percentile(abs(momentum), {momentum_percentile / 100.0})").alias("momentum_threshold"),
+        vol_thr.alias("volatility_threshold"),
+        mom_thr.alias("momentum_threshold"),
     )
 
     labeled = with_feats.join(F.broadcast(thresholds), on=series, how="left")

@@ -82,3 +82,20 @@ def test_regime5_counts_match_rows(spark, bars_df, bars_pdf):
     out = detect_regime_5way(feats)
     assert out.count() == len(bars_pdf)
     assert out.groupBy("regime").count().agg(F.sum("count")).collect()[0][0] == len(bars_pdf)
+
+
+def test_coarse_regime_approx_percentile_close_to_exact(spark, bars_df):
+    """The approx_percentile scale path must agree with the exact-percentile
+    labeling on ~all rows (sketch rank error ≪ the threshold gap)."""
+    from financial_big_data_spark.operators.regime import coarse_regime
+
+    exact = coarse_regime(bars_df, order_tiebreak=None).select(
+        "symbol", "ts", "market_regime"
+    )
+    approx = coarse_regime(bars_df, order_tiebreak=None, approx_accuracy=10_000).select(
+        "symbol", "ts", F.col("market_regime").alias("market_regime_a")
+    )
+    joined = exact.join(approx, on=["symbol", "ts"])
+    n = joined.count()
+    n_same = joined.where("market_regime = market_regime_a").count()
+    assert n_same / n >= 0.99
