@@ -100,12 +100,14 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     if vanilla:
-        # simulate the driver: no engine-tuned confs at all
+        # simulate the driver: no engine-tuned confs, hostile non-UTC
+        # session timezone (all outputs are TIMESTAMP_NTZ for this reason)
         from pyspark.sql import SparkSession
 
         spark = (
             SparkSession.builder.master("local[8]")
             .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "America/New_York")
             .getOrCreate()
         )
     else:
