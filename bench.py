@@ -33,6 +33,8 @@ HEADLINE = [
     "ev_coarse_regime",
     "ev_regime_distribution",
     "ev_transitions",
+    "ev_macd",
+    "ev_sessions",
     "ev_user_profile",
     "doc_minhash",
     "doc_near_dup_lsh",
