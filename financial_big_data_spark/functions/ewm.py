@@ -31,17 +31,39 @@ def ewm_mean(
     time: str = "ts",
     out: str = "ewm",
     order_tiebreak: list[str] | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """Append ``out`` = ewm(span, adjust=False).mean() of ``value`` per series."""
+    """Append ``out`` = ewm(span, adjust=False).mean() of ``value`` per series.
+
+    ``n_buckets``: same memory/speed dial as :func:`macd` — None keeps one
+    series per task; k hashes series into k buckets and runs the vectorized
+    ``GroupBy.ewm`` kernel once per bucket (bit-identical).
+    """
     order = [time] + (order_tiebreak or [])
     schema = T.StructType(df.schema.fields + [T.StructField(out, T.DoubleType())])
 
-    def fn(pdf):
-        pdf = pdf.sort_values(order)
-        pdf[out] = pdf[value].ewm(span=span, adjust=False).mean()
-        return pdf
+    if n_buckets is None:
 
-    return df.groupBy(series).applyInPandas(fn, schema)
+        def fn(pdf):
+            pdf = pdf.sort_values(order)
+            pdf[out] = pdf[value].ewm(span=span, adjust=False).mean()
+            return pdf
+
+        return df.groupBy(series).applyInPandas(fn, schema)
+
+    bucketed = df.withColumn("_b", F.pmod(F.hash(F.col(series)), F.lit(n_buckets)))
+
+    def fn_bucket(pdf):
+        pdf = pdf.sort_values([series] + order).reset_index(drop=True)
+        pdf[out] = (
+            pdf.groupby(series, sort=False)[value]
+            .ewm(span=span, adjust=False)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        return pdf.drop(columns=["_b"])
+
+    return bucketed.groupBy("_b").applyInPandas(fn_bucket, schema)
 
 
 def macd(

@@ -152,3 +152,19 @@ def test_macd_bucketed_equals_per_series(spark, bars_df):
     a = {key(r): (r.macd, r.macd_signal, r.macd_hist) for r in per_series.collect()}
     b = {key(r): (r.macd, r.macd_signal, r.macd_hist) for r in bucketed.collect()}
     assert a == b and len(a) > 0
+
+
+def test_ewm_mean_bucketed_equals_per_series(spark, bars_df):
+    from financial_big_data_spark.functions.ewm import ewm_mean
+
+    a = {
+        (r.symbol, r.ts): r.e
+        for r in ewm_mean(bars_df, "close", 12, series="symbol", time="ts", out="e").collect()
+    }
+    b = {
+        (r.symbol, r.ts): r.e
+        for r in ewm_mean(
+            bars_df, "close", 12, series="symbol", time="ts", out="e", n_buckets=4
+        ).collect()
+    }
+    assert a == b and len(a) > 0
