@@ -124,6 +124,23 @@ def main() -> None:
     res8.unpersist()
     ep2_8x = round(time.time() - t0, 3)
 
+    # EP3: the forecasting pipeline end-to-end (features → split → MLlib
+    # logistic train on the train slice → score → test-split metrics) — the
+    # reference's third entry point, timed as one number.
+    from financial_big_data_spark.ml.forecasting import forecast_and_evaluate
+
+    t0 = time.time()
+    ev3 = load_table(spark, sf_dir, "events")
+    fres = forecast_and_evaluate(
+        ev3.select("user_id", "event_id", "ts", "value"),
+        series="user_id", time="ts", close="value", high="value", low="value",
+        volume="value", model="logistic", order_tiebreak=["event_id"],
+        macd_buckets=64,
+    )
+    fres.accuracy.collect()
+    fres.weighted_f1.collect()
+    ep3_sec = round(time.time() - t0, 3)
+
     # ANN quality probe: IVF recall@10 against exact brute force at this sf —
     # measured per run so approximate-search quality is a recorded number,
     # not a local-test-only claim. The synthetic embeddings are ~uniform
@@ -213,6 +230,7 @@ def main() -> None:
         "ep2_8x_rows_sec": ep2_8x,
         "ep2_scale_factor_8x": round(ep2_8x / max(timings["market_analysis_plan"], 1e-9), 2),
         "ann_ivf_recall_at_10": ivf_recall,
+        "ep3_logistic_sec": ep3_sec,
         "ep2_big_rows": n_big,
         "ep2_big_spark_sec": ep2_big_spark,
         "ep2_big_pandas_sec": ep2_big_pandas,

@@ -61,6 +61,7 @@ def regime_prediction_dataset(
     volume: str = "volume",
     thresholds: ShortTermThresholds | None = None,
     order_tiebreak: list[str] | None = None,
+    macd_buckets: int | None = None,
 ) -> DataFrame:
     """Features + current regime + next-step target label, one pipeline.
 
@@ -71,7 +72,7 @@ def regime_prediction_dataset(
     w = Window.partitionBy(series).orderBy(*[F.col(c) for c in order])
     feats = lstm_features(
         bars, series=series, time=time, close=close, high=high, low=low, volume=volume,
-        order_tiebreak=order_tiebreak,
+        order_tiebreak=order_tiebreak, macd_buckets=macd_buckets,
     )
     labeled = detect_regime_5way(
         regime_features(
@@ -114,6 +115,10 @@ def mllib_regime_classifier(
     from pyspark.ml.feature import StringIndexer, VectorAssembler
 
     feature_cols = feature_cols or FEATURE_COLS
+    # the feature pipeline above this point is expensive (16 window features
+    # + regime labeling + grouped-map MACD) and is re-read by the indexer
+    # fit, the LBFGS fit and the scoring pass — persist once
+    dataset = dataset.persist()
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="_fv", handleInvalid="keep")
     indexer = StringIndexer(inputCol="target_regime", outputCol="_label", handleInvalid="keep")
     idx_model = indexer.fit(dataset)
@@ -196,6 +201,7 @@ def forecast_and_evaluate(
     volume: str = "volume",
     model: str = "baseline",
     order_tiebreak: list[str] | None = None,
+    macd_buckets: int | None = None,
 ) -> ForecastResult:
     """End-to-end EP3: dataset → split → score → metrics.
 
@@ -206,7 +212,7 @@ def forecast_and_evaluate(
     """
     ds = regime_prediction_dataset(
         bars, series=series, time=time, close=close, high=high, low=low,
-        volume=volume, order_tiebreak=order_tiebreak,
+        volume=volume, order_tiebreak=order_tiebreak, macd_buckets=macd_buckets,
     )
     ds = ordered_split(ds, series=series, time=time, order_tiebreak=order_tiebreak)
     if model == "logistic":
@@ -215,8 +221,13 @@ def forecast_and_evaluate(
         )
     else:
         scored = persistence_baseline(ds)
-    test = scored.where(F.col("split") == "test").select(
-        series, time, "true_label", "pred_label", "split"
+    # every metric frame re-reads the scored test split — cache it so the
+    # feature pipeline (incl. the grouped-map MACD) computes once, not once
+    # per metric action
+    test = (
+        scored.where(F.col("split") == "test")
+        .select(series, time, "true_label", "pred_label", "split")
+        .cache()
     )
     return ForecastResult(
         predictions=test,

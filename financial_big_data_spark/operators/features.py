@@ -50,9 +50,12 @@ def lstm_features(
     low: str = "low",
     volume: str = "volume",
     order_tiebreak: list[str] | None = None,
+    macd_buckets: int | None = None,
 ) -> DataFrame:
     """16-feature block (reference lstm_forecasting.py:57-105), one window
-    stage + one grouped-map (MACD). Clips/fills follow the reference."""
+    stage + one grouped-map (MACD). Clips/fills follow the reference.
+    ``macd_buckets`` forwards to :func:`functions.ewm.macd` (vectorized
+    bucket mode, bit-identical)."""
     order = [time] + (order_tiebreak or [])
     w = bar_window(series, order)
     ret = pct_change(close, w)
@@ -85,7 +88,8 @@ def lstm_features(
         bb_w.alias("bb_width"),
     )
     with_macd = macd(
-        with_feats, close=close, series=series, time=time, order_tiebreak=order_tiebreak
+        with_feats, close=close, series=series, time=time,
+        order_tiebreak=order_tiebreak, n_buckets=macd_buckets,
     )
     # reference fills: neutral constants, then zero (lstm_forecasting.py:109-110)
     filled = with_macd.na.fill({"rsi": 50.0, "bb_position": 0.5})
