@@ -64,12 +64,21 @@ def main() -> None:
                 pass
     spark.range(1).count()
 
+    # Steady-state timing: min of two runs per query, with the cache cleared
+    # between them so a second run can never read frames the first one
+    # persisted (coarse_regime/market_analysis persist internally).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    spark.catalog.clearCache()
 
     # EP2 composite: the reference's full market-analysis DAG in one shot
     from financial_big_data_spark.plans import market_analysis_plan
