@@ -64,9 +64,17 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def shingle_table(
-    docs: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (id, shingle) rows, relationally — the scale formulation.
+    """(id, shingle) rows, relationally — the scale formulation.
+
+    ``distinct=False`` skips the dedup shuffle for consumers whose
+    aggregates are duplicate-insensitive (MinHash ``min``, ``collect_set``
+    rescoring); Jaccard row-counting needs ``distinct=True``.
 
     ``posexplode`` evaluates the tokenizing ``split`` ONCE per document (a
     generator materializes its child), then n-grams come from ``lead(tok, k)``
@@ -83,11 +91,12 @@ def shingle_table(
         F.posexplode(F.split(normalized_text(text), " ")).alias("idx", "tok"),
     )
     if n == 1:
-        return toks.select(id_col, F.col("tok").alias("shingle")).distinct()
+        out = toks.select(id_col, F.col("tok").alias("shingle"))
+        return out.distinct() if distinct else out
     w = Window.partitionBy(id_col).orderBy("idx")
     parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
     shingle = F.concat_ws(" ", *parts)
-    return (
+    out = (
         toks.select(
             F.col(id_col),
             F.lead("tok", n - 1).over(w).alias("_last"),
@@ -95,8 +104,8 @@ def shingle_table(
         )
         .where(F.col("_last").isNotNull())
         .select(id_col, "shingle")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def _repartitioned(docs: DataFrame) -> DataFrame:
@@ -131,7 +140,8 @@ def minhash_signatures(
     relational oracle's semantics.
     """
     n_digests = -(-num_hashes // 4)  # ceil
-    sh = shingle_table(docs, text, id_col, shingle_n)
+    # min() is duplicate-insensitive -> skip the distinct shuffle
+    sh = shingle_table(docs, text, id_col, shingle_n, distinct=False)
     digest = F.concat(
         *[F.md5(F.concat(F.col("shingle"), F.lit(f"#{d}"))) for d in range(n_digests)]
     )
@@ -246,7 +256,8 @@ def near_dup_lsh(
     j* = 0.5 the banding keeps recall high for pairs above ``min_jaccard``.
     Returns (id_a, id_b, n_a, n_b, n_shared, jaccard).
     """
-    sh = shingle_table(docs, text, id_col, shingle_n).cache()
+    # min()/collect_set() are duplicate-insensitive -> distinct shuffle skipped
+    sh = shingle_table(docs, text, id_col, shingle_n, distinct=False).cache()
     digest = F.concat(
         *[F.md5(F.concat(F.col("shingle"), F.lit(f"#{d}"))) for d in range(-(-num_hashes // 4))]
     )
