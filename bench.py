@@ -55,6 +55,9 @@ def main() -> None:
     # headline query once at the smallest scale factor — standard steady-state
     # benchmarking; the timed runs below then measure the engine, not JIT.
     warm_dir = "/root/testdata/sf0.001"
+    from financial_big_data_spark.plans import market_analysis_plan
+    from financial_big_data_spark.sources.tables import load_table
+
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
             fn, _ = REGISTRY[name]
@@ -62,6 +65,17 @@ def main() -> None:
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception:  # noqa: BLE001 - warmup is best-effort
                 pass
+        try:
+            _wres = market_analysis_plan(
+                load_table(spark, warm_dir, "events"),
+                series="user_id", time="ts", close="value", volume="value",
+                order_tiebreak=["event_id"],
+            )
+            _wres.regime_distribution.write.format("noop").mode("overwrite").save()
+            _wres.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+    spark.catalog.clearCache()
     spark.range(1).count()
 
     # Steady-state timing: min of two runs per query, with the cache cleared
@@ -81,9 +95,6 @@ def main() -> None:
     spark.catalog.clearCache()
 
     # EP2 composite: the reference's full market-analysis DAG in one shot
-    from financial_big_data_spark.plans import market_analysis_plan
-    from financial_big_data_spark.sources.tables import load_table
-
     from concurrent.futures import ThreadPoolExecutor
 
     t0 = time.time()
