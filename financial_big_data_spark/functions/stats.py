@@ -62,8 +62,56 @@ def with_global_stats(df, aggs: list[Column]):
     broadcast-crossJoin of a 1-row aggregate is the distributed equivalent:
     the aggregate is a map-side-combined single row, and the join is a
     broadcast nested loop that preserves the input partitioning.
+
+    Note: ``df``'s lineage appears twice in the returned plan (the 1-row
+    aggregate branch and the main branch); differing projections usually
+    prevent ReusedExchange, so an expensive lineage is scanned twice.
+    Callers with heavy upstream lineage should pass a persisted frame.
     """
     return df.crossJoin(F.broadcast(df.agg(*aggs)))
+
+
+_NUMERIC_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+_TEMPORAL_TYPES = ("timestamp", "timestamp_ntz", "date")
+
+
+def _frozen_range_bounds(df, order_col: str, n_parts: int) -> list:
+    """Bucket boundaries for ``order_col``, computed ONCE driver-side.
+
+    Numeric/temporal keys: ``approxQuantile`` (a single-pass sketch — no row
+    collect, no bias). Other orderable types: a deterministic hash sample
+    (``xxhash64 % 256 == 0``) collected, sorted, and thinned to evenly
+    spaced boundaries. Boundary *quality* only affects bucket balance,
+    never correctness — every execution of the returned frame reuses the
+    same frozen literal boundaries.
+    """
+    dtype = dict(df.dtypes)[order_col]
+    base = dtype.split("(")[0]
+    if base in _NUMERIC_TYPES or base.startswith("decimal"):
+        kdf = df.select(F.col(order_col).cast("double").alias("_k")).dropna()
+    elif base in _TEMPORAL_TYPES:
+        kdf = df.select(
+            F.col(order_col).cast("timestamp").cast("double").alias("_k")
+        ).dropna()
+    else:
+        sample = [
+            r[0]
+            for r in df.select(F.col(order_col).alias("_k"))
+            .dropna()
+            .where(F.pmod(F.xxhash64("_k"), F.lit(256)) == 0)
+            .limit(128 * max(n_parts, 1))
+            .collect()
+        ]
+        sample.sort()
+        if len(sample) < n_parts:
+            return []
+        step = len(sample) / n_parts
+        return sorted({sample[int(i * step)] for i in range(1, n_parts)})
+    probs = [i / n_parts for i in range(1, n_parts)]
+    try:
+        return sorted(set(kdf.stat.approxQuantile("_k", probs, 0.001)))
+    except Exception:  # empty input
+        return []
 
 
 def global_running_sum(
@@ -72,32 +120,62 @@ def global_running_sum(
     """Cumulative sum in a global ordering WITHOUT a global-order window.
 
     ``sum() OVER (ORDER BY x)`` with no partition key funnels the whole
-    frame through one task. The scalable form is two-phase: range-partition
-    on the ordering key, compute per-partition local cumsums (parallel
-    windows), then add each partition's prefix offset — the offsets are one
-    row per partition (bounded metadata), computed driver-side and joined
-    back broadcast.
+    frame through one task. The scalable form is two-phase: bucket on the
+    ordering key, compute per-bucket local cumsums (parallel windows), then
+    add each bucket's prefix offset — the offsets are one row per bucket
+    (bounded metadata), computed driver-side and joined back broadcast.
+
+    Correctness: the bucket id is a *deterministic function of the key*
+    against boundaries frozen driver-side (see ``_frozen_range_bounds``),
+    NOT ``spark_partition_id()`` after ``repartitionByRange`` — the
+    latter's sampled boundaries may differ between the offsets job and a
+    later execution of the returned frame, silently corrupting sums near
+    boundaries. With frozen boundaries, both executions assign identical
+    bucket ids, so no persist is required for correctness.
+
+    The input lineage still executes twice (offsets job + returned frame);
+    callers with expensive lineage should pass a persisted frame. If ``df``
+    itself is nondeterministic (e.g. an unseeded sample), results are
+    undefined — as for any twice-executed lineage.
+
+    For numeric keys the double cast used for bucketing may collapse
+    distinct int64 values above 2**53 — they simply land in the same
+    bucket; the window still orders by the original column, so sums stay
+    exact.
     """
     from pyspark.sql import Window
 
-    ranged = df.repartitionByRange(
-        *( [partitions] if partitions else [] ), F.col(order_col)
-    ).withColumn("_pid", F.spark_partition_id())
+    spark = df.sparkSession
+    n_parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bounds = _frozen_range_bounds(df, order_col, n_parts)
+
+    dtype = dict(df.dtypes)[order_col]
+    base = dtype.split("(")[0]
+    if base in _NUMERIC_TYPES or base.startswith("decimal"):
+        key = F.col(order_col).cast("double")
+    elif base in _TEMPORAL_TYPES:
+        key = F.col(order_col).cast("timestamp").cast("double")
+    else:
+        key = F.col(order_col)
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(key > F.lit(b), 1).otherwise(0)
+    bucketed = df.withColumn("_pid", pid)
+
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ranged.withColumn("_local_cum", F.sum(value_col).over(w))
+    local = bucketed.withColumn("_local_cum", F.sum(value_col).over(w))
     totals = sorted(
         (r._pid, r._t)
-        for r in local.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
+        for r in bucketed.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
     )
     offsets, acc = [], 0
-    for pid, t in totals:
-        offsets.append((pid, acc))
+    for p, t in totals:
+        offsets.append((p, acc))
         acc += t or 0
-    spark = df.sparkSession
     is_float = dict(df.dtypes)[value_col] in ("double", "float")
     schema = "_pid int, _offset double" if is_float else "_pid int, _offset bigint"
     offsets = [(p, float(o) if is_float else int(o)) for p, o in offsets]

@@ -36,11 +36,48 @@ def test_global_running_sum_matches_serial(spark):
     for k, cum in rows:
         acc += k % 7 + 1
         assert cum == acc
-    # plan sanity: the cumsum window is keyed on the range-partition id, not
-    # a global ORDER BY (AQE may still coalesce the tiny test frame to one
-    # partition afterwards, so assert the window spec, not partition count)
+    # plan sanity: the cumsum window is keyed on the frozen-boundary bucket
+    # id, not a global ORDER BY (AQE may still coalesce the tiny test frame
+    # to one partition afterwards, so assert the window spec, not partition
+    # count)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(_pid" in plan
+
+
+def test_global_running_sum_layout_invariant(spark):
+    # The bucket id must be a function of the KEY, not the physical layout:
+    # the same frame under different partitionings — and a re-execution of
+    # the same returned frame — must produce identical cumulative sums.
+    # (Regression: spark_partition_id() after repartitionByRange could
+    # disagree between the offsets job and a later execution.)
+    # 4999 is prime and coprime to 37, so k is a permutation of 0..4998 —
+    # unique keys (tied keys have inherently ambiguous cumsum order)
+    base = spark.range(0, 4999).select(
+        (F.col("id") * 37 % 4999).alias("k"), (F.col("id") % 11 + 1).alias("v")
+    )
+    expected = None
+    for layout in (base.repartition(1), base.repartition(16, "v"), base.coalesce(4)):
+        out = global_running_sum(layout, "k", "v", out="cum", partitions=8)
+        first = sorted((r.k, r.cum) for r in out.collect())
+        again = sorted((r.k, r.cum) for r in out.collect())  # re-execute same frame
+        assert first == again
+        if expected is None:
+            expected = first
+        assert first == expected
+
+
+def test_global_running_sum_string_key(spark):
+    # Non-numeric ordering key exercises the hash-sample boundary path.
+    df = spark.range(0, 2000).select(
+        F.format_string("doc-%06d", F.col("id")).alias("k"),
+        (F.col("id") % 5 + 1).alias("v"),
+    )
+    out = global_running_sum(df, "k", "v", out="cum", partitions=8)
+    rows = sorted((r.k, r.cum) for r in out.collect())
+    acc = 0
+    for i, (k, cum) in enumerate(rows):
+        acc += i % 5 + 1
+        assert cum == acc
 
 
 def test_curate_corpus_stages(spark, corpus_df):
