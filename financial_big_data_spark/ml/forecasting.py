@@ -117,8 +117,11 @@ def mllib_regime_classifier(
     feature_cols = feature_cols or FEATURE_COLS
     # the feature pipeline above this point is expensive (16 window features
     # + regime labeling + grouped-map MACD) and is re-read by the indexer
-    # fit, the LBFGS fit and the scoring pass — persist once
-    dataset = dataset.persist()
+    # fit, the LBFGS fit and the scoring pass — persist once (tracked:
+    # released by cache.release_tracked between registry queries)
+    from ..cache import tracked_persist
+
+    dataset = tracked_persist(dataset)
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="_fv", handleInvalid="keep")
     indexer = StringIndexer(inputCol="target_regime", outputCol="_label", handleInvalid="keep")
     idx_model = indexer.fit(dataset)
@@ -223,11 +226,12 @@ def forecast_and_evaluate(
         scored = persistence_baseline(ds)
     # every metric frame re-reads the scored test split — cache it so the
     # feature pipeline (incl. the grouped-map MACD) computes once, not once
-    # per metric action
-    test = (
+    # per metric action (tracked: bulk-released between registry queries)
+    from ..cache import tracked_persist
+
+    test = tracked_persist(
         scored.where(F.col("split") == "test")
         .select(series, time, "true_label", "pred_label", "split")
-        .cache()
     )
     return ForecastResult(
         predictions=test,

@@ -129,10 +129,11 @@ def coarse_regime(
     # The feature frame feeds BOTH the threshold aggregate and the label
     # branch; without a cache the scan+shuffle+window stage runs twice
     # (the dominant cost at scale). MEMORY_AND_DISK keeps the contract safe
-    # when the projection exceeds executor memory.
-    from pyspark import StorageLevel
+    # when the projection exceeds executor memory. Tracked so long-lived
+    # sessions can bulk-release between queries (cache.release_tracked).
+    from ..cache import tracked_persist
 
-    with_feats = with_feats.persist(StorageLevel.MEMORY_AND_DISK)
+    with_feats = tracked_persist(with_feats)
 
     if approx_accuracy is None:
         # exact linear-interpolation percentile (numpy parity, oracle-checked)

@@ -29,6 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
 from ..functions.stats import global_running_sum
 from ..operators.dedup import exact_dedup_keys, near_dup_lsh
 from ..operators.text import text_profile
@@ -68,14 +69,15 @@ def curate_corpus(
     if languages is not None:
         quality = quality.where(F.col("pred_lang").isin(list(languages)))
     # cache the frames every downstream branch (and the audit) re-reads —
-    # same pattern as market_analysis_plan's labeled frame
-    quality = quality.cache()
+    # same pattern as market_analysis_plan's labeled frame. Tracked, so a
+    # long-lived session can bulk-release after materializing the result.
+    quality = tracked_persist(quality)
 
     # exact dedup: keep the deterministic representative of each fingerprint
     keys = exact_dedup_keys(quality, text=text, id_col=id_col)
-    exact = quality.join(
+    exact = tracked_persist(quality.join(
         keys.select(F.col("keep_id").alias(id_col)), on=id_col, how="inner"
-    ).cache()
+    ))
 
     # near-dup removal: for each surviving LSH-verified pair, drop the
     # larger id (id_a < id_b by construction, so id_b is dropped)
@@ -84,7 +86,7 @@ def curate_corpus(
         min_jaccard=near_dup_jaccard,
     )
     drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    deduped = exact.join(drop_ids, on=id_col, how="left_anti").cache()
+    deduped = tracked_persist(exact.join(drop_ids, on=id_col, how="left_anti"))
 
     # token budget: cumulative tokens in deterministic (doc_id) order via the
     # two-phase running sum (range partition + local cumsum + prefix

@@ -30,6 +30,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import tracked_persist
 from ..functions.stats import kurtosis_pandas, skew_pandas, with_global_stats
 from ..operators.regime import ShortTermThresholds, detect_regime_5way, regime_features
 from ..operators.transitions import regime_transitions, top_transitions, transition_matrix
@@ -78,16 +79,16 @@ def market_analysis_plan(
     keep = [series, time, *(order_tiebreak or []), close, "regime", "hourly_returns"]
     if volume != close:
         keep.append(volume)
-    labeled = detect_regime_5way(feats, thresholds).select(*dict.fromkeys(keep)).cache()
+    labeled = tracked_persist(detect_regime_5way(feats, thresholds).select(*dict.fromkeys(keep)))
 
     counts = labeled.groupBy("regime").agg(F.count(F.lit(1)).alias("n"))
     regime_distribution = with_global_stats(counts, [F.sum("n").alias("_total")]).select(
         "regime", "n", (F.col("n") / F.col("_total")).alias("share")
     )
 
-    transitions = regime_transitions(
+    transitions = tracked_persist(regime_transitions(
         labeled, series=series, time=time, regime="regime", order_tiebreak=order_tiebreak
-    ).cache()
+    ))
     tmatrix = transition_matrix(transitions)
     top5 = top_transitions(transitions, 5)
 

@@ -1933,8 +1933,29 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
+def _released(fn: QueryFn) -> QueryFn:
+    """Release the PREVIOUS query's tracked plan caches before building.
+
+    The driver runs registry entries sequentially, collecting each result
+    before calling the next — so at entry to query N, query N-1's caches
+    are dead weight. Releasing here bounds a 56-query session to one
+    query's caches at a time. Unpersisting never breaks an un-collected
+    frame (lineage recomputes), so out-of-order harnesses stay correct.
+    """
+
+    def call(spark, sf_dir):
+        from .cache import release_tracked
+
+        release_tracked()
+        return fn(spark, sf_dir)
+
+    call.__name__ = getattr(fn, "__name__", "query")
+    call.__doc__ = fn.__doc__
+    return call
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: _released(fn) for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
