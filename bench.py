@@ -94,38 +94,50 @@ def main() -> None:
         timings[name] = round(best, 3)
     spark.catalog.clearCache()
 
-    # EP2 composite: the reference's full market-analysis DAG in one shot
+    # EP2 composite: the reference's full market-analysis DAG in one shot.
+    # Same steady-state discipline as the headline queries: min of two runs
+    # with the cache cleared between them (the plan persists internally).
     from concurrent.futures import ThreadPoolExecutor
 
-    t0 = time.time()
-    ev = load_table(spark, sf_dir, "events")
-    res = market_analysis_plan(
-        ev, series="user_id", time="ts", close="value", volume="value",
-        order_tiebreak=["event_id"],
-    )
-    # materialize the shared cached frame once, then run the independent
-    # result branches as concurrent jobs (Spark's scheduler interleaves them)
-    res.regime_distribution.write.format("noop").mode("overwrite").save()
-    branches = [
-        res.transition_matrix,
-        res.top_transitions,
-        res.daily_regime,
-        res.profiles,
-        res.period_stats,
-    ]
-    with ThreadPoolExecutor(max_workers=len(branches)) as pool:
-        list(
-            pool.map(
-                lambda df: df.write.format("noop").mode("overwrite").save(), branches
-            )
+    def run_ep2(ev_frame) -> float:
+        t0 = time.time()
+        res = market_analysis_plan(
+            ev_frame, series="user_id", time="ts", close="value", volume="value",
+            order_tiebreak=["event_id"],
         )
-    res.unpersist()
-    timings["market_analysis_plan"] = round(time.time() - t0, 3)
+        # materialize the shared cached frame once, then run the independent
+        # result branches as concurrent jobs (Spark's scheduler interleaves them)
+        res.regime_distribution.write.format("noop").mode("overwrite").save()
+        branches = [
+            res.transition_matrix,
+            res.top_transitions,
+            res.daily_regime,
+            res.profiles,
+            res.period_stats,
+        ]
+        with ThreadPoolExecutor(max_workers=len(branches)) as pool:
+            list(
+                pool.map(
+                    lambda df: df.write.format("noop").mode("overwrite").save(), branches
+                )
+            )
+        res.unpersist()
+        return time.time() - t0
+
+    def min_of_2(fn) -> float:
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            dt = fn()
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    ev = load_table(spark, sf_dir, "events")
+    timings["market_analysis_plan"] = min_of_2(lambda: run_ep2(ev))
 
     # Scale-amortization probe: the same EP2 DAG on 8x the rows. Spark's
     # fixed job overhead amortizes (sublinear growth) while a single-node
     # engine grows linearly — the crossover the 100 TB design is for.
-    t0 = time.time()
     # Disjoint doubling: each iteration shifts by (max_id+1)·2^i so the 8
     # copies never collide on user_id (additive shifts would overlap after
     # the first doubling and duplicate 1/8 of the series).
@@ -135,14 +147,19 @@ def main() -> None:
         ev8 = ev8.unionByName(
             ev8.withColumn("user_id", F.col("user_id") + F.lit((max_id + 1) * 2**i))
         )
-    res8 = market_analysis_plan(
-        ev8, series="user_id", time="ts", close="value", volume="value",
-        order_tiebreak=["event_id"],
-    )
-    res8.regime_distribution.write.format("noop").mode("overwrite").save()
-    res8.transition_matrix.write.format("noop").mode("overwrite").save()
-    res8.unpersist()
-    ep2_8x = round(time.time() - t0, 3)
+
+    def run_ep2_8x() -> float:
+        t0 = time.time()
+        res8 = market_analysis_plan(
+            ev8, series="user_id", time="ts", close="value", volume="value",
+            order_tiebreak=["event_id"],
+        )
+        res8.regime_distribution.write.format("noop").mode("overwrite").save()
+        res8.transition_matrix.write.format("noop").mode("overwrite").save()
+        res8.unpersist()
+        return time.time() - t0
+
+    ep2_8x = min_of_2(run_ep2_8x)
 
     # EP3: the forecasting pipeline end-to-end (features → split → MLlib
     # logistic train on the train slice → score → test-split metrics) — the
@@ -207,39 +224,30 @@ def main() -> None:
         ev_big = ev_big.unionByName(
             ev.withColumn("user_id", F.col("user_id") + F.lit((max_id + 1) * i))
         )
-    ev_big = ev_big.cache()
-    n_big = ev_big.count()  # materialize outside the timed window
-    t0 = time.time()
-    res_big = market_analysis_plan(
-        ev_big, series="user_id", time="ts", close="value", volume="value",
-        order_tiebreak=["event_id"],
-    )
-    res_big.regime_distribution.write.format("noop").mode("overwrite").save()
-    big_branches = [
-        res_big.transition_matrix,
-        res_big.top_transitions,
-        res_big.daily_regime,
-        res_big.profiles,
-        res_big.period_stats,
-    ]
-    with ThreadPoolExecutor(max_workers=len(big_branches)) as pool:
-        list(
-            pool.map(
-                lambda df: df.write.format("noop").mode("overwrite").save(), big_branches
-            )
-        )
-    res_big.unpersist()
-    ep2_big_spark = round(time.time() - t0, 3)
-    ev_big.unpersist()
+    # min-of-2, re-caching the input OUTSIDE each timed window (clearCache
+    # drops ev_big too, so each iteration re-materializes it before t0)
+    ep2_big_spark, n_big = None, 0
+    for _ in range(2):
+        spark.catalog.clearCache()
+        ev_big_c = ev_big.cache()
+        n_big = ev_big_c.count()  # materialize outside the timed window
+        dt = run_ep2(ev_big_c)
+        ev_big_c.unpersist()
+        ep2_big_spark = dt if ep2_big_spark is None else min(ep2_big_spark, dt)
+    ep2_big_spark = round(ep2_big_spark, 3)
 
     pdf = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
     pdf_big = pd.concat(
         [pdf.assign(user_id=pdf["user_id"] + (max_id + 1) * i) for i in range(mult)],
         ignore_index=True,
     )
-    t0 = time.time()
-    _pb.ep2_pandas(pdf_big)
-    ep2_big_pandas = round(time.time() - t0, 3)
+    ep2_big_pandas = None
+    for _ in range(2):
+        t0 = time.time()
+        _pb.ep2_pandas(pdf_big)
+        dt = time.time() - t0
+        ep2_big_pandas = dt if ep2_big_pandas is None else min(ep2_big_pandas, dt)
+    ep2_big_pandas = round(ep2_big_pandas, 3)
 
     out = {
         "metric": "headline_queries_total",

@@ -2,12 +2,14 @@
 
 North-star surface (BASELINE.json): treat image/audio/video as ``binary``
 columns with a typed metadata struct, and run decode / feature-extract /
-resize / frame-sample as Arrow-batched ``mapInPandas`` stages. The decode
-kernels themselves are STUBBED (the media libraries are not in this
-container): ``decoder`` defaults to a deterministic fake that derives
-"features" from the payload bytes, and a real pipeline injects e.g. a
-PIL/ffmpeg-backed callable with the same signature. Everything Spark-side —
-schema, batching, partitioning, output contract — is real and tested.
+resize / frame-sample as Arrow-batched ``mapInPandas`` stages. Decode is
+REAL for the library-free formats: PNG pixels (stdlib zlib inflate +
+per-scanline unfilter) and WAV PCM samples (struct unpack) via
+``operators/media_codecs.py``; formats that genuinely need a media library
+(mp4 video) get honest byte-level features, and a real pipeline injects
+e.g. an ffmpeg-backed callable with the same ``decoder`` signature.
+Everything Spark-side — schema, batching, partitioning, output contract —
+is real and tested.
 
 Scale design: mapInPandas streams Arrow batches through the Python worker;
 payloads never land on the driver. Batch size is bounded by
@@ -18,7 +20,6 @@ parallel: parallelism = input partitions, no shuffle anywhere.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -27,6 +28,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from financial_big_data_spark.operators.media_codecs import (
+    decode_png,
+    default_decode,
+    encode_png,
+    encode_wav,
+)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -42,14 +50,27 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for plumbing tests (payload = seeded
-    bytes; metadata consistent with kind)."""
+    """Deterministic media table for plumbing tests. Image rows are REAL
+    PNGs and audio rows REAL 16-bit PCM WAVs (built with the library-free
+    encoders, decodable by the real kernels); video rows are seeded opaque
+    bytes (no library-free mp4 codec exists — see media_codecs docstring)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=256 + (i % 7) * 64, dtype=np.uint8).tobytes()
+        if kind == "image":
+            px = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+            payload = encode_png(px)
+        elif kind == "audio":
+            t = np.arange(1600 + (i % 7) * 160) / 16000.0
+            payload = encode_wav(
+                0.5 * np.sin(2 * np.pi * (220 + 10 * i) * t), sample_rate=16000
+            )
+        else:
+            payload = rng.integers(
+                0, 256, size=256 + (i % 7) * 64, dtype=np.uint8
+            ).tobytes()
         rows.append(
             (
                 i,
@@ -64,17 +85,6 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_decode(payload: bytes, kind: str, dim: int) -> list[float]:
-    """Deterministic stand-in for a real decoder: hash-derived features.
-
-    Replace with a real kernel (PIL / torchaudio / ffmpeg) of the same
-    signature; raise NotImplementedError to mark unported media kinds.
-    """
-    h = hashlib.sha256(payload).digest()
-    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
-    return (raw / np.float64(2**32)).tolist()
-
-
 def extract_features(
     media: DataFrame,
     dim: int = 16,
@@ -82,11 +92,13 @@ def extract_features(
 ) -> DataFrame:
     """Decode/feature-extract each payload → (media_id, kind, n_bytes, features).
 
-    ``decoder`` runs inside mapInPandas per Arrow batch. The output schema is
-    fixed regardless of decoder, so swapping the stub for a real kernel is a
-    pure function change.
+    ``decoder`` runs inside mapInPandas per Arrow batch. The default kernel
+    (``media_codecs.default_decode``) REALLY decodes PNG pixels and WAV
+    samples and falls back to byte-histogram features for other formats;
+    the output schema is fixed regardless of decoder, so injecting e.g. an
+    ffmpeg-backed kernel is a pure function change.
     """
-    decode = decoder or _fake_decode
+    decode = decoder or default_decode
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -159,6 +171,51 @@ def frame_sample(
             )
 
     return media.where(F.col("kind") == "video").mapInPandas(fn, out_schema)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, payload: str = "payload"
+) -> DataFrame:
+    """REAL image resize: decode PNG → nearest-neighbor resample →
+    re-encode PNG, per Arrow batch inside mapInPandas (map-only, no
+    shuffle; payloads never touch the driver).
+
+    Output: (media_id, width, height, payload) with the resized PNG.
+    Non-PNG / undecodable payloads are dropped (a real pipeline would
+    route them to a quarantine sink).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, p in zip(pdf["media_id"], pdf[payload]):
+                try:
+                    px = decode_png(bytes(p))
+                except ValueError:
+                    continue
+                h0, w0 = px.shape[:2]
+                ys = np.minimum((np.arange(height) * h0) // height, h0 - 1)
+                xs = np.minimum((np.arange(width) * w0) // width, w0 - 1)
+                ids.append(mid)
+                payloads.append(encode_png(px[ys][:, xs]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "width": pd.array([width] * len(ids), dtype="int32"),
+                    "height": pd.array([height] * len(ids), dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(fn, out_schema)
 
 
 # ---------------------------------------------------------------------------

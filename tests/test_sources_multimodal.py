@@ -121,6 +121,193 @@ def test_frame_sample(spark):
     assert isinstance(row.frame_payload, (bytes, bytearray))
 
 
+def test_png_decode_roundtrip_known_pixels():
+    """encode → decode recovers the exact pixel array (RGB, gray, RGBA)."""
+    from financial_big_data_spark.operators.media_codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(5, 4, 3), (3, 7, 1), (6, 2, 4), (4, 4, 2)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = decode_png(encode_png(px))
+        assert got.shape == shape
+        assert np.array_equal(got, px)
+
+
+def test_png_decode_all_filter_types():
+    """Hand-filtered IDAT streams (Sub/Up/Average/Paeth) decode back to the
+    known pixels — the unfilter path, not just the encoder's filter-0."""
+    import struct
+    import zlib
+
+    from financial_big_data_spark.operators.media_codecs import (
+        PNG_MAGIC,
+        decode_png,
+    )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    rng = np.random.default_rng(11)
+    h, w, c = 5, 6, 3
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8).astype(np.int64)
+    stride = w * c
+    flat = px.reshape(h, stride)
+    # forward-filter each scanline with its row's filter type (spec §6)
+    raw = bytearray()
+    for y in range(h):
+        ftype = [0, 1, 2, 3, 4][y % 5]
+        raw.append(ftype)
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        for i in range(stride):
+            x = int(flat[y][i])
+            left = int(flat[y][i - c]) if i >= c else 0
+            up = int(prev[i])
+            upleft = int(prev[i - c]) if i >= c else 0
+            pred = {
+                0: 0,
+                1: left,
+                2: up,
+                3: (left + up) >> 1,
+                4: paeth(left, up, upleft),
+            }[ftype]
+            raw.append((x - pred) & 0xFF)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), px.astype(np.uint8).reshape(h, w, c))
+
+
+def test_png_decode_palette():
+    import struct
+    import zlib
+
+    from financial_big_data_spark.operators.media_codecs import PNG_MAGIC, decode_png
+
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), palette[idx])
+
+
+def test_wav_decode_known_samples():
+    """16-bit round-trip is sample-exact; 8/24-bit int and float32 decode to
+    the expected normalized values; extra RIFF chunks before data are walked."""
+    import struct
+
+    from financial_big_data_spark.operators.media_codecs import decode_wav, encode_wav
+
+    x = np.array([[0.0, 0.5], [-0.5, 0.25], [1.0, -1.0]])
+    got, rate = decode_wav(encode_wav(x, sample_rate=8000))
+    assert rate == 8000 and got.shape == (3, 2)
+    assert np.allclose(got, np.clip(x, -32768 / 32767, 1.0), atol=1.5 / 32767)
+
+    # 8-bit unsigned PCM: 128 → 0.0, 255 → ~1.0, 0 → -1.0
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt8
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"  # extra chunk must be skipped
+        + b"data" + struct.pack("<I", 3) + bytes([0, 128, 255])
+    )
+    wav8 = b"RIFF" + struct.pack("<I", len(body)) + body
+    got8, _ = decode_wav(wav8)
+    assert np.allclose(got8[:, 0], [-1.0, 0.0, 127 / 128])
+
+    # float32
+    fmtf = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    samples = np.array([0.25, -0.75], dtype="<f4").tobytes()
+    bodyf = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmtf
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    gotf, _ = decode_wav(b"RIFF" + struct.pack("<I", len(bodyf)) + bodyf)
+    assert np.allclose(gotf[:, 0], [0.25, -0.75])
+
+    # 24-bit: max positive value
+    fmt24 = struct.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+    body24 = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt24
+        + b"data" + struct.pack("<I", 6) + bytes([255, 255, 127, 0, 0, 128])
+    )
+    got24, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body24)) + body24)
+    assert np.allclose(got24[:, 0], [(2**23 - 1) / 2**23, -1.0])
+
+
+def test_extract_features_real_decode(spark):
+    """The default decoder derives features from REAL decoded content: a
+    constant-color PNG must yield its exact channel means, and a silent WAV
+    zero RMS — values a byte-hash stub could never produce."""
+    from financial_big_data_spark.operators.media_codecs import encode_png, encode_wav
+
+    const_px = np.zeros((8, 8, 3), dtype=np.uint8)
+    const_px[:, :, 0] = 255  # pure red
+    rows = [
+        (0, "image", "image/png", bytearray(encode_png(const_px)), 8, 8, None),
+        (1, "audio", "audio/wav", bytearray(encode_wav(np.zeros(800))), None, None, 50),
+    ]
+    from financial_big_data_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r.features for r in extract_features(media, dim=8).collect()}
+    # png_features: [mean_r, std_r, mean_g, std_g, mean_b, std_b, hist...]
+    assert feats[0][0] == 1.0 and feats[0][1] == 0.0  # red channel: mean 1, std 0
+    assert feats[0][2] == 0.0 and feats[0][4] == 0.0  # green/blue mean 0
+    # wav_features: [rms, zcr, ...] — silence is all zeros
+    assert feats[1][0] == 0.0 and feats[1][1] == 0.0
+
+
+def test_resize_images(spark):
+    """Nearest-neighbor resize of a 2x2 checkerboard to 4x4 keeps exact
+    quadrant colors (decode → resample → re-encode, all inside the task)."""
+    from financial_big_data_spark.operators.media_codecs import decode_png, encode_png
+    from financial_big_data_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    board = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    rows = [
+        (0, "image", "image/png", bytearray(encode_png(board)), 2, 2, None),
+        (1, "video", "video/mp4", bytearray(b"not png"), None, None, 1000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(media, width=4, height=4).collect()
+    assert len(out) == 1 and out[0].media_id == 0  # non-PNG dropped
+    px = decode_png(bytes(out[0].payload))
+    assert px.shape == (4, 4, 3)
+    expected = board[np.minimum(np.arange(4) * 2 // 4, 1)][
+        :, np.minimum(np.arange(4) * 2 // 4, 1)
+    ]
+    assert np.array_equal(px, expected)
+
+
 def test_parse_media_headers_real_formats(spark):
     """JVM-side container-header decode: real PNG IHDR and canonical WAV
     headers parse without any media library; junk payloads yield NULLs."""
