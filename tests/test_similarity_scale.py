@@ -10,6 +10,7 @@ from financial_big_data_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dups,
     ivf_topk,
+    random_plane_bands,
 )
 
 
@@ -66,3 +67,72 @@ def test_embedding_near_dups_lsh_bucketed(spark, clustered_emb):
     }
     # identical-direction vectors share every hyperplane side → same bucket
     assert (100, 101) in pairs and (102, 103) in pairs
+
+
+@pytest.fixture(scope="module")
+def noisy_dup_emb(spark):
+    """200 random unit vectors + 60 planted near-dup partners at cosine
+    ≈0.95-0.99 — pairs sit close to hyperplane boundaries, so single-band
+    LSH measurably loses them (the OR-amplification failure mode)."""
+    rng = np.random.default_rng(123)
+    rows = []
+    for i in range(200):
+        v = rng.normal(0, 1, 16)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    for j in range(60):
+        base = np.asarray(rows[j][1])
+        noise = rng.normal(0, 1, 16)
+        noise -= noise.dot(base) * base  # orthogonal perturbation
+        noise /= np.linalg.norm(noise)
+        theta = 0.15 + 0.15 * (j / 60.0)  # cosine in [cos .30, cos .15]
+        dup = np.cos(theta) * base + np.sin(theta) * noise
+        rows.append((1000 + j, [float(x) for x in dup]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dups_or_amplification(spark, noisy_dup_emb):
+    """b independent bands must recover ≥0.9 of the exact near-dup pairs
+    where a single band measurably drops them (VERDICT r2 wrong #5):
+    recall goes 1-(1-p^bits)^b instead of p^bits."""
+    threshold = 0.95
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(noisy_dup_emb, threshold=threshold).collect()
+    }
+    assert len(exact) >= 30  # the planted pairs are really there
+
+    single = random_plane_bands(1, 6, 16, seed=7)[0]
+    got_single = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(
+            noisy_dup_emb, threshold=threshold, planes=single
+        ).collect()
+    }
+    banded = random_plane_bands(8, 6, 16, seed=7)
+    got_banded = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(
+            noisy_dup_emb, threshold=threshold, planes=banded
+        ).collect()
+    }
+    recall_single = len(got_single & exact) / len(exact)
+    recall_banded = len(got_banded & exact) / len(exact)
+    assert recall_single <= 0.85  # single band demonstrably loses pairs
+    assert recall_banded >= 0.9, (recall_single, recall_banded)
+    # LSH candidates are a subset of all pairs → no false positives vs exact
+    assert got_banded <= exact
+
+
+def test_ivf_plan_flat_in_n_cells(spark, clustered_emb):
+    """Centroids are DATA (broadcast join), not plan literals: the analyzed
+    plan must not grow with n_cells (VERDICT r2 wrong #4)."""
+    q = clustered_emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plans = {}
+    for n_cells in (4, 32):
+        df = ivf_topk(clustered_emb, q, n_cells=n_cells, n_probe=2, k=3)
+        plans[n_cells] = len(df._jdf.queryExecution().analyzed().toString())
+    # allow small jitter (cell-count digits etc.), not O(n_cells·dim) growth
+    assert plans[32] < plans[4] * 1.2, plans
