@@ -166,17 +166,23 @@ def main() -> None:
     # reference's third entry point, timed as one number.
     from financial_big_data_spark.ml.forecasting import forecast_and_evaluate
 
-    t0 = time.time()
     ev3 = load_table(spark, sf_dir, "events")
-    fres = forecast_and_evaluate(
-        ev3.select("user_id", "event_id", "ts", "value"),
-        series="user_id", time="ts", close="value", high="value", low="value",
-        volume="value", model="logistic", order_tiebreak=["event_id"],
-        macd_buckets=64,
-    )
-    fres.accuracy.collect()
-    fres.weighted_f1.collect()
-    ep3_sec = round(time.time() - t0, 3)
+
+    def run_ep3(model_name: str) -> tuple[float, float]:
+        t0 = time.time()
+        fres = forecast_and_evaluate(
+            ev3.select("user_id", "event_id", "ts", "value"),
+            series="user_id", time="ts", close="value", high="value", low="value",
+            volume="value", model=model_name, order_tiebreak=["event_id"],
+            macd_buckets=64,
+        )
+        acc = fres.accuracy.collect()[0].accuracy
+        fres.weighted_f1.collect()
+        return round(time.time() - t0, 3), round(acc, 4)
+
+    ep3_sec, ep3_acc = run_ep3("logistic")
+    ep3_mlp_sec, ep3_mlp_acc = run_ep3("mlp")
+    _, ep3_baseline_acc = run_ep3("baseline")
 
     # ANN quality probe: IVF recall@10 against exact brute force at this sf —
     # measured per run so approximate-search quality is a recorded number,
@@ -259,6 +265,10 @@ def main() -> None:
         "ep2_scale_factor_8x": round(ep2_8x / max(timings["market_analysis_plan"], 1e-9), 2),
         "ann_ivf_recall_at_10": ivf_recall,
         "ep3_logistic_sec": ep3_sec,
+        "ep3_logistic_acc": ep3_acc,
+        "ep3_mlp_sec": ep3_mlp_sec,
+        "ep3_mlp_acc": ep3_mlp_acc,
+        "ep3_baseline_acc": ep3_baseline_acc,
         "ep2_big_rows": n_big,
         "ep2_big_spark_sec": ep2_big_spark,
         "ep2_big_pandas_sec": ep2_big_pandas,

@@ -98,21 +98,36 @@ def persistence_baseline(dataset: DataFrame) -> DataFrame:
 def mllib_regime_classifier(
     dataset: DataFrame,
     feature_cols: list[str] | None = None,
-    max_iter: int = 30,
+    max_iter: int = 40,
     reg_param: float = 0.01,
+    model: str = "logistic",
+    hidden_layers: tuple[int, ...] = (4,),
+    seed: int = 42,
 ) -> DataFrame:
-    """Distributed trainable model path (no torch needed): multinomial
-    logistic regression on the per-bar feature block, trained on the train
-    split and scored everywhere.
+    """Distributed trainable model path (no torch needed), trained on the
+    train split and scored everywhere.
 
-    This is the M6/M7 slot done Spark-native — MLlib's LBFGS runs as Spark
+    ``model``:
+
+    - ``"logistic"`` — multinomial logistic regression (LBFGS).
+    - ``"mlp"`` — ``MultilayerPerceptronClassifier`` with ``hidden_layers``
+      between the feature block and the class outputs: the closest
+      torch-free approximation of the reference's model CLASS (a nonlinear
+      neural net over the same windowed features; reference
+      lstm_forecasting.py:15-35 — recurrence is the one part MLlib can't
+      express).
+
+    This is the M6/M7 slot done Spark-native — both trainers run as Spark
     jobs over the training rows, so the same code trains on a 1000-executor
     cluster. The LSTM topology (torch) remains the pluggable upgrade; the
     evaluation protocol (test-split metrics) is identical either way.
     Returns dataset + pred_label.
     """
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import StringIndexer, VectorAssembler
+    from pyspark.ml.classification import (
+        LogisticRegression,
+        MultilayerPerceptronClassifier,
+    )
+    from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
 
     feature_cols = feature_cols or FEATURE_COLS
     # the feature pipeline above this point is expensive (16 window features
@@ -122,17 +137,73 @@ def mllib_regime_classifier(
     from ..cache import tracked_persist
 
     dataset = tracked_persist(dataset)
-    assembler = VectorAssembler(inputCols=feature_cols, outputCol="_fv", handleInvalid="keep")
-    indexer = StringIndexer(inputCol="target_regime", outputCol="_label", handleInvalid="keep")
-    idx_model = indexer.fit(dataset)
-    prepared = idx_model.transform(assembler.transform(dataset))
-    train = prepared.where(F.col("split") == "train")
-    lr = LogisticRegression(
-        featuresCol="_fv", labelCol="_label", maxIter=max_iter, regParam=reg_param,
-        family="multinomial",
+    # the CURRENT regime is part of the model's input (one-hot): the task is
+    # P(next regime | current regime, features) and regimes are sticky, so a
+    # model blind to the current label can't even represent the persistence
+    # map — the reference's windowed sequences encode it implicitly
+    # (lstm_forecasting.py:186-192; the regime label is a deterministic
+    # function of the windowed features)
+    reg_idx = StringIndexer(inputCol="regime", outputCol="_regime_idx").fit(dataset)
+    n_reg = len(reg_idx.labelsArray[0])
+    ohe = OneHotEncoder(
+        inputCols=["_regime_idx"], outputCols=["_regime_oh"], dropLast=False
     )
-    model = lr.fit(train)
-    scored = model.transform(prepared)
+    with_reg = ohe.fit(reg_idx.transform(dataset)).transform(reg_idx.transform(dataset))
+    assembler = VectorAssembler(
+        inputCols=[*feature_cols, "_regime_oh"], outputCol="_fv", handleInvalid="keep"
+    )
+    indexer = StringIndexer(inputCol="target_regime", outputCol="_label", handleInvalid="keep")
+    idx_model = indexer.fit(with_reg)
+    prepared = idx_model.transform(assembler.transform(with_reg))
+    features_col = "_fv"
+    if model == "mlp":
+        # MLP has no internal standardization (LogisticRegression does):
+        # raw-scale features like RSI (0-100) saturate the sigmoid units
+        # and gradient descent stalls. Scale stats come from the TRAIN
+        # split only (no test leakage).
+        from pyspark.ml.feature import StandardScaler
+
+        scaler = StandardScaler(
+            inputCol="_fv", outputCol="_fv_std", withMean=True, withStd=True
+        ).fit(prepared.where(F.col("split") == "train"))
+        prepared = scaler.transform(prepared)
+        features_col = "_fv_std"
+    train = prepared.where(F.col("split") == "train")
+    n_classes = len(idx_model.labelsArray[0])
+    if model == "mlp":
+        # M7 training loop: MLlib's MLP exposes no regularization, so the
+        # levers are capacity (narrow hidden bottleneck) and early stopping
+        # — selected on the VAL split over a small deterministic grid of
+        # (seed, iteration-budget) candidates, mirroring the reference's
+        # val-monitored epoch loop (lstm_forecasting.py:244-266). Each
+        # candidate trains as Spark jobs over the cached prepared frame;
+        # the val scores are one tiny aggregate per candidate.
+        prepared = tracked_persist(prepared)
+        train = prepared.where(F.col("split") == "train")
+        val = prepared.where(F.col("split") == "val")
+        layers = [len(feature_cols) + n_reg, *hidden_layers, n_classes]
+        best_fit, best_acc = None, -1.0
+        for cand_seed in (seed, seed + 1, seed + 2):
+            for iters in dict.fromkeys([max(max_iter // 2, 5), max_iter]):
+                cand = MultilayerPerceptronClassifier(
+                    featuresCol=features_col, labelCol="_label", layers=layers,
+                    maxIter=iters, seed=cand_seed,
+                ).fit(train)
+                acc_row = (
+                    cand.transform(val)
+                    .agg(F.avg((F.col("prediction") == F.col("_label")).cast("double")))
+                    .collect()[0][0]
+                )
+                if acc_row is not None and acc_row > best_acc:
+                    best_fit, best_acc = cand, acc_row
+        fitted = best_fit
+    else:
+        clf = LogisticRegression(
+            featuresCol="_fv", labelCol="_label", maxIter=max_iter, regParam=reg_param,
+            family="multinomial",
+        )
+        fitted = clf.fit(train)
+    scored = fitted.transform(prepared)
     labels = idx_model.labelsArray[0]
     mapping = F.array(*[F.lit(x) for x in labels])
     out = scored.withColumn(
@@ -142,7 +213,10 @@ def mllib_regime_classifier(
             mapping[F.col("prediction").cast("int")],
         ).otherwise(F.lit(labels[0])),
     )
-    return out.drop("_fv", "_label", "rawPrediction", "probability", "prediction")
+    return out.drop(
+        "_fv", "_fv_std", "_label", "_regime_idx", "_regime_oh",
+        "rawPrediction", "probability", "prediction",
+    )
 
 
 def batch_score(
@@ -194,6 +268,64 @@ def batch_score(
     return dataset.withColumn(out, udf(features))
 
 
+def batch_score_mlp(
+    dataset: DataFrame,
+    layers: list[int],
+    weights,
+    labels: list[str],
+    feature_cols: list[str] | None = None,
+    batch_size: int = 1024,
+    out: str = "pred_label",
+) -> DataFrame:
+    """The same ``predict_batch_udf`` seam as :func:`batch_score`, for the
+    MLP: a NumPy forward pass over MLlib's flat weight vector.
+
+    MLlib's feed-forward topology stores, per affine layer, the weight
+    matrix (column-major, ``n_out`` × ``n_in``) followed by the bias;
+    hidden activations are sigmoid and the output layer is softmax —
+    argmax is taken on the logits (softmax is monotonic). Parity with
+    ``MultilayerPerceptronClassificationModel.transform`` is pinned in
+    tests; a torch LSTM swaps in by replacing the forward body.
+    """
+    import numpy as np
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import StringType
+
+    feature_cols = feature_cols or FEATURE_COLS
+    flat = np.asarray(weights, dtype=np.float64)
+    mats: list[tuple] = []
+    pos = 0
+    for n_in, n_out in zip(layers[:-1], layers[1:]):
+        w = flat[pos : pos + n_in * n_out].reshape(n_in, n_out)
+        pos += n_in * n_out
+        b = flat[pos : pos + n_out]
+        pos += n_out
+        mats.append((w, b))
+    labs = list(labels)
+
+    def make_predict_fn():
+        lab_arr = np.array(labs)
+
+        def predict(inputs: np.ndarray) -> np.ndarray:
+            x = inputs.astype(np.float64)
+            for i, (w, b) in enumerate(mats):
+                x = x @ w + b
+                if i < len(mats) - 1:
+                    x = 1.0 / (1.0 + np.exp(-x))
+            return lab_arr[np.argmax(x, axis=1)]
+
+        return predict
+
+    udf = predict_batch_udf(
+        make_predict_fn,
+        return_type=StringType(),
+        batch_size=batch_size,
+        input_tensor_shapes=[[len(feature_cols)]],
+    )
+    features = F.array(*[F.col(c).cast("double") for c in feature_cols])
+    return dataset.withColumn(out, udf(features))
+
+
 def forecast_and_evaluate(
     bars: DataFrame,
     series: str = "symbol",
@@ -208,18 +340,19 @@ def forecast_and_evaluate(
 ) -> ForecastResult:
     """End-to-end EP3: dataset → split → score → metrics.
 
-    ``model``: "baseline" (persistence) or "logistic" (distributed MLlib
-    multinomial LR trained on the train split). Metrics are computed on the
-    test split only, per the reference's evaluation protocol
-    (lstm_forecasting.py:288-302).
+    ``model``: "baseline" (persistence), "logistic" (distributed MLlib
+    multinomial LR) or "mlp" (MultilayerPerceptronClassifier — the
+    nonlinear torch-free stand-in), both trained on the train split.
+    Metrics are computed on the test split only, per the reference's
+    evaluation protocol (lstm_forecasting.py:288-302).
     """
     ds = regime_prediction_dataset(
         bars, series=series, time=time, close=close, high=high, low=low,
         volume=volume, order_tiebreak=order_tiebreak, macd_buckets=macd_buckets,
     )
     ds = ordered_split(ds, series=series, time=time, order_tiebreak=order_tiebreak)
-    if model == "logistic":
-        scored = mllib_regime_classifier(ds).withColumn(
+    if model in ("logistic", "mlp"):
+        scored = mllib_regime_classifier(ds, model=model).withColumn(
             "true_label", F.col("target_regime")
         )
     else:

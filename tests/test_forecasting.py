@@ -121,3 +121,78 @@ def test_predict_batch_udf_scoring_seam(spark, bars_df):
     for r in rows:
         assert r.pred_label == expected[(r.symbol, r.ts)], (r.symbol, r.ts)
     ds.unpersist()
+
+
+def test_mllib_mlp_model_path(spark, bars_df):
+    """The nonlinear torch-free stand-in (M6/M7): the val-selected MLP must
+    crush the majority-class baseline and sit at the persistence ceiling.
+
+    On this fixture the test split has 138 rows and persistence scores
+    0.8695 — regime stickiness IS the signal, so persistence prevalence is
+    within one row of the Bayes ceiling; measured across seeds the MLP
+    lands 0.84-0.88. The assertions pin: (a) ≥ 2× the majority-class
+    prevalence (the reference's own comparison frame, report.pdf §6.2),
+    (b) within 0.05 of persistence (ties it within test-split noise)."""
+    base = forecast_and_evaluate(bars_df)
+    mlp = forecast_and_evaluate(bars_df, model="mlp")
+    acc_base = base.accuracy.collect()[0].accuracy
+    acc_mlp = mlp.accuracy.collect()[0].accuracy
+    counts = {
+        r.true_label: r["count"]
+        for r in mlp.predictions.groupBy("true_label").count().collect()
+    }
+    majority = max(counts.values()) / sum(counts.values())
+    assert acc_mlp >= 2 * majority - 0.05, (acc_mlp, majority)
+    assert acc_mlp >= acc_base - 0.05, (acc_mlp, acc_base)
+    preds = {r.pred_label for r in mlp.predictions.select("pred_label").distinct().collect()}
+    assert preds <= {
+        "stable_bull", "volatile_bull", "stable_bear", "volatile_bear", "consolidation"
+    }
+
+
+def test_predict_batch_udf_mlp_seam(spark, bars_df):
+    """batch_score_mlp's NumPy forward pass must reproduce MLlib's own
+    MultilayerPerceptronClassificationModel.transform exactly — pins the
+    flat-weight-vector layout (column-major affine blocks + bias, sigmoid
+    hidden, softmax out) the predict_batch_udf seam assumes."""
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+
+    from financial_big_data_spark.ml.forecasting import batch_score_mlp
+    from financial_big_data_spark.operators.features import FEATURE_COLS, ordered_split
+
+    ds = regime_prediction_dataset(bars_df)
+    ds = ordered_split(ds, series="symbol", time="ts")
+    ds = ds.fillna(0.0, subset=FEATURE_COLS).cache()
+
+    assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="_fv")
+    indexer = StringIndexer(inputCol="target_regime", outputCol="_label", handleInvalid="keep")
+    idx_model = indexer.fit(ds)
+    prepared = idx_model.transform(assembler.transform(ds))
+    labels = list(idx_model.labelsArray[0])
+    layers = [len(FEATURE_COLS), 8, len(labels)]
+    mlp = MultilayerPerceptronClassifier(
+        featuresCol="_fv", labelCol="_label", layers=layers, maxIter=15, seed=1
+    )
+    model = mlp.fit(prepared.where("split = 'train'"))
+
+    test = prepared.where("split = 'test'")
+    expected = {
+        (r.symbol, r.ts): labels[r._pred_idx]
+        for r in model.transform(test)
+        .select("symbol", "ts", F.col("prediction").cast("int").alias("_pred_idx"))
+        .collect()
+    }
+    scored = batch_score_mlp(
+        test, layers, model.weights.toArray(), labels,
+        feature_cols=FEATURE_COLS, batch_size=64,
+    ).select("symbol", "ts", "pred_label")
+    rows = scored.collect()
+    assert len(rows) == len(expected) > 0
+    mismatches = [
+        (r.symbol, r.ts, r.pred_label, expected[(r.symbol, r.ts)])
+        for r in rows
+        if r.pred_label != expected[(r.symbol, r.ts)]
+    ]
+    assert not mismatches, mismatches[:5]
+    ds.unpersist()
