@@ -64,6 +64,77 @@ def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     return labels.withColumnRenamed("label", "community")
 
 
+def modularity(
+    edges: DataFrame, communities: DataFrame, weight: str | None = None
+) -> float:
+    """Newman modularity of a partition, computed as DataFrame aggregates —
+    the reference's headline community metric (market_analysis.py:321,
+    ``nx.algorithms.community.modularity``) for partitions too large to
+    collect.
+
+    Q = Σ_c [ W_in(c)/m − (S(c)/2m)² ] over an undirected weighted graph:
+    m = total edge weight, W_in(c) = intra-community edge weight, S(c) =
+    summed weighted degree of c's nodes. Three bounded aggregates (one
+    over edges, one over degrees, one over communities) — no collect of
+    anything node- or edge-sized; only the final scalars reach the driver.
+
+    ``edges``: (src, dst[, weight]) with each undirected edge listed once
+    and no self-loops; ``communities``: (node, community), e.g. LPA output.
+    Edges with an endpoint missing from ``communities`` are excluded
+    consistently from both m and the degree sums.
+    """
+    w = (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("_w")
+    e = edges.select(F.col("src"), F.col("dst"), w)
+    c = communities.select("node", "community")
+    lab = (
+        e.join(
+            c.select(F.col("node").alias("src"), F.col("community").alias("_ca")),
+            on="src",
+        ).join(
+            c.select(F.col("node").alias("dst"), F.col("community").alias("_cb")),
+            on="dst",
+        )
+    ).cache()
+    totals = lab.agg(
+        F.sum("_w").alias("m"),
+        F.sum(F.when(F.col("_ca") == F.col("_cb"), F.col("_w")).otherwise(0.0)).alias(
+            "w_in"
+        ),
+    ).collect()[0]
+    m = totals.m
+    if not m:
+        lab.unpersist()
+        return 0.0
+    deg = (
+        lab.select(F.col("_ca").alias("community"), F.col("_w"))
+        .unionByName(lab.select(F.col("_cb").alias("community"), F.col("_w")))
+        .groupBy("community")
+        .agg(F.sum("_w").alias("s"))
+    )
+    expected = deg.agg(
+        F.sum(F.pow(F.col("s") / F.lit(2.0 * m), F.lit(2.0)))
+    ).collect()[0][0]
+    lab.unpersist()
+    return float(totals.w_in / m - expected)
+
+
+def lpa_communities_df(edges: DataFrame, max_iter: int = 10) -> tuple[DataFrame, dict]:
+    """M2 scale path with the driver path's exact contract: LPA communities
+    plus {modularity, n_communities} — so callers get the reference's
+    headline metric whether the graph fits on the driver (networkx Louvain,
+    ml/clustering.louvain_communities_df) or not (this path; everything is
+    DataFrame joins/aggregates).
+
+    ``edges``: (src, dst[, weight]); weight is used by the modularity
+    metric (LPA itself is unweighted here).
+    """
+    comms = label_propagation(edges, max_iter=max_iter)
+    weight = "weight" if "weight" in edges.columns else None
+    q = modularity(edges, comms, weight=weight)
+    n = comms.select("community").distinct().count()
+    return comms, {"modularity": q, "n_communities": n}
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Min-label flooding connected components over (src, dst) edges.
 

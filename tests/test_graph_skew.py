@@ -91,3 +91,57 @@ def test_salted_join_matches_plain(spark, skewed_df):
     assert abs(plain - salted) < 1e-6
     # row counts preserved
     assert salted_join(skewed_df, dim, "key", "rid").count() == skewed_df.join(dim, "key").count()
+
+
+def test_modularity_matches_networkx(spark):
+    """The DataFrame-aggregate modularity must equal networkx's on the same
+    graph + partition (weighted and unweighted)."""
+    import networkx as nx
+    from networkx.algorithms import community as nxc
+
+    from financial_big_data_spark.ml.graph import modularity
+
+    edges = [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 0.5), (3, 4, 1.5), (4, 5, 1.0), (0, 3, 0.2)]
+    e_df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    part = [{0, 1, 2}, {3, 4, 5}]
+    c_df = spark.createDataFrame(
+        [(n, i) for i, c in enumerate(part) for n in c], "node long, community int"
+    )
+    g = nx.Graph()
+    for a, b, w in edges:
+        g.add_edge(a, b, weight=w)
+    expected_w = nxc.modularity(g, part, weight="weight")
+    expected_u = nxc.modularity(g, part, weight=None)
+    assert abs(modularity(e_df, c_df, weight="weight") - expected_w) < 1e-9
+    assert abs(modularity(e_df, c_df) - expected_u) < 1e-9
+
+
+def test_lpa_modularity_near_louvain(spark):
+    """VERDICT r2 next #8: the LPA scale path must report the reference's
+    headline metric — its modularity lands within ±0.1 of networkx Louvain
+    on the corr-graph-shaped fixture."""
+    import numpy as np
+
+    from financial_big_data_spark.ml.clustering import (
+        corr_edges,
+        correlation_matrix,
+        louvain_communities_df,
+    )
+    from financial_big_data_spark.ml.graph import lpa_communities_df
+
+    rng = np.random.default_rng(7)
+    base_a = rng.normal(0, 1, 200).cumsum()
+    base_b = rng.normal(0, 1, 200).cumsum()
+    rows = []
+    for g, base in (("a", base_a), ("b", base_b)):
+        for j in range(3):
+            series = base + rng.normal(0, 0.05, 200)
+            rows += [(f"{g}{j}", t, float(v)) for t, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "key string, t int, value double")
+    edges = corr_edges(
+        correlation_matrix(df, key="key", time="t", value="value"), threshold=0.9
+    )
+    _, louvain_metrics = louvain_communities_df(spark, edges)
+    lpa_comms, lpa_metrics = lpa_communities_df(edges)
+    assert lpa_metrics["n_communities"] == 2
+    assert abs(lpa_metrics["modularity"] - louvain_metrics["modularity"]) < 0.1
