@@ -209,6 +209,47 @@ def main() -> None:
     }
     ivf_recall = round(len(exact & approx) / max(len(exact), 1), 3)
 
+    # Skew-mitigation probe (VERDICT r2 next #9): a 95%-hot-key join, timed
+    # naive (AQE skew-join off), naive (AQE skew-join on) and salted — the
+    # recorded ratio is what the salting operators earn over letting one
+    # task absorb the hot partition. Broadcast is disabled so the join is
+    # sort-merge (the regime salted_join targets: dim above broadcast size).
+    from financial_big_data_spark.operators.skew import salted_join
+
+    skew_rows = 16_000_000
+    skew_big = spark.range(skew_rows).select(
+        F.when(F.col("id") % 20 < 19, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 50_000).cast("string")))
+        .alias("key"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    skew_dim = spark.range(50_001).select(
+        F.when(F.col("id") == 50_000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id").cast("string")))
+        .alias("key"),
+        (F.col("id") % 7).cast("double").alias("factor"),
+    )
+    bcast_before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def time_noop(df) -> float:
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    time_noop(skew_big.join(skew_dim, on="key"))  # warm the fixture lineage
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    skew_naive = round(min(time_noop(skew_big.join(skew_dim, on="key")) for _ in range(2)), 3)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    skew_naive_aqe = round(
+        min(time_noop(skew_big.join(skew_dim, on="key")) for _ in range(2)), 3
+    )
+    skew_salted = round(
+        min(time_noop(salted_join(skew_big, skew_dim, "key", "rid")) for _ in range(2)), 3
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_before)
+
     # Head-to-head at ≥1M rows: the BASELINE.md 2x gate measured where it is
     # meetable. At sf0.1 (100k rows) Spark pays a fixed multi-second job
     # floor that no plan can amortize; both engines get the SAME in-memory
@@ -269,6 +310,10 @@ def main() -> None:
         "ep3_mlp_sec": ep3_mlp_sec,
         "ep3_mlp_acc": ep3_mlp_acc,
         "ep3_baseline_acc": ep3_baseline_acc,
+        "skew_naive_sec": skew_naive,
+        "skew_naive_aqe_sec": skew_naive_aqe,
+        "skew_salted_sec": skew_salted,
+        "skew_salted_ratio": round(skew_naive / max(skew_salted, 1e-9), 2),
         "ep2_big_rows": n_big,
         "ep2_big_spark_sec": ep2_big_spark,
         "ep2_big_pandas_sec": ep2_big_pandas,
