@@ -1790,6 +1790,47 @@ def q_emb_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_ev_user_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 scale path in the gate: LPA communities over the user correlation
+    graph + Newman modularity computed as DataFrame aggregates (ml/graph.py)
+    — the distributed mirror of q_ev_user_communities' driver-side Louvain,
+    reporting the reference's headline metric (market_analysis.py:321).
+    Rows-only: iterative LPA has no SQL equivalent."""
+    from .ml.clustering import corr_edges, correlation_matrix
+    from .ml.graph import lpa_communities_df
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 300)
+    hourly = ev.groupBy(
+        F.col("user_id").cast("string").alias("uid"),
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+    ).agg(F.avg("value").alias("v"))
+    corr = correlation_matrix(hourly, key="uid", time="hr", value="v")
+    edges = corr_edges(corr, threshold=0.1)
+    _comms, metrics = lpa_communities_df(edges)
+    return spark.createDataFrame(
+        [(float(metrics["modularity"]), int(metrics["n_communities"]))],
+        "modularity double, n_communities int",
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode in the gate: real PNG-pixel / WAV-sample feature
+    extraction (media_codecs) over the deterministic synthetic media table,
+    through the Arrow mapInPandas stage. Rows-only: binary payload decode
+    has no SQL equivalent."""
+    from .operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    out = extract_features(media, dim=8)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.col("features")[0], 6).alias("f0"),
+        F.round(F.col("features")[1], 6).alias("f1"),
+    )
+
+
 def q_ev_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8: MACD(12,26,9) via grouped-map EWM recurrence (applyInPandas).
 
@@ -1930,6 +1971,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # composite / operator-mirror entries (components oracle-checked above)
     "doc_curation": (q_doc_curation, None),
     "ev_session_windows": (q_ev_session_windows, None),
+    # round-3 capability mirrors (rows-only; pinned by test_graph_skew.py
+    # and test_sources_multimodal.py)
+    "ev_user_modularity": (q_ev_user_modularity, None),
+    "media_features": (q_media_features, None),
 }
 
 
