@@ -1831,6 +1831,37 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (operators/contamination.py): 8-gram
+    overlap of every document against a planted "benchmark" (every 25th
+    document verbatim) — those docs must score overlap 1.0. Broadcast
+    LEFT SEMI on 64-bit gram hashes; map-only over the corpus. Rows-only:
+    per-doc overlap fractions, deterministic by construction."""
+    from .operators.contamination import ngram_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0).select("text")
+    out = ngram_overlap(docs, bench, n=8)
+    return out.select(
+        "doc_id", "n_grams", "n_matched", _r6(F.col("overlap")).alias("overlap")
+    )
+
+
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (operators/packing.py): concat-then-chunk
+    documents into 2048-token packs via the two-phase global running sum;
+    per-pack audit (n_docs, tokens, boundary spill). Rows-only: pack
+    assignment is deterministic in doc_id order."""
+    from .operators.packing import pack_documents, pack_stats
+    from .operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_documents(docs, budget=2048)
+    return pack_stats(packed, budget=2048)
+
+
 def q_ev_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8: MACD(12,26,9) via grouped-map EWM recurrence (applyInPandas).
 
@@ -1975,6 +2006,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # and test_sources_multimodal.py)
     "ev_user_modularity": (q_ev_user_modularity, None),
     "media_features": (q_media_features, None),
+    "doc_contamination": (q_doc_contamination, None),
+    "doc_packing": (q_doc_packing, None),
 }
 
 
