@@ -89,8 +89,11 @@ def correlation_matrix(
       the plan. Rows with any missing key are dropped (listwise
       completion, the standard matrix-path semantics); on a complete
       panel (the reference's aligned hourly bars, market_analysis.py:89)
-      both paths are identical. The k×k result is driver-side — fine up
-      to k ~ 2e4 (3 GB at 1e5 would need a blocked pair path instead).
+      both paths are identical. The k×k matrix and its k(k-1)/2 output
+      pairs materialize driver-side — honest ceiling k ≈ 5e3 (≈200 MB
+      matrix, ≈1.2e7 pairs); beyond that the next tier is a blocked pair
+      path (correlate key-blocks pairwise, union the blocks), which no
+      workload in the reference's scale class (k ≈ 100) needs.
 
     Pearson r is normalization-invariant, so the relational population
     moments and MLlib's sample moments agree bit-for-bit up to float

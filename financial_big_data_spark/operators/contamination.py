@@ -69,22 +69,23 @@ def ngram_overlap(
     )
     if broadcast_benchmark:
         bg = F.broadcast(bg)
-    matched = cg.join(bg, on="_g", how="left_semi").groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_matched")
+    # ONE pass over the corpus gram table: a left join against the (tiny)
+    # benchmark gram set marks hits, and a single hash aggregate produces
+    # both the total and the matched count — a semi-join + separate totals
+    # aggregate would execute the shingle-window lineage twice.
+    hits = cg.join(bg.withColumn("_hit", F.lit(1)), on="_g", how="left")
+    counts = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"),
     )
-    totals = cg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     ids = corpus.select(id_col)
-    return (
-        ids.join(totals, on=id_col, how="left")
-        .join(matched, on=id_col, how="left")
-        .select(
-            id_col,
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
-            F.try_divide(
-                F.coalesce("n_matched", F.lit(0)), F.coalesce("n_grams", F.lit(0))
-            ).alias("overlap"),
-        )
+    return ids.join(counts, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        F.try_divide(
+            F.coalesce("n_matched", F.lit(0)), F.coalesce("n_grams", F.lit(0))
+        ).alias("overlap"),
     )
 
 
