@@ -182,20 +182,37 @@ def mllib_regime_classifier(
         train = prepared.where(F.col("split") == "train")
         val = prepared.where(F.col("split") == "val")
         layers = [len(feature_cols) + n_reg, *hidden_layers, n_classes]
+        grid = [
+            (cand_seed, iters)
+            for cand_seed in (seed, seed + 1, seed + 2)
+            for iters in dict.fromkeys([max(max_iter // 2, 5), max_iter])
+        ]
+
+        # candidates fit CONCURRENTLY: each fit is a chain of Spark jobs
+        # the scheduler interleaves across threads, so the cluster stays
+        # busy through every candidate's per-iteration barriers (the same
+        # pattern as the EP2 branch fan-out). Selection is deterministic:
+        # ties break on grid order, not thread completion order.
+        def fit_one(cand_seed: int, iters: int):
+            cand = MultilayerPerceptronClassifier(
+                featuresCol=features_col, labelCol="_label", layers=layers,
+                maxIter=iters, seed=cand_seed,
+            ).fit(train)
+            acc_row = (
+                cand.transform(val)
+                .agg(F.avg((F.col("prediction") == F.col("_label")).cast("double")))
+                .collect()[0][0]
+            )
+            return cand, acc_row
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(grid)) as pool:
+            results = list(pool.map(lambda g: fit_one(*g), grid))
         best_fit, best_acc = None, -1.0
-        for cand_seed in (seed, seed + 1, seed + 2):
-            for iters in dict.fromkeys([max(max_iter // 2, 5), max_iter]):
-                cand = MultilayerPerceptronClassifier(
-                    featuresCol=features_col, labelCol="_label", layers=layers,
-                    maxIter=iters, seed=cand_seed,
-                ).fit(train)
-                acc_row = (
-                    cand.transform(val)
-                    .agg(F.avg((F.col("prediction") == F.col("_label")).cast("double")))
-                    .collect()[0][0]
-                )
-                if acc_row is not None and acc_row > best_acc:
-                    best_fit, best_acc = cand, acc_row
+        for cand, acc_row in results:
+            if acc_row is not None and acc_row > best_acc:
+                best_fit, best_acc = cand, acc_row
         fitted = best_fit
     else:
         clf = LogisticRegression(
