@@ -72,28 +72,36 @@ def correlation_matrix(
     value: str,
     mode: str = "auto",
     pivot_threshold: int = 200,
+    distributed_threshold: int = 5000,
 ) -> DataFrame:
     """A8/J6: key×key Pearson correlation, physically routed by key count.
 
     Input: long-form (key, time, value). Output: (key_a, key_b, corr, n)
-    for key_a < key_b. Two physical plans:
+    for key_a < key_b. Three physical plans:
 
     - **relational** (k ≤ pivot_threshold): self-join on ``time`` + one
       hash aggregate per pair. Exact pairwise-complete semantics (each
       pair correlates over the timestamps where BOTH keys have a value) —
       but the join materializes k² rows *per timestamp* before the
       aggregate, which dies at k ≥ ~1e4.
-    - **pivoted** (k > pivot_threshold): ``groupBy(time).pivot(key)`` →
-      one vector per timestamp → ``ml.stat.Correlation`` computes the
-      full Gram matrix in ONE pass over O(T·k) data — no self-join in
-      the plan. Rows with any missing key are dropped (listwise
-      completion, the standard matrix-path semantics); on a complete
-      panel (the reference's aligned hourly bars, market_analysis.py:89)
-      both paths are identical. The k×k matrix and its k(k-1)/2 output
-      pairs materialize driver-side — honest ceiling k ≈ 5e3 (≈200 MB
-      matrix, ≈1.2e7 pairs); beyond that the next tier is a blocked pair
-      path (correlate key-blocks pairwise, union the blocks), which no
-      workload in the reference's scale class (k ≈ 100) needs.
+    - **pivoted** (pivot_threshold < k ≤ distributed_threshold):
+      ``groupBy(time).pivot(key)`` → one vector per timestamp →
+      ``ml.stat.Correlation`` computes the full Gram matrix in ONE pass
+      over O(T·k) data — no self-join in the plan. Rows with any missing
+      key are dropped (listwise completion, the standard matrix-path
+      semantics); on a complete panel (the reference's aligned hourly
+      bars, market_analysis.py:89) both paths are identical. The k×k
+      matrix and its k(k-1)/2 output pairs materialize driver-side —
+      honest ceiling k ≈ 5e3 (≈200 MB matrix, ≈1.2e7 pairs).
+    - **distributed** (k > distributed_threshold): mean-center each
+      column, then ``RowMatrix.columnSimilarities()`` — cosine of
+      centered columns IS Pearson r, and the result is a DISTRIBUTED
+      entries matrix: nothing k²-sized ever touches the driver, removing
+      the ceiling entirely. Same listwise semantics. Exact (no DIMSUM
+      sampling). Caveats: pairs whose centered dot product is exactly 0
+      are absent from the sparse entries (reported corr would be 0) and
+      zero-variance series yield no entries (the other paths report
+      NULL) — both documented below, irrelevant on real panels.
 
     Pearson r is normalization-invariant, so the relational population
     moments and MLlib's sample moments agree bit-for-bit up to float
@@ -103,10 +111,14 @@ def correlation_matrix(
         return _correlation_matrix_relational(df, key, time, value)
     if mode == "pivoted":
         return _correlation_matrix_pivoted(df, key, time, value)
+    if mode == "distributed":
+        return _correlation_matrix_distributed(df, key, time, value)
     n_keys = df.select(key).distinct().count()
     if n_keys <= pivot_threshold:
         return _correlation_matrix_relational(df, key, time, value)
-    return _correlation_matrix_pivoted(df, key, time, value)
+    if n_keys <= distributed_threshold:
+        return _correlation_matrix_pivoted(df, key, time, value)
+    return _correlation_matrix_distributed(df, key, time, value)
 
 
 def _correlation_matrix_relational(df: DataFrame, key: str, time: str, value: str) -> DataFrame:
@@ -172,6 +184,88 @@ def _correlation_matrix_pivoted(df: DataFrame, key: str, time: str, value: str) 
         for j in range(i + 1, k)
     ]
     return spark.createDataFrame(rows, out_schema)
+
+
+def _correlation_matrix_distributed(
+    df: DataFrame, key: str, time: str, value: str
+) -> DataFrame:
+    """Unbounded-k tier: Pearson via cosine of mean-centered columns.
+
+    ``RowMatrix.columnSimilarities()`` (exact mode) computes the upper
+    triangle of the column-cosine matrix as a DISTRIBUTED CoordinateMatrix
+    — cos(a−ā, b−b̄) = Pearson r — so the k(k-1)/2 output pairs live in a
+    DataFrame, never on the driver. One shuffle builds the per-timestamp
+    vectors; the Gramian accumulates via treeAggregate-style map-side
+    combining inside MLlib.
+    """
+    from pyspark.mllib.linalg import Vectors
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    key_type = df.schema[key].dataType
+    out_schema = StructType(
+        [
+            StructField("key_a", key_type),
+            StructField("key_b", key_type),
+            StructField("corr", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
+    # the key→column-index map is k NAMES (bounded metadata, like the
+    # pivoted path's key list) — only the k² pair space must stay off the
+    # driver, and it does
+    keys = sorted(r[0] for r in df.select(key).distinct().collect())
+    k = len(keys)
+    if k < 2:
+        return spark.createDataFrame([], out_schema)
+    idx_df = spark.createDataFrame(
+        [(kk, i) for i, kk in enumerate(keys)],
+        StructType([StructField("_k", key_type), StructField("_ki", IntegerType())]),
+    )
+
+    clean = df.select(F.col(key).alias("_k"), F.col(time).alias("_t"), F.col(value).alias("_v")) \
+        .where(F.col("_v").isNotNull())
+    # listwise completion: keep timestamps where every key has a value
+    complete = (
+        clean.groupBy("_t").agg(F.count(F.lit(1)).alias("_c")).where(F.col("_c") == k)
+        .select("_t")
+    )
+    panel = clean.join(complete, on="_t")
+    means = panel.groupBy("_k").agg(F.avg("_v").alias("_mu"))
+    centered = (
+        panel.join(means, on="_k")
+        .join(F.broadcast(idx_df), on="_k")
+        .select("_t", "_ki", (F.col("_v") - F.col("_mu")).alias("_cv"))
+    )
+    rows = centered.groupBy("_t").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_ki", "_cv"))), lambda s: s["_cv"]
+        ).alias("_vec")
+    )
+    n_complete = rows.count()
+    if n_complete == 0:
+        return spark.createDataFrame([], out_schema)
+    from pyspark.mllib.linalg.distributed import RowMatrix
+
+    rm = RowMatrix(rows.select("_vec").rdd.map(lambda r: Vectors.dense(r._vec)))
+    sims = rm.columnSimilarities()  # exact; upper triangle (i < j)
+    ent = spark.createDataFrame(
+        sims.entries.map(lambda e: (int(e.i), int(e.j), float(e.value))),
+        "i int, j int, corr double",
+    )
+    ia = idx_df.select(F.col("_ki").alias("i"), F.col("_k").alias("key_a"))
+    ib = idx_df.select(F.col("_ki").alias("j"), F.col("_k").alias("key_b"))
+    return (
+        ent.join(F.broadcast(ia), on="i")
+        .join(F.broadcast(ib), on="j")
+        .select("key_a", "key_b", "corr", F.lit(n_complete).cast("long").alias("n"))
+    )
 
 
 def corr_edges(corr: DataFrame, threshold: float = 0.3) -> DataFrame:

@@ -266,3 +266,32 @@ def test_dbscan_auto_eps_layout_invariant(spark, blobs_df):
         _out, params = dbscan(layout, "id", FEATS, min_pts=4, driver_max_nodes=40)
         eps_seen.add(params["eps"])
     assert len(eps_seen) == 1
+
+
+def test_correlation_matrix_distributed_parity(spark):
+    """The unbounded-k tier (columnSimilarities on centered columns) must
+    match the pivoted Gram path pair-for-pair — nothing k²-sized touches
+    the driver in this mode."""
+    import math
+
+    rows = [
+        (f"k{i:03d}", t, math.sin((i % 13 + 1) * 0.29 * t) + 0.002 * i * t)
+        for i in range(300)
+        for t in range(15)
+    ]
+    df = spark.createDataFrame(rows, "key string, t int, value double")
+    piv = {
+        (r.key_a, r.key_b): (r.corr, r.n)
+        for r in correlation_matrix(df, "key", "t", "value", mode="pivoted").collect()
+    }
+    dist = {
+        (r.key_a, r.key_b): (r.corr, r.n)
+        for r in correlation_matrix(df, "key", "t", "value", mode="distributed").collect()
+    }
+    assert len(piv) == 300 * 299 // 2
+    # sparse entries may omit exact-zero correlations; none exist here
+    assert set(dist) == set(piv)
+    for pair, (c_p, n_p) in piv.items():
+        c_d, n_d = dist[pair]
+        assert n_p == n_d == 15
+        assert c_p is not None and abs(c_p - c_d) < 1e-9, pair
