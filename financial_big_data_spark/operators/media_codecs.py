@@ -77,40 +77,49 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
-    """Reverse the per-scanline filters → flat uint8 array (height*stride)."""
+    """Reverse the per-scanline filters → flat uint8 array (height*stride).
+
+    None/Sub/Up are fully vectorized (Sub's left-neighbor recurrence is a
+    per-channel prefix sum mod 256, Up is a row add); Average and Paeth
+    carry a genuine sequential dependency on the already-reconstructed
+    left pixel, so they fall back to per-byte loops — encoders
+    overwhelmingly emit 0/1/2 for untuned output (ours emits 0).
+    """
     expected = height * (stride + 1)
     if len(raw) < expected:
         raise ValueError(
             f"PNG pixel stream short: {len(raw)} < {expected} bytes"
         )
+    arr = np.frombuffer(raw, dtype=np.uint8)[: height * (stride + 1)].reshape(
+        height, stride + 1
+    )
+    ftypes = arr[:, 0]
+    if ftypes.max(initial=0) > 4:
+        raise ValueError(f"PNG filter type {int(ftypes.max())} invalid")
     out = np.zeros((height, stride), dtype=np.uint8)
-    prev = bytearray(stride)
-    pos = 0
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ftype = raw[pos]
-        line = bytearray(raw[pos + 1 : pos + 1 + stride])
-        pos += 1 + stride
+        ftype = int(ftypes[y])
+        line = arr[y, 1:]
         if ftype == 0:  # None
-            pass
-        elif ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+            out[y] = line
+        elif ftype == 1:  # Sub: out[i] = raw[i] + out[i-bpp] → per-channel cumsum
+            cols = out[y].reshape(-1, bpp)
+            cols[:] = np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64) % 256
         elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            out[y] = line + prev  # uint8 add wraps mod 256
         elif ftype == 3:  # Average
+            o = out[y]
             for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
+                left = int(o[i - bpp]) if i >= bpp else 0
+                o[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        else:  # Paeth
+            o = out[y]
             for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                upleft = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(left, prev[i], upleft)) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {ftype} invalid")
-        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
-        prev = line
+                left = int(o[i - bpp]) if i >= bpp else 0
+                upleft = int(prev[i - bpp]) if i >= bpp else 0
+                o[i] = (int(line[i]) + _paeth(left, int(prev[i]), upleft)) & 0xFF
+        prev = out[y]
     return out
 
 

@@ -10,6 +10,9 @@ runs over a 100 TB corpus:
       → exact dedup         (md5-fingerprint groupBy, keep smallest id)
       → near-dup removal    (MinHash → LSH banding → Jaccard verify on
                              candidates; drop the larger id of each pair)
+      → decontamination     (optional: drop docs whose n-gram overlap with
+                             an eval benchmark exceeds a threshold —
+                             broadcast LEFT SEMI over 64-bit gram hashes)
       → token budget        (running token count in corpus order, cut at
                              the budget — deterministic sampling)
 
@@ -53,9 +56,17 @@ def curate_corpus(
     max_punct_ratio: float = 0.3,
     languages: tuple[str, ...] | None = None,
     near_dup_jaccard: float = 0.5,
+    benchmark: DataFrame | None = None,
+    contamination_threshold: float = 0.2,
+    contamination_ngram: int = 8,
     token_budget: int | None = None,
 ) -> CurationResult:
-    """Run the full curation DAG; every stage stays distributed."""
+    """Run the full curation DAG; every stage stays distributed.
+
+    ``benchmark`` (optional): a DataFrame with a ``text`` column of eval
+    material; documents whose ``contamination_ngram``-gram overlap with it
+    reaches ``contamination_threshold`` are dropped before the token cut.
+    """
     profiled = text_profile(docs, text=text, id_col=id_col).join(
         docs.select(id_col, text), on=id_col
     )
@@ -86,7 +97,23 @@ def curate_corpus(
         min_jaccard=near_dup_jaccard,
     )
     drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    deduped = tracked_persist(exact.join(drop_ids, on=id_col, how="left_anti"))
+    near = tracked_persist(exact.join(drop_ids, on=id_col, how="left_anti"))
+
+    # decontamination: remove docs that would leak eval material into
+    # training (flag list is tiny; the corpus side is one anti-join)
+    deduped = near
+    if benchmark is not None:
+        from ..operators.contamination import flag_contaminated
+
+        contaminated = flag_contaminated(
+            near.select(id_col, text),
+            benchmark,
+            threshold=contamination_threshold,
+            text=text,
+            id_col=id_col,
+            n=contamination_ngram,
+        ).select(id_col)
+        deduped = tracked_persist(near.join(contaminated, on=id_col, how="left_anti"))
 
     # token budget: cumulative tokens in deterministic (doc_id) order via the
     # two-phase running sum (range partition + local cumsum + prefix
@@ -105,7 +132,8 @@ def curate_corpus(
         docs.agg(F.count(F.lit(1)).alias("n_input"))
         .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
         .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_dedup")))
-        .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_near_dedup")))
+        .crossJoin(near.agg(F.count(F.lit(1)).alias("n_near_dedup")))
+        .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_decontaminated")))
         .crossJoin(out.agg(F.count(F.lit(1)).alias("n_final"),
                            F.sum("n_tokens").alias("total_tokens")))
     )

@@ -114,3 +114,25 @@ def test_curate_corpus_token_budget(spark, corpus_df):
     ids_cut = sorted(r.doc_id for r in cut.corpus.collect())
     ids_full = sorted(r.doc_id for r in full.corpus.collect())
     assert ids_cut == ids_full[: len(ids_cut)]
+
+
+def test_curate_corpus_decontamination(spark, corpus_df):
+    """A benchmark holding a surviving doc verbatim must remove exactly that
+    doc (the decontamination stage), with the audit recording the step."""
+    base = curate_corpus(corpus_df, near_dup_jaccard=0.99)
+    survivors = {r.doc_id: r.text for r in base.corpus.collect()}
+    victim = max(survivors)  # any surviving doc
+    bench = spark.createDataFrame([(survivors[victim],)], "text string")
+    decon = curate_corpus(
+        corpus_df,
+        near_dup_jaccard=0.99,
+        benchmark=bench,
+        contamination_threshold=0.9,
+        contamination_ngram=3,
+    )
+    got = {r.doc_id for r in decon.corpus.collect()}
+    assert victim not in got
+    assert got == set(survivors) - {victim}
+    a = decon.audit.collect()[0]
+    assert a.n_decontaminated == a.n_near_dedup - 1
+    assert a.n_final == a.n_decontaminated
