@@ -1835,8 +1835,7 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check (operators/contamination.py): 8-gram
     overlap of every document against a planted "benchmark" (every 25th
     document verbatim) — those docs must score overlap 1.0. Broadcast
-    LEFT SEMI on 64-bit gram hashes; map-only over the corpus. Rows-only:
-    per-doc overlap fractions, deterministic by construction."""
+    LEFT SEMI on 64-bit gram hashes; map-only over the corpus."""
     from .operators.contamination import ngram_overlap
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1847,11 +1846,43 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The benchmark texts are verbatim corpus rows (doc_id % 25 = 0), so the
+# benchmark gram set is exactly the grams of those docs — the oracle
+# re-derives it from the corpus gram CTE instead of re-shingling. Spark
+# compares xxhash64(gram) longs; the oracle compares the gram strings —
+# identical results absent a 64-bit collision (none at these scales).
+_SQL_DOC_CONTAMINATION = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+  FROM documents
+), positions AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i FROM norm
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i : i + 7], ' ') AS gram FROM positions
+), bgrams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0
+), counts AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+  FROM grams g LEFT JOIN bgrams b USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_grams, 0)::BIGINT AS n_grams,
+       coalesce(n_matched, 0)::BIGINT AS n_matched,
+       CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL
+            ELSE round(coalesce(n_matched, 0)::DOUBLE / n_grams, 6) END AS overlap
+FROM documents d LEFT JOIN counts USING (doc_id)
+"""
+
+
 def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing (operators/packing.py): concat-then-chunk
     documents into 2048-token packs via the two-phase global running sum;
-    per-pack audit (n_docs, tokens, boundary spill). Rows-only: pack
-    assignment is deterministic in doc_id order."""
+    per-pack audit (n_docs, tokens, boundary spill). Pack assignment is
+    deterministic in doc_id order (frozen running-sum boundaries)."""
     from .operators.packing import pack_documents, pack_stats
     from .operators.text import token_count
 
@@ -1860,6 +1891,30 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_documents(docs, budget=2048)
     return pack_stats(packed, budget=2048)
+
+
+# Oracle is the textbook serial formulation the distributed two-phase
+# running sum must agree with: one global cumulative window in doc_id
+# order, floor-divided into 2048-token packs.
+_SQL_DOC_PACKING = r"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+), p AS (
+  SELECT doc_id, n_tokens, (cum - n_tokens)::BIGINT AS start_offset,
+         ((cum - n_tokens) // 2048)::BIGINT AS pack_id
+  FROM c
+)
+SELECT pack_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS pack_tokens,
+       greatest(max(start_offset + n_tokens) - (pack_id + 1) * 2048, 0)::BIGINT
+         AS spill_tokens
+FROM p GROUP BY pack_id ORDER BY pack_id
+"""
 
 
 def q_ev_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2006,8 +2061,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # and test_sources_multimodal.py)
     "ev_user_modularity": (q_ev_user_modularity, None),
     "media_features": (q_media_features, None),
-    "doc_contamination": (q_doc_contamination, None),
-    "doc_packing": (q_doc_packing, None),
+    "doc_contamination": (q_doc_contamination, _SQL_DOC_CONTAMINATION),
+    "doc_packing": (q_doc_packing, _SQL_DOC_PACKING),
 }
 
 

@@ -10,11 +10,13 @@ predicate pushdown hit the parquet reader with the exact expected types.
 Timestamps are ``TIMESTAMP_NTZ`` throughout (the driver-generated parquet is
 written with ``isAdjustedToUTC=false``), which keeps every value independent
 of the session timezone — the same wall-clock the DuckDB oracle sees.
-``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet reader
-rejects outright; we flip ``spark.sql.legacy.parquet.nanosAsLong`` at read
-time (a runtime SQLConf) to scan it as raw nanosecond longs, then rebuild a
-microsecond TIMESTAMP_NTZ with pure integer arithmetic — exactly the ns→us
-truncation DuckDB applies when it coerces the column.
+``events.ts`` has shipped both as TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+across test-data generations, so ``load_table`` sniffs the parquet footer:
+micros files read directly as TIMESTAMP_NTZ; nanos files (which Spark's
+parquet reader rejects outright) are scanned as raw nanosecond longs via
+``spark.sql.legacy.parquet.nanosAsLong`` (a runtime SQLConf), then rebuilt
+into a microsecond TIMESTAMP_NTZ with pure integer arithmetic — exactly the
+ns→us truncation DuckDB applies when it coerces the column.
 
 At 100 TB the fact tables (``lineitem``, ``events``, ``documents``) would be
 directory-partitioned (e.g. by date) and bucketed on their join keys; locally
@@ -132,15 +134,51 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TABLE_NAMES = list(TABLE_SCHEMAS)
 
 
+_EVENTS_NTZ_SCHEMA = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", T.TimestampNTZType())
+        for f in TABLE_SCHEMAS["events"].fields
+    ]
+)
+
+
+def _events_ts_unit(path: str) -> str:
+    """Time unit of ``events.ts`` from the parquet footer ('ns' or 'us').
+
+    The test generator has shipped this column both as TIMESTAMP(NANOS)
+    and as TIMESTAMP(MICROS) across rounds — sniff the footer instead of
+    assuming. This is a driver-side metadata read of ONE file's footer
+    (first file of the directory for a partitioned 100 TB layout), not a
+    data scan.
+    """
+    p = path
+    if os.path.isdir(path):
+        parts = sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+        if parts:
+            p = os.path.join(path, parts[0])
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(p).schema_arrow.field("ts").type.unit
+    except Exception:  # noqa: BLE001 — unreadable footer: assume standard micros
+        return "us"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table with its declared schema.
 
-    ``events``: nanosecond epoch longs are rebuilt into TIMESTAMP_NTZ with
-    ``timestampadd`` from a literal NTZ epoch — pure integer arithmetic, no
-    session-timezone dependence, identical to DuckDB's ns→us coercion.
+    ``events``: TIMESTAMP(MICROS) files read directly as TIMESTAMP_NTZ;
+    TIMESTAMP(NANOS) files (which Spark's parquet reader rejects outright)
+    are scanned as raw nanosecond longs via the
+    ``spark.sql.legacy.parquet.nanosAsLong`` runtime conf and rebuilt into
+    TIMESTAMP_NTZ with ``timestampadd`` from a literal NTZ epoch — pure
+    integer arithmetic, no session-timezone dependence, identical to
+    DuckDB's ns→us coercion.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        if _events_ts_unit(path) != "ns":
+            return spark.read.schema(_EVENTS_NTZ_SCHEMA).parquet(path)
         # Runtime SQLConf: must be set on whatever session executes the scan
         # (the driver's session does not run our builder).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

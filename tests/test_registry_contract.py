@@ -29,9 +29,12 @@ def test_registry_query_executes(spark, name):
 
 
 def test_registry_ordering_contract():
-    """All oracle-backed entries must sit within the driver's 50-entry
-    evaluation window; rows-only entries after."""
+    """The driver's 50-entry evaluation window must be FULLY used: the
+    first 50 registry entries all carry oracle SQL. Entries past the
+    window may be rows-only or oracle-backed — the local gate
+    (tools/check_correctness.py) hash-verifies any oracle SQL regardless
+    of position, so extra oracles past 50 strengthen coverage rather than
+    displace a driver-checked row."""
     entries = list(REGISTRY.items())
-    sql_positions = [i for i, (_, (f, s)) in enumerate(entries) if s is not None]
-    assert len(sql_positions) == 50
-    assert max(sql_positions) <= 49
+    assert len(entries) >= 50
+    assert all(s is not None for _, (_f, s) in entries[:50])
