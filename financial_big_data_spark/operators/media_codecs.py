@@ -66,24 +66,102 @@ def _png_chunks(payload: bytes):
     raise ValueError("PNG missing IEND")
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    if pb <= pc:
-        return b
-    return c
+def _unfilter_rows(arr: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Row-at-a-time unfilter for images using only None/Sub/Up — each is
+    fully vectorized per row (Sub's left-neighbor recurrence is a
+    per-channel prefix sum mod 256, Up is a wrapping row add)."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(arr[y, 0])
+        line = arr[y, 1:]
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 1:  # Sub: out[i] = raw[i] + out[i-bpp] → per-channel cumsum
+            cols = out[y].reshape(-1, bpp)
+            cols[:] = np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64) % 256
+        else:  # Up
+            out[y] = line + prev  # uint8 add wraps mod 256
+        prev = out[y]
+    return out
+
+
+def _unfilter_wavefront(
+    arr: np.ndarray, height: int, stride: int, bpp: int
+) -> np.ndarray:
+    """Anti-diagonal wavefront unfilter handling all five filters.
+
+    Average/Paeth form a true 2D recurrence (out[y][x] needs out[y][x-1],
+    out[y-1][x], out[y-1][x-1] of the RECONSTRUCTED image), so neither rows
+    nor columns vectorize — but every dependency lives on an earlier
+    anti-diagonal (d = x + y in pixel units), so each diagonal computes as
+    one numpy batch over up to min(height, width) pixels × bpp channels.
+
+    Layout: the image lives in a SKEWED array ``S[d + 2, y + 1]`` =
+    pixel ``(y, x=d-y)`` — so a diagonal is one basic (contiguous-view)
+    slice, its left/up neighbors are slices of row ``d+1``, upleft of row
+    ``d``, and the two pad rows / one pad column supply the spec's zero
+    boundary for free. The filtered input is scattered into the same skew
+    once up front and the result gathered back once at the end (the only
+    two fancy-indexing passes). Python-level work drops from
+    O(height·stride) per-byte iterations to O(height + width) diagonal
+    steps of pure slice arithmetic — ~1.4 MB/s → tens of MB/s on
+    libpng-style Paeth-heavy images (BENCH media rows).
+    """
+    width = stride // bpp
+    ftypes = arr[:, 0]
+    line = arr[:, 1:].reshape(height, width, bpp).astype(np.int16)
+    dd = np.add.outer(np.arange(height), np.arange(width))  # d = x + y
+    ycol = np.arange(height)[:, None]
+    shape = (height + width + 1, height + 1, bpp)
+    L = np.zeros(shape, dtype=np.int16)
+    L[dd + 2, ycol + 1] = line
+    S = np.zeros(shape, dtype=np.int16)
+    present = set(np.unique(ftypes).tolist())
+    only = next(iter(present)) if len(present) == 1 else None
+    for d in range(height + width - 1):
+        y0 = max(0, d - width + 1)
+        y1 = min(height - 1, d)
+        cur = slice(y0 + 1, y1 + 2)   # y+1 for this diagonal's rows
+        up_sl = slice(y0, y1 + 1)     # (y-1)+1
+        left = S[d + 1, cur]
+        up = S[d + 1, up_sl]
+        if only == 1:
+            pred = left
+        elif only == 2:
+            pred = up
+        elif only == 3:
+            pred = (left + up) >> 1
+        else:
+            ul = S[d, up_sl]
+            p = left + up - ul
+            pa = np.abs(p - left)
+            pb = np.abs(p - up)
+            pc = np.abs(p - ul)
+            paeth = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+            if only == 4:
+                pred = paeth
+            elif only == 0:
+                pred = 0
+            else:
+                ft = ftypes[y0 : y1 + 1, None]
+                pred = np.select(
+                    [ft == 1, ft == 2, ft == 3, ft == 4],
+                    [left, up, (left + up) >> 1, paeth],
+                    default=0,
+                )
+        S[d + 2, cur] = (L[d + 2, cur] + pred) & 0xFF
+    return S[dd + 2, ycol + 1].reshape(height, stride).astype(np.uint8)
 
 
 def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse the per-scanline filters → flat uint8 array (height*stride).
 
-    None/Sub/Up are fully vectorized (Sub's left-neighbor recurrence is a
-    per-channel prefix sum mod 256, Up is a row add); Average and Paeth
-    carry a genuine sequential dependency on the already-reconstructed
-    left pixel, so they fall back to per-byte loops — encoders
-    overwhelmingly emit 0/1/2 for untuned output (ours emits 0).
+    Images touching Average/Paeth route through the anti-diagonal wavefront
+    kernel; pure None/Sub/Up images (our own encoder's default output) take
+    the cheaper row-vectorized path.
     """
     expected = height * (stride + 1)
     if len(raw) < expected:
@@ -96,31 +174,9 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     ftypes = arr[:, 0]
     if ftypes.max(initial=0) > 4:
         raise ValueError(f"PNG filter type {int(ftypes.max())} invalid")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        ftype = int(ftypes[y])
-        line = arr[y, 1:]
-        if ftype == 0:  # None
-            out[y] = line
-        elif ftype == 1:  # Sub: out[i] = raw[i] + out[i-bpp] → per-channel cumsum
-            cols = out[y].reshape(-1, bpp)
-            cols[:] = np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64) % 256
-        elif ftype == 2:  # Up
-            out[y] = line + prev  # uint8 add wraps mod 256
-        elif ftype == 3:  # Average
-            o = out[y]
-            for i in range(stride):
-                left = int(o[i - bpp]) if i >= bpp else 0
-                o[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        else:  # Paeth
-            o = out[y]
-            for i in range(stride):
-                left = int(o[i - bpp]) if i >= bpp else 0
-                upleft = int(prev[i - bpp]) if i >= bpp else 0
-                o[i] = (int(line[i]) + _paeth(left, int(prev[i]), upleft)) & 0xFF
-        prev = out[y]
-    return out
+    if (ftypes >= 3).any():
+        return _unfilter_wavefront(arr, height, stride, bpp)
+    return _unfilter_rows(arr, height, stride, bpp)
 
 
 def decode_png(payload: bytes) -> np.ndarray:
@@ -166,14 +222,22 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """uint8 (h, w) or (h, w, {1,2,3,4}) → canonical PNG bytes (filter 0,
-    one IDAT). Fixture/synthesis helper — not a performance path."""
+def encode_png(pixels: np.ndarray, filter_type: int | np.ndarray = 0) -> bytes:
+    """uint8 (h, w) or (h, w, {1,2,3,4}) → PNG bytes (one IDAT).
+
+    ``filter_type``: scanline filter 0-4, scalar or per-row array — lets
+    fixtures exercise the Average/Paeth decode paths real libpng encoders
+    emit. Forward filtering is vectorized whole-row (the encoder knows the
+    raw pixels, so there is no recurrence). Fixture/synthesis helper — not
+    a performance path."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ft = np.broadcast_to(np.asarray(filter_type, dtype=np.int64), (h,))
+    if h and not ((ft >= 0) & (ft <= 4)).all():
+        raise ValueError("PNG filter type out of range 0-4")
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -183,8 +247,35 @@ def encode_png(pixels: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
+    rows = px.reshape(h, w * c).astype(np.int16)
+    zero = np.zeros(c, dtype=np.int16)
+    lines = []
+    prev = np.zeros(w * c, dtype=np.int16)
+    for y in range(h):
+        cur = rows[y]
+        left = np.concatenate([zero, cur[:-c]]) if w * c > c else cur * 0
+        ul = np.concatenate([zero, prev[:-c]]) if w * c > c else prev * 0
+        f = int(ft[y])
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = left
+        elif f == 2:
+            pred = prev
+        elif f == 3:
+            pred = (left + prev) >> 1
+        else:
+            p = left + prev - ul
+            pa, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc_), left, np.where(pb <= pc_, prev, ul)
+            )
+        lines.append(
+            bytes([f]) + ((cur - pred) & 0xFF).astype(np.uint8).tobytes()
+        )
+        prev = cur
+    raw = b"".join(lines)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -340,18 +431,28 @@ def byte_features(payload: bytes, dim: int) -> list[float]:
     return (hist / arr.size).tolist()
 
 
+# Everything a corrupt-but-magic-matching payload can raise out of
+# decode_png/decode_wav: ValueError (our own validation), zlib.error (bad
+# IDAT stream), struct.error (truncated IHDR/fmt), IndexError (palette
+# index beyond PLTE). Catching only ValueError let the rest escape and
+# fail the whole mapInPandas task (ADVICE r3, verified with flipped IDAT
+# bytes).
+DECODE_ERRORS = (ValueError, zlib.error, struct.error, IndexError)
+
+
 def default_decode(payload: bytes, kind: str, dim: int) -> list[float]:
     """The default `decoder` kernel: REAL decode where a library-free codec
     exists (PNG pixels, WAV samples), byte-histogram features otherwise.
 
-    Payloads that claim a decodable kind but fail to parse fall back to
-    byte features rather than poisoning the whole Arrow batch.
+    Payloads that claim a decodable kind but fail to parse — for ANY parse
+    failure mode (`DECODE_ERRORS`) — fall back to byte features rather than
+    poisoning the whole Arrow batch.
     """
     try:
         if payload[:8] == PNG_MAGIC:
             return png_features(decode_png(payload), dim)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return wav_features(decode_wav(payload)[0], dim)
-    except ValueError:
+    except DECODE_ERRORS:
         pass
     return byte_features(payload, dim)

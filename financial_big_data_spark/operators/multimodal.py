@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from financial_big_data_spark.operators.media_codecs import (
+    DECODE_ERRORS,
     decode_png,
     default_decode,
     encode_png,
@@ -61,7 +62,10 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             px = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
-            payload = encode_png(px)
+            # cycle scanline filters so fixtures exercise every unfilter
+            # path incl. the wavefront Average/Paeth kernel (decoded pixels
+            # are filter-independent, so downstream features don't change)
+            payload = encode_png(px, filter_type=(i // 3) % 5)
         elif kind == "audio":
             t = np.arange(1600 + (i % 7) * 160) / 16000.0
             payload = encode_wav(
@@ -199,7 +203,7 @@ def resize_images(
             for mid, p in zip(pdf["media_id"], pdf[payload]):
                 try:
                     px = decode_png(bytes(p))
-                except ValueError:
+                except DECODE_ERRORS:  # any parse failure → quarantine (drop)
                     continue
                 h0, w0 = px.shape[:2]
                 ys = np.minimum((np.arange(height) * h0) // height, h0 - 1)
