@@ -130,7 +130,13 @@ def lpa_communities_df(edges: DataFrame, max_iter: int = 10) -> tuple[DataFrame,
     """
     comms = label_propagation(edges, max_iter=max_iter)
     weight = "weight" if "weight" in edges.columns else None
-    q = modularity(edges, comms, weight=weight)
+    # |weight|, matching the driver path (clustering.louvain_communities_df
+    # feeds networkx abs(weight)): corr_edges keeps |corr| > θ, so strongly
+    # NEGATIVE correlations are legitimate edges — signed weights would
+    # shrink m (and can flip Q's sign) for anti-correlated communities
+    # (ADVICE r3 medium).
+    e = edges.withColumn(weight, F.abs(F.col(weight))) if weight else edges
+    q = modularity(e, comms, weight=weight)
     n = comms.select("community").distinct().count()
     return comms, {"modularity": q, "n_communities": n}
 

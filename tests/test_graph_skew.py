@@ -116,6 +116,63 @@ def test_modularity_matches_networkx(spark):
     assert abs(modularity(e_df, c_df) - expected_u) < 1e-9
 
 
+def test_lpa_modularity_uses_abs_weights(spark):
+    """corr_edges keeps |corr| > θ, so strongly NEGATIVE weights are routine
+    edges; the LPA path must report Q over |w| exactly like the driver path
+    (ADVICE r3 medium: signed weights shrink m — the `if not m` guard only
+    catches 0 — and can distort or sign-flip Q)."""
+    from financial_big_data_spark.ml.graph import lpa_communities_df, modularity
+
+    # two disjoint 4-cliques → LPA finds 2 communities; clique A is mostly
+    # anti-correlated (negative weights), clique B positive, so the signed
+    # and |w| computations diverge on a nontrivial partition
+    neg_w = [-0.9, -0.8, -0.95, 0.5, 0.6, 0.7]
+    pairs_a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pairs_b = [(10 + a, 10 + b) for a in range(4) for b in range(4) if a < b]
+    edges = [(a, b, w) for (a, b), w in zip(pairs_a, neg_w)] + [
+        (a, b, 0.9) for a, b in pairs_b
+    ]
+    e_df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    comms, metrics = lpa_communities_df(e_df)
+    assert metrics["n_communities"] == 2
+    abs_df = e_df.withColumn("weight", F.abs("weight"))
+    expected = modularity(abs_df, comms, weight="weight")
+    assert abs(metrics["modularity"] - expected) < 1e-9
+    # the signed computation differs materially on this fixture, so this
+    # test actually bites on a regression to signed weights
+    signed = modularity(e_df, comms, weight="weight")
+    assert abs(signed - expected) > 0.05
+
+
+def test_lpa_modularity_planted_two_densities(spark):
+    """BASELINE.md quality bar (±0.05): two planted communities at DIFFERENT
+    edge densities (0.9 vs 0.5) joined by two bridges — LPA's modularity
+    must land within ±0.05 of networkx Louvain's on the same graph
+    (VERDICT r3 next #6; the first fixture only covered near-clique
+    communities from near-perfect correlations)."""
+    import numpy as np
+
+    from financial_big_data_spark.ml.clustering import louvain_communities_df
+    from financial_big_data_spark.ml.graph import lpa_communities_df
+
+    rng = np.random.default_rng(13)
+    edges = []
+    dense = list(range(0, 15))
+    sparse = list(range(100, 115))
+    for nodes, p in ((dense, 0.9), (sparse, 0.5)):
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                if rng.random() < p:
+                    edges.append((a, b, 1.0))
+    edges += [(0, 100, 1.0), (5, 110, 1.0)]  # sparse inter-community bridges
+    e_df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    _, lv = louvain_communities_df(spark, e_df)
+    _, lp = lpa_communities_df(e_df)
+    assert lv["n_communities"] == 2
+    assert lp["n_communities"] == 2
+    assert abs(lp["modularity"] - lv["modularity"]) < 0.05
+
+
 def test_lpa_modularity_near_louvain(spark):
     """VERDICT r2 next #8: the LPA scale path must report the reference's
     headline metric — its modularity lands within ±0.1 of networkx Louvain
