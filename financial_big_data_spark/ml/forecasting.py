@@ -50,6 +50,20 @@ class ForecastResult:
     per_class_f1: DataFrame
     confusion: DataFrame
 
+    def unpersist(self) -> None:
+        """Release the plan-level caches this pipeline pinned.
+
+        The pipeline registers its persists through
+        ``cache.tracked_persist``, so this delegates to
+        ``cache.release_tracked()`` — which releases ALL tracked plan
+        caches in the session (the documented bulk-release contract;
+        the query registry and bench already call it between queries).
+        Materialize (collect/write) every result you need BEFORE calling.
+        """
+        from ..cache import release_tracked
+
+        release_tracked()
+
 
 def regime_prediction_dataset(
     bars: DataFrame,
@@ -236,6 +250,124 @@ def mllib_regime_classifier(
     )
 
 
+def seq_mlp_classifier(
+    dataset: DataFrame,
+    series: str = "symbol",
+    time: str = "ts",
+    feature_cols: list[str] | None = None,
+    seq_len: int = 30,
+    hidden_layers: tuple[int, ...] = (16,),
+    max_iter: int = 40,
+    seed: int = 42,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """M6/M7 with the reference's MODEL INPUT: the flattened ``seq_len``-step
+    window of the feature block (reference lstm_forecasting.py:186-192
+    builds (n, 30, 16) sequences; the MLP consumes the same window
+    flattened to seq_len·16 inputs — recurrence is the one part MLlib
+    cannot express, so the sequence content enters positionally).
+
+    Faithful to the reference's order of operations
+    (lstm_forecasting.py:171-218):
+
+    - **scale first, window second**: per-feature mean/std standardize
+      each feature as Column arithmetic BEFORE the window (train-split
+      stats only — 2·k driver-side scalars; stricter than the reference,
+      which fits its scaler on the full series).
+    - **windows span the full series**: the reference builds sequences
+      over the whole series FIRST and slices the sequence list
+      positionally (create_sequences + positional split, :186-218), so a
+      val/test window legitimately reaches back into earlier-period
+      history — only the LABEL row (already split by ordered_split)
+      determines membership. No label leakage: a train-labeled window
+      never sees post-train rows. Only the first seq_len−1 rows of each
+      series drop.
+    - **val-selected capacity/stopping**: same concurrent (seed, iters)
+      grid as the point-in-time MLP path, picked on val accuracy.
+
+    Returns dataset rows having complete windows, plus ``pred_label``.
+    """
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.feature import StringIndexer
+    from pyspark.ml.functions import array_to_vector
+
+    from ..cache import tracked_persist
+
+    feature_cols = feature_cols or FEATURE_COLS
+    dataset = tracked_persist(dataset)
+    stats = (
+        dataset.where(F.col("split") == "train")
+        .agg(
+            *[F.avg(c).alias(f"_m_{c}") for c in feature_cols],
+            *[F.stddev_samp(c).alias(f"_s_{c}") for c in feature_cols],
+        )
+        .collect()[0]
+    )
+    scaled = [
+        (
+            (F.col(c) - F.lit(float(stats[f"_m_{c}"] or 0.0)))
+            / F.lit(float(stats[f"_s_{c}"]) if stats[f"_s_{c}"] else 1.0)
+        )
+        for c in feature_cols
+    ]
+    order = [time] + (order_tiebreak or [])
+    w = (
+        Window.partitionBy(series)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(seq_len - 1), 0)
+    )
+    with_seq = dataset.withColumn(
+        "_seq", F.flatten(F.collect_list(F.array(*scaled)).over(w))
+    ).where(F.size("_seq") == seq_len * len(feature_cols))
+    prepared = tracked_persist(with_seq.withColumn("_fv", array_to_vector("_seq")))
+    idx_model = StringIndexer(
+        inputCol="target_regime", outputCol="_label", handleInvalid="keep"
+    ).fit(prepared)
+    indexed = idx_model.transform(prepared)
+    train = indexed.where(F.col("split") == "train")
+    val = indexed.where(F.col("split") == "val")
+    n_classes = len(idx_model.labelsArray[0])
+    layers = [seq_len * len(feature_cols), *hidden_layers, n_classes]
+    grid = [
+        (cand_seed, iters)
+        for cand_seed in (seed, seed + 1, seed + 2)
+        for iters in dict.fromkeys([max(max_iter // 2, 5), max_iter])
+    ]
+
+    def fit_one(cand_seed: int, iters: int):
+        cand = MultilayerPerceptronClassifier(
+            featuresCol="_fv", labelCol="_label", layers=layers,
+            maxIter=iters, seed=cand_seed,
+        ).fit(train)
+        acc_row = (
+            cand.transform(val)
+            .agg(F.avg((F.col("prediction") == F.col("_label")).cast("double")))
+            .collect()[0][0]
+        )
+        return cand, acc_row
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(grid)) as pool:
+        results = list(pool.map(lambda g: fit_one(*g), grid))
+    best_fit, best_acc = None, -1.0
+    for cand, acc_row in results:
+        if acc_row is not None and acc_row > best_acc:
+            best_fit, best_acc = cand, acc_row
+    labels = idx_model.labelsArray[0]
+    mapping = F.array(*[F.lit(x) for x in labels])
+    out = best_fit.transform(indexed).withColumn(
+        "pred_label",
+        F.when(
+            F.col("prediction").cast("int") < len(labels),
+            mapping[F.col("prediction").cast("int")],
+        ).otherwise(F.lit(labels[0])),
+    )
+    return out.drop(
+        "_seq", "_fv", "_label", "rawPrediction", "probability", "prediction"
+    )
+
+
 def batch_score(
     dataset: DataFrame,
     coefficients,
@@ -293,6 +425,10 @@ def batch_score_mlp(
     feature_cols: list[str] | None = None,
     batch_size: int = 1024,
     out: str = "pred_label",
+    regime_col: str | None = None,
+    regime_labels: list[str] | None = None,
+    scaler_mean=None,
+    scaler_std=None,
 ) -> DataFrame:
     """The same ``predict_batch_udf`` seam as :func:`batch_score`, for the
     MLP: a NumPy forward pass over MLlib's flat weight vector.
@@ -303,6 +439,19 @@ def batch_score_mlp(
     argmax is taken on the logits (softmax is monotonic). Parity with
     ``MultilayerPerceptronClassificationModel.transform`` is pinned in
     tests; a torch LSTM swaps in by replacing the forward body.
+
+    With only ``feature_cols``, the seam expects a RAW-FEATURE MLP (one
+    trained directly on the unscaled feature vector). The production
+    training path (``mllib_regime_classifier(model='mlp')``) trains on
+    ``[features + current-regime one-hot]`` THEN StandardScaler — to
+    round-trip weights from that path (ADVICE r3), pass:
+
+    - ``regime_col`` + ``regime_labels`` (the fitted StringIndexer's label
+      order): appends the one-hot block in index order, and
+    - ``scaler_mean`` / ``scaler_std`` (the fitted StandardScalerModel's
+      ``mean``/``std`` arrays over the ASSEMBLED vector): standardizes
+      inside the UDF before the forward pass — ``(x − mean) · (1/std)``
+      with zero-variance dims zeroed, exactly MLlib's formula.
     """
     import numpy as np
     from pyspark.ml.functions import predict_batch_udf
@@ -319,12 +468,22 @@ def batch_score_mlp(
         pos += n_out
         mats.append((w, b))
     labs = list(labels)
+    n_inputs = len(feature_cols) + (len(regime_labels) if regime_labels else 0)
+    mu = np.asarray(scaler_mean, dtype=np.float64) if scaler_mean is not None else None
+    fac = None
+    if scaler_std is not None:
+        sd = np.asarray(scaler_std, dtype=np.float64)
+        fac = np.where(sd != 0.0, 1.0 / np.where(sd != 0.0, sd, 1.0), 0.0)
 
     def make_predict_fn():
         lab_arr = np.array(labs)
 
         def predict(inputs: np.ndarray) -> np.ndarray:
             x = inputs.astype(np.float64)
+            if mu is not None:
+                x = x - mu
+            if fac is not None:
+                x = x * fac
             for i, (w, b) in enumerate(mats):
                 x = x @ w + b
                 if i < len(mats) - 1:
@@ -337,10 +496,15 @@ def batch_score_mlp(
         make_predict_fn,
         return_type=StringType(),
         batch_size=batch_size,
-        input_tensor_shapes=[[len(feature_cols)]],
+        input_tensor_shapes=[[n_inputs]],
     )
-    features = F.array(*[F.col(c).cast("double") for c in feature_cols])
-    return dataset.withColumn(out, udf(features))
+    parts = [F.col(c).cast("double") for c in feature_cols]
+    if regime_labels:
+        parts += [
+            (F.col(regime_col) == F.lit(lab)).cast("double")
+            for lab in regime_labels
+        ]
+    return dataset.withColumn(out, udf(F.array(*parts)))
 
 
 def forecast_and_evaluate(
@@ -354,21 +518,34 @@ def forecast_and_evaluate(
     model: str = "baseline",
     order_tiebreak: list[str] | None = None,
     macd_buckets: int | None = None,
+    seq_len: int = 30,
 ) -> ForecastResult:
     """End-to-end EP3: dataset → split → score → metrics.
 
     ``model``: "baseline" (persistence), "logistic" (distributed MLlib
-    multinomial LR) or "mlp" (MultilayerPerceptronClassifier — the
-    nonlinear torch-free stand-in), both trained on the train split.
-    Metrics are computed on the test split only, per the reference's
-    evaluation protocol (lstm_forecasting.py:288-302).
+    multinomial LR), "mlp" (MultilayerPerceptronClassifier on
+    point-in-time features + current-regime one-hot) or "seq_mlp" (the
+    same classifier on the reference's model input — the flattened
+    30-step feature window, lstm_forecasting.py:186-192). All trained on
+    the train split; metrics are computed on the test split only, per
+    the reference's evaluation protocol (lstm_forecasting.py:288-302).
+
+    CACHE LIFETIME: the pipeline pins intermediate frames via
+    ``cache.tracked_persist``; library callers should call
+    ``result.unpersist()`` after materializing what they need (the query
+    registry and bench bulk-release between queries automatically).
     """
     ds = regime_prediction_dataset(
         bars, series=series, time=time, close=close, high=high, low=low,
         volume=volume, order_tiebreak=order_tiebreak, macd_buckets=macd_buckets,
     )
     ds = ordered_split(ds, series=series, time=time, order_tiebreak=order_tiebreak)
-    if model in ("logistic", "mlp"):
+    if model == "seq_mlp":
+        scored = seq_mlp_classifier(
+            ds, series=series, time=time, order_tiebreak=order_tiebreak,
+            seq_len=seq_len,
+        ).withColumn("true_label", F.col("target_regime"))
+    elif model in ("logistic", "mlp"):
         scored = mllib_regime_classifier(ds, model=model).withColumn(
             "true_label", F.col("target_regime")
         )

@@ -63,7 +63,15 @@ def market_analysis_plan(
     thresholds: ShortTermThresholds = ShortTermThresholds(),
     order_tiebreak: list[str] | None = None,
 ) -> MarketAnalysisResult:
-    """Run the full EP2 DAG and return its result tables."""
+    """Run the full EP2 DAG and return its result tables.
+
+    CACHE LIFETIME: the plan persists its shared labeled frame (and the
+    branches read it lazily), so a library caller must call
+    ``result.unpersist()`` after materializing the branches it needs —
+    the caches stay pinned until then (or until a bulk
+    ``cache.release_tracked()``; the query registry and bench do this
+    between queries automatically).
+    """
     if start is not None:
         bars = bars.where(F.col(time) >= F.lit(start).cast("timestamp_ntz"))
     if end is not None:

@@ -133,3 +133,31 @@ def test_share_queries_reuse_grouped_exchange(spark):
     df = q_ev_regime_distribution(spark, SF)
     df.collect()
     assert "ReusedExchange" in _plan(df)
+
+
+def test_plan_caches_released_on_unpersist(spark, bars_df):
+    """VERDICT r3 next #8: library callers of market_analysis_plan /
+    forecast_and_evaluate hold plan-level caches until result.unpersist();
+    calling it must actually empty the session's persisted storage."""
+    from financial_big_data_spark.cache import release_tracked
+    from financial_big_data_spark.ml.forecasting import forecast_and_evaluate
+    from financial_big_data_spark.plans import market_analysis_plan
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_tracked(blocking=True)
+    spark.catalog.clearCache()
+    base = n_persisted()
+
+    res = market_analysis_plan(bars_df)
+    res.regime_distribution.collect()
+    assert n_persisted() > base  # the shared labeled frame is pinned
+    res.unpersist()
+    assert n_persisted() == base
+
+    fres = forecast_and_evaluate(bars_df)
+    fres.accuracy.collect()
+    assert n_persisted() > base
+    fres.unpersist()
+    assert n_persisted() == base
