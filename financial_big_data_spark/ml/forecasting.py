@@ -256,7 +256,7 @@ def seq_mlp_classifier(
     time: str = "ts",
     feature_cols: list[str] | None = None,
     seq_len: int = 30,
-    hidden_layers: tuple[int, ...] = (16,),
+    hidden_layers: tuple[int, ...] = (32,),
     max_iter: int = 40,
     seed: int = 42,
     order_tiebreak: list[str] | None = None,

@@ -1758,8 +1758,12 @@ def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F.session_window sessionization in batch (same operator the streaming
     surface uses; session boundaries proven equal to the gaps-and-islands
-    formulation in tests/test_streaming_sessions.py). Rows-only: the islands
-    formulation of the same semantics is the oracle-checked ev_sessions."""
+    formulation in tests/test_streaming_sessions.py).
+
+    Oracle: the gaps-and-islands formulation — a session breaks when the
+    gap REACHES the timeout (Spark merges per-event [ts, ts+gap) windows
+    only while they strictly overlap, so a gap of exactly 2h starts a new
+    session: ``>= INTERVAL 2 HOUR`` in the break predicate)."""
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy("user_id", F.session_window("ts", "2 hours"))
@@ -1776,6 +1780,28 @@ def q_ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_SQL_EV_SESSION_WINDOWS = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(*)::BIGINT AS n_events,
+       round(sum(CAST(value AS DECIMAL(38,9))), 6)::DOUBLE AS total_value
+FROM s GROUP BY user_id, sid
+"""
 
 
 def q_emb_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2056,7 +2082,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_dbscan": (q_emb_dbscan, None),
     # composite / operator-mirror entries (components oracle-checked above)
     "doc_curation": (q_doc_curation, None),
-    "ev_session_windows": (q_ev_session_windows, None),
+    "ev_session_windows": (q_ev_session_windows, _SQL_EV_SESSION_WINDOWS),
     # round-3 capability mirrors (rows-only; pinned by test_graph_skew.py
     # and test_sources_multimodal.py)
     "ev_user_modularity": (q_ev_user_modularity, None),

@@ -41,8 +41,10 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-        # rejects; read as long ns and convert (sources.tables.load_table).
+        # Some testdata generations ship events.ts as TIMESTAMP(NANOS),
+        # which Spark's parquet reader rejects; the conf makes such columns
+        # scannable as long ns (sources.tables.load_table sniffs the footer
+        # and converts). Harmless for micros files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
