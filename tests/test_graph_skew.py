@@ -173,6 +173,46 @@ def test_lpa_modularity_planted_two_densities(spark):
     assert abs(lp["modularity"] - lv["modularity"]) < 0.05
 
 
+def test_distributed_louvain_matches_networkx(spark):
+    """The REAL distributed Louvain (modularity-optimizing local moves +
+    contraction, pure DataFrame iterations) must match networkx Louvain's
+    partition quality on the classic fixtures — Q equal to 1e-6, same
+    community count. Fixtures chosen to converge in few sweeps (dense
+    random graphs converge too slowly for a unit test; the per-sweep cost
+    is scheduling overhead that amortizes at real scale)."""
+    import networkx as nx
+    from networkx.algorithms import community as nxc
+
+    from financial_big_data_spark.ml.graph import louvain_distributed_df
+
+    def check(edges_py):
+        e_df = spark.createDataFrame(edges_py, "src long, dst long, weight double")
+        _, met = louvain_distributed_df(e_df)
+        g = nx.Graph()
+        for a, b, w in edges_py:
+            g.add_edge(a, b, weight=abs(w))
+        nx_comms = nxc.louvain_communities(g, weight="weight", seed=42)
+        nx_q = nxc.modularity(g, nx_comms, weight="weight")
+        assert met["n_communities"] == len(nx_comms)
+        assert abs(met["modularity"] - nx_q) < 1e-6
+
+    # ring of cliques — the classic Louvain benchmark (6 cliques of 5,
+    # single-edge ring bridges; contraction must NOT merge the ring)
+    edges = []
+    for c in range(6):
+        ns = [c * 10 + i for i in range(5)]
+        edges += [(a, b, 1.0) for a in ns for b in ns if a < b]
+        edges.append((c * 10, ((c + 1) % 6) * 10 + 1, 1.0))
+    check(edges)
+
+    # two disjoint 4-cliques with mixed-sign weights (|w| optimization)
+    neg = [
+        (0, 1, -0.9), (0, 2, -0.8), (0, 3, -0.95),
+        (1, 2, 0.5), (1, 3, 0.6), (2, 3, 0.7),
+    ] + [(10 + a, 10 + b, 0.9) for a in range(4) for b in range(4) if a < b]
+    check(neg)
+
+
 def test_lpa_modularity_near_louvain(spark):
     """VERDICT r2 next #8: the LPA scale path must report the reference's
     headline metric — its modularity lands within ±0.1 of networkx Louvain
