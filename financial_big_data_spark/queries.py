@@ -1744,15 +1744,93 @@ def q_ev_user_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star corpus-curation DAG end-to-end: quality gates → exact
-    dedup → LSH near-dup removal → token budget; returns the 1-row audit
-    (stage-by-stage survivor counts). Rows-only: the multi-stage pipeline's
-    components are each individually oracle-checked (doc_text_stats,
-    doc_exact_dedup, doc_near_dup_lsh)."""
+    dedup → LSH near-dup removal; returns the 1-row audit (stage-by-stage
+    survivor counts).
+
+    Oracle: the WHOLE pipeline re-derived in SQL — the quality-gate
+    predicates over the text-stats expressions, min-id dedup over the md5
+    fingerprint, then the full MinHash/band/verify chain evaluated on the
+    exact-dedup survivors (not the raw corpus — stage composition matters),
+    and the anti-join of verified near-dup victims. One hash mismatch in
+    ANY stage shifts every downstream count."""
     from .plans.corpus_curation import curate_corpus
 
     docs = load_table(spark, sf_dir, "documents")
     res = curate_corpus(docs, min_tokens=3, near_dup_jaccard=0.5, token_budget=None)
     return res.audit
+
+
+# Shingle/minhash CTE chain evaluated over the `exact` stage's survivors —
+# same builders as _SQL_DOC_MINHASH/_SQL_DOC_NEAR_DUP, different source.
+_SQL_DOC_CURATION = f"""
+WITH prof AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE
+           / nullif(length(text), 0) AS punct_ratio,
+         ({_STOPWORD_SUM})::DOUBLE
+           / nullif(len(string_split(text, ' ')), 0) AS stopword_ratio
+  FROM documents
+), quality AS (
+  SELECT doc_id, text, n_tokens FROM prof
+  WHERE n_tokens >= 3 AND n_tokens <= 100000
+    AND coalesce(stopword_ratio, 0) <= 0.6
+    AND coalesce(punct_ratio, 0) <= 0.3
+), keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM quality
+  GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+), exact AS (
+  SELECT q.* FROM quality q JOIN keep USING (doc_id)
+), toks AS (
+  SELECT doc_id,
+         unnest(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok,
+         generate_subscripts(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '), 1) AS idx
+  FROM exact
+), shingles AS (
+  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+  FROM toks t1
+  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.idx = t1.idx + 1
+  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.idx = t1.idx + 2
+), hashed AS (
+  SELECT doc_id, md5(shingle || '#0') || md5(shingle || '#1') AS h FROM shingles
+), sigs AS (
+  SELECT doc_id,
+{_MINHASH_SLICES}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+""" + "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, mh_{2*b} || '|' || mh_{2*b+1} AS key FROM sigs"
+    for b in range(4)
+) + """
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+), shared AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_shared
+  FROM cands c
+  JOIN shingles s1 ON s1.doc_id = c.id_a
+  JOIN shingles s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+  GROUP BY c.id_a, c.id_b
+), dropids AS (
+  SELECT DISTINCT sh.id_b AS doc_id
+  FROM shared sh
+  JOIN sizes sa ON sa.doc_id = sh.id_a
+  JOIN sizes sb ON sb.doc_id = sh.id_b
+  WHERE sh.n_shared::DOUBLE / (sa.n_sh + sb.n_sh - sh.n_shared) >= 0.5
+), near AS (
+  SELECT e.* FROM exact e ANTI JOIN dropids USING (doc_id)
+)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_input,
+       (SELECT count(*) FROM quality)::BIGINT AS n_quality,
+       (SELECT count(*) FROM exact)::BIGINT AS n_exact_dedup,
+       (SELECT count(*) FROM near)::BIGINT AS n_near_dedup,
+       (SELECT count(*) FROM near)::BIGINT AS n_decontaminated,
+       (SELECT count(*) FROM near)::BIGINT AS n_final,
+       (SELECT sum(n_tokens) FROM near)::BIGINT AS total_tokens
+"""
 
 
 def q_ev_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2081,7 +2159,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_user_communities": (q_ev_user_communities, None),
     "emb_dbscan": (q_emb_dbscan, None),
     # composite / operator-mirror entries (components oracle-checked above)
-    "doc_curation": (q_doc_curation, None),
+    "doc_curation": (q_doc_curation, _SQL_DOC_CURATION),
     "ev_session_windows": (q_ev_session_windows, _SQL_EV_SESSION_WINDOWS),
     # round-3 capability mirrors (rows-only; pinned by test_graph_skew.py
     # and test_sources_multimodal.py)
