@@ -198,9 +198,9 @@ def main() -> None:
     # ANN quality probe: IVF recall@10 against exact brute force at this sf —
     # measured per run so approximate-search quality is a recorded number,
     # not a local-test-only claim. The synthetic embeddings are ~uniform
-    # (no cluster structure — IVF's worst case), so half the cells are
-    # probed: 2x cheaper than brute force at ~0.9 recall; real embedding
-    # distributions cluster and probe far fewer cells for the same recall.
+    # (no cluster structure — IVF's worst case), so 10 of 16 cells are
+    # probed for ~0.93 recall; real embedding distributions cluster and
+    # probe far fewer cells for the same recall.
     from financial_big_data_spark.operators.similarity import brute_force_topk, ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -214,7 +214,7 @@ def main() -> None:
     }
     approx = {
         (r.query_id, r.vec_id)
-        for r in ivf_topk(emb, probes, n_cells=16, n_probe=8, k=10)
+        for r in ivf_topk(emb, probes, n_cells=16, n_probe=10, k=10)
         .select("query_id", "vec_id")
         .collect()
     }

@@ -138,26 +138,31 @@ def test_share_queries_reuse_grouped_exchange(spark):
 def test_plan_caches_released_on_unpersist(spark, bars_df):
     """VERDICT r3 next #8: library callers of market_analysis_plan /
     forecast_and_evaluate hold plan-level caches until result.unpersist();
-    calling it must actually empty the session's persisted storage."""
+    calling it must actually drop those frames' storage. Checked on the
+    SPECIFIC frames' storageLevel (a global persisted-RDD count is racy in
+    a shared session: other tests' localCheckpoint RDDs come and go under
+    the ContextCleaner)."""
+    from financial_big_data_spark import cache as fbs_cache
     from financial_big_data_spark.cache import release_tracked
     from financial_big_data_spark.ml.forecasting import forecast_and_evaluate
     from financial_big_data_spark.plans import market_analysis_plan
 
-    def n_persisted() -> int:
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def pinned(df) -> bool:
+        lvl = df.storageLevel
+        return lvl.useMemory or lvl.useDisk
 
     release_tracked(blocking=True)
-    spark.catalog.clearCache()
-    base = n_persisted()
 
     res = market_analysis_plan(bars_df)
     res.regime_distribution.collect()
-    assert n_persisted() > base  # the shared labeled frame is pinned
+    assert res._cached and any(pinned(df) for df in res._cached)
     res.unpersist()
-    assert n_persisted() == base
+    assert not any(pinned(df) for df in res._cached)
 
     fres = forecast_and_evaluate(bars_df)
     fres.accuracy.collect()
-    assert n_persisted() > base
+    tracked = list(fbs_cache._TRACKED)
+    assert tracked and any(pinned(df) for df in tracked)
     fres.unpersist()
-    assert n_persisted() == base
+    assert not fbs_cache._TRACKED  # bulk release drained the registry
+    assert not any(pinned(df) for df in tracked)
