@@ -43,7 +43,12 @@ def kmeans_clusters(
 
     Reference clustering.py:24-56 (k=5, seed=42, silhouette + inertia).
     """
-    assembled = _assemble(df, feature_cols, standardize).cache()
+    # tracked: the returned assignments are lazy over this frame, so it must
+    # stay pinned until the caller materializes — release_tracked (registry /
+    # bench) drops it afterwards; a bare cache() would linger for the session
+    from ..cache import tracked_persist
+
+    assembled = tracked_persist(_assemble(df, feature_cols, standardize))
     model = KMeans(k=k, seed=seed, featuresCol="_features", predictionCol="cluster").fit(assembled)
     assigned = model.transform(assembled)
     silhouette = ClusteringEvaluator(

@@ -256,8 +256,13 @@ def near_dup_lsh(
     j* = 0.5 the banding keeps recall high for pairs above ``min_jaccard``.
     Returns (id_a, id_b, n_a, n_b, n_shared, jaccard).
     """
-    # min()/collect_set() are duplicate-insensitive -> distinct shuffle skipped
-    sh = shingle_table(docs, text, id_col, shingle_n, distinct=False).cache()
+    # min()/collect_set() are duplicate-insensitive -> distinct shuffle skipped.
+    # tracked: signatures AND the candidate rescoring read this frame; the
+    # returned pairs are lazy over it, so it stays pinned until the caller
+    # materializes and release_tracked (registry / bench) drops it.
+    from ..cache import tracked_persist
+
+    sh = tracked_persist(shingle_table(docs, text, id_col, shingle_n, distinct=False))
     digest = F.concat(
         *[F.md5(F.concat(F.col("shingle"), F.lit(f"#{d}"))) for d in range(-(-num_hashes // 4))]
     )
