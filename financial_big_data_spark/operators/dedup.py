@@ -318,3 +318,47 @@ def simhash(docs: DataFrame, text: str = "text", id_col: str = "doc_id", bits: i
         F.lit(0),
     )
     return voted.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def dup_clusters(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS and elect one
+    canonical survivor per cluster.
+
+    Pairwise near-dup output is not directly actionable for dedup: if
+    A~B and B~C, dropping "the second of every pair" can drop B twice or
+    keep A and C which were never compared. The standard fix (used by
+    fuzzy-dedup pipelines over web corpora) is to take the connected
+    components of the near-dup graph and keep exactly one document per
+    component. Pairs come from the LSH scale path (``near_dup_lsh``);
+    components from min-label flooding (ml/graph.py
+    ``connected_components``) — a handful of joins on an edge set that is
+    ~(true dup pairs), *not* all-pairs, so the iterative part runs on a
+    graph many orders of magnitude smaller than the corpus.
+
+    Returns one row per document that participates in any near-dup pair:
+    (doc_id, cluster_id = min doc_id of its component, cluster_size,
+    is_canonical ∈ {0,1}). Documents with no near-dups are implicitly
+    their own singleton clusters and are omitted (at 100 TB the
+    overwhelming majority — emitting them would turn a dup-sized result
+    into a corpus-sized one).
+    """
+    from ..ml.graph import connected_components
+
+    pairs = near_dup_lsh(docs, text, id_col, num_hashes, bands, shingle_n, min_jaccard)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, on="component").select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        F.col("cluster_size"),
+        (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
+    )

@@ -1,0 +1,164 @@
+"""Corpus-quality operators for LLM training-data curation.
+
+Beyond-reference surface (the reference engine stops at market data; a
+100 TB corpus pipeline additionally needs repetition filters, term
+weighting and LM-based quality scores):
+
+- ``repetition_profile``: Gopher-style repetition metrics (Rae et al. 2021,
+  "Scaling Language Models", §A1.1) — duplicate n-gram fraction, top-token
+  share, distinct-token ratio, mean word length — computed entirely with
+  higher-order array functions. Zero shuffle: every metric is a per-row
+  Column expression, so the operator is embarrassingly parallel and scales
+  linearly with the corpus.
+- ``tfidf_topk``: per-document top-k terms by smoothed TF-IDF. One shuffle
+  for term frequencies, one tiny aggregate for document frequencies (AQE
+  turns the tf⋈df join into a broadcast when the vocabulary fits).
+- ``unigram_lm_scores``: add-one-smoothed corpus unigram LM, scoring each
+  document by mean token log-probability — the classic cheap perplexity
+  proxy used to quality-filter web corpora (e.g. CCNet, Wenzek et al. 2019).
+
+Tokenization matches operators/text.py: a bare single-space split the
+DuckDB oracle reproduces byte-for-byte with ``string_split``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# Gopher-inspired thresholds (Rae et al. 2021 §A1.1, adapted to word-level
+# trigrams). Flags are 0/1 ints so both engines hash identically.
+MAX_TOP_TOKEN_SHARE = 0.20
+MAX_DUP_TRIGRAM_FRAC = 0.30
+MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 3.0, 10.0
+MIN_TOKENS = 20
+
+
+def _word_trigrams(toks: Column) -> Column:
+    """All overlapping word trigrams (duplicates preserved — the duplicate
+    fraction is the signal). Guarded: <3 tokens → empty array, because
+    ``sequence(1, n-2)`` would otherwise run backwards."""
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return F.when(F.size(toks) >= 3, tri).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition/quality metrics + pass/fail flags.
+
+    All metrics are pure Column expressions (whole-stage codegen, no
+    Python, no shuffle). The top-token count uses a nested higher-order
+    scan — O(distinct × tokens) per document, JVM-side; for prose-length
+    documents this is microseconds, and it avoids an explode+groupBy
+    shuffle entirely, which is what makes the operator map-only at 100 TB.
+    """
+    toks = tokens(F.col(text))
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda x: x == u)),
+        )
+    )
+    tri = _word_trigrams(toks)
+    n_tri = F.size(tri)
+    dup_tri = n_tri - F.size(F.array_distinct(tri))
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+
+    top_share = F.try_divide(top_count.cast("double"), n)
+    dup_frac = F.coalesce(F.try_divide(dup_tri.cast("double"), n_tri), F.lit(0.0))
+    mean_wl = F.try_divide(sum_len.cast("double"), n)
+
+    flag_rep = (top_share > MAX_TOP_TOKEN_SHARE) | (dup_frac > MAX_DUP_TRIGRAM_FRAC)
+    flag_wl = (mean_wl < MIN_MEAN_WORD_LEN) | (mean_wl > MAX_MEAN_WORD_LEN)
+    flag_short = n < MIN_TOKENS
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.try_divide(n_distinct.cast("double"), n).alias("distinct_ratio"),
+        top_share.alias("top_token_share"),
+        dup_frac.alias("dup_trigram_frac"),
+        mean_wl.alias("mean_word_len"),
+        flag_rep.cast("int").alias("flag_repetitive"),
+        flag_wl.cast("int").alias("flag_word_len"),
+        flag_short.cast("int").alias("flag_short"),
+        (~(flag_rep | flag_wl | flag_short)).cast("int").alias("pass_quality"),
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = 3, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF.
+
+    idf = ln((N+1)/(df+1)) + 1 (sklearn's smooth_idf). Plan shape: one
+    explode + groupBy(doc, term) shuffle for TF (partial aggregation
+    absorbs stopword skew map-side), a term-keyed count for DF whose
+    output is vocabulary-sized — at corpus scale AQE converts the tf⋈df
+    join to broadcast when the vocab fits, else a plain shuffle join on
+    ``term`` (uniform enough after the TF collapse). Ranking windows only
+    over one document's terms, so no global sort. Rank key is the RAW
+    score desc, then term asc: exact score ties come only from equal
+    (tf, df), which both engines compute to bit-identical doubles, so
+    the term tiebreak resolves them identically — whereas a rounded key
+    would re-introduce the half-up-vs-binary rounding split (see
+    queries._r6s).
+    """
+    term_rows = docs.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("term"))
+    tf = term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )
+
+
+def unigram_lm_scores(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean token log-probability under an add-one-smoothed corpus unigram LM.
+
+    p(t) = (count(t)+1) / (T+V) over the whole corpus; each document scores
+    avg(ln p(token)). Low scores mark rare-token-heavy (often junk)
+    documents — the cheap first-pass perplexity filter. Plan shape: one
+    explode feeding BOTH the count aggregate and the scoring join (Spark
+    reuses the exchange), corpus totals as a broadcast 1-row frame, and a
+    doc-keyed average. The term⋈count join is vocabulary-vs-corpus
+    asymmetric — AQE broadcasts the vocab side when it fits.
+    """
+    term_rows = docs.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("term"))
+    counts = term_rows.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("t_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    scored = (
+        term_rows.join(counts, on="term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("lp", F.log((F.col("c") + 1) / (F.col("t_total") + F.col("v_size"))))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("lp").alias("avg_logprob"),
+    )

@@ -2076,6 +2076,160 @@ FROM ewm
 """
 
 
+def q_doc_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality filters (operators/quality.py):
+    distinct-token ratio, top-token share, duplicate-trigram fraction,
+    mean word length, plus 0/1 pass flags — all map-only Column
+    expressions, zero shuffle."""
+    from .operators.quality import repetition_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_profile(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        _r6s(F.col("distinct_ratio")).alias("distinct_ratio"),
+        _r6s(F.col("top_token_share")).alias("top_token_share"),
+        _r6s(F.col("dup_trigram_frac")).alias("dup_trigram_frac"),
+        _r6s(F.col("mean_word_len")).alias("mean_word_len"),
+        "flag_repetitive",
+        "flag_word_len",
+        "flag_short",
+        "pass_quality",
+    )
+
+
+_SQL_DOC_QUALITY = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), m AS (
+  SELECT doc_id,
+         len(l) AS n_tokens,
+         len(list_distinct(l)) AS n_distinct,
+         list_max(list_transform(list_distinct(l), t -> len(list_filter(l, x -> x = t)))) AS topc,
+         CASE WHEN len(l) >= 3
+              THEN list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+              ELSE [] END AS tri,
+         list_aggregate(list_transform(l, x -> len(x)), 'sum') AS sumlen
+  FROM base
+), s AS (
+  SELECT doc_id, n_tokens,
+         n_distinct / n_tokens::DOUBLE AS distinct_ratio,
+         topc / n_tokens::DOUBLE AS top_token_share,
+         CASE WHEN len(tri) > 0
+              THEN (len(tri) - len(list_distinct(tri))) / len(tri)::DOUBLE
+              ELSE 0.0 END AS dup_trigram_frac,
+         sumlen / n_tokens::DOUBLE AS mean_word_len
+  FROM m
+)
+SELECT doc_id, n_tokens,
+       round(distinct_ratio + 5e-13, 6) AS distinct_ratio,
+       round(top_token_share + 5e-13, 6) AS top_token_share,
+       round(dup_trigram_frac + 5e-13, 6) AS dup_trigram_frac,
+       round(mean_word_len + 5e-13, 6) AS mean_word_len,
+       (top_token_share > 0.2 OR dup_trigram_frac > 0.3)::INT AS flag_repetitive,
+       (mean_word_len < 3.0 OR mean_word_len > 10.0)::INT AS flag_word_len,
+       (n_tokens < 20)::INT AS flag_short,
+       (NOT (top_token_share > 0.2 OR dup_trigram_frac > 0.3
+             OR mean_word_len < 3.0 OR mean_word_len > 10.0
+             OR n_tokens < 20))::INT AS pass_quality
+FROM s
+"""
+
+
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by smoothed TF-IDF (operators/quality.py).
+    Rank key = raw score desc then term asc: score ties come only from
+    equal (tf, df), bit-identical across engines."""
+    from .operators.quality import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_topk(docs, k=3)
+    return out.select("doc_id", "rank", "term", "tf", "df", _r6(F.col("score")).alias("score"))
+
+
+_SQL_DOC_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * (ln((n_docs + 1) / (df + 1)) + 1) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df, round(score, 6) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token log-probability under an add-one-smoothed
+    corpus unigram LM (operators/quality.py) — the cheap perplexity proxy
+    for corpus quality filtering."""
+    from .operators.quality import unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_lm_scores(docs)
+    return out.select("doc_id", "n_tokens", _r6(F.col("avg_logprob")).alias("avg_logprob"))
+
+
+_SQL_DOC_UNIGRAM_LM = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), counts AS (
+  SELECT term, count(*) AS c FROM toks GROUP BY 1
+), totals AS (
+  SELECT sum(c) AS t_total, count(*) AS v_size FROM counts
+), scored AS (
+  SELECT doc_id, ln((c + 1) / (t_total + v_size)) AS lp
+  FROM toks JOIN counts USING (term) CROSS JOIN totals
+)
+SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into duplicate clusters via distributed
+    connected components (operators/dedup.py dup_clusters): one row per
+    dup-participating doc with (cluster_id = component min id,
+    cluster_size, is_canonical). Oracle re-derives components with a
+    recursive min-label CTE over the identical LSH pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dup_clusters(docs, num_hashes=8, bands=4, shingle_n=3, min_jaccard=0.5)
+
+
+_SQL_DOC_DUP_CLUSTERS = (
+    _SQL_DOC_NEAR_DUP.replace("WITH toks", "WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (WITH toks", 1)
+    + """
+) nd ), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+), lab(node, comp) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.a, l.comp FROM und u JOIN lab l ON l.node = u.b
+), final AS (
+  SELECT node, min(comp) AS component FROM lab GROUP BY node
+), sizes AS (
+  SELECT component, count(*) AS cluster_size FROM final GROUP BY component
+)
+SELECT f.node AS doc_id, f.component AS cluster_id, s.cluster_size,
+       (f.node = f.component)::INT AS is_canonical
+FROM final f JOIN sizes s USING (component)
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2167,6 +2321,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "media_features": (q_media_features, None),
     "doc_contamination": (q_doc_contamination, _SQL_DOC_CONTAMINATION),
     "doc_packing": (q_doc_packing, _SQL_DOC_PACKING),
+    # round-5 corpus-curation additions (past the driver window; oracle
+    # SQL hash-verified by the local gate)
+    "doc_quality_flags": (q_doc_quality_flags, _SQL_DOC_QUALITY),
+    "doc_tfidf_topk": (q_doc_tfidf_topk, _SQL_DOC_TFIDF),
+    "doc_unigram_lm": (q_doc_unigram_lm, _SQL_DOC_UNIGRAM_LM),
+    "doc_dup_clusters": (q_doc_dup_clusters, _SQL_DOC_DUP_CLUSTERS),
 }
 
 

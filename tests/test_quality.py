@@ -1,0 +1,107 @@
+"""Pins for operators/quality.py and dedup.dup_clusters semantics.
+
+The DuckDB oracle hash-checks these against real test data; here we pin
+the hand-computable semantics (flag logic, tie-breaks, smoothing, cluster
+transitivity) on tiny planted corpora.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.operators.dedup import dup_clusters
+from financial_big_data_spark.operators.quality import (
+    repetition_profile,
+    tfidf_topk,
+    unigram_lm_scores,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_repetition_profile_flags(spark):
+    # 25 distinct words: no repetition signal at all
+    clean = " ".join(f"word{i:02d}" for i in range(25))
+    spammy = ("buy now " * 30).strip()  # top-token share 0.5, dup trigrams galore
+    short = "tiny doc"
+    cyclic = ("alpha beta gamma delta epsilon " * 5).strip()  # dup TRIGRAMS only
+    out = {
+        r["doc_id"]: r
+        for r in repetition_profile(_docs(spark, [clean, spammy, short, cyclic])).collect()
+    }
+    assert out[0]["flag_repetitive"] == 0 and out[0]["pass_quality"] == 1
+    assert out[0]["dup_trigram_frac"] == 0.0 and out[0]["top_token_share"] == pytest.approx(1 / 25)
+    assert out[1]["flag_repetitive"] == 1 and out[1]["pass_quality"] == 0
+    assert out[1]["top_token_share"] == pytest.approx(0.5)
+    assert out[2]["flag_short"] == 1 and out[2]["n_tokens"] == 2
+    # < 3 tokens: trigram guard yields empty array -> dup fraction 0, not null
+    assert out[2]["dup_trigram_frac"] == 0.0
+    # 25 tokens of 5 words cycling: every trigram after the first cycle
+    # repeats -> flagged repetitive via the trigram channel alone
+    # (top share is exactly 0.2, NOT > threshold)
+    assert out[3]["top_token_share"] == pytest.approx(0.2)
+    assert out[3]["dup_trigram_frac"] > 0.5 and out[3]["flag_repetitive"] == 1
+
+
+def test_repetition_profile_is_shuffle_free(spark):
+    plan = repetition_profile(
+        _docs(spark, ["a b c d e f g"])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_tfidf_topk_scores_and_tiebreak(spark):
+    # doc 0: 'common' (tf=2, df=3) outweighs 'rare' (tf=1, df=1):
+    # 2*(ln(4/4)+1)=2.0 > 1*(ln(4/2)+1)=1.693
+    docs = _docs(
+        spark,
+        ["rare common common", "zeta eta common", "common filler other"],
+    )
+    out = tfidf_topk(docs, k=3).collect()
+    d0 = {r["rank"]: r for r in out if r["doc_id"] == 0}
+    assert d0[1]["term"] == "common" and d0[1]["score"] == pytest.approx(2.0)
+    assert d0[2]["term"] == "rare"
+    assert d0[2]["score"] == pytest.approx(math.log(4 / 2) + 1)
+    # doc 1: 'zeta' and 'eta' both (tf=1, df=1) -> identical scores; the
+    # tie breaks alphabetically ('eta' first), not by appearance order
+    d1 = {r["rank"]: r for r in out if r["doc_id"] == 1}
+    assert (d1[1]["term"], d1[2]["term"]) == ("eta", "zeta")
+    assert d1[1]["score"] == d1[2]["score"]
+
+
+def test_unigram_lm_hand_computed(spark):
+    docs = _docs(spark, ["a a b", "b c"])
+    out = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
+    # corpus: a=2, b=2, c=1; T=5, V=3 -> p(a)=3/8, p(b)=3/8, p(c)=2/8
+    pa = pb = 3 / 8
+    pc = 2 / 8
+    assert out[0]["avg_logprob"] == pytest.approx(
+        (2 * math.log(pa) + math.log(pb)) / 3
+    )
+    assert out[1]["avg_logprob"] == pytest.approx((math.log(pb) + math.log(pc)) / 2)
+    assert out[0]["n_tokens"] == 3
+
+
+def test_dup_clusters_transitive_chain(spark):
+    # A~B and B~C by heavy shingle overlap, but A and C differ enough that
+    # only transitivity links them; D is an unrelated singleton.
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    a = base + " alpha alpha alpha"
+    b = base + " alpha beta"
+    c = base + " beta gamma gamma"
+    d = "completely different text about spark query engines and shuffles here"
+    docs = _docs(spark, [a, b, c, d])
+    out = dup_clusters(docs, min_jaccard=0.3).collect()
+    rows = {r["doc_id"]: r for r in out}
+    # D never appears (singleton clusters omitted)
+    assert 3 not in rows and set(rows) == {0, 1, 2}
+    assert {r["cluster_id"] for r in out} == {0}
+    assert all(r["cluster_size"] == 3 for r in out)
+    assert [r["doc_id"] for r in out if r["is_canonical"] == 1] == [0]
