@@ -350,9 +350,17 @@ def dup_clusters(
     overwhelming majority — emitting them would turn a dup-sized result
     into a corpus-sized one).
     """
+    pairs = near_dup_lsh(docs, text, id_col, num_hashes, bands, shingle_n, min_jaccard)
+    return pair_clusters(pairs, id_col)
+
+
+def pair_clusters(pairs: DataFrame, id_col: str) -> DataFrame:
+    """Shared cluster roll-up: (id_a, id_b) pairs → connected components →
+    (id_col, cluster_id = component min id, cluster_size, is_canonical).
+    Used by both the shingle-LSH (``dup_clusters``) and the embedding
+    (``similarity.semantic_dup_clusters``) dedup paths."""
     from ..ml.graph import connected_components
 
-    pairs = near_dup_lsh(docs, text, id_col, num_hashes, bands, shingle_n, min_jaccard)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comp = connected_components(edges)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -361,4 +369,34 @@ def dup_clusters(
         F.col("component").alias("cluster_id"),
         F.col("cluster_size"),
         (F.col("node") == F.col("component")).cast("int").alias("is_canonical"),
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an incoming batch against an already-curated corpus — the
+    daily-ingest shape: the existing corpus is only ever read as
+    fingerprints, never rewritten.
+
+    Two stages, both exact: (1) within-batch collapse to the smallest id
+    per normalized-text fingerprint, (2) left-anti join of the survivors
+    against the existing corpus's distinct fingerprint set. Returns
+    (id_col, fp, batch_copies) for batch docs that are genuinely new.
+
+    Scale: fingerprints are md5 of normalized text — uniform join keys, so
+    the anti-join shuffles evenly no matter how skewed the raw text is; at
+    100 TB the existing side is a fingerprint-only table (32 bytes + id),
+    orders of magnitude smaller than the corpus it summarizes.
+    """
+    ex_fp = existing.select(F.md5(normalized_text(text)).alias("fp")).distinct()
+    new_fp = new_docs.select(F.col(id_col), F.md5(normalized_text(text)).alias("fp"))
+    batch_keep = new_fp.groupBy("fp").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("batch_copies")
+    )
+    return batch_keep.join(ex_fp, on="fp", how="left_anti").select(
+        id_col, "fp", "batch_copies"
     )

@@ -273,3 +273,25 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select(query_id, id_col, "cosine_sim", "rank")
     )
+
+
+def semantic_dup_clusters(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    planes: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup: embedding-cosine near-dup pairs resolved into
+    duplicate clusters (connected components), one canonical survivor per
+    cluster — the embedding-space counterpart of ``dedup.dup_clusters``.
+
+    Same rationale: pairwise near-dups are not transitively consistent to
+    act on; the component roll-up is. Pass ``planes`` (see
+    ``random_plane_bands``) for the LSH-bucketed candidate path at scale.
+    Returns (id_col, cluster_id, cluster_size, is_canonical).
+    """
+    from .dedup import pair_clusters
+
+    pairs = embedding_near_dups(corpus, threshold, planes, id_col, vec_col)
+    return pair_clusters(pairs, id_col)

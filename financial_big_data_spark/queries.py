@@ -2207,9 +2207,15 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_clusters(docs, num_hashes=8, bands=4, shingle_n=3, min_jaccard=0.5)
 
 
-_SQL_DOC_DUP_CLUSTERS = (
-    _SQL_DOC_NEAR_DUP.replace("WITH toks", "WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM (WITH toks", 1)
-    + """
+def _cluster_sql(pair_sql: str, id_name: str) -> str:
+    """Wrap a (id_a, id_b) pair query in a recursive min-label connected
+    components CTE — the oracle for the pair→cluster roll-ups
+    (dedup.pair_clusters). The transitive closure is fine at oracle scale;
+    the engine side uses iterative min-label flooding instead."""
+    return (
+        "WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ("
+        + pair_sql
+        + """
 ) nd ), und AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION ALL
@@ -2223,11 +2229,63 @@ _SQL_DOC_DUP_CLUSTERS = (
 ), sizes AS (
   SELECT component, count(*) AS cluster_size FROM final GROUP BY component
 )
-SELECT f.node AS doc_id, f.component AS cluster_id, s.cluster_size,
+SELECT f.node AS """
+        + id_name
+        + """, f.component AS cluster_id, s.cluster_size,
        (f.node = f.component)::INT AS is_canonical
 FROM final f JOIN sizes s USING (component)
 """
+    )
+
+
+_SQL_DOC_DUP_CLUSTERS = _cluster_sql(_SQL_DOC_NEAR_DUP, "doc_id")
+
+
+def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (operators/similarity.py semantic_dup_clusters):
+    embedding-cosine near-dup pairs → connected components → clusters with
+    one canonical survivor. Same salted corpus as ``emb_near_dup`` so real
+    clusters exist (planted vec_id+1000 copies land in 2-node components,
+    plus the organic high-similarity tail)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300).select(
+        "vec_id", "embedding"
+    )
+    planted = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    return S.semantic_dup_clusters(emb.unionByName(planted), threshold=0.35)
+
+
+_SQL_EMB_DUP_CLUSTERS = _cluster_sql(
+    _SQL_EMB_NEAR_DUP.replace("round(cosine_sim, 6) AS cosine_sim", "cosine_sim"), "vec_id"
 )
+
+
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py incremental_dedup):
+    docs from source 'src0' play the already-curated corpus; every other
+    source is the incoming batch. Output = batch docs that are new both
+    within-batch (min-id survivor per fingerprint) and vs the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.where(F.col("source") == "src0")
+    new_batch = docs.where(F.col("source") != "src0")
+    return D.incremental_dedup(new_batch, existing)
+
+
+_SQL_DOC_INCREMENTAL = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), ex AS (
+  SELECT DISTINCT fp FROM fp WHERE source = 'src0'
+), keep AS (
+  SELECT fp, min(doc_id) AS doc_id, count(*) AS batch_copies
+  FROM fp WHERE source <> 'src0' GROUP BY fp
+)
+SELECT doc_id, fp, batch_copies
+FROM keep WHERE fp NOT IN (SELECT fp FROM ex)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2327,6 +2385,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_tfidf_topk": (q_doc_tfidf_topk, _SQL_DOC_TFIDF),
     "doc_unigram_lm": (q_doc_unigram_lm, _SQL_DOC_UNIGRAM_LM),
     "doc_dup_clusters": (q_doc_dup_clusters, _SQL_DOC_DUP_CLUSTERS),
+    "emb_dup_clusters": (q_emb_dup_clusters, _SQL_EMB_DUP_CLUSTERS),
+    "doc_incremental_dedup": (q_doc_incremental_dedup, _SQL_DOC_INCREMENTAL),
 }
 
 

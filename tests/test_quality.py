@@ -105,3 +105,38 @@ def test_dup_clusters_transitive_chain(spark):
     assert {r["cluster_id"] for r in out} == {0}
     assert all(r["cluster_size"] == 3 for r in out)
     assert [r["doc_id"] for r in out if r["is_canonical"] == 1] == [0]
+
+
+def test_incremental_dedup_batch_vs_corpus(spark):
+    from financial_big_data_spark.operators.dedup import incremental_dedup
+
+    existing = _docs(spark, ["seen before", "also seen"])
+    new = spark.createDataFrame(
+        [
+            (10, "seen before"),      # dup of corpus -> dropped
+            (11, "brand new text"),   # survives
+            (12, "brand new text"),   # within-batch dup of 11 -> collapsed
+            (13, "Seen   BEFORE"),    # normalization catches case/whitespace
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(new, existing).collect()}
+    assert set(out) == {11}
+    assert out[11]["batch_copies"] == 2
+
+
+def test_semantic_dup_clusters_planted_pair(spark):
+    from financial_big_data_spark.operators.similarity import semantic_dup_clusters
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.14, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),     # orthogonal singleton
+        (3, [1.0, 0.01, 0.0]),    # near-dup of 0 and 1 -> one 3-cluster
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dup_clusters(emb, threshold=0.95).collect()
+    got = {r["vec_id"]: r for r in out}
+    assert set(got) == {0, 1, 3}
+    assert all(r["cluster_id"] == 0 and r["cluster_size"] == 3 for r in out)
+    assert [v for v, r in got.items() if r["is_canonical"] == 1] == [0]
