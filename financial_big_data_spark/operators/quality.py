@@ -54,21 +54,37 @@ def repetition_profile(
 ) -> DataFrame:
     """Per-document repetition/quality metrics + pass/fail flags.
 
-    All metrics are pure Column expressions (whole-stage codegen, no
-    Python, no shuffle). The top-token count uses a nested higher-order
-    scan — O(distinct × tokens) per document, JVM-side; for prose-length
-    documents this is microseconds, and it avoids an explode+groupBy
-    shuffle entirely, which is what makes the operator map-only at 100 TB.
+    All metrics are pure Column expressions (no Python, no shuffle — the
+    input repartition spreads a small single-file scan across cores and
+    is a no-op-sized move at scale). The top-token count runs O(n log n)
+    per document: sort the token array once, then a single aggregate pass
+    tracks the longest equal-run — NOT the naive O(distinct × tokens)
+    nested scan, which on real prose-length documents costs ~40× more
+    interpreted higher-order-function steps, nor an explode+groupBy,
+    which would turn a map-only operator into a shuffling one at 100 TB.
     """
+    from .dedup import _repartitioned
+
+    docs = _repartitioned(docs)
     toks = tokens(F.col(text))
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda u: F.size(F.filter(toks, lambda x: x == u)),
-        )
+    # longest equal-run over the sorted tokens == max token frequency
+    run_acc = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
     )
+    top_count = run_acc.best
     tri = _word_trigrams(toks)
     n_tri = F.size(tri)
     dup_tri = n_tri - F.size(F.array_distinct(tri))

