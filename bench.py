@@ -101,7 +101,14 @@ def main() -> None:
     from financial_big_data_spark.cache import release_tracked as _rel
 
     curation_ops: dict[str, float] = {}
-    for name in ("doc_quality_flags", "doc_tfidf_topk", "doc_unigram_lm", "doc_dup_clusters"):
+    for name in (
+        "doc_quality_flags",
+        "doc_tfidf_topk",
+        "doc_unigram_lm",
+        "doc_dup_clusters",
+        "emb_dup_clusters",
+        "doc_incremental_dedup",
+    ):
         fn, _ = REGISTRY[name]
         best = None
         for _ in range(2):
