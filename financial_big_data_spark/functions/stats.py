@@ -115,7 +115,12 @@ def _frozen_range_bounds(df, order_col: str, n_parts: int) -> list:
 
 
 def global_running_sum(
-    df, order_col: str, value_col: str, out: str = "running_sum", partitions: int | None = None
+    df,
+    order_col: str,
+    value_col: str,
+    out: str = "running_sum",
+    partitions: int | None = None,
+    tiebreak: list[str] | None = None,
 ):
     """Cumulative sum in a global ordering WITHOUT a global-order window.
 
@@ -162,9 +167,12 @@ def global_running_sum(
         pid = pid + F.when(key > F.lit(b), 1).otherwise(0)
     bucketed = df.withColumn("_pid", pid)
 
+    # tiebreak columns refine the within-bucket order only — bucketing stays
+    # a function of order_col alone, so equal-key rows always share a bucket
+    # and the refined order is a TOTAL order across buckets too
     w = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(order_col, *(tiebreak or []))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = bucketed.withColumn("_local_cum", F.sum(value_col).over(w))

@@ -178,3 +178,76 @@ def unigram_lm_scores(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("lp").alias("avg_logprob"),
     )
+
+
+def select_to_budget(
+    scored_docs: DataFrame,
+    budget: int,
+    score_col: str = "avg_logprob",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware corpus selection: take the best documents first until a
+    global token budget is filled — the standard shape for carving a
+    fixed-size training mix out of a larger curated pool.
+
+    Ordering is (score desc, id asc) on the score ROUNDED to 6 dp: the
+    score is typically an average of doubles whose last bits are
+    summation-order-dependent, so ranking on the raw value would make the
+    selection frontier nondeterministic across engines and runs; rounding
+    collapses that noise and the id tiebreak totalizes the order (exact
+    duplicates get identical scores by construction).
+
+    The cumulative sum uses the two-phase ``global_running_sum`` — no
+    global-ORDER-BY window, so the plan holds at corpus scale. Returns the
+    input plus (cum_tokens, selected ∈ {0,1}); rows with cum_tokens ≤
+    budget are selected (greedy prefix, documents never split — splitting
+    is ``packing.pack_documents``' job downstream).
+    """
+    from ..functions.stats import global_running_sum
+
+    okey = F.round(-F.col(score_col) + F.lit(5e-13), 6)
+    ordered = scored_docs.withColumn("_okey", okey)
+    cum = global_running_sum(
+        ordered, "_okey", tokens_col, out="cum_tokens", tiebreak=[id_col]
+    )
+    return cum.withColumn(
+        "selected", (F.col("cum_tokens") <= budget).cast("int")
+    ).drop("_okey")
+
+
+def source_balanced_selection(
+    scored_docs: DataFrame,
+    quotas: dict[str, int],
+    score_col: str = "avg_logprob",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mix balancing: keep the top-``quota`` documents per source by
+    quality — how a training mix pins per-domain proportions instead of
+    letting one crawl dominate.
+
+    Ranking windows partition by source (no global sort) and order by the
+    6 dp-rounded score desc then id (same cross-engine determinism
+    rationale as ``select_to_budget``). Quotas ride a broadcast literal
+    map — no join, no shuffle beyond the per-source window. Sources
+    absent from ``quotas`` get quota 0 (dropped when ``kept`` filters).
+    Returns the input plus (src_rank, kept ∈ {0,1}).
+    """
+    from pyspark.sql import Window
+
+    okey = F.round(-F.col(score_col) + F.lit(5e-13), 6)
+    w = Window.partitionBy(source_col).orderBy(okey, F.col(id_col))
+    quota_map = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )
+    return (
+        scored_docs.withColumn("src_rank", F.row_number().over(w))
+        .withColumn(
+            "kept",
+            (
+                F.col("src_rank")
+                <= F.coalesce(quota_map[F.col(source_col)], F.lit(0))
+            ).cast("int"),
+        )
+    )

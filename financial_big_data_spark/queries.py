@@ -2288,6 +2288,93 @@ FROM keep WHERE fp NOT IN (SELECT fp FROM ex)
 """
 
 
+# shared oracle CTE: per-document unigram-LM score (matches
+# quality.unigram_lm_scores)
+_SQL_LM_CTE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), counts AS (
+  SELECT term, count(*) AS c FROM toks GROUP BY 1
+), totals AS (
+  SELECT sum(c) AS t_total, count(*) AS v_size FROM counts
+), lp AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         avg(ln((c + 1) / (t_total + v_size))) AS avg_logprob
+  FROM toks JOIN counts USING (term) CROSS JOIN totals
+  GROUP BY doc_id
+)
+"""
+
+
+def q_doc_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware corpus selection (operators/quality.py
+    select_to_budget): greedy best-first prefix by unigram-LM score until a
+    15k-token budget, cumulated via the two-phase global running sum (no
+    global-ORDER-BY window). Ordering key is the 6dp-rounded score + doc_id
+    so the selection frontier is engine- and run-deterministic."""
+    from .operators.quality import select_to_budget, unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_lm_scores(docs)
+    out = select_to_budget(scored, budget=15_000)
+    return out.select(
+        "doc_id", "n_tokens", _r6(F.col("avg_logprob")).alias("score"),
+        "cum_tokens", "selected",
+    )
+
+
+_SQL_DOC_BUDGET = _SQL_LM_CTE + """
+, sel AS (
+  SELECT doc_id, n_tokens, avg_logprob,
+         sum(n_tokens) OVER (
+           ORDER BY round(-avg_logprob + 5e-13, 6), doc_id
+           ROWS UNBOUNDED PRECEDING
+         )::BIGINT AS cum_tokens
+  FROM lp
+)
+SELECT doc_id, n_tokens, round(avg_logprob, 6) AS score, cum_tokens,
+       (cum_tokens <= 15000)::INT AS selected
+FROM sel
+"""
+
+_MIX_QUOTAS = {"src0": 15, "src1": 10, "src2": 5}
+
+
+def q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix balancing (operators/quality.py
+    source_balanced_selection): top-quota docs per source by unigram-LM
+    quality; sources without a quota rank but are not kept."""
+    from .operators.quality import source_balanced_selection, unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_lm_scores(docs).join(
+        docs.select("doc_id", "source"), on="doc_id"
+    )
+    out = source_balanced_selection(scored, quotas=_MIX_QUOTAS)
+    return out.select(
+        "doc_id", "source", _r6(F.col("avg_logprob")).alias("score"),
+        "src_rank", "kept",
+    )
+
+
+_SQL_DOC_SOURCE_MIX = _SQL_LM_CTE + """
+, j AS (
+  SELECT d.doc_id, d.source, lp.avg_logprob
+  FROM documents d JOIN lp USING (doc_id)
+), r AS (
+  SELECT doc_id, source, avg_logprob,
+         row_number() OVER (
+           PARTITION BY source ORDER BY round(-avg_logprob + 5e-13, 6), doc_id
+         ) AS src_rank
+  FROM j
+)
+SELECT doc_id, source, round(avg_logprob, 6) AS score, src_rank,
+       (src_rank <= CASE source WHEN 'src0' THEN 15 WHEN 'src1' THEN 10
+                                WHEN 'src2' THEN 5 ELSE 0 END)::INT AS kept
+FROM r
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2387,6 +2474,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_dup_clusters": (q_doc_dup_clusters, _SQL_DOC_DUP_CLUSTERS),
     "emb_dup_clusters": (q_emb_dup_clusters, _SQL_EMB_DUP_CLUSTERS),
     "doc_incremental_dedup": (q_doc_incremental_dedup, _SQL_DOC_INCREMENTAL),
+    "doc_budget_selection": (q_doc_budget_selection, _SQL_DOC_BUDGET),
+    "doc_source_mix": (q_doc_source_mix, _SQL_DOC_SOURCE_MIX),
 }
 
 

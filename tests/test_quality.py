@@ -144,3 +144,44 @@ def test_semantic_dup_clusters_planted_pair(spark):
     assert set(got) == {0, 1, 3}
     assert all(r["cluster_id"] == 0 and r["cluster_size"] == 3 for r in out)
     assert [v for v, r in got.items() if r["is_canonical"] == 1] == [0]
+
+
+def test_select_to_budget_greedy_prefix(spark):
+    from financial_big_data_spark.operators.quality import select_to_budget
+
+    rows = [  # (doc_id, score, n_tokens)
+        (1, -2.0, 50),   # best
+        (2, -3.0, 60),   # second
+        (3, -3.0, 30),   # tied score -> doc_id order puts it after 2
+        (4, -9.0, 100),  # worst, over budget
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, avg_logprob double, n_tokens long")
+    out = {r["doc_id"]: r for r in select_to_budget(df, budget=140).collect()}
+    assert [out[i]["cum_tokens"] for i in (1, 2, 3, 4)] == [50, 110, 140, 240]
+    assert [out[i]["selected"] for i in (1, 2, 3, 4)] == [1, 1, 1, 0]
+
+
+def test_select_to_budget_rounds_order_noise(spark):
+    from financial_big_data_spark.operators.quality import select_to_budget
+
+    # scores differing below 6dp are a tie -> doc_id decides, so the
+    # frontier cannot depend on float summation noise
+    rows = [(2, -1.0000000001, 10), (1, -1.0, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, avg_logprob double, n_tokens long")
+    out = {r["doc_id"]: r["cum_tokens"] for r in select_to_budget(df, budget=10).collect()}
+    assert out == {1: 10, 2: 20}
+
+
+def test_source_balanced_selection_quotas(spark):
+    from financial_big_data_spark.operators.quality import source_balanced_selection
+
+    rows = []
+    for i in range(5):
+        rows.append((i, "a", -float(i)))        # a: ids 0..4, best first
+        rows.append((10 + i, "b", -float(i)))   # b: ids 10..14
+    df = spark.createDataFrame(rows, "doc_id long, source string, avg_logprob double")
+    out = source_balanced_selection(df, quotas={"a": 2}).collect()
+    kept = sorted(r["doc_id"] for r in out if r["kept"] == 1)
+    assert kept == [0, 1]  # top-2 of source a by score; b has no quota
+    ranks = {r["doc_id"]: r["src_rank"] for r in out}
+    assert ranks[0] == 1 and ranks[4] == 5 and ranks[10] == 1
