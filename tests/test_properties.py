@@ -208,3 +208,75 @@ def test_wav_roundtrip_property(n, ch, rate, seed):
     # encode rounds x*32767, decode divides by 32768 → worst case
     # |x|/32768 (scale mismatch) + 0.5/32768 (rounding) = 1.5/32768
     assert np.abs(got - x).max() <= 1.5 / 32768 + 1e-12
+
+
+# ---- round-5 quality-operator invariants ---------------------------------
+
+WORDS = ["aa", "bb", "cc", "dd", "spark", "x"]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repetition_profile_invariants(spark, docs):
+    from financial_big_data_spark.operators.quality import repetition_profile
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    for r in repetition_profile(df).collect():
+        toks = docs[r["doc_id"]].split(" ")
+        assert r["n_tokens"] == len(toks)
+        assert 0.0 < r["distinct_ratio"] <= 1.0
+        # top token share matches a python Counter
+        from collections import Counter
+
+        assert r["top_token_share"] == pytest.approx(
+            max(Counter(toks).values()) / len(toks)
+        )
+        assert 0.0 <= r["dup_trigram_frac"] <= 1.0
+        # every flag is implied by its metric
+        assert r["flag_short"] == (1 if len(toks) < 20 else 0)
+        assert r["pass_quality"] in (0, 1)
+        if r["pass_quality"] == 1:
+            assert (
+                r["flag_repetitive"] == r["flag_word_len"] == r["flag_short"] == 0
+            )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=20).map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    budget=st.integers(min_value=1, max_value=120),
+)
+def test_budget_selection_invariants(spark, docs, budget):
+    from financial_big_data_spark.operators.quality import (
+        select_to_budget,
+        unigram_lm_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = select_to_budget(unigram_lm_scores(df), budget=budget).collect()
+    assert len(out) == len(docs)  # selection labels, never drops rows
+    # cum_tokens is a permutation-consistent prefix sum: sorted by cum, the
+    # diffs are exactly the row token counts, and selection is a prefix
+    rows = sorted(out, key=lambda r: r["cum_tokens"])
+    prev = 0
+    for r in rows:
+        assert r["cum_tokens"] - prev == r["n_tokens"]
+        prev = r["cum_tokens"]
+    sel = [r["selected"] for r in rows]
+    assert sel == sorted(sel, reverse=True)  # 1s then 0s — a prefix
+    for r in rows:
+        assert r["selected"] == (1 if r["cum_tokens"] <= budget else 0)
