@@ -320,6 +320,90 @@ def simhash(docs: DataFrame, text: str = "text", id_col: str = "doc_id", bits: i
     return voted.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
+def simhash_near_dups(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via banded Hamming-distance LSH.
+
+    The third near-dup family beside shingle-MinHash (``near_dup_lsh``)
+    and embedding-cosine (``similarity.embedding_near_dups``): fingerprint
+    each document with a ``bits``-bit SimHash, then find all pairs within
+    Hamming distance ``max_hamming`` — the Google web-dedup formulation
+    (Manku et al., WWW 2007, "Detecting near-duplicates for web crawling").
+
+    EXACT by the pigeonhole principle: the fingerprint is cut into
+    ``n_bands`` contiguous bit-bands; two fingerprints differing in at
+    most ``max_hamming`` bits must agree exactly on at least one band
+    whenever ``n_bands > max_hamming`` (enforced). Candidates therefore
+    come from an equi-join on (band, band_value) — never an all-pairs
+    scan — and one JVM-side ``bit_count(xor)`` verifies the true distance.
+    The result is identical to the brute-force O(n²) comparison (the
+    DuckDB oracle runs exactly that).
+
+    Scale shape: signatures are one groupBy(doc) away from the token
+    stream; the candidate join shuffles (band, value) keys — with 12-bit
+    bands the bucket key space is 4×4096, so genuinely web-scale corpora
+    should raise ``bits``/``n_bands`` to widen bands (band width =
+    bits/n_bands bounds bucket count at 2^width per band). The distinct
+    before verification collapses multi-band hits so each candidate pair
+    is rescored once.
+    """
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} must exceed max_hamming={max_hamming} "
+            "for the banded filter to be exact (pigeonhole)"
+        )
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} must divide evenly into n_bands={n_bands}")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sh = simhash(docs, text, id_col, bits)
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        F.col(id_col),
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
+    )
+    left = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bkey"
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bkey"
+    )
+    cand = (
+        left.join(right, on=["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     text: str = "text",

@@ -53,6 +53,59 @@ def pack_documents(
     return out.withColumn("pos_in_pack", F.row_number().over(w)).drop("_cum_tokens")
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk: int = 64,
+    stride: int = 48,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    fixed-size overlapping token windows — the standard layout for
+    context-window training samples and RAG passage indexes (overlap =
+    ``chunk - stride`` tokens keeps boundary context in both pieces).
+
+    Returns one row per (document, window): (id, chunk_idx, start_tok
+    0-based, n_chunk_tokens, chunk_text). Chunk count is
+    ``1 + ceil((n - chunk)/stride)`` (one chunk when n ≤ chunk; the final
+    chunk may be short — truncation is the trainer's choice downstream).
+
+    Map-only: tokenize → per-row ``sequence`` of window starts → explode →
+    ``slice``/``array_join``. No shuffle, no key — embarrassingly parallel
+    at corpus scale; output size is the only cost (≈ chunk/stride × input
+    tokens), which is inherent to overlapped chunking, not to the plan.
+
+    Tokenization is the bare single-space split shared with the token/
+    quality operators so the DuckDB oracle (``string_split`` +
+    ``generate_series`` + ``list_slice``) reproduces it byte-for-byte.
+    """
+    if stride <= 0 or chunk <= 0:
+        raise ValueError(f"chunk={chunk} and stride={stride} must be positive")
+    # Materialize the token array BEFORE the generate: referencing the
+    # `_toks` attribute (not the split expression) in both the chunk-count
+    # and the slice keeps the tokenizer to ONE evaluation per document —
+    # Catalyst does not CSE a repeated split() across a Generate boundary.
+    base = docs.select(F.col(id_col), F.split(F.col(text), " ").alias("_toks"))
+    n = F.size(F.col("_toks"))
+    n_chunks = F.when(n <= chunk, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(chunk)).cast("double") / F.lit(stride)).cast("int")
+    )
+    with_idx = base.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * F.lit(stride)
+    piece = F.slice(F.col("_toks"), start + 1, chunk)
+    return with_idx.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        start.cast("bigint").alias("start_tok"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def pack_stats(
     packed: DataFrame, budget: int, tokens: str = "n_tokens"
 ) -> DataFrame:

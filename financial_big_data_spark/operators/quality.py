@@ -180,6 +180,43 @@ def unigram_lm_scores(
     )
 
 
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide top-``k`` word n-grams by DOCUMENT frequency — the
+    boilerplate detector: n-grams that recur across many documents
+    (headers, footers, license blurbs, navigation chrome) dominate this
+    list and become removal candidates for a web-scale corpus.
+
+    Document frequency (distinct docs containing the n-gram), not raw
+    occurrence count, so a single pathologically repetitive document
+    cannot vault its padding into the corpus-wide list. Plan shape: the
+    shingle stream (one exchange on the doc id for the lead() window, one
+    distinct) → n-gram-keyed count with map-side partial aggregation →
+    global top-k via TakeOrderedAndProject (per-partition heaps + a
+    k-sized driver merge — no single-partition global sort). Rank is
+    attached AFTER the limit, so its window orders ≤ k rows. Tie-break
+    (df desc, ngram asc) totalizes the order for cross-engine determinism.
+    """
+    from .dedup import shingle_table
+
+    grams = shingle_table(docs, text=text, id_col=id_col, n=n, distinct=True)
+    dfreq = grams.groupBy(F.col("shingle").alias("ngram")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    topk = dfreq.orderBy(F.col("df").desc(), F.col("ngram")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("df").desc(), F.col("ngram"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "ngram", "df"
+    )
+
+
 def select_to_budget(
     scored_docs: DataFrame,
     budget: int,

@@ -2375,6 +2375,158 @@ FROM r
 """
 
 
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming near-dup pairs (operators/dedup.py
+    simhash_near_dups): 48-bit fingerprints, 4×12-bit bands, Hamming ≤ 3 —
+    exact by pigeonhole, so the banded Spark plan must equal the oracle's
+    brute-force O(n²) comparison bit-for-bit. The corpus is salted with
+    exact copies (doc_id+100000) and one-token-appended variants
+    (doc_id+200000) of the first 30 docs so the check exercises both the
+    hamming-0 and the small-positive-hamming paths."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    low = docs.where(F.col("doc_id") < 30)
+    copies = low.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    variants = low.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    salted = docs.unionByName(copies).unionByName(variants)
+    return D.simhash_near_dups(salted, bits=48, n_bands=4, max_hamming=3)
+
+
+_SH48_VOTES = ",\n".join(
+    f"       sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(48)
+)
+_SH48_BITS = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(48)
+)
+
+_SQL_DOC_SIMHASH_PAIRS = """
+WITH salted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' zzz' AS text
+  FROM documents WHERE doc_id < 30
+), toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM salted
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id,
+""" + _SH48_VOTES + """
+  FROM hashed GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, (""" + _SH48_BITS + """)::BIGINT AS simhash FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/packing.py chunk_documents):
+    32-token windows, stride 24 (8-token overlap) — map-only, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.packing import chunk_documents
+
+    return chunk_documents(docs, chunk=32, stride=24)
+
+
+_SQL_DOC_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 32 THEN 1
+              ELSE 1 + CAST(ceil((len(toks) - 32)::DOUBLE / 24) AS INT)
+         END AS n_chunks
+  FROM t
+), e AS (
+  SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM c
+)
+SELECT doc_id, chunk_idx,
+       (chunk_idx * 24)::BIGINT AS start_tok,
+       len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ') AS chunk_text
+FROM e
+"""
+
+
+def q_doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detector (operators/quality.py top_ngrams):
+    top-25 word trigrams by document frequency, TakeOrderedAndProject
+    top-k (no global sort), (df desc, ngram asc) total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.quality import top_ngrams
+
+    return top_ngrams(docs, n=3, k=25)
+
+
+_SQL_DOC_TOP_NGRAMS = _SQL_SHINGLES_CTE + """
+, dfreq AS (
+  SELECT shingle AS ngram, count(*) AS df FROM shingles GROUP BY 1
+), ranked AS (
+  SELECT ngram, df,
+         row_number() OVER (ORDER BY df DESC, ngram) AS rank
+  FROM dfreq
+)
+SELECT rank, ngram, df FROM ranked WHERE rank <= 25
+"""
+
+
+def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the labeled ``lang``
+    column vs the n-gram-heuristic ``pred_lang`` (operators/text.py
+    language_id), with per-truth-label share — the accuracy surface a
+    curation pipeline monitors before trusting the classifier's routing.
+    One tiny groupBy after the map-only scorer; share windows over ≤
+    n_langs² rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = X.language_id(docs).select("doc_id", "pred_lang")
+    joined = docs.select("doc_id", "lang").join(pred, on="doc_id")
+    conf = joined.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    return conf.select(
+        "lang",
+        "pred_lang",
+        "n",
+        _r6(F.col("n") / F.sum("n").over(w)).alias("share"),
+    )
+
+
+_SQL_DOC_LANG_CONFUSION = f"""
+WITH scores AS (
+  SELECT doc_id,
+         {_lang_score_sql('en')} AS score_en,
+         {_lang_score_sql('es')} AS score_es,
+         {_lang_score_sql('fr')} AS score_fr,
+         {_lang_score_sql('de')} AS score_de
+  FROM documents
+), pl AS (
+  SELECT d.doc_id, d.lang,
+       CASE WHEN greatest(s.score_en, s.score_es, s.score_fr, s.score_de) = 0 THEN 'und'
+            WHEN s.score_de = greatest(s.score_en, s.score_es, s.score_fr, s.score_de) THEN 'de'
+            WHEN s.score_en = greatest(s.score_en, s.score_es, s.score_fr, s.score_de) THEN 'en'
+            WHEN s.score_es = greatest(s.score_en, s.score_es, s.score_fr, s.score_de) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+  FROM documents d JOIN scores s USING (doc_id)
+), conf AS (
+  SELECT lang, pred_lang, count(*) AS n FROM pl GROUP BY 1, 2
+)
+SELECT lang, pred_lang, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY lang), 6) AS share
+FROM conf
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2476,6 +2628,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_incremental_dedup": (q_doc_incremental_dedup, _SQL_DOC_INCREMENTAL),
     "doc_budget_selection": (q_doc_budget_selection, _SQL_DOC_BUDGET),
     "doc_source_mix": (q_doc_source_mix, _SQL_DOC_SOURCE_MIX),
+    # round-6 additions (past the driver window; oracle SQL hash-verified
+    # by the local gate): SimHash hamming near-dup join, sliding-window
+    # chunking, corpus boilerplate n-grams, language-ID evaluation
+    "doc_simhash_pairs": (q_doc_simhash_pairs, _SQL_DOC_SIMHASH_PAIRS),
+    "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
+    "doc_top_ngrams": (q_doc_top_ngrams, _SQL_DOC_TOP_NGRAMS),
+    "doc_lang_confusion": (q_doc_lang_confusion, _SQL_DOC_LANG_CONFUSION),
 }
 
 

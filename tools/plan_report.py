@@ -94,6 +94,26 @@ SHOWCASE = {
         "uniform by construction, so the shuffle cannot skew however "
         "skewed the raw text is."
     ),
+    "doc_simhash_pairs": (
+        "SimHash hamming near-dup: candidates come from an equi-join on "
+        "(band, 12-bit band value) — exact by pigeonhole for hamming ≤ 3 "
+        "with 4 bands, so NO all-pairs comparison exists in the plan; one "
+        "JVM-side bit_count(xor) verifies each candidate once (distinct "
+        "collapses multi-band hits before rescoring)."
+    ),
+    "doc_chunks": (
+        "Sliding-window chunking is map-only: tokenize → per-row sequence "
+        "of window starts → explode → slice/array_join. ZERO exchanges — "
+        "output volume (chunk/stride × input) is the only cost, inherent "
+        "to overlapped chunking, not the plan."
+    ),
+    "doc_top_ngrams": (
+        "Corpus boilerplate n-grams: shingle window (one doc-key exchange) "
+        "→ distinct → ngram-keyed count with map-side partial aggregation "
+        "→ global top-k via TakeOrderedAndProject (per-partition heaps, "
+        "k-sized driver merge — no global sort); the rank window orders "
+        "only the ≤ k surviving rows."
+    ),
 }
 
 
