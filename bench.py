@@ -108,6 +108,10 @@ def main() -> None:
         "doc_dup_clusters",
         "emb_dup_clusters",
         "doc_incremental_dedup",
+        "doc_simhash_pairs",
+        "doc_chunks",
+        "doc_top_ngrams",
+        "doc_zipf",
     ):
         fn, _ = REGISTRY[name]
         best = None
@@ -119,6 +123,24 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         curation_ops[name] = round(best, 3)
+    _rel()
+    spark.catalog.clearCache()
+
+    # Alignment / continuous-aggregate operators (round 6) — same
+    # discipline, separate dict for the same cross-round comparability
+    # reason.
+    alignment_ops: dict[str, float] = {}
+    for name in ("ev_asof_join", "ev_range_join", "ev_time_rollup"):
+        fn, _ = REGISTRY[name]
+        best = None
+        for _ in range(2):
+            _rel()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        alignment_ops[name] = round(best, 3)
     _rel()
     spark.catalog.clearCache()
 
@@ -416,6 +438,7 @@ def main() -> None:
         "skew_salted_sec": skew_salted,
         "skew_salted_ratio": round(skew_naive / max(skew_salted, 1e-9), 2),
         "curation_ops": curation_ops,
+        "alignment_ops": alignment_ops,
         "ep2_big_rows": n_big,
         "ep2_big_spark_sec": ep2_big_spark,
         "ep2_big_pandas_sec": ep2_big_pandas,

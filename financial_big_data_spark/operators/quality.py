@@ -217,6 +217,45 @@ def top_ngrams(
     )
 
 
+def zipf_profile(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row corpus token-frequency profile with a Zipf's-law OLS fit:
+    (n_tokens, vocab_size, zipf_slope, zipf_intercept, zipf_r2) for
+    ln(freq) ~ ln(rank). Natural corpora fit slope ≈ −1 with high R²;
+    machine-generated/template spam and heavily duplicated dumps bend the
+    curve — a cheap corpus-health dashboard number.
+
+    Scale shape: one token-keyed count (map-side partial aggregation),
+    then rank WITHOUT a partitionless window — rank = global running count
+    of 1s in (freq desc, term asc) order via the two-phase
+    ``global_running_sum`` (range-bucketed parallel windows + broadcast
+    prefix offsets), so the vocabulary — which at web scale is itself
+    hundreds of millions of rows — never funnels through one task. The
+    regression is a single JVM ``regr_*`` aggregate pass.
+    """
+    from ..functions.stats import global_running_sum
+
+    term_rows = docs.select(F.explode(tokens(F.col(text))).alias("term"))
+    counts = term_rows.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    ranked = global_running_sum(
+        counts.withColumn("_negc", -F.col("c")).withColumn("_one", F.lit(1)),
+        "_negc",
+        "_one",
+        out="rank",
+        tiebreak=["term"],
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    return ranked.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("zipf_r2"),
+    )
+
+
 def select_to_budget(
     scored_docs: DataFrame,
     budget: int,

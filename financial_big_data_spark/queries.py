@@ -2527,6 +2527,122 @@ FROM conf
 """
 
 
+def q_doc_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf profile (operators/quality.py zipf_profile): token
+    frequencies → distributed rank (two-phase running count, no
+    partitionless window) → one regr_* aggregate pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.quality import zipf_profile
+
+    return zipf_profile(docs)
+
+
+_SQL_DOC_ZIPF = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), counts AS (
+  SELECT term, count(*) AS c FROM toks GROUP BY 1
+), ranked AS (
+  SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS r FROM counts
+)
+SELECT sum(c)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS vocab_size,
+       round(regr_slope(ln(c::DOUBLE), ln(r::DOUBLE)), 6) AS zipf_slope,
+       round(regr_intercept(ln(c::DOUBLE), ln(r::DOUBLE)), 6) AS zipf_intercept,
+       round(regr_r2(ln(c::DOUBLE), ln(r::DOUBLE)), 6) AS zipf_r2
+FROM ranked
+"""
+
+
+def q_ev_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators/rangejoin.py): events against
+    daily business-hours windows [day+06:00, day+18:00) derived from the
+    data itself. The bucketed equi-join formulation keeps Catalyst off the
+    BroadcastNestedLoopJoin theta-join path — each interval explodes to
+    its overlapped hour buckets, each event carries one bucket, the pair
+    meets exactly once."""
+    from .operators.rangejoin import range_join
+
+    ev = _events(spark, sf_dir)
+    # date_trunc returns session-TZ TIMESTAMP even for NTZ input — cast
+    # straight back to NTZ so window arithmetic stays wall-clock-pure
+    # under a non-UTC driver session.
+    days = ev.select(
+        F.date_trunc("DAY", F.col("ts")).cast("timestamp_ntz").alias("day")
+    ).distinct()
+    iv = days.select(
+        "day",
+        (F.col("day") + F.expr("INTERVAL 6 HOURS")).alias("win_start"),
+        (F.col("day") + F.expr("INTERVAL 18 HOURS")).alias("win_end"),
+    )
+    joined = range_join(
+        ev, iv, fact_time="ts", start="win_start", end="win_end",
+        bucket_seconds=3600,
+    )
+    return joined.groupBy(F.col("day").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        _r6(F.avg("value")).alias("avg_value"),
+    )
+
+
+_SQL_EV_RANGE_JOIN = """
+WITH days AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+), iv AS (
+  SELECT day,
+         day + INTERVAL 6 HOUR AS win_start,
+         day + INTERVAL 18 HOUR AS win_end
+  FROM days
+)
+SELECT CAST(iv.day AS DATE) AS day,
+       count(*) AS n_events,
+       count(DISTINCT ev.user_id) AS n_users,
+       round(avg(ev.value), 6) AS avg_value
+FROM events ev JOIN iv ON ev.ts >= iv.win_start AND ev.ts < iv.win_end
+GROUP BY 1
+"""
+
+
+def q_ev_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (operators/rollup.py time_rollup):
+    hour→day→week continuous-aggregate hierarchy — the fact shuffles once
+    at hour grain; day and week REAGGREGATE the level below (mergeable
+    count/sum/min/max; avg derived last). The oracle recomputes each
+    level independently from the raw rows, so the merge algebra itself is
+    hash-checked."""
+    from .operators.rollup import time_rollup
+
+    ev = _events(spark, sf_dir)
+    out = time_rollup(ev, "ts", "value", granularities=("hour", "day", "week"))
+    return out.select(
+        "granularity",
+        "bucket",
+        "n_rows",
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+        _r6(F.col("avg_value")).alias("avg_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+_SQL_EV_TIME_ROLLUP = """
+SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket,
+       count(*) AS n_rows, round(sum(value), 2) AS sum_value,
+       round(sum(value) / count(*), 6) AS avg_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'day', date_trunc('day', ts), count(*), round(sum(value), 2),
+       round(sum(value) / count(*), 6), min(value), max(value)
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'week', date_trunc('week', ts), count(*), round(sum(value), 2),
+       round(sum(value) / count(*), 6), min(value), max(value)
+FROM events GROUP BY 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2635,6 +2751,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
     "doc_top_ngrams": (q_doc_top_ngrams, _SQL_DOC_TOP_NGRAMS),
     "doc_lang_confusion": (q_doc_lang_confusion, _SQL_DOC_LANG_CONFUSION),
+    "doc_zipf": (q_doc_zipf, _SQL_DOC_ZIPF),
+    "ev_range_join": (q_ev_range_join, _SQL_EV_RANGE_JOIN),
+    "ev_time_rollup": (q_ev_time_rollup, _SQL_EV_TIME_ROLLUP),
 }
 
 

@@ -153,6 +153,37 @@ def test_top_ngrams_document_frequency_and_ties(spark):
     assert (out[2]["ngram"], out[2]["df"]) == ("c d a", 1)
 
 
+def test_zipf_profile_hand_ols(spark):
+    """Known frequencies: 'a'×4 'b'×2 'c'×1 → ranks 1,2,3; the regr_*
+    aggregates must match a hand-computed OLS of ln(freq) on ln(rank)."""
+    import numpy as np
+
+    from financial_big_data_spark.operators.quality import zipf_profile
+
+    row = zipf_profile(_docs(spark, ["a a b c", "a a b"])).collect()[0]
+    assert row["n_tokens"] == 7 and row["vocab_size"] == 3
+    x = np.log([1.0, 2.0, 3.0])
+    y = np.log([4.0, 2.0, 1.0])
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert row["zipf_slope"] == pytest.approx(slope, abs=1e-6)
+    assert row["zipf_intercept"] == pytest.approx(intercept, abs=1e-6)
+    assert row["zipf_r2"] == pytest.approx(r * r, abs=1e-6)
+
+
+def test_zipf_profile_rank_tiebreak(spark):
+    """Equal-frequency terms rank by term asc — the (freq desc, term asc)
+    total order keeps the regression input identical across engines and
+    layouts. With all counts equal the fit is a flat line (slope 0); the
+    SQL-standard REGR_R2 defines var(y)=0, var(x)≠0 as R² = 1 — both
+    engines implement that convention."""
+    from financial_big_data_spark.operators.quality import zipf_profile
+
+    row = zipf_profile(_docs(spark, ["x y z"])).collect()[0]
+    assert row["vocab_size"] == 3 and row["n_tokens"] == 3
+    assert row["zipf_slope"] == 0.0 and row["zipf_r2"] == 1.0
+
+
 def test_top_ngrams_k_bounds(spark):
     corpus = _docs(spark, ["a b c d", "a b c"])
     out = top_ngrams(corpus, n=3, k=100).collect()

@@ -107,6 +107,20 @@ SHOWCASE = {
         "output volume (chunk/stride × input) is the only cost, inherent "
         "to overlapped chunking, not the plan."
     ),
+    "ev_time_rollup": (
+        "Hierarchical time rollup: the fact is aggregated once at hour "
+        "grain; day and week REAGGREGATE the level below via mergeable "
+        "stats — at runtime AQE stage reuse turns the union's shared "
+        "sublevels into ReusedExchange, so three granularities cost one "
+        "fact scan + two tiny aggregations."
+    ),
+    "ev_range_join": (
+        "Range (interval) join: the theta predicate is rewritten as a "
+        "bucketized EQUI-join — facts carry one hour-bucket id, intervals "
+        "explode to their overlapped buckets — so Catalyst plans a "
+        "shuffled hash join, NOT the BroadcastNestedLoopJoin a raw "
+        "BETWEEN join forces; the exact predicate filters after the join."
+    ),
     "doc_top_ngrams": (
         "Corpus boilerplate n-grams: shingle window (one doc-key exchange) "
         "→ distinct → ngram-keyed count with map-side partial aggregation "
