@@ -365,6 +365,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("neigh_component"))
         )
+        # checkpoint BEFORE the convergence count: the count then joins two
+        # materialized frames instead of re-executing the whole
+        # join+groupBy lineage a second time per iteration
         new_comp = (
             comp.join(neigh_min, on="node", how="left")
             .select(
@@ -373,6 +376,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("neigh_component"), F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
             comp.alias("old")
@@ -380,7 +384,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .where(F.col("old.component") != F.col("new.component"))
             .count()
         )
-        comp = new_comp.localCheckpoint(eager=True)
+        comp = new_comp
         if changed == 0:
             break
     adj.unpersist()

@@ -438,15 +438,56 @@ def dup_clusters(
     return pair_clusters(pairs, id_col)
 
 
-def pair_clusters(pairs: DataFrame, id_col: str) -> DataFrame:
+def pair_clusters(
+    pairs: DataFrame, id_col: str, driver_max_pairs: int = 200_000
+) -> DataFrame:
     """Shared cluster roll-up: (id_a, id_b) pairs → connected components →
     (id_col, cluster_id = component min id, cluster_size, is_canonical).
     Used by both the shingle-LSH (``dup_clusters``) and the embedding
-    (``similarity.semantic_dup_clusters``) dedup paths."""
+    (``similarity.semantic_dup_clusters``) dedup paths.
+
+    Auto-routed like the repo's other graph steps (Louvain, DBSCAN): the
+    near-dup pair set is bounded metadata — orders of magnitude smaller
+    than the corpus — so when it fits (≤ ``driver_max_pairs``) the
+    components run as a driver-side union-find (microseconds) instead of
+    iterative min-label flooding, whose per-iteration job overhead
+    dominates small graphs. The pair frame is persisted (tracked) so the
+    LSH pipeline executes once for the count + collect/flood. The
+    distributed path remains the >200k-pairs scale route.
+    """
+    from ..cache import tracked_persist
     from ..ml.graph import connected_components
 
+    pairs = tracked_persist(pairs.select("id_a", "id_b"))
+    n_pairs = pairs.count()
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comp = connected_components(edges)
+    if n_pairs <= driver_max_pairs:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in pairs.collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so component = min node id directly
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(node, find(node)) for node in parent]
+        comp = pairs.sparkSession.createDataFrame(
+            rows, schema=pairs.select(F.col("id_a").alias("node")).schema.add(
+                "component", pairs.schema["id_a"].dataType
+            ),
+        )
+    else:
+        comp = connected_components(edges)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, on="component").select(
         F.col("node").alias(id_col),

@@ -111,6 +111,35 @@ def test_dup_clusters_transitive_chain(spark):
     assert [r["doc_id"] for r in out if r["is_canonical"] == 1] == [0]
 
 
+def test_pair_clusters_routes_agree(spark):
+    """Driver union-find (small graphs) and distributed min-label flooding
+    (forced via driver_max_pairs=0) must produce identical clusters —
+    including a transitive chain and a disjoint 2-node component."""
+    from financial_big_data_spark.operators.dedup import pair_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 2), (2, 9), (9, 7), (40, 41)], "id_a long, id_b long"
+    )
+
+    def rows(df):
+        return {
+            (r["doc_id"], r["cluster_id"], r["cluster_size"], r["is_canonical"])
+            for r in df.collect()
+        }
+
+    driver = rows(pair_clusters(pairs, "doc_id"))
+    distributed = rows(pair_clusters(pairs, "doc_id", driver_max_pairs=0))
+    assert driver == distributed
+    assert driver == {
+        (2, 2, 4, 1),
+        (5, 2, 4, 0),
+        (7, 2, 4, 0),
+        (9, 2, 4, 0),
+        (40, 40, 2, 1),
+        (41, 40, 2, 0),
+    }
+
+
 def test_incremental_dedup_batch_vs_corpus(spark):
     from financial_big_data_spark.operators.dedup import incremental_dedup
 
