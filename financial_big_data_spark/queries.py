@@ -2643,6 +2643,62 @@ FROM events GROUP BY 2
 """
 
 
+def q_doc_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/sampling.py seeded_shuffle):
+    positions from the md5(seed:id) order via the two-phase running count —
+    no partitionless window. Byte-identical under any layout and engine."""
+    from .operators.sampling import seeded_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return seeded_shuffle(docs.select("doc_id"), seed=7)
+
+
+_SQL_DOC_SHUFFLE = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY md5('7:' || doc_id::VARCHAR), doc_id
+       ) AS shuffle_pos
+FROM documents
+"""
+
+
+_INTERLEAVE_WEIGHTS = {"src0": 3.0, "src1": 2.0, "src2": 1.0}
+
+
+def q_doc_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source interleave (operators/sampling.py
+    interleave_sources): weighted-fair-queueing order — src0:src1:src2
+    hold a 3:2:1 ratio in every prefix of the stream (until a source
+    exhausts)."""
+    from .operators.sampling import interleave_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = interleave_sources(
+        docs.select("doc_id", "source"), weights=_INTERLEAVE_WEIGHTS, seed=7
+    )
+    return out.select("doc_id", "source", "src_rank", "interleave_pos")
+
+
+_SQL_DOC_INTERLEAVE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('7:' || doc_id::VARCHAR), doc_id
+         ) AS src_rank
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT doc_id, source, src_rank,
+       row_number() OVER (
+         ORDER BY src_rank::DOUBLE / (CASE source WHEN 'src0' THEN 3.0
+                                                  WHEN 'src1' THEN 2.0
+                                                  ELSE 1.0 END),
+                  source, doc_id
+       ) AS interleave_pos
+FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2754,6 +2810,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_zipf": (q_doc_zipf, _SQL_DOC_ZIPF),
     "ev_range_join": (q_ev_range_join, _SQL_EV_RANGE_JOIN),
     "ev_time_rollup": (q_ev_time_rollup, _SQL_EV_TIME_ROLLUP),
+    "doc_shuffle": (q_doc_shuffle, _SQL_DOC_SHUFFLE),
+    "doc_interleave": (q_doc_interleave, _SQL_DOC_INTERLEAVE),
 }
 
 

@@ -107,6 +107,13 @@ SHOWCASE = {
         "output volume (chunk/stride × input) is the only cost, inherent "
         "to overlapped chunking, not the plan."
     ),
+    "doc_interleave": (
+        "Weighted source interleave: per-source ranks come from KEYED "
+        "windows (partitionBy source); the global weighted-fair-queueing "
+        "position comes from the two-phase running count (range-bucketed "
+        "parallel windows + broadcast offsets) — NO partitionless ORDER "
+        "BY window assigns corpus-wide positions."
+    ),
     "ev_time_rollup": (
         "Hierarchical time rollup: the fact is aggregated once at hour "
         "grain; day and week REAGGREGATE the level below via mergeable "
