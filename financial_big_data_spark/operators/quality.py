@@ -49,23 +49,11 @@ def _word_trigrams(toks: Column) -> Column:
     return F.when(F.size(toks) >= 3, tri).otherwise(F.array().cast("array<string>"))
 
 
-def repetition_profile(
-    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Per-document repetition/quality metrics + pass/fail flags.
-
-    All metrics are pure Column expressions (no Python, no shuffle — the
-    input repartition spreads a small single-file scan across cores and
-    is a no-op-sized move at scale). The top-token count runs O(n log n)
-    per document: sort the token array once, then a single aggregate pass
-    tracks the longest equal-run — NOT the naive O(distinct × tokens)
-    nested scan, which on real prose-length documents costs ~40× more
-    interpreted higher-order-function steps, nor an explode+groupBy,
-    which would turn a map-only operator into a shuffling one at 100 TB.
-    """
-    from .dedup import _repartitioned
-
-    docs = _repartitioned(docs)
+def quality_metric_columns(text: str = "text") -> dict[str, Column]:
+    """The repetition/quality metrics as named pure Column expressions —
+    shared by the batch profile (``repetition_profile``) and the streaming
+    curation gate (streaming/curation.py), which can both apply them
+    map-only because nothing here shuffles."""
     toks = tokens(F.col(text))
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
@@ -97,17 +85,38 @@ def repetition_profile(
     flag_rep = (top_share > MAX_TOP_TOKEN_SHARE) | (dup_frac > MAX_DUP_TRIGRAM_FRAC)
     flag_wl = (mean_wl < MIN_MEAN_WORD_LEN) | (mean_wl > MAX_MEAN_WORD_LEN)
     flag_short = n < MIN_TOKENS
-    return docs.select(
-        F.col(id_col),
-        n.alias("n_tokens"),
-        F.try_divide(n_distinct.cast("double"), n).alias("distinct_ratio"),
-        top_share.alias("top_token_share"),
-        dup_frac.alias("dup_trigram_frac"),
-        mean_wl.alias("mean_word_len"),
-        flag_rep.cast("int").alias("flag_repetitive"),
-        flag_wl.cast("int").alias("flag_word_len"),
-        flag_short.cast("int").alias("flag_short"),
-        (~(flag_rep | flag_wl | flag_short)).cast("int").alias("pass_quality"),
+    return {
+        "n_tokens": n,
+        "distinct_ratio": F.try_divide(n_distinct.cast("double"), n),
+        "top_token_share": top_share,
+        "dup_trigram_frac": dup_frac,
+        "mean_word_len": mean_wl,
+        "flag_repetitive": flag_rep.cast("int"),
+        "flag_word_len": flag_wl.cast("int"),
+        "flag_short": flag_short.cast("int"),
+        "pass_quality": (~(flag_rep | flag_wl | flag_short)).cast("int"),
+    }
+
+
+def repetition_profile(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition/quality metrics + pass/fail flags.
+
+    All metrics are pure Column expressions (no Python, no shuffle — the
+    input repartition spreads a small single-file scan across cores and
+    is a no-op-sized move at scale). The top-token count runs O(n log n)
+    per document: sort the token array once, then a single aggregate pass
+    tracks the longest equal-run — NOT the naive O(distinct × tokens)
+    nested scan, which on real prose-length documents costs ~40× more
+    interpreted higher-order-function steps, nor an explode+groupBy,
+    which would turn a map-only operator into a shuffling one at 100 TB.
+    """
+    from .dedup import _repartitioned
+
+    cols = quality_metric_columns(text)
+    return _repartitioned(docs).select(
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 
