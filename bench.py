@@ -241,6 +241,9 @@ def main() -> None:
     ep3_mlp_sec, ep3_mlp_acc = run_ep3("mlp")
     # the reference's model INPUT: flattened 30-step windowed sequences
     ep3_seq_mlp_sec, ep3_seq_mlp_acc = run_ep3("seq_mlp", seq_len=30)
+    # the reference's model TOPOLOGY: numpy LSTM+attention (6 epochs,
+    # batch 32, Adam 1e-3 — lstm_forecasting.py's loop, library-free)
+    ep3_lstm_sec, ep3_lstm_acc = run_ep3("lstm", seq_len=30)
     _, ep3_baseline_acc = run_ep3("baseline")
     release_tracked()
     spark.catalog.clearCache()
@@ -433,6 +436,8 @@ def main() -> None:
         "media_paeth_mb_per_core": media_paeth_mb_per_core,
         "ep3_seq_mlp_sec": ep3_seq_mlp_sec,
         "ep3_seq_mlp_acc": ep3_seq_mlp_acc,
+        "ep3_lstm_sec": ep3_lstm_sec,
+        "ep3_lstm_acc": ep3_lstm_acc,
         "skew_naive_sec": skew_naive,
         "skew_naive_aqe_sec": skew_naive_aqe,
         "skew_salted_sec": skew_salted,

@@ -17,16 +17,24 @@ The model itself is pluggable:
   train sequences (the per-symbol train set is small relative to cluster
   memory; TorchDistributor is the scale path) and score test rows via a
   pandas UDF.
-- **torch absent** (this container) → a deterministic *persistence baseline*
-  (predict that the current regime continues) — the standard no-model
-  benchmark for regime prediction; with ~80% consolidation prevalence it
-  reproduces the class-imbalance structure report.pdf p.9 §6.2 describes.
+- **torch absent** (this container) → four active paths:
+  *persistence baseline* (predict the current regime continues — the
+  standard no-model benchmark; with ~80% consolidation prevalence it
+  reproduces the class-imbalance structure report.pdf p.9 §6.2 describes),
+  distributed MLlib *logistic*, val-selected *mlp*/*seq_mlp* (the MLP on
+  point-in-time features / on the flattened 30-step window), and **lstm**
+  — the reference's ACTUAL topology (LSTM → self-attention → FC head)
+  implemented library-free in numpy (ml/lstm_numpy.py: manual BPTT,
+  Adam, val-monitored epochs; gradient-checked), trained driver-side like
+  the reference's torch loop and scored distributed via pandas UDF.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -250,6 +258,126 @@ def mllib_regime_classifier(
     )
 
 
+def _scaled_windows(
+    dataset: DataFrame,
+    series: str,
+    time: str,
+    feature_cols: list[str],
+    seq_len: int,
+    order_tiebreak: list[str] | None,
+) -> DataFrame:
+    """Shared sequence prep for the windowed model paths (seq_mlp, lstm):
+    train-split standardization as Column arithmetic, then the
+    ``seq_len``-step flattened feature window per (series, time) —
+    scale-first-window-second per the reference (lstm_forecasting.py:
+    171-218); only rows with complete windows survive. The input is
+    persisted (tracked) because the stats aggregate and the main pass both
+    execute its lineage."""
+    from ..cache import tracked_persist
+
+    dataset = tracked_persist(dataset)
+    stats = (
+        dataset.where(F.col("split") == "train")
+        .agg(
+            *[F.avg(c).alias(f"_m_{c}") for c in feature_cols],
+            *[F.stddev_samp(c).alias(f"_s_{c}") for c in feature_cols],
+        )
+        .collect()[0]
+    )
+    scaled = [
+        (
+            (F.col(c) - F.lit(float(stats[f"_m_{c}"] or 0.0)))
+            / F.lit(float(stats[f"_s_{c}"]) if stats[f"_s_{c}"] else 1.0)
+        )
+        for c in feature_cols
+    ]
+    order = [time] + (order_tiebreak or [])
+    w = (
+        Window.partitionBy(series)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(seq_len - 1), 0)
+    )
+    return dataset.withColumn(
+        "_seq", F.flatten(F.collect_list(F.array(*scaled)).over(w))
+    ).where(F.size("_seq") == seq_len * len(feature_cols))
+
+
+def lstm_regime_classifier(
+    dataset: DataFrame,
+    series: str = "symbol",
+    time: str = "ts",
+    feature_cols: list[str] | None = None,
+    seq_len: int = 30,
+    hidden: int = 32,
+    epochs: int = 6,
+    batch_size: int = 32,
+    lr: float = 1e-3,
+    seed: int = 42,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """M6/M7 proper: the reference's LSTM + self-attention topology
+    (lstm_forecasting.py:16-34 — LSTM → attention → ReLU FC head on the
+    last position, 6 epochs, batch 32, Adam 1e-3) implemented library-free
+    in numpy (ml/lstm_numpy.py; hidden sized down from 128×2/4-head — the
+    model CLASS is the reference's, capacity is the exposed knob).
+
+    Division of labor at scale: feature windows and splits are built
+    DISTRIBUTED (shared ``_scaled_windows`` machinery); training collects
+    the train/val splits driver-side — exactly as single-node as the
+    reference's torch loop, with val-monitored epoch selection — and
+    INFERENCE runs distributed through an Arrow-batched pandas UDF with
+    the trained weights shipped in the closure (same seam a torch/GPU
+    model swaps into).
+    """
+    from ..cache import tracked_persist
+    from .lstm_numpy import forward as _lstm_forward
+    from .lstm_numpy import train_lstm
+
+    feature_cols = feature_cols or FEATURE_COLS
+    n_feat = len(feature_cols)
+    prepared = tracked_persist(
+        _scaled_windows(dataset, series, time, feature_cols, seq_len, order_tiebreak)
+    )
+    labels = sorted(
+        r[0]
+        for r in prepared.select("target_regime").distinct().collect()
+        if r[0] is not None
+    )
+    label_idx = {lab: i for i, lab in enumerate(labels)}
+
+    def _collect(split: str):
+        rows = (
+            prepared.where(F.col("split") == split)
+            .select("_seq", "target_regime")
+            .collect()
+        )
+        if not rows:
+            return np.zeros((0, seq_len, n_feat)), np.zeros(0, dtype=int)
+        X = np.array([r["_seq"] for r in rows], dtype=np.float64).reshape(
+            len(rows), seq_len, n_feat
+        )
+        y = np.array([label_idx[r["target_regime"]] for r in rows], dtype=int)
+        return X, y
+
+    Xtr, ytr = _collect("train")
+    Xval, yval = _collect("val")
+    params = train_lstm(
+        Xtr, ytr, n_classes=len(labels),
+        val=(Xval, yval) if len(yval) else None,
+        hidden=hidden, epochs=epochs, batch_size=batch_size, lr=lr, seed=seed,
+    )
+
+    @F.pandas_udf("string")
+    def _score(seqs: pd.Series) -> pd.Series:
+        if seqs.empty:
+            return pd.Series([], dtype=str)
+        X = np.array(list(seqs), dtype=np.float64).reshape(-1, seq_len, n_feat)
+        pred = _lstm_forward(params, X).argmax(axis=1)
+        return pd.Series([labels[j] for j in pred])
+
+    return prepared.withColumn("pred_label", _score(F.col("_seq"))).drop("_seq")
+
+
 def seq_mlp_classifier(
     dataset: DataFrame,
     series: str = "symbol",
@@ -294,31 +422,9 @@ def seq_mlp_classifier(
     from ..cache import tracked_persist
 
     feature_cols = feature_cols or FEATURE_COLS
-    dataset = tracked_persist(dataset)
-    stats = (
-        dataset.where(F.col("split") == "train")
-        .agg(
-            *[F.avg(c).alias(f"_m_{c}") for c in feature_cols],
-            *[F.stddev_samp(c).alias(f"_s_{c}") for c in feature_cols],
-        )
-        .collect()[0]
+    with_seq = _scaled_windows(
+        dataset, series, time, feature_cols, seq_len, order_tiebreak
     )
-    scaled = [
-        (
-            (F.col(c) - F.lit(float(stats[f"_m_{c}"] or 0.0)))
-            / F.lit(float(stats[f"_s_{c}"]) if stats[f"_s_{c}"] else 1.0)
-        )
-        for c in feature_cols
-    ]
-    order = [time] + (order_tiebreak or [])
-    w = (
-        Window.partitionBy(series)
-        .orderBy(*[F.col(c) for c in order])
-        .rowsBetween(-(seq_len - 1), 0)
-    )
-    with_seq = dataset.withColumn(
-        "_seq", F.flatten(F.collect_list(F.array(*scaled)).over(w))
-    ).where(F.size("_seq") == seq_len * len(feature_cols))
     prepared = tracked_persist(with_seq.withColumn("_fv", array_to_vector("_seq")))
     idx_model = StringIndexer(
         inputCol="target_regime", outputCol="_label", handleInvalid="keep"
@@ -524,11 +630,13 @@ def forecast_and_evaluate(
 
     ``model``: "baseline" (persistence), "logistic" (distributed MLlib
     multinomial LR), "mlp" (MultilayerPerceptronClassifier on
-    point-in-time features + current-regime one-hot) or "seq_mlp" (the
+    point-in-time features + current-regime one-hot), "seq_mlp" (the
     same classifier on the reference's model input — the flattened
-    30-step feature window, lstm_forecasting.py:186-192). All trained on
-    the train split; metrics are computed on the test split only, per
-    the reference's evaluation protocol (lstm_forecasting.py:288-302).
+    30-step feature window, lstm_forecasting.py:186-192) or "lstm" (the
+    reference's LSTM+attention topology, library-free numpy —
+    ml/lstm_numpy.py). All trained on the train split; metrics are
+    computed on the test split only, per the reference's evaluation
+    protocol (lstm_forecasting.py:288-302).
 
     CACHE LIFETIME: the pipeline pins intermediate frames via
     ``cache.tracked_persist``; library callers should call
@@ -540,7 +648,12 @@ def forecast_and_evaluate(
         volume=volume, order_tiebreak=order_tiebreak, macd_buckets=macd_buckets,
     )
     ds = ordered_split(ds, series=series, time=time, order_tiebreak=order_tiebreak)
-    if model == "seq_mlp":
+    if model == "lstm":
+        scored = lstm_regime_classifier(
+            ds, series=series, time=time, order_tiebreak=order_tiebreak,
+            seq_len=seq_len,
+        ).withColumn("true_label", F.col("target_regime"))
+    elif model == "seq_mlp":
         scored = seq_mlp_classifier(
             ds, series=series, time=time, order_tiebreak=order_tiebreak,
             seq_len=seq_len,

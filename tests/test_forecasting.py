@@ -322,3 +322,24 @@ def test_predict_batch_udf_mlp_seam(spark, bars_df):
     ]
     assert not mismatches, mismatches[:5]
     ds.unpersist()
+
+
+def test_lstm_model_path(spark, bars_df):
+    """End-to-end numpy LSTM+attention (the reference's actual topology,
+    ml/lstm_numpy.py) on the adversarial bars fixture — same information
+    set and bars as seq_mlp: windowed features only, no current-regime
+    input. Same bar: clearly above the 5-class random floor and at/above
+    the majority-class constant predictor within noise."""
+    res = forecast_and_evaluate(bars_df, model="lstm", seq_len=10)
+    acc = res.accuracy.collect()[0].accuracy
+    counts = {
+        r.true_label: r["count"]
+        for r in res.predictions.groupBy("true_label").count().collect()
+    }
+    majority = max(counts.values()) / sum(counts.values())
+    assert acc > 0.3, acc
+    assert acc >= majority - 0.05, (acc, majority)
+    preds = {r.pred_label for r in res.predictions.select("pred_label").distinct().collect()}
+    assert preds <= {
+        "stable_bull", "volatile_bull", "stable_bear", "volatile_bear", "consolidation"
+    }
