@@ -302,6 +302,111 @@ def _scaled_windows(
     ).where(F.size("_seq") == seq_len * len(feature_cols))
 
 
+def distributed_grad_step(
+    shards: DataFrame,
+    params: dict,
+    n_heads: int,
+    seq_len: int,
+    n_feat: int,
+) -> tuple[float, dict, int]:
+    """One synchronous data-parallel gradient: every partition computes
+    its shard's (loss·b, grads·b, b) with the broadcast parameters, a
+    treeReduce sums them, and the driver divides by the global batch size
+    — EXACTLY the full-batch gradient (the loss is a mean, so per-shard
+    mean·b sums to batch-sum; pinned to the driver-side gradient at 1e-12
+    in tests). ``shards`` must hold (_seq array, _y int) rows.
+
+    This is the library-free analogue of synchronous data-parallel
+    training (one allreduce per step): gradients travel, data does not —
+    the collect-free scale path for the numpy LSTM.
+    """
+    from .lstm_numpy import loss_and_grads
+
+    sc = shards.sparkSession.sparkContext
+    bc = sc.broadcast({k: v for k, v in params.items()})
+
+    def part(rows):
+        buf = list(rows)
+        if not buf:
+            return
+        X = np.array([r["_seq"] for r in buf], dtype=np.float64).reshape(
+            len(buf), seq_len, n_feat
+        )
+        y = np.array([r["_y"] for r in buf], dtype=int)
+        loss, g = loss_and_grads(bc.value, X, y, n_heads=n_heads)
+        b = len(buf)
+        yield (loss * b, {k: v * b for k, v in g.items()}, b)
+
+    def merge(a, b):
+        return (
+            a[0] + b[0],
+            {k: a[1][k] + b[1][k] for k in a[1]},
+            a[2] + b[2],
+        )
+
+    parts = shards.rdd.mapPartitions(part)
+    total = parts.treeReduce(merge)
+    bc.unpersist()
+    loss_sum, grad_sum, n = total
+    return loss_sum / n, {k: v / n for k, v in grad_sum.items()}, n
+
+
+def train_lstm_distributed(
+    prepared: DataFrame,
+    label_idx: dict,
+    seq_len: int,
+    n_feat: int,
+    hidden: int = 32,
+    n_layers: int = 1,
+    n_heads: int = 1,
+    epochs: int = 6,
+    rounds_per_epoch: int = 4,
+    lr: float = 1e-3,
+    seed: int = 42,
+) -> dict:
+    """Distributed synchronous large-batch Adam for the numpy LSTM: the
+    train split never leaves the executors. Each epoch is split into
+    ``rounds_per_epoch`` deterministic disjoint mega-batches (md5 hash of
+    the epoch/seed and a per-row id — layout-invariant), each consumed by
+    one ``distributed_grad_step``; Adam updates run driver-side on the
+    aggregated gradient. Dropout is not applied here (mask locality under
+    repartitioning is undefined); regularize via capacity instead.
+    """
+    from .lstm_numpy import init_params
+
+    rng = np.random.default_rng(seed)
+    params = init_params(
+        rng, n_feat, hidden, len(label_idx), n_layers=n_layers, n_heads=n_heads
+    )
+    m = {k: np.zeros_like(v) for k, v in params.items()}
+    v_ad = {k: np.zeros_like(v) for k, v in params.items()}
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+    step = 0
+    from ..cache import tracked_persist
+
+    train = tracked_persist(prepared.select("_seq", "_y", "_rid"))
+    for epoch in range(epochs):
+        bucket = F.pmod(
+            F.abs(F.xxhash64(F.concat_ws(":", F.lit(seed + epoch), F.col("_rid")))),
+            F.lit(rounds_per_epoch),
+        )
+        for r in range(rounds_per_epoch):
+            shard = train.where(bucket == r)
+            _loss, grads, n = distributed_grad_step(
+                shard, params, n_heads, seq_len, n_feat
+            )
+            if n == 0:
+                continue
+            step += 1
+            for k in params:
+                m[k] = beta1 * m[k] + (1 - beta1) * grads[k]
+                v_ad[k] = beta2 * v_ad[k] + (1 - beta2) * grads[k] ** 2
+                mh = m[k] / (1 - beta1**step)
+                vh = v_ad[k] / (1 - beta2**step)
+                params[k] = params[k] - lr * mh / (np.sqrt(vh) + eps)
+    return params
+
+
 def lstm_regime_classifier(
     dataset: DataFrame,
     series: str = "symbol",
@@ -309,25 +414,38 @@ def lstm_regime_classifier(
     feature_cols: list[str] | None = None,
     seq_len: int = 30,
     hidden: int = 32,
+    n_layers: int = 1,
+    n_heads: int = 1,
+    dropout: float = 0.0,
     epochs: int = 6,
     batch_size: int = 32,
     lr: float = 1e-3,
     seed: int = 42,
     order_tiebreak: list[str] | None = None,
+    distributed: bool = False,
 ) -> DataFrame:
     """M6/M7 proper: the reference's LSTM + self-attention topology
-    (lstm_forecasting.py:16-34 — LSTM → attention → ReLU FC head on the
+    (lstm_forecasting.py:16-34 — stacked LSTM with inter-layer dropout →
+    multi-head attention with output projection → ReLU FC head on the
     last position, 6 epochs, batch 32, Adam 1e-3) implemented library-free
-    in numpy (ml/lstm_numpy.py; hidden sized down from 128×2/4-head — the
-    model CLASS is the reference's, capacity is the exposed knob).
+    in numpy (ml/lstm_numpy.py). The reference's exact configuration is
+    ``hidden=128, n_layers=2, n_heads=4, dropout=0.2``; the defaults here
+    are sized down for CPU-only training time — capacity is the exposed
+    knob, the topology is the reference's at any setting.
 
     Division of labor at scale: feature windows and splits are built
-    DISTRIBUTED (shared ``_scaled_windows`` machinery); training collects
-    the train/val splits driver-side — exactly as single-node as the
-    reference's torch loop, with val-monitored epoch selection — and
-    INFERENCE runs distributed through an Arrow-batched pandas UDF with
-    the trained weights shipped in the closure (same seam a torch/GPU
-    model swaps into).
+    DISTRIBUTED (shared ``_scaled_windows`` machinery); by default
+    training collects the train/val splits driver-side — exactly as
+    single-node as the reference's torch loop, with val-monitored epoch
+    selection. With ``distributed=True`` training itself goes
+    data-parallel (``train_lstm_distributed``): the train split never
+    leaves the executors, each synchronous step aggregates per-partition
+    gradients (treeReduce "allreduce") and Adam updates run driver-side —
+    the collect-free scale route (dropout unsupported there; the
+    per-shard gradient sum is pinned EXACTLY equal to the driver
+    full-batch gradient in tests). INFERENCE always runs distributed
+    through an Arrow-batched pandas UDF with the trained weights shipped
+    in the closure (same seam a torch/GPU model swaps into).
     """
     from ..cache import tracked_persist
     from .lstm_numpy import forward as _lstm_forward
@@ -359,20 +477,38 @@ def lstm_regime_classifier(
         y = np.array([label_idx[r["target_regime"]] for r in rows], dtype=int)
         return X, y
 
-    Xtr, ytr = _collect("train")
-    Xval, yval = _collect("val")
-    params = train_lstm(
-        Xtr, ytr, n_classes=len(labels),
-        val=(Xval, yval) if len(yval) else None,
-        hidden=hidden, epochs=epochs, batch_size=batch_size, lr=lr, seed=seed,
-    )
+    if distributed:
+        if dropout:
+            raise ValueError("dropout is unsupported with distributed=True")
+        lab_map = F.create_map(
+            *[F.lit(x) for kv in label_idx.items() for x in kv]
+        )
+        shards = prepared.where(F.col("split") == "train").select(
+            "_seq",
+            lab_map[F.col("target_regime")].cast("int").alias("_y"),
+            F.concat_ws("#", F.col(series).cast("string"), F.col(time).cast("string")).alias("_rid"),
+        )
+        params = train_lstm_distributed(
+            shards, label_idx, seq_len, n_feat,
+            hidden=hidden, n_layers=n_layers, n_heads=n_heads,
+            epochs=epochs, lr=lr, seed=seed,
+        )
+    else:
+        Xtr, ytr = _collect("train")
+        Xval, yval = _collect("val")
+        params = train_lstm(
+            Xtr, ytr, n_classes=len(labels),
+            val=(Xval, yval) if len(yval) else None,
+            hidden=hidden, n_layers=n_layers, n_heads=n_heads, dropout=dropout,
+            epochs=epochs, batch_size=batch_size, lr=lr, seed=seed,
+        )
 
     @F.pandas_udf("string")
     def _score(seqs: pd.Series) -> pd.Series:
         if seqs.empty:
             return pd.Series([], dtype=str)
         X = np.array(list(seqs), dtype=np.float64).reshape(-1, seq_len, n_feat)
-        pred = _lstm_forward(params, X).argmax(axis=1)
+        pred = _lstm_forward(params, X, n_heads=n_heads).argmax(axis=1)
         return pd.Series([labels[j] for j in pred])
 
     return prepared.withColumn("pred_label", _score(F.col("_seq"))).drop("_seq")

@@ -79,6 +79,18 @@ def test_simhash_near_dups_validation(spark, near_dup_corpus):
         simhash_near_dups(near_dup_corpus, bits=48, n_bands=5, max_hamming=3)
 
 
+def test_simhash_near_dups_plans_as_equi_join(spark, near_dup_corpus):
+    """The banded candidate join must plan as a hash/sort-merge EQUI-join
+    on (band, band value) — never an all-pairs nested-loop/cartesian."""
+    plan = (
+        simhash_near_dups(near_dup_corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_chunk_documents_boundaries(spark):
     toks = [f"t{i}" for i in range(10)]
     out = (

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from financial_big_data_spark.ml.forecasting import (
@@ -343,3 +344,64 @@ def test_lstm_model_path(spark, bars_df):
     assert preds <= {
         "stable_bull", "volatile_bull", "stable_bear", "volatile_bear", "consolidation"
     }
+
+
+def test_lstm_reference_shaped_config(spark, bars_df):
+    """The reference's exact topology shape — stacked LSTM layers with
+    inter-layer dropout and 4-head attention — runs end-to-end (capacity
+    sized down for test time; the structure is the reference's)."""
+    from financial_big_data_spark.ml.forecasting import lstm_regime_classifier
+    from financial_big_data_spark.operators.features import ordered_split
+
+    ds = regime_prediction_dataset(bars_df)
+    ds = ordered_split(ds, series="symbol", time="ts")
+    out = lstm_regime_classifier(
+        ds, seq_len=10, hidden=16, n_layers=2, n_heads=4, dropout=0.2,
+        epochs=2,
+    )
+    rows = out.where(F.col("split") == "test").select("pred_label").collect()
+    assert rows and all(r.pred_label is not None for r in rows)
+
+
+def test_distributed_grad_step_matches_driver(spark):
+    """The treeReduce'd per-partition gradient sum must equal the driver
+    full-batch gradient EXACTLY (loss is a mean: shard mean × shard size
+    sums to the batch sum) — the correctness pin for data-parallel
+    training."""
+    import numpy as np
+
+    from financial_big_data_spark.ml.forecasting import distributed_grad_step
+    from financial_big_data_spark.ml.lstm_numpy import init_params, loss_and_grads
+
+    rng = np.random.default_rng(0)
+    B, T, Fdim, H, C, heads = 24, 5, 3, 8, 3, 2
+    X = rng.normal(size=(B, T, Fdim))
+    y = rng.integers(0, C, size=B)
+    params = init_params(rng, Fdim, H, C, n_layers=2, n_heads=heads)
+    rows = [
+        (X[i].reshape(-1).tolist(), int(y[i]), str(i)) for i in range(B)
+    ]
+    df = spark.createDataFrame(
+        rows, "_seq array<double>, _y int, _rid string"
+    ).repartition(5)
+    loss_d, grads_d, n = distributed_grad_step(df, params, heads, T, Fdim)
+    loss, grads = loss_and_grads(params, X, y, n_heads=heads)
+    assert n == B
+    assert loss_d == pytest.approx(loss, rel=1e-12)
+    for k in grads:
+        assert np.allclose(grads_d[k], grads[k], rtol=1e-10, atol=1e-12), k
+
+
+def test_lstm_distributed_training_end_to_end(spark, bars_df):
+    """Data-parallel LSTM training: the train split never leaves the
+    executors; the trained model still scores every test row."""
+    from financial_big_data_spark.ml.forecasting import lstm_regime_classifier
+    from financial_big_data_spark.operators.features import ordered_split
+
+    ds = regime_prediction_dataset(bars_df)
+    ds = ordered_split(ds, series="symbol", time="ts")
+    out = lstm_regime_classifier(
+        ds, seq_len=10, hidden=8, epochs=2, distributed=True,
+    )
+    rows = out.where(F.col("split") == "test").select("pred_label").collect()
+    assert rows and all(r.pred_label is not None for r in rows)

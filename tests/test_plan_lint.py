@@ -1,0 +1,75 @@
+"""Pins for plans/lint.py: each anti-pattern detector fires on a plan
+constructed to exhibit it, and the engine's own flagship plans come back
+clean."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.plans.lint import scale_lint
+
+
+def _kinds(findings):
+    return {f.kind for f in findings}
+
+
+def test_flags_partitionless_window(spark):
+    df = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert "partitionless-window" in _kinds(scale_lint(df, executed=False))
+
+
+def test_flags_nested_loop_join(spark):
+    a = spark.range(50).select(F.col("id").alias("x"))
+    b = spark.range(50).select(F.col("id").alias("y"))
+    theta = a.join(b, a.x < b.y)  # non-equi predicate -> BNLJ
+    kinds = _kinds(scale_lint(theta, executed=False))
+    assert kinds & {"nested-loop-join", "cartesian-join"}
+
+
+def test_flags_row_python_udf(spark):
+    @F.udf("long")
+    def slow(v):
+        return v + 1
+
+    df = spark.range(10).select(slow(F.col("id")).alias("v"))
+    assert "row-python-udf" in _kinds(scale_lint(df, executed=False))
+
+
+def test_keyed_window_and_equi_join_are_clean(spark):
+    a = spark.range(100).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    w = Window.partitionBy("k").orderBy("v")
+    df = a.withColumn("rn", F.row_number().over(w))
+    b = spark.range(5).select(F.col("id").alias("k"), F.lit("d").alias("dim"))
+    joined = df.join(b, on="k")
+    findings = scale_lint(joined, executed=False)
+    assert _kinds(findings) <= {"single-partition-exchange"}  # none expected
+    assert "partitionless-window" not in _kinds(findings)
+
+
+def test_engine_flagship_queries_are_clean(spark):
+    """The bucketized range join and the interleave (two operators built
+    specifically to avoid these anti-patterns) must lint clean."""
+    import datetime as dt
+
+    from financial_big_data_spark.operators.rangejoin import range_join
+    from financial_big_data_spark.operators.sampling import interleave_sources
+
+    facts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 7))], "fact_id long, t timestamp_ntz"
+    )
+    iv = spark.createDataFrame(
+        [("w", dt.datetime(2024, 1, 1, 6), dt.datetime(2024, 1, 1, 18))],
+        "iv_id string, s timestamp_ntz, e timestamp_ntz",
+    )
+    rj = range_join(facts, iv, "t", "s", "e")
+    bad = {"partitionless-window", "cartesian-join", "nested-loop-join", "row-python-udf"}
+    assert not (_kinds(scale_lint(rj, executed=False)) & bad)
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(20)], "doc_id long, source string"
+    )
+    mix = interleave_sources(docs, {"a": 2.0, "b": 1.0})
+    assert not (_kinds(scale_lint(mix, executed=False)) & bad)

