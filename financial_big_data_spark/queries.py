@@ -2699,6 +2699,76 @@ FROM ranked
 """
 
 
+def q_ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (operators/funnel.py funnel_conversion):
+    view → click → purchase within 72h of the user's first view; each
+    step one keyed aggregation + join on the uniform user key."""
+    from .operators.funnel import funnel_conversion
+
+    ev = _events(spark, sf_dir)
+    return funnel_conversion(
+        ev, ["view", "click", "purchase"], within="72 HOURS"
+    )
+
+
+_SQL_EV_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 72 HOUR
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t1 + INTERVAL 72 HOUR
+  GROUP BY 1
+), counts AS (
+  SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT step, event_type, n_users::BIGINT AS n_users,
+       CASE WHEN step = 1 THEN CASE WHEN n_users > 0 THEN 1.0 ELSE 0.0 END
+            ELSE coalesce(round(n_users::DOUBLE
+                   / nullif(lag(n_users) OVER (ORDER BY step), 0), 6), 0.0)
+       END AS step_rate,
+       CASE WHEN (SELECT count(*) FROM s1) = 0 THEN 0.0
+            ELSE round(n_users::DOUBLE / (SELECT count(*) FROM s1), 6)
+       END AS overall_rate
+FROM counts
+"""
+
+
+def q_ev_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid (operators/funnel.py cohort_retention):
+    first-seen-day cohorts × activity-day offsets; result bounded by
+    days², never by event volume."""
+    from .operators.funnel import cohort_retention
+
+    ev = _events(spark, sf_dir)
+    return cohort_retention(ev)
+
+
+_SQL_EV_COHORT = """
+WITH firsts AS (
+  SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY 1
+), act AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+)
+SELECT f.cohort_day,
+       (a.day - f.cohort_day) AS offset_days,
+       count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2812,6 +2882,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_time_rollup": (q_ev_time_rollup, _SQL_EV_TIME_ROLLUP),
     "doc_shuffle": (q_doc_shuffle, _SQL_DOC_SHUFFLE),
     "doc_interleave": (q_doc_interleave, _SQL_DOC_INTERLEAVE),
+    "ev_funnel": (q_ev_funnel, _SQL_EV_FUNNEL),
+    "ev_cohort": (q_ev_cohort, _SQL_EV_COHORT),
 }
 
 
