@@ -1,0 +1,134 @@
+"""Generate LINT.md: the physical-plan scale linter (plans/lint.py)
+swept over EVERY registry query.
+
+Evidence artifact: each query's plan either lints clean or every finding
+is listed beside its justification (the JUSTIFIED table below — findings
+on provably bounded inputs, e.g. a rank window over ≤ k rows after a
+TakeOrderedAndProject). A finding on an UNBOUNDED input with no entry
+here is a build break — fix the plan, don't extend the table casually.
+
+    python tools/lint_report.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from financial_big_data_spark.plans.lint import scale_lint  # noqa: E402
+from financial_big_data_spark.queries import REGISTRY  # noqa: E402
+from financial_big_data_spark.session import build_session  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+# (query, finding kind) -> why the flagged construct is bounded/intended.
+JUSTIFIED: dict[tuple[str, str], str] = {
+    ("doc_top_ngrams", "partitionless-window"): (
+        "rank window runs AFTER TakeOrderedAndProject: ≤ k=25 rows"
+    ),
+    ("doc_top_ngrams", "single-partition-exchange"): (
+        "global top-k limit: per-partition heaps, k-sized merge"
+    ),
+    ("top_revenue_orders", "single-partition-exchange"): (
+        "ordered LIMIT 10 — TakeOrderedAndProject's k-row merge"
+    ),
+    ("top_parts_by_price", "single-partition-exchange"): (
+        "ordered LIMIT 15 — same k-row merge"
+    ),
+    ("ev_funnel", "single-partition-exchange"): (
+        "k-row (one per step) driver-built result frame"
+    ),
+    ("pred_summary", "single-partition-exchange"): (
+        "global 1-row accuracy aggregate — the partial aggregation "
+        "happens map-side; one row crosses"
+    ),
+    ("ev_describe", "single-partition-exchange"): (
+        "global describe aggregate — map-side partials, stat-row output"
+    ),
+    ("doc_zipf", "single-partition-exchange"): (
+        "final 1-row regr_* aggregate over the ranked vocabulary"
+    ),
+    ("doc_contamination", "single-partition-exchange"): (
+        "single summary-row aggregate (totals + matches)"
+    ),
+    ("pricing_summary", "single-partition-exchange"): (
+        "tiny grouped result ordered for display"
+    ),
+}
+
+# The engine's documented GLOBAL-SCALAR pattern: a 1-row aggregate (or
+# shuffle-partition-sized metadata frame) broadcast-crossed into the fact
+# flow — O(n·1), deliberately chosen over a partitionless window (see
+# functions/stats.py with_global_stats / global_running_sum). The linter
+# stays strict (every BNLJ deserves review); these queries' BNLJs are
+# all of that bounded-broadcast form.
+_GLOBAL_SCALAR = (
+    "broadcast of a 1-row global aggregate / bounded metadata frame "
+    "(with_global_stats, share-of-total, prefix offsets) — O(n·1), the "
+    "engine's documented alternative to a partitionless window"
+)
+_BOUNDED_PROBE = (
+    "broadcast side is the bounded probe/sample set of the exact "
+    "brute-force baseline — the LSH/IVF variants are the scale path"
+)
+for _q in (
+    "ev_zscore", "ev_coarse_distribution", "ev_regime_distribution",
+    "ev_type_share", "ev_scrub_fill", "pred_summary", "nation_coverage",
+    "doc_unigram_lm", "doc_tfidf_topk", "doc_source_mix", "doc_curation",
+    "doc_budget_selection", "doc_shuffle",
+):
+    JUSTIFIED[(_q, "nested-loop-join")] = _GLOBAL_SCALAR
+for _q in ("emb_topk", "emb_near_dup", "emb_knn_dist"):
+    JUSTIFIED[(_q, "nested-loop-join")] = _BOUNDED_PROBE
+
+
+def main() -> None:
+    spark = build_session("lint-report", cpus=8, shuffle_partitions=8)
+    lines = [
+        "# LINT — physical-plan scale sweep",
+        "",
+        "`plans/lint.py scale_lint` over every registry query at sf0.001",
+        "(initial physical plan). Findings on bounded constructs carry their",
+        "justification; anything else fails the sweep (exit 1).",
+        "",
+        "| query | findings |",
+        "|---|---|",
+    ]
+    from financial_big_data_spark.cache import release_tracked
+
+    unjustified = 0
+    for name, (fn, _) in REGISTRY.items():
+        release_tracked()
+        spark.catalog.clearCache()
+        try:
+            df = fn(spark, SF)
+            findings = scale_lint(df, executed=False)
+        except Exception as exc:  # pragma: no cover - report, don't mask
+            lines.append(f"| {name} | ERROR building plan: {exc} |")
+            unjustified += 1
+            continue
+        if not findings:
+            lines.append(f"| {name} | clean |")
+            continue
+        cells = []
+        for f in findings:
+            why = JUSTIFIED.get((name, f.kind))
+            if why:
+                cells.append(f"{f.kind} — justified: {why}")
+            else:
+                cells.append(f"**{f.kind} — UNJUSTIFIED**: {f.detail[:100]}")
+                unjustified += 1
+        # collapse duplicate kinds for readability
+        lines.append(f"| {name} | {'; '.join(sorted(set(cells)))} |")
+    lines.append("")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "LINT.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote LINT.md ({unjustified} unjustified findings)")
+    sys.exit(1 if unjustified else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,12 @@ SHOWCASE = {
         "shuffled hash join, NOT the BroadcastNestedLoopJoin a raw "
         "BETWEEN join forces; the exact predicate filters after the join."
     ),
+    "ev_cohort": (
+        "Cohort retention: two keyed aggregations (first-seen day, "
+        "distinct activity days) and one user-keyed join — the result is "
+        "days²-bounded however large the event volume; no window, no "
+        "global sort."
+    ),
     "doc_top_ngrams": (
         "Corpus boilerplate n-grams: shingle window (one doc-key exchange) "
         "→ distinct → ngram-keyed count with map-side partial aggregation "
