@@ -1,0 +1,71 @@
+"""Diff two bench outputs and flag regressions.
+
+    python tools/bench_compare.py OLD.json NEW.json [threshold_pct]
+
+Accepts either the raw one-line JSON ``bench.py`` prints or the driver's
+``BENCH_r{N}.json`` wrapper (uses its ``parsed`` field). Compares every
+shared numeric metric (including the nested ``queries`` /
+``curation_ops`` / ``alignment_ops`` dicts); prints metrics whose NEW
+value is worse than OLD by more than the threshold (default 25% — below
+that is routine machine-load variance on this box, see COVERAGE.md's
+round-6 notes). For timing metrics bigger is worse; ``*_acc`` /
+``*_recall*`` / ``*_ratio`` metrics treat smaller as worse. Exit 1 if
+anything regressed.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _load(path: str) -> dict:
+    with open(path) as fh:
+        d = json.load(fh)
+    return d.get("parsed", d)
+
+
+def _flatten(d: dict, prefix: str = "") -> dict[str, float]:
+    out: dict[str, float] = {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, f"{prefix}{k}."))
+        elif isinstance(v, (int, float)) and not isinstance(v, bool):
+            out[f"{prefix}{k}"] = float(v)
+    return out
+
+
+def _higher_is_better(name: str) -> bool:
+    short = name.rsplit(".", 1)[-1]
+    return any(
+        t in short for t in ("_acc", "recall", "_ratio", "mb_per", "scale_factor")
+    )
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        sys.exit(2)
+    old = _flatten(_load(sys.argv[1]))
+    new = _flatten(_load(sys.argv[2]))
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
+    regressed = []
+    for name in sorted(set(old) & set(new)):
+        o, n = old[name], new[name]
+        if o == 0:
+            continue
+        delta_pct = (n - o) / abs(o) * 100
+        worse = -delta_pct if _higher_is_better(name) else delta_pct
+        marker = " <-- REGRESSED" if worse > threshold else ""
+        if marker or abs(delta_pct) > threshold / 2:
+            print(f"{name:45s} {o:>12.3f} -> {n:>12.3f}  {delta_pct:+7.1f}%{marker}")
+        if marker:
+            regressed.append(name)
+    if regressed:
+        print(f"\n{len(regressed)} metrics regressed past {threshold}%")
+        sys.exit(1)
+    print(f"\nno regressions past {threshold}%")
+
+
+if __name__ == "__main__":
+    main()
