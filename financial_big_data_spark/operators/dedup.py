@@ -391,16 +391,17 @@ def simhash_near_dups(
     right = bands.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bkey"
     )
-    cand = (
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+    # hamming filters BEFORE the distinct: the verify predicate is a cheap
+    # per-row expression, so applying it on the raw multi-band candidate
+    # stream shrinks the dedup shuffle instead of deduping everything and
+    # filtering after
+    return (
         left.join(right, on=["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
-    return (
-        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
