@@ -2769,6 +2769,25 @@ GROUP BY 1, 2
 """
 
 
+def q_doc_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary learning + segmentation (operators/bpe.py): learn
+    10 merges on the word-frequency table (bounded sample — vocabulary
+    learning is an offline sampled job even at production scale), then
+    segment map-only. Rows-only: the merge loop is iterative and not
+    SQL-expressible; parity is pinned against a pure-python reference in
+    tests/test_bpe.py."""
+    from .operators.bpe import apply_bpe, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    merges = learn_bpe_merges(docs, k=10)
+    out = apply_bpe(docs, merges)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_subwords"),
+        F.concat_ws(" ", "bpe_tokens").alias("segmented"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2884,6 +2903,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_interleave": (q_doc_interleave, _SQL_DOC_INTERLEAVE),
     "ev_funnel": (q_ev_funnel, _SQL_EV_FUNNEL),
     "ev_cohort": (q_ev_cohort, _SQL_EV_COHORT),
+    # rows-only: iterative merge learning is not SQL-expressible; pinned
+    # against a pure-python BPE reference in tests/test_bpe.py
+    "doc_bpe": (q_doc_bpe, None),
 }
 
 
