@@ -389,3 +389,100 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             break
     adj.unpersist()
     return comp
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 20,
+    damping: float = 0.85,
+    weight: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration power-method PageRank over directed (src, dst[, w]).
+
+    A corpus-quality prior for web-scale training data (the link-graph
+    signal Common-Crawl-style curation ranks hosts by) and a user-influence
+    rank over the engine's co-occurrence graphs. Pure DataFrame ops:
+
+    - out-mass normalization once up front: ``wnorm = w / wout(src)``
+      (unweighted: 1/outdegree, an exact integer count — no float-order
+      sensitivity in the transition matrix);
+    - per iteration ONE join (edges ↔ ranks, both hash-partitioned on the
+      node key) + one partial aggregate on dst; rank state is one row per
+      node, localCheckpoint()ed so the iterative lineage never regrows;
+    - dangling mass (nodes with no out-edges — impossible in symmetrized
+      undirected graphs) is redistributed uniformly each round via a 1-row
+      aggregate broadcast, the standard correction (Page et al. 1999);
+      no per-iteration collect of node state.
+
+    Teleport/damping terms mirror the oracle's literal arithmetic: rank =
+    (1-d)/N + d * (inflow + dangling/N). Returns (node, rank); isolated
+    nodes (no edges at all) are out of the graph by construction.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(F.col("src"), F.col("dst"), w.alias("w"))
+    if weight:
+        wout = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    else:
+        # exact integer degree: transition weights are then 1/k, bit-stable
+        wout = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("wout"))
+    norm = e.join(wout, "src").select(
+        "src", "dst", (F.col("w") / F.col("wout")).alias("wnorm")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    has_out = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    norm = norm.cache()
+    nodes = nodes.cache()
+    teleport = F.lit(1.0 - damping) / F.lit(float(n))
+    ranks = nodes.withColumn("rank", F.lit(1.0) / F.lit(float(n)))
+    dangling_nodes = nodes.join(has_out, "node", "left_anti").cache()
+    any_dangling = dangling_nodes.limit(1).count() > 0
+    for _ in range(n_iter):
+        inflow = (
+            norm.join(ranks, norm.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("wnorm")).alias("inflow"))
+        )
+        if any_dangling:
+            dang = (
+                dangling_nodes.join(ranks, "node")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+            )
+            new = (
+                nodes.join(inflow, "node", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
+                    "node",
+                    (
+                        teleport
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("inflow"), F.lit(0.0))
+                            + F.col("dmass") / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+            )
+        else:
+            new = nodes.join(inflow, "node", "left").select(
+                "node",
+                (
+                    teleport
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        ranks = new.localCheckpoint(eager=True)
+    norm.unpersist()
+    nodes.unpersist()
+    dangling_nodes.unpersist()
+    return ranks

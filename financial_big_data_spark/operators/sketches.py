@@ -1,0 +1,200 @@
+"""Mergeable cardinality sketches (KMV, HyperLogLog) as DataFrame aggregates.
+
+The reference answers "how many distinct X" with exact pandas ``.unique()``
+counts (reference market_analysis.py:262, :621 — `len(index.unique())` per
+frame). At 100 TB an exact COUNT(DISTINCT high-cardinality-key) is one of
+the most expensive relational operations there is: every distinct value
+must survive a shuffle. The canonical scale answer is a *mergeable sketch*
+— bounded per-group state whose partial states combine associatively, so
+the whole computation is one map-side-combinable aggregate (and the saved
+state can be merged across days/partitions/tables without re-reading the
+data, exactly like Spark's own HLL++ `approx_count_distinct` state).
+
+Two textbook sketches, built from scratch on cross-engine-reproducible
+hashes so the DuckDB oracle can re-derive them bit-for-bit:
+
+- **KMV (k minimum values)** [Bar-Yossef et al., RANDOM 2002]: keep the k
+  smallest distinct hash values; with U_(k) = the k-th smallest as a
+  fraction of the hash space, E[distinct] ≈ (k-1)/U_(k).  The sketch IS
+  the k values, so merging = union → keep k smallest.
+- **HyperLogLog** [Flajolet et al., AofA 2007]: bucket by the first b hash
+  bits, keep max leading-zero rank per bucket; harmonic-mean estimate with
+  the standard small-range linear-counting correction. Registers merge by
+  element-wise max — the groupBy(max) that builds them is already the
+  merge operator.
+
+Hashing: the repo's standard 60-bit uniform int — first 15 hex chars of
+md5 — which both Spark (``conv(substr(md5,1,15),16,10)``) and DuckDB
+(``('0x' || substr(md5,1,15))::BIGINT``) compute identically (see
+operators/dedup.py). No ``xxhash64``: engine-native hashes differ.
+
+Everything here is pure Column expressions — no UDFs, no collects; the
+only shuffles are one distinct on (group, hash) for KMV and one partial
+aggregate for HLL registers.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BITS = 60
+HASH_SPACE = float(2**HASH_BITS)
+
+
+def uniform_hash60(col: F.Column, salt: str = "") -> F.Column:
+    """60-bit uniform integer hash of a value's string form (cross-engine)."""
+    s = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(s.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# KMV
+# --------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame, value: str, k: int = 256, by: list[str] | None = None
+) -> DataFrame:
+    """Per-group k-minimum-values sketch: ≤ k rows (*by, h) per group.
+
+    One shuffle for the distinct on (group, hash) — duplicate values AND
+    hash collisions collapse there, so the subsequent keyed rank sees
+    unique hashes only (no row_number ties possible). The rank window is
+    keyed (never partitionless) and Spark's sort spills, so a group with
+    billions of distinct values still only RETAINS k rows.
+    """
+    if k < 2:
+        raise ValueError("kmv requires k >= 2")
+    by = list(by or [])
+    hashed = df.select(*by, uniform_hash60(value).alias("h")).distinct()
+    return _k_smallest(hashed, k, by)
+
+
+def _k_smallest(hashed: DataFrame, k: int, by: list[str]) -> DataFrame:
+    """k smallest distinct hashes per group. Grouped → keyed rank window
+    (spill-safe, never partitionless); global → orderBy+limit, which Spark
+    plans as TakeOrderedAndProject (per-partition top-k, k-row merge)."""
+    if not by:
+        return hashed.orderBy("h").limit(k)
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int, by: list[str] | None = None) -> DataFrame:
+    """Union two KMV sketches and keep the k smallest per group — the
+    associative/commutative merge that makes KMV a one-pass aggregate."""
+    by = list(by or [])
+    return _k_smallest(a.unionByName(b).distinct(), k, by)
+
+
+def kmv_estimate(sketch: DataFrame, k: int, by: list[str] | None = None) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch.
+
+    A group that never filled its k slots has every distinct hash in the
+    sketch — the count is exact. A full sketch estimates
+    (k-1) / (kth_min / 2^60).
+    """
+    by = list(by or [])
+    agg = sketch.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth").cast("double"))
+    return agg.select(*by, F.col("n_kept"), est.alias("est_distinct"))
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(
+    df: DataFrame, value: str, b: int = 8, by: list[str] | None = None
+) -> DataFrame:
+    """HLL registers: (*by, bucket, rho) with rho = max leading-zero rank.
+
+    bucket = top b hash bits; the remaining w = 60-b bits yield
+    rho = (w-bit width) - floor(log2(rest)) computed EXACTLY via the
+    length of the binary string (`bin`, integer-exact in both engines —
+    no float log2 edge cases at powers of two). rest == 0 → rho = w+1.
+
+    One partial-aggregatable shuffle on (*by, bucket): the groupBy(max)
+    IS the HLL merge, so map-side combine leaves ≤ 2^b rows per group
+    per partition in flight — bounded state regardless of input size.
+    """
+    if not 4 <= b <= 16:
+        raise ValueError("hll bucket bits b must be in [4, 16]")
+    by = list(by or [])
+    wbits = HASH_BITS - b
+    h = uniform_hash60(value)
+    # Integer bit ops only: h is up to 2^60 and would lose low bits through
+    # a double division (2^60 > 2^53) — floor(h/2^w) could then land in the
+    # wrong bucket at boundaries. shiftright/bitwiseAND are exact.
+    bucket = F.shiftright(h, wbits).cast("int")
+    rest = h.bitwiseAND(F.lit(2**wbits - 1))
+    rho = F.when(rest == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.conv(rest.cast("string"), 10, 2))
+    )
+    return (
+        df.select(*by, bucket.alias("bucket"), rho.cast("int").alias("rho"))
+        .groupBy(*by, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Element-wise max of two register sets — the HLL merge."""
+    by = list(by or [])
+    return a.unionByName(b).groupBy(*by, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, b: int, by: list[str] | None = None) -> DataFrame:
+    """Cardinality estimate from HLL registers (standard HLL corrections).
+
+    raw = alpha_m * m^2 / (sum 2^-rho + zeros), zeros = m - present
+    buckets (each empty register contributes 2^-0 = 1). When raw ≤ 2.5m
+    and zero registers remain, linear counting m*ln(m/zeros) is the
+    better estimator (Flajolet et al. §4). 60-bit hashes need no
+    large-range correction at any realistic cardinality.
+
+    The harmonic sum is accumulated as an EXACT integer: each register
+    contributes 2^(maxrho - rho) (a bigint ≤ 2^(60-b); the group total is
+    ≤ 2^60, no overflow) and the single division by 2^maxrho happens once
+    at the end — so the float result is independent of Spark's aggregation
+    order and bit-identical to the serial oracle.
+    """
+    m = 2**b
+    maxrho = HASH_BITS - b + 1
+    by = list(by or [])
+    inv_term = F.pow(F.lit(2.0), F.lit(maxrho) - F.col("rho")).cast("long")
+    agg = registers.groupBy(*by).agg(
+        F.sum(inv_term).alias("inv"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    zeros = (F.lit(m) - F.col("n_present")).cast("double")
+    s_present = F.col("inv").cast("double") / F.lit(float(2**maxrho))
+    raw = F.lit(_alpha(m) * m * m) / (s_present + zeros)
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*by, est.alias("est_distinct"), zeros.cast("long").alias("empty_registers"))

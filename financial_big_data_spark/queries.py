@@ -2788,6 +2788,213 @@ def q_doc_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV distinct-count sketch (operators/sketches.py): per
+    event type, the k=64 smallest md5-hash values estimate the distinct
+    user count next to the exact COUNT(DISTINCT). The sketch is the
+    bounded-state scale path for the reference's exact ``.unique()``
+    counts (reference market_analysis.py:262, :621): at 100 TB the exact
+    count shuffles every distinct key, the sketch retains 64 rows per
+    group and merges across partitions/days by union → k-smallest."""
+    from .operators.sketches import kmv_estimate, kmv_sketch
+
+    ev = _events(spark, sf_dir)
+    sk = kmv_sketch(ev, value="user_id", k=64, by=["event_type"])
+    est = kmv_estimate(sk, k=64, by=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_kept",
+        _r6s(F.col("est_distinct")).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+# KMV oracle: same 60-bit md5 hash, serial rank, same (k-1)/U_(k)
+# estimator; 2^60 = 1152921504606846976.
+_SQL_EV_KMV_USERS = """
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+), sk AS (
+  SELECT event_type, count(*)::BIGINT AS n_kept, max(h) AS kth
+  FROM ranked WHERE rn <= 64 GROUP BY event_type
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type, s.n_kept,
+       round((CASE WHEN s.n_kept < 64 THEN s.n_kept::DOUBLE
+                   ELSE 63.0 * 1152921504606846976.0 / s.kth END) + 5e-13, 6)
+         AS est_distinct,
+       ex.exact_distinct
+FROM sk s JOIN ex USING (event_type)
+"""
+
+
+def q_ev_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog (operators/sketches.py): b=6 → 64
+    registers per event type; harmonic estimate with the standard
+    linear-counting small-range correction, next to the exact count.
+    The registers build in ONE map-side-combinable aggregate and merge
+    by element-wise max — the same state contract as Spark's own HLL++
+    `approx_count_distinct`, but with a cross-engine-reproducible hash
+    so the oracle re-derives the registers AND the float estimate
+    bit-for-bit (the harmonic sum accumulates as an exact integer, so
+    aggregation order cannot perturb it)."""
+    from .operators.sketches import hll_estimate, hll_sketch
+
+    ev = _events(spark, sf_dir)
+    reg = hll_sketch(ev, value="user_id", b=6, by=["event_type"])
+    est = hll_estimate(reg, b=6, by=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        _r6s(F.col("est_distinct")).alias("est_distinct"),
+        "empty_registers",
+        "exact_distinct",
+    )
+
+
+# HLL oracle constants for b=6: bucket = h >> 54, rest-mask = 2^54-1 =
+# 18014398509481983, maxrho = 55, integer harmonic scale 2^55 =
+# 36028797018963968, alpha_64 * 64^2 repr'd from the same Python float the
+# Spark side uses, linear-counting threshold 2.5*64 = 160.
+_HLL_A64 = 0.709 * 64 * 64
+_SQL_EV_HLL_USERS = f"""
+WITH hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), regs AS (
+  SELECT event_type, (h >> 54)::INT AS bucket,
+         max(CASE WHEN (h & 18014398509481983) = 0 THEN 55
+                  ELSE 55 - length(bin(h & 18014398509481983)) END) AS rho
+  FROM hashed GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         sum((2.0 ** (55 - rho))::BIGINT)::BIGINT AS inv,
+         count(*) AS n_present
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT event_type,
+         (64 - n_present)::BIGINT AS empty_registers,
+         {_HLL_A64!r} / (inv::DOUBLE / 36028797018963968.0
+                         + (64 - n_present)::DOUBLE) AS raw
+  FROM agg
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round((CASE WHEN e.raw <= 160.0 AND e.empty_registers > 0
+                   THEN 64.0 * ln(64.0 / e.empty_registers::DOUBLE)
+                   ELSE e.raw END) + 5e-13, 6) AS est_distinct,
+       e.empty_registers, ex.exact_distinct
+FROM est e JOIN ex USING (event_type)
+"""
+
+
+def q_ev_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (ml/graph.py pagerank) over the user
+    co-occurrence graph: users who share ≥3 distinct (event_type, hour)
+    slots are linked (symmetrized, so no dangling mass), then 10
+    fixed power iterations at damping 0.85 — the link-graph quality
+    prior web-corpus curation ranks hosts by. The slot self-join is an
+    equi-join on bounded keys; each iteration is one edges↔ranks join +
+    one partial aggregate; rank state is one row per node."""
+    from .ml.graph import pagerank
+
+    ev = _events(spark, sf_dir)
+    slots = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    a, b = slots.alias("a"), slots.alias("b")
+    pairs = (
+        a.join(b, ["event_type", "hr"])
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 3)
+        .select("src", "dst")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, n_iter=10, damping=0.85)
+    return pr.select(
+        F.col("node").alias("user_id"), _r6s(F.col("rank")).alias("rank")
+    )
+
+
+_PR_DAMPING = 0.85
+# the teleport constant must be the SAME double on both engines: Python's
+# 1.0-0.85 is 0.15000000000000002, not the SQL literal 0.15 — repr() the
+# Python value into the oracle so both sides add identical numbers.
+_PR_TELEPORT = 1.0 - _PR_DAMPING
+
+
+def _pagerank_oracle_sql(n_iter: int = 10) -> str:
+    """Fixed-iteration power method unrolled as chained CTEs (DuckDB's
+    recursive CTEs allow only one reference to the recursive table, and
+    PageRank needs none of that: the iteration count is a constant)."""
+    base = """
+WITH slots AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+  FROM events
+), pairs AS (
+  SELECT a.user_id AS src, b.user_id AS dst
+  FROM slots a JOIN slots b ON a.event_type = b.event_type AND a.hr = b.hr
+  WHERE a.user_id < b.user_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs
+), deg AS (
+  SELECT src, count(*)::DOUBLE AS wout FROM edges GROUP BY src
+), norm AS (
+  SELECT e.src, e.dst, 1.0 / d.wout AS wnorm FROM edges e JOIN deg d USING (src)
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), nn AS (
+  SELECT count(*)::DOUBLE AS n FROM nodes
+), it0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        its.append(
+            f""", it{k} AS (
+  SELECT nd.node,
+         {_PR_TELEPORT!r} / (SELECT n FROM nn)
+         + {_PR_DAMPING!r} * coalesce(i.inflow, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT nm.dst AS node, sum(p.rank * nm.wnorm) AS inflow
+    FROM it{k - 1} p JOIN norm nm ON nm.src = p.node
+    GROUP BY nm.dst
+  ) i USING (node)
+)"""
+        )
+    return (
+        base
+        + "".join(its)
+        + f"\nSELECT node AS user_id, round(rank + 5e-13, 6) AS rank FROM it{n_iter}"
+    )
+
+
+_SQL_EV_PAGERANK = _pagerank_oracle_sql(10)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2906,6 +3113,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # rows-only: iterative merge learning is not SQL-expressible; pinned
     # against a pure-python BPE reference in tests/test_bpe.py
     "doc_bpe": (q_doc_bpe, None),
+    # round-7 additions (past the driver window; oracle SQL hash-verified
+    # by the local gate): mergeable cardinality sketches
+    "ev_kmv_users": (q_ev_kmv_users, _SQL_EV_KMV_USERS),
+    "ev_hll_users": (q_ev_hll_users, _SQL_EV_HLL_USERS),
+    "ev_pagerank": (q_ev_pagerank, _SQL_EV_PAGERANK),
 }
 
 

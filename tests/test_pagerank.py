@@ -1,0 +1,98 @@
+"""PageRank: dense-matrix reference parity (directed + dangling +
+weighted), mass conservation, and validation.
+
+The reference is an independent formulation — the full Google matrix
+G = d*(P + dangling-row correction) + (1-d)/N applied as a dense numpy
+matmul to convergence (networkx's pagerank needs scipy, absent here) —
+so parity checks the algorithm, not a mirror of the DataFrame code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.ml.graph import pagerank
+
+
+def _edges_df(spark, edges, weighted=False):
+    if weighted:
+        return spark.createDataFrame(edges, "src long, dst long, w double")
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def _dense_pr(edges, weighted=False, d=0.85, iters=1000):
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    P = np.zeros((n, n))
+    for e in edges:
+        P[idx[e[0]], idx[e[1]]] += e[2] if weighted else 1.0
+    out = P.sum(axis=1)
+    dangling = out == 0
+    P[~dangling] /= out[~dangling, None]
+    P[dangling] = 1.0 / n  # dangling mass spreads uniformly
+    G = d * P + (1 - d) / n
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = r @ G
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_dense_reference_with_dangling(spark):
+    # 4 is a dangling sink; 0-3 form a cycle with a chord
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 4)]
+    got = {
+        r.node: r.rank
+        for r in pagerank(_edges_df(spark, edges), n_iter=100).collect()
+    }
+    want = _dense_pr(edges)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-9)
+
+
+def test_pagerank_weighted_matches_dense_reference(spark):
+    edges = [
+        (0, 1, 3.0),
+        (0, 2, 1.0),
+        (1, 2, 2.0),
+        (2, 0, 1.0),
+        (2, 3, 5.0),
+        (3, 0, 1.0),
+    ]
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            _edges_df(spark, edges, weighted=True), n_iter=100, weight="w"
+        ).collect()
+    }
+    want = _dense_pr(edges, weighted=True)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-9)
+
+
+def test_pagerank_mass_conserved(spark):
+    edges = [(0, 1), (1, 2), (2, 3), (1, 0)]  # 3 dangles
+    total = (
+        pagerank(_edges_df(spark, edges), n_iter=30)
+        .agg(F.sum("rank"))
+        .collect()[0][0]
+    )
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_uniform_on_symmetric_ring(spark):
+    ring = [(i, (i + 1) % 6) for i in range(6)] + [((i + 1) % 6, i) for i in range(6)]
+    ranks = [r.rank for r in pagerank(_edges_df(spark, ring), n_iter=20).collect()]
+    for r in ranks:
+        assert r == pytest.approx(1.0 / 6, abs=1e-12)
+
+
+def test_pagerank_validation(spark):
+    df = _edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.5)
+    with pytest.raises(ValueError):
+        pagerank(df, n_iter=0)

@@ -1,0 +1,168 @@
+"""Cardinality sketches: python-reference register parity, merge laws,
+estimator accuracy, exactness below capacity, and validation.
+
+The merge laws are the load-bearing property at 100 TB: a sketch built
+over the whole corpus must equal the merge of sketches built over any
+split of it — that is what makes the aggregate map-side combinable and
+the saved state reusable across days/tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.operators import sketches as SK
+
+
+def _h60(v: str) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def _values_df(spark, n, prefix="v", dup=1):
+    rows = [(f"{prefix}{i}",) for i in range(n)] * dup
+    return spark.createDataFrame(rows, "val string")
+
+
+# --------------------------------------------------------------------------
+# KMV
+# --------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_capacity(spark):
+    df = _values_df(spark, 40, dup=3)  # duplicates must not inflate
+    sk = SK.kmv_sketch(df, "val", k=64)
+    est = SK.kmv_estimate(sk, k=64).collect()[0]
+    assert est.n_kept == 40
+    assert est.est_distinct == 40.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    n = 5000
+    df = _values_df(spark, n)
+    sk = SK.kmv_sketch(df, "val", k=256)
+    est = SK.kmv_estimate(sk, k=256).collect()[0]
+    # KMV rel std err ≈ 1/sqrt(k-2) ≈ 6.3%; allow 4σ
+    assert abs(est.est_distinct - n) / n < 0.25
+
+
+def test_kmv_matches_python_reference(spark):
+    df = _values_df(spark, 300)
+    got = sorted(r.h for r in SK.kmv_sketch(df, "val", k=32).collect())
+    want = sorted(_h60(f"v{i}") for i in range(300))[:32]
+    assert got == want
+
+
+def test_kmv_merge_law(spark):
+    whole = _values_df(spark, 400)
+    a = whole.where(F.col("val") < "v2")  # lexicographic split
+    b = whole.where(~(F.col("val") < "v2"))
+    merged = SK.kmv_merge(
+        SK.kmv_sketch(a, "val", k=48), SK.kmv_sketch(b, "val", k=48), k=48
+    )
+    direct = SK.kmv_sketch(whole, "val", k=48)
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in direct.collect()
+    )
+
+
+def test_kmv_grouped(spark):
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", f"v{i}") for i in range(200)], "grp string, val string"
+    )
+    sk = SK.kmv_sketch(df, "val", k=16, by=["grp"])
+    counts = {r.grp: r.n_kept for r in SK.kmv_estimate(sk, k=16, by=["grp"]).collect()}
+    assert counts == {"g0": 16, "g1": 16}
+    # per-group sketch = python k-smallest of that group's hashes
+    got = sorted(r.h for r in sk.where(F.col("grp") == "g0").collect())
+    want = sorted(_h60(f"v{i}") for i in range(0, 200, 2))[:16]
+    assert got == want
+
+
+def test_kmv_validates_k(spark):
+    with pytest.raises(ValueError):
+        SK.kmv_sketch(_values_df(spark, 5), "val", k=1)
+
+
+# --------------------------------------------------------------------------
+# HLL
+# --------------------------------------------------------------------------
+
+
+def _py_hll_registers(values, b):
+    wbits = 60 - b
+    regs = {}
+    for v in values:
+        h = _h60(v)
+        bucket = h >> wbits
+        rest = h & ((1 << wbits) - 1)
+        rho = (wbits + 1) if rest == 0 else wbits + 1 - rest.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def _py_hll_estimate(regs, b):
+    m = 2**b
+    zeros = m - len(regs)
+    s = sum(2.0**-r for r in regs.values()) + zeros
+    raw = SK._alpha(m) * m * m / s
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw
+
+
+def test_hll_registers_match_python_reference(spark):
+    df = _values_df(spark, 500, dup=2)
+    got = {r.bucket: r.rho for r in SK.hll_sketch(df, "val", b=6).collect()}
+    assert got == _py_hll_registers([f"v{i}" for i in range(500)], 6)
+
+
+def test_hll_estimate_matches_python_reference(spark):
+    for n in (30, 500, 5000):  # 30 exercises the linear-counting branch
+        df = _values_df(spark, n, prefix=f"x{n}_")
+        est = SK.hll_estimate(SK.hll_sketch(df, "val", b=6), b=6).collect()[0]
+        regs = _py_hll_registers([f"x{n}_{i}" for i in range(n)], 6)
+        assert est.est_distinct == pytest.approx(_py_hll_estimate(regs, 6), abs=1e-9)
+        assert est.empty_registers == 64 - len(regs)
+
+
+def test_hll_estimate_accuracy(spark):
+    n = 20000
+    df = _values_df(spark, n)
+    est = SK.hll_estimate(SK.hll_sketch(df, "val", b=8), b=8).collect()[0]
+    # rel std err ≈ 1.04/sqrt(256) ≈ 6.5%; allow 4σ
+    assert abs(est.est_distinct - n) / n < 0.26
+
+
+def test_hll_merge_law(spark):
+    whole = _values_df(spark, 1000)
+    a = whole.where(F.col("val") < "v5")
+    b = whole.where(~(F.col("val") < "v5"))
+    merged = SK.hll_merge(SK.hll_sketch(a, "val", b=7), SK.hll_sketch(b, "val", b=7))
+    direct = SK.hll_sketch(whole, "val", b=7)
+    assert sorted((r.bucket, r.rho) for r in merged.collect()) == sorted(
+        (r.bucket, r.rho) for r in direct.collect()
+    )
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    once = SK.hll_sketch(_values_df(spark, 100, dup=1), "val", b=6)
+    thrice = SK.hll_sketch(_values_df(spark, 100, dup=3), "val", b=6)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, thrice.collect()))
+
+
+def test_hll_validates_b(spark):
+    with pytest.raises(ValueError):
+        SK.hll_sketch(_values_df(spark, 5), "val", b=2)
+
+
+def test_hll_sketch_single_aggregate_plan(spark):
+    """The register build must be ONE partial-aggregatable shuffle — no
+    distinct pre-pass, no window."""
+    df = _values_df(spark, 50)
+    explained = SK.hll_sketch(df, "val", b=6)._jdf.queryExecution().executedPlan().toString()
+    assert explained.count("Exchange") == 1
+    assert "Window" not in explained
