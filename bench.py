@@ -273,6 +273,25 @@ def main() -> None:
     }
     ivf_recall = round(len(exact & approx) / max(len(exact), 1), 3)
 
+    # IVF-PQ: same probe set through the compressed-code path (8-byte-ish
+    # codes + ADC + exact refine). Uniform embeddings are also PQ's worst
+    # case (no cluster structure for the codebooks to exploit), so this is
+    # a floor, recorded beside the plain-IVF number.
+    from financial_big_data_spark.operators.pq import ivf_pq_topk
+
+    t0 = time.time()
+    approx_pq = {
+        (r.query_id, r.vec_id)
+        for r in ivf_pq_topk(
+            emb, probes, n_cells=16, n_probe=10, m=8, nbits=6, k=10,
+            refine_factor=8,
+        )
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    ivfpq_sec = round(time.time() - t0, 3)
+    ivfpq_recall = round(len(exact & approx_pq) / max(len(exact), 1), 3)
+
     # Media decode throughput: real PNG/WAV payloads through the Arrow
     # mapInPandas decode stage (library-free kernels) — recorded so the
     # multimodal pipeline's rate is a measured number, not a claim.
@@ -369,6 +388,40 @@ def main() -> None:
     skew_big.unpersist()
     skew_dim.unpersist()
 
+    # Cardinality-sketch scale probe: exact COUNT(DISTINCT) vs the HLL
+    # aggregate (b=12, ±~1.6%) on a generated 20M-row / 8M-distinct frame —
+    # the "bounded sketch state beats the distinct shuffle" claim as a
+    # measured number. Timed twice: xxhash64 (the production hash) and md5
+    # (the cross-engine oracle hash) — the md5 delta is the price of
+    # DuckDB-reproducibility, paid only in oracle-checked queries.
+    from financial_big_data_spark.operators.sketches import hll_estimate, hll_sketch
+
+    card = (
+        spark.range(0, 20_000_000)
+        .select((F.col("id") % 8_000_000).cast("string").alias("k"))
+        .cache()
+    )
+    card.count()  # materialize so every contender reads the same cache
+    t0 = time.time()
+    exact_card = card.agg(F.countDistinct("k").alias("d")).collect()[0]["d"]
+    sk_exact_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    est_xx = hll_estimate(
+        hll_sketch(card, "k", b=12, hash="xxhash64"), b=12
+    ).collect()[0]["est_distinct"]
+    sk_xx_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    hll_estimate(hll_sketch(card, "k", b=12), b=12).collect()
+    sk_md5_sec = round(time.time() - t0, 3)
+    card.unpersist()
+    sketch_ops = {
+        "rows": 20_000_000,
+        "exact_distinct_sec": sk_exact_sec,
+        "hll_xxhash_sec": sk_xx_sec,
+        "hll_md5_sec": sk_md5_sec,
+        "hll_rel_err": round(abs(est_xx - exact_card) / exact_card, 4),
+    }
+
     # Head-to-head at ≥1M rows: the BASELINE.md 2x gate measured where it is
     # meetable. At sf0.1 (100k rows) Spark pays a fixed multi-second job
     # floor that no plan can amortize; both engines get the SAME in-memory
@@ -426,6 +479,8 @@ def main() -> None:
         "ep2_8x_rows_sec": ep2_8x,
         "ep2_scale_factor_8x": round(ep2_8x / max(timings["market_analysis_plan"], 1e-9), 2),
         "ann_ivf_recall_at_10": ivf_recall,
+        "ann_ivfpq_recall_at_10": ivfpq_recall,
+        "ann_ivfpq_sec": ivfpq_sec,
         "ep3_logistic_sec": ep3_sec,
         "ep3_logistic_acc": ep3_acc,
         "ep3_mlp_sec": ep3_mlp_sec,
@@ -444,6 +499,7 @@ def main() -> None:
         "skew_salted_ratio": round(skew_naive / max(skew_salted, 1e-9), 2),
         "curation_ops": curation_ops,
         "alignment_ops": alignment_ops,
+        "sketch_ops": sketch_ops,
         "ep2_big_rows": n_big,
         "ep2_big_spark_sec": ep2_big_spark,
         "ep2_big_pandas_sec": ep2_big_pandas,

@@ -23,10 +23,12 @@ hashes so the DuckDB oracle can re-derive them bit-for-bit:
   element-wise max — the groupBy(max) that builds them is already the
   merge operator.
 
-Hashing: the repo's standard 60-bit uniform int — first 15 hex chars of
-md5 — which both Spark (``conv(substr(md5,1,15),16,10)``) and DuckDB
-(``('0x' || substr(md5,1,15))::BIGINT``) compute identically (see
-operators/dedup.py). No ``xxhash64``: engine-native hashes differ.
+Hashing: default is the repo's standard 60-bit uniform int — first 15 hex
+chars of md5 — which both Spark (``conv(substr(md5,1,15),16,10)``) and
+DuckDB (``('0x' || substr(md5,1,15))::BIGINT``) compute identically (see
+operators/dedup.py). ``hash="xxhash64"`` swaps in the JVM-native
+non-cryptographic hash for production throughput (no DuckDB mirror —
+estimator math and merge laws are hash-agnostic and pinned both ways).
 
 Everything here is pure Column expressions — no UDFs, no collects; the
 only shuffles are one distinct on (group, hash) for KMV and one partial
@@ -35,7 +37,6 @@ aggregate for HLL registers.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -44,9 +45,24 @@ HASH_BITS = 60
 HASH_SPACE = float(2**HASH_BITS)
 
 
-def uniform_hash60(col: F.Column, salt: str = "") -> F.Column:
-    """60-bit uniform integer hash of a value's string form (cross-engine)."""
+def uniform_hash60(col: F.Column, salt: str = "", hash: str = "md5") -> F.Column:
+    """60-bit uniform integer hash of a value's string form.
+
+    ``md5`` (default) is the CROSS-ENGINE hash — DuckDB computes the same
+    hex, so oracles re-derive sketches bit-for-bit. ``xxhash64`` is the
+    PRODUCTION hash — JVM-native, ~an order of magnitude cheaper per row
+    than md5's cryptographic rounds — masked to the same 60-bit space so
+    every estimator/merge law is hash-agnostic (pinned in tests). Sketches
+    built with different hashes must never be merged; keep one hash per
+    sketch lineage.
+    """
     s = F.col(col) if isinstance(col, str) else col
+    if hash == "xxhash64":
+        return F.xxhash64(s.cast("string"), F.lit(salt)).bitwiseAND(
+            F.lit(2**HASH_BITS - 1)
+        )
+    if hash != "md5":
+        raise ValueError(f"unknown hash {hash!r} (md5 | xxhash64)")
     h = F.md5(F.concat(s.cast("string"), F.lit(salt)))
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
 
@@ -57,7 +73,11 @@ def uniform_hash60(col: F.Column, salt: str = "") -> F.Column:
 
 
 def kmv_sketch(
-    df: DataFrame, value: str, k: int = 256, by: list[str] | None = None
+    df: DataFrame,
+    value: str,
+    k: int = 256,
+    by: list[str] | None = None,
+    hash: str = "md5",
 ) -> DataFrame:
     """Per-group k-minimum-values sketch: ≤ k rows (*by, h) per group.
 
@@ -70,7 +90,7 @@ def kmv_sketch(
     if k < 2:
         raise ValueError("kmv requires k >= 2")
     by = list(by or [])
-    hashed = df.select(*by, uniform_hash60(value).alias("h")).distinct()
+    hashed = df.select(*by, uniform_hash60(value, hash=hash).alias("h")).distinct()
     return _k_smallest(hashed, k, by)
 
 
@@ -128,7 +148,11 @@ def _alpha(m: int) -> float:
 
 
 def hll_sketch(
-    df: DataFrame, value: str, b: int = 8, by: list[str] | None = None
+    df: DataFrame,
+    value: str,
+    b: int = 8,
+    by: list[str] | None = None,
+    hash: str = "md5",
 ) -> DataFrame:
     """HLL registers: (*by, bucket, rho) with rho = max leading-zero rank.
 
@@ -145,7 +169,7 @@ def hll_sketch(
         raise ValueError("hll bucket bits b must be in [4, 16]")
     by = list(by or [])
     wbits = HASH_BITS - b
-    h = uniform_hash60(value)
+    h = uniform_hash60(value, hash=hash)
     # Integer bit ops only: h is up to 2^60 and would lose low bits through
     # a double division (2^60 > 2^53) — floor(h/2^w) could then land in the
     # wrong bucket at boundaries. shiftright/bitwiseAND are exact.
@@ -198,3 +222,67 @@ def hll_estimate(registers: DataFrame, b: int, by: list[str] | None = None) -> D
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
     return agg.select(*by, est.alias("est_distinct"), zeros.cast("long").alias("empty_registers"))
+
+
+# --------------------------------------------------------------------------
+# Bottom-k uniform row sample → approximate quantiles
+# --------------------------------------------------------------------------
+
+
+def bottomk_rows(
+    df: DataFrame,
+    k: int,
+    id_cols: list[str],
+    keep: list[str] | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic uniform row sample: the k rows whose 60-bit md5 hash
+    of the id tuple ranks smallest per group (ties impossible for unique
+    ids; broken on the ids themselves regardless).
+
+    Unlike ``df.sample()`` this is layout-invariant (a pure function of
+    the row ids — the same property the DBSCAN eps sampler and the epoch
+    shuffle rely on) and MERGEABLE: the bottom-k of a union is the
+    k-smallest of the parts' bottom-k sets, so per-partition/per-day
+    samples combine without rescanning — a coordinated bottom-k sketch
+    (Cohen & Kaplan, PODS 2007).
+    """
+    if k < 1:
+        raise ValueError("bottomk requires k >= 1")
+    by = list(by or [])
+    keep = list(keep or [])
+    idstr = F.concat_ws("|", *[F.col(c).cast("string") for c in id_cols])
+    sel = df.select(*by, *keep, *id_cols, uniform_hash60(idstr).alias("_h"))
+    order = [F.col("_h")] + [F.col(c) for c in id_cols]
+    if not by:
+        return sel.orderBy(*order).limit(k).drop("_h")
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+    return (
+        sel.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_h")
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value: str,
+    id_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9),
+    k: int = 256,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Approximate per-group quantiles from a bottom-k uniform sample:
+    exact interpolated percentiles OVER THE SAMPLE. Rank error is
+    O(1/sqrt(k)) by DKW; a group with ≤ k rows is sampled whole, so its
+    quantiles are exact. The full-data alternative shuffles every row
+    into a per-group sort; this retains k rows per group and one exact
+    percentile over bounded input.
+    """
+    by = list(by or [])
+    samp = bottomk_rows(df, k, id_cols, keep=[value], by=by)
+    aggs = [F.count(F.lit(1)).alias("n_sampled")] + [
+        F.expr(f"percentile({value}, {q})").alias(f"p{int(round(q * 100))}")
+        for q in qs
+    ]
+    return samp.groupBy(*by).agg(*aggs)

@@ -2788,6 +2788,25 @@ def q_doc_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate cosine top-k (operators/pq.py): coarse IVF
+    cells prune candidates, product-quantized codes make the candidate
+    scan read bytes instead of vectors (ADC lookup-table scoring), exact
+    cosine refines the shortlist. Rows-only: the KMeans codebooks are
+    iterative, not SQL-expressible — encode parity, ADC exactness on
+    reconstructable vectors, and recall are pinned in tests/test_pq.py,
+    and recall@10 is measured per-bench (`ann_ivfpq_recall_at_10`)."""
+    from .operators.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(
+        emb, probes, n_cells=8, n_probe=4, m=8, nbits=4, k=5, refine_factor=4
+    )
+
+
 def q_ev_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable KMV distinct-count sketch (operators/sketches.py): per
     event type, the k=64 smallest md5-hash values estimate the distinct
@@ -2901,6 +2920,60 @@ SELECT e.event_type,
                    ELSE e.raw END) + 5e-13, 6) AS est_distinct,
        e.empty_registers, ex.exact_distinct
 FROM est e JOIN ex USING (event_type)
+"""
+
+
+def q_ev_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k quantile sketch (operators/sketches.py): per event type,
+    p50/p90 estimated from the k=128 rows whose md5(event_id) hash ranks
+    smallest — a layout-invariant, MERGEABLE uniform sample (coordinated
+    bottom-k), compared against the exact percentiles. At 100 TB the
+    exact per-group percentile sorts every row; the sketch retains 128
+    rows per group and merges across partitions/days."""
+    from .operators.sketches import quantile_sketch
+
+    ev = _events(spark, sf_dir)
+    sk = quantile_sketch(
+        ev, value="value", id_cols=["event_id"], qs=(0.5, 0.9), k=128,
+        by=["event_type"],
+    )
+    exact = ev.groupBy("event_type").agg(
+        _r6s(F.expr("percentile(value, 0.5)")).alias("exact_p50"),
+        _r6s(F.expr("percentile(value, 0.9)")).alias("exact_p90"),
+    )
+    return sk.select(
+        "event_type",
+        "n_sampled",
+        _r6s(F.col("p50")).alias("approx_p50"),
+        _r6s(F.col("p90")).alias("approx_p90"),
+    ).join(exact, "event_type")
+
+
+_SQL_EV_QUANTILE_SKETCH = """
+WITH hashed AS (
+  SELECT event_type, value, event_id,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+  FROM hashed
+), samp AS (
+  SELECT event_type, value FROM ranked WHERE rn <= 128
+), appx AS (
+  SELECT event_type, count(*)::BIGINT AS n_sampled,
+         round(quantile_cont(value, 0.5) + 5e-13, 6) AS approx_p50,
+         round(quantile_cont(value, 0.9) + 5e-13, 6) AS approx_p90
+  FROM samp GROUP BY event_type
+), ex AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.5) + 5e-13, 6) AS exact_p50,
+         round(quantile_cont(value, 0.9) + 5e-13, 6) AS exact_p90
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type, a.n_sampled, a.approx_p50, a.approx_p90,
+       e.exact_p50, e.exact_p90
+FROM appx a JOIN ex e USING (event_type)
 """
 
 
@@ -3117,7 +3190,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # by the local gate): mergeable cardinality sketches
     "ev_kmv_users": (q_ev_kmv_users, _SQL_EV_KMV_USERS),
     "ev_hll_users": (q_ev_hll_users, _SQL_EV_HLL_USERS),
+    "ev_quantile_sketch": (q_ev_quantile_sketch, _SQL_EV_QUANTILE_SKETCH),
     "ev_pagerank": (q_ev_pagerank, _SQL_EV_PAGERANK),
+    # rows-only: KMeans codebooks are iterative, not SQL-expressible;
+    # pinned by tests/test_pq.py + the per-bench recall probe
+    "emb_ivfpq": (q_emb_ivfpq, None),
 }
 
 

@@ -1,0 +1,137 @@
+"""Product quantization: encode parity vs a numpy reference, exact ADC on
+codebook-reconstructable vectors, recall of the full IVF-PQ pipeline, and
+determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.operators.pq import (
+    adc_luts,
+    adc_score,
+    ivf_pq_topk,
+    pq_encode,
+    pq_train,
+)
+from financial_big_data_spark.operators.similarity import brute_force_topk
+
+
+def _vec_df(spark, mat, idc="vec_id"):
+    return spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(mat)],
+        f"{idc} long, embedding array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """8 separated Gaussian clusters in 16-d, 800 points, with enough
+    intra-cluster spread that PQ codes retain within-cluster resolution
+    (spread ≪ center scale would quantize every cluster member to the
+    same codes — ADC ties carry no ranking signal)."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 10, (8, 16))
+    mat = np.vstack([c + rng.normal(0, 2.5, (100, 16)) for c in centers])
+    return _vec_df(spark, mat)
+
+
+def test_pq_encode_matches_numpy_argmin(spark, clustered):
+    books = pq_train(clustered, m=4, nbits=4, seed=1)
+    got = {
+        r.vec_id: list(r.codes) for r in pq_encode(clustered, books).collect()
+    }
+    # numpy reference: same centroids, argmin sqdist with min-code tie-break
+    cb = {}
+    for r in books.collect():
+        cb.setdefault(r.subspace, {})[r.code] = np.array(r.ctr)
+    vecs = {r.vec_id: np.array(r.embedding) for r in clustered.collect()}
+    dsub = 16 // 4
+    for vid, v in vecs.items():
+        want = []
+        for j in range(4):
+            sv = v[j * dsub : (j + 1) * dsub]
+            dists = {c: float(((sv - ctr) ** 2).sum()) for c, ctr in cb[j].items()}
+            best = min(dists, key=lambda c: (dists[c], c))
+            want.append(best)
+        assert got[vid] == want, vid
+
+
+def test_adc_exact_on_reconstructable_vectors(spark):
+    """Vectors assembled FROM codebook centroids have zero quantization
+    error, so the ADC estimate must equal the exact inner product."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, (64, 8))
+    corpus = _vec_df(spark, base)
+    books = pq_train(corpus, m=2, nbits=3, seed=5)
+    cb = {}
+    for r in books.collect():
+        cb.setdefault(r.subspace, {})[r.code] = np.array(r.ctr)
+    # assemble 10 synthetic vectors from random code choices
+    rng2 = np.random.default_rng(9)
+    chosen = [(int(rng2.integers(8)), int(rng2.integers(8))) for _ in range(10)]
+    recon = np.array(
+        [np.concatenate([cb[0][c0], cb[1][c1]]) for c0, c1 in chosen]
+    )
+    recon_df = _vec_df(spark, recon)
+    codes = pq_encode(recon_df, books)
+    queries = _vec_df(spark, rng2.normal(0, 1, (5, 8)), idc="query_id")
+    luts = adc_luts(queries, books)
+    scored = codes.crossJoin(luts).select(
+        "vec_id", "query_id", adc_score(F.col("codes"), F.col("lut")).alias("adc")
+    )
+    got = {(r.query_id, r.vec_id): r.adc for r in scored.collect()}
+    qvecs = {r.query_id: np.array(r.embedding) for r in queries.collect()}
+    for (qid, vid), adc in got.items():
+        assert adc == pytest.approx(float(qvecs[qid] @ recon[vid]), abs=1e-9)
+
+
+def test_ivf_pq_recall_with_refine(spark, clustered):
+    queries = clustered.limit(12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(clustered, queries, k=10)
+    approx = ivf_pq_topk(
+        clustered, queries, n_cells=8, n_probe=3, m=4, nbits=6, k=10,
+        refine_factor=6,
+    )
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = tot = 0
+    for r in approx.collect():
+        tot += 1
+        if r.vec_id in truth.get(r.query_id, set()):
+            hits += 1
+    assert tot > 0
+    assert hits / (10 * len(truth)) >= 0.7  # clustered data, 3/8 probes
+
+
+def test_ivf_pq_refined_scores_are_exact_cosine(spark, clustered):
+    """The refine stage must output TRUE cosine, not the ADC estimate."""
+    queries = clustered.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_pq_topk(
+        clustered, queries, n_cells=8, n_probe=3, m=4, nbits=4, k=5
+    ).collect()
+    vecs = {r.vec_id: np.array(r.embedding) for r in clustered.collect()}
+    for r in out:
+        q, v = vecs[r.query_id], vecs[r.vec_id]
+        want = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        assert r.cosine_sim == pytest.approx(want, abs=1e-9)
+
+
+def test_pq_train_validates_divisibility(spark, clustered):
+    with pytest.raises(ValueError):
+        pq_train(clustered, m=5)
+
+
+def test_ivf_pq_deterministic(spark, clustered):
+    queries = clustered.limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ivf_pq_topk(clustered, queries, n_cells=8, n_probe=2, m=4, nbits=4, k=5)
+    b = ivf_pq_topk(clustered, queries, n_cells=8, n_probe=2, m=4, nbits=4, k=5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

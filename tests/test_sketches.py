@@ -166,3 +166,95 @@ def test_hll_sketch_single_aggregate_plan(spark):
     explained = SK.hll_sketch(df, "val", b=6)._jdf.queryExecution().executedPlan().toString()
     assert explained.count("Exchange") == 1
     assert "Window" not in explained
+
+
+# --------------------------------------------------------------------------
+# Bottom-k sample / quantile sketch
+# --------------------------------------------------------------------------
+
+
+def test_bottomk_matches_python_reference_and_layout_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, float(i * 7 % 100)) for i in range(500)], "id long, v double"
+    )
+    want_ids = sorted(range(500), key=lambda i: (_h60(str(i)), i))[:32]
+    for parts in (1, 11):
+        got = SK.bottomk_rows(df.repartition(parts), 32, ["id"], keep=["v"])
+        assert sorted(r.id for r in got.collect()) == sorted(want_ids)
+
+
+def test_bottomk_merge_property(spark):
+    """bottom-k of the whole == k-smallest of the union of the parts'
+    bottom-k — the mergeability that makes the sample coordinatable."""
+    df = spark.createDataFrame([(i,) for i in range(600)], "id long")
+    a = SK.bottomk_rows(df.where(F.col("id") < 300), 24, ["id"])
+    b = SK.bottomk_rows(df.where(F.col("id") >= 300), 24, ["id"])
+    merged = SK.bottomk_rows(a.unionByName(b), 24, ["id"])
+    direct = SK.bottomk_rows(df, 24, ["id"])
+    assert sorted(r.id for r in merged.collect()) == sorted(
+        r.id for r in direct.collect()
+    )
+
+
+def test_quantile_sketch_exact_below_capacity(spark):
+    rows = [("g", i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    got = SK.quantile_sketch(
+        df, "v", ["id"], qs=(0.5,), k=200, by=["grp"]
+    ).collect()[0]
+    assert got.n_sampled == 100
+    assert got.p50 == pytest.approx(49.5)  # exact interpolated median
+
+
+def test_quantile_sketch_accuracy_uniform(spark):
+    n = 20000
+    df = spark.createDataFrame(
+        [(i, float(_h60(f"u{i}") % 10**6) / 10**6) for i in range(n)],
+        "id long, v double",
+    )
+    got = SK.quantile_sketch(df, "v", ["id"], qs=(0.5, 0.9), k=512).collect()[0]
+    # DKW rank error ~1.36/sqrt(512) ≈ 6% at 95%; uniform values make
+    # value error ≈ rank error
+    assert abs(got.p50 - 0.5) < 0.1
+    assert abs(got.p90 - 0.9) < 0.1
+
+
+def test_bottomk_validates_k(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        SK.bottomk_rows(df, 0, ["id"])
+
+
+def test_hll_xxhash_variant_accuracy_and_merge(spark):
+    """The production hash keeps every estimator property (no python
+    parity possible — xxhash64 is JVM-side — so accuracy + merge law
+    stand in)."""
+    n = 20000
+    df = _values_df(spark, n)
+    est = SK.hll_estimate(
+        SK.hll_sketch(df, "val", b=8, hash="xxhash64"), b=8
+    ).collect()[0]
+    assert abs(est.est_distinct - n) / n < 0.26
+    a = df.where(F.col("val") < "v5")
+    b = df.where(~(F.col("val") < "v5"))
+    merged = SK.hll_merge(
+        SK.hll_sketch(a, "val", b=7, hash="xxhash64"),
+        SK.hll_sketch(b, "val", b=7, hash="xxhash64"),
+    )
+    direct = SK.hll_sketch(df, "val", b=7, hash="xxhash64")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_kmv_xxhash_variant_accuracy(spark):
+    df = _values_df(spark, 5000)
+    est = SK.kmv_estimate(
+        SK.kmv_sketch(df, "val", k=256, hash="xxhash64"), k=256
+    ).collect()[0]
+    assert abs(est.est_distinct - 5000) / 5000 < 0.25
+
+
+def test_unknown_hash_rejected(spark):
+    with pytest.raises(ValueError):
+        SK.kmv_sketch(_values_df(spark, 5), "val", k=4, hash="sha1")

@@ -82,6 +82,11 @@ for _q in (
     JUSTIFIED[(_q, "nested-loop-join")] = _GLOBAL_SCALAR
 for _q in ("emb_topk", "emb_near_dup", "emb_knn_dist"):
     JUSTIFIED[(_q, "nested-loop-join")] = _BOUNDED_PROBE
+JUSTIFIED[("emb_ivfpq", "nested-loop-join")] = (
+    "query-side centroid ranking: broadcast side is the bounded "
+    "n_cells-row centroid table against the bounded probe set; the "
+    "corpus-side candidate scan is the keyed (_cell) equi-join"
+)
 
 
 def main() -> None:
