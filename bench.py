@@ -284,7 +284,7 @@ def main() -> None:
         (r.query_id, r.vec_id)
         for r in ivf_pq_topk(
             emb, probes, n_cells=16, n_probe=10, m=8, nbits=6, k=10,
-            refine_factor=8,
+            refine_factor=8, residual=True,
         )
         .select("query_id", "vec_id")
         .collect()

@@ -31,11 +31,10 @@ Spark-first shape (everything JVM-side, no Python UDFs):
   recall-recovery step; the exact pass touches k·refine_factor rows per
   query, not the corpus.
 
-This implements raw-vector PQ (IVF for candidate pruning, PQ for
-compression, exact refine for recall). Residual encoding (PQ over
-``x - cell_centroid``, per-probe LUTs) is the next accuracy notch and
-slots into the same relational frame by keying the LUT join on
-(query, cell) instead of (query).
+Both raw-vector PQ and residual encoding (``residual=True``: PQ over
+``x - cell_centroid``, the classic accuracy notch) are implemented; the
+inner-product formulation keeps residual lookup tables cell-independent,
+so the relational shape is identical — see ``ivf_pq_topk``.
 """
 
 from __future__ import annotations
@@ -207,6 +206,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     seed: int = 42,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate cosine top-k: IVF cells prune candidates, PQ
     codes make the candidate scan read bytes instead of vectors, exact
@@ -215,7 +215,16 @@ def ivf_pq_topk(
     Vectors are L2-normalized up front so inner product == cosine — PQ
     codebooks train on the normalized corpus and the ADC estimate
     directly approximates cosine similarity.
-    """
+
+    ``residual=True`` is the classic IVF-PQ accuracy notch (Jégou et al.
+    §IV): codebooks quantize ``x − cell_centroid`` instead of ``x`` —
+    residuals have far smaller spread than raw vectors, so the same
+    nbits buys much finer resolution. Inner-product scoring keeps the
+    lookup tables CELL-INDEPENDENT (ip(q,x) ≈ ip(q, centroid_cell) +
+    Σ_j LUT[j][code_j]): the per-cell term is one scalar the probe
+    ranking already computes, not a per-(query, cell) LUT — so the
+    relational shape is unchanged (an L2 formulation would need LUTs
+    keyed on (query, cell))."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -244,32 +253,36 @@ def ivf_pq_topk(
         "_cell int, _ctr array<double>",
     )
 
-    # --- PQ codebooks + codes over the normalized corpus
-    books = pq_train(
-        c_norm.select(id_col, F.col("_nv").alias(vec_col)),
-        vec_col=vec_col,
-        m=m,
-        nbits=nbits,
-        seed=seed,
-    )
-    codes = pq_encode(
-        c_norm.select(id_col, F.col("_nv").alias(vec_col)),
-        books,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
+    # --- PQ codebooks + codes (raw normalized vectors, or residuals
+    # against the assigned cell centroid)
+    if residual:
+        to_encode = assigned.join(F.broadcast(centers), "_cell").select(
+            id_col,
+            F.zip_with("_nv", "_ctr", lambda x, y: x - y).alias(vec_col),
+        )
+    else:
+        to_encode = c_norm.select(id_col, F.col("_nv").alias(vec_col))
+    to_encode = to_encode.cache()
+    books = pq_train(to_encode, vec_col=vec_col, m=m, nbits=nbits, seed=seed)
+    codes = pq_encode(to_encode, books, id_col=id_col, vec_col=vec_col)
+    to_encode.unpersist()
     packed = assigned.join(codes, id_col).select(id_col, "_cell", "codes")
 
-    # --- probe cells per query (broadcast centroid ranking, ties on cell)
+    # --- probe cells per query (broadcast centroid ranking, ties on
+    # cell); the q·centroid inner product rides along — it is the
+    # cell-level term of the residual ADC score
     qw = Window.partitionBy(query_id).orderBy("_d", "_cell")
     probes = (
         q_norm.join(F.broadcast(centers))
         .select(
-            query_id, "_cell", _sqdist(F.col("_nv"), F.col("_ctr")).alias("_d")
+            query_id,
+            "_cell",
+            _sqdist(F.col("_nv"), F.col("_ctr")).alias("_d"),
+            dot(F.col("_nv"), F.col("_ctr")).alias("_qc_ip"),
         )
         .withColumn("_r", F.row_number().over(qw))
         .where(F.col("_r") <= n_probe)
-        .select(query_id, "_cell")
+        .select(query_id, "_cell", "_qc_ip")
     )
 
     # --- ADC scan over probed cells (codes only — no vectors read here)
@@ -279,11 +292,16 @@ def ivf_pq_topk(
         query_id=query_id,
         vec_col=vec_col,
     ).select(query_id, "lut")
+    base_ip = F.col("_qc_ip") if residual else F.lit(0.0)
     cands = (
         packed.join(probes, "_cell")
         .where(F.col(id_col) != F.col(query_id))
         .join(luts, query_id)
-        .select(query_id, id_col, adc_score(F.col("codes"), F.col("lut")).alias("_adc"))
+        .select(
+            query_id,
+            id_col,
+            (base_ip + adc_score(F.col("codes"), F.col("lut"))).alias("_adc"),
+        )
     )
     rw = Window.partitionBy(query_id).orderBy(F.desc("_adc"), F.col(id_col))
     shortlist = (

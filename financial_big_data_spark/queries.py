@@ -2788,6 +2788,94 @@ def q_doc_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of small-quantity line items, where
+    "small" is a PER-PART dynamic threshold (0.2 × that part's average
+    quantity) — the classic correlated-scalar-subquery → aggregate-join
+    rewrite. The brand filter broadcasts first so BOTH the threshold
+    aggregate and the probe side shrink to the brand's rows before any
+    shuffle; the threshold join is keyed on the uniform part key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#13").select("p_partkey")
+    brand_li = li.join(
+        F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey
+    ).drop("p_partkey")
+    thresholds = brand_li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("thr")
+    )
+    return (
+        brand_li.join(thresholds, "l_partkey")
+        .where(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SQL_BRAND_SMALL_QTY = """
+WITH brand_li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#13'
+), thresholds AS (
+  SELECT l_partkey, avg(l_quantity) * 0.2 AS thr
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT round(sum(b.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*)::BIGINT AS n_lines
+FROM brand_li b JOIN thresholds t USING (l_partkey)
+WHERE b.l_quantity < t.thr
+"""
+
+
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING on a hot aggregate), joined back to order and customer
+    detail, top-20 by quantity. The heavy side aggregates FIRST (partial
+    map-side sum on the order key) so the joins see only qualifying
+    orders; customer broadcasts; the final top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+_SQL_LARGE_ORDER_CUSTOMERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o   ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+ORDER BY b.sum_qty DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
 def q_emb_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate cosine top-k (operators/pq.py): coarse IVF
     cells prune candidates, product-quantized codes make the candidate
@@ -2803,7 +2891,8 @@ def q_emb_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_pq_topk(
-        emb, probes, n_cells=8, n_probe=4, m=8, nbits=4, k=5, refine_factor=4
+        emb, probes, n_cells=8, n_probe=4, m=8, nbits=4, k=5,
+        refine_factor=4, residual=True,
     )
 
 
@@ -3192,6 +3281,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_hll_users": (q_ev_hll_users, _SQL_EV_HLL_USERS),
     "ev_quantile_sketch": (q_ev_quantile_sketch, _SQL_EV_QUANTILE_SKETCH),
     "ev_pagerank": (q_ev_pagerank, _SQL_EV_PAGERANK),
+    "brand_small_qty_revenue": (q_brand_small_qty_revenue, _SQL_BRAND_SMALL_QTY),
+    "large_order_customers": (q_large_order_customers, _SQL_LARGE_ORDER_CUSTOMERS),
     # rows-only: KMeans codebooks are iterative, not SQL-expressible;
     # pinned by tests/test_pq.py + the per-bench recall probe
     "emb_ivfpq": (q_emb_ivfpq, None),

@@ -166,3 +166,29 @@ def test_plan_caches_released_on_unpersist(spark, bars_df):
     fres.unpersist()
     assert not fbs_cache._TRACKED  # bulk release drained the registry
     assert not any(pinned(df) for df in tracked)
+
+
+def test_q18_shape_aggregate_before_join_topk_merge(spark):
+    """large_order_customers: the lineitem aggregate runs BEFORE any join
+    (only qualifying orders reach the join), customer broadcasts, and the
+    top-20 is a TakeOrderedAndProject k-row merge, not a global sort."""
+    from financial_big_data_spark.queries import q_large_order_customers
+
+    plan = _plan(q_large_order_customers(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # HashAggregate on l_orderkey appears below the joins (partial+final
+    # pair); a plan that joined lineitem row-level first would show the
+    # join above a scan with no aggregate in between.
+    assert plan.index("HashAggregate") > plan.index("TakeOrderedAndProject")
+
+
+def test_q17_threshold_join_keyed_and_brand_broadcast(spark):
+    """brand_small_qty_revenue: brand filter broadcasts; the per-part
+    threshold join is a keyed join (hash/sort-merge), no nested loop."""
+    from financial_big_data_spark.queries import q_brand_small_qty_revenue
+
+    plan = _plan(q_brand_small_qty_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

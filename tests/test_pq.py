@@ -135,3 +135,36 @@ def test_ivf_pq_deterministic(spark, clustered):
     a = ivf_pq_topk(clustered, queries, n_cells=8, n_probe=2, m=4, nbits=4, k=5)
     b = ivf_pq_topk(clustered, queries, n_cells=8, n_probe=2, m=4, nbits=4, k=5)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_residual_encoding_beats_raw_on_tight_clusters(spark):
+    """The fixture raw PQ fails on: clusters so tight that every member
+    quantizes to the same raw codes (ADC ties carry no ranking signal).
+    Residual encoding quantizes x - cell_centroid, so the same nbits
+    resolve WITHIN-cluster structure."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 10, (8, 16))
+    mat = np.vstack([c + rng.normal(0, 0.5, (100, 16)) for c in centers])
+    tight = _vec_df(spark, mat)
+    queries = tight.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(tight, queries, k=10)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(df):
+        hits = 0
+        for r in df.collect():
+            if r.vec_id in truth.get(r.query_id, set()):
+                hits += 1
+        return hits / (10 * len(truth))
+
+    kwargs = dict(n_cells=8, n_probe=3, m=4, nbits=4, k=10, refine_factor=6)
+    raw = recall(ivf_pq_topk(tight, queries, **kwargs))
+    res = recall(ivf_pq_topk(tight, queries, residual=True, **kwargs))
+    # neighbors inside a tight cluster differ by ~1e-3 cosine — 16
+    # centroids/subspace can't fully rank that even on residuals; the
+    # pinned claim is the RELATIVE notch at identical config, plus a
+    # floor raw provably misses
+    assert res >= 0.5
+    assert res > raw + 0.1  # the accuracy notch is real, not noise

@@ -141,6 +141,24 @@ SHOWCASE = {
         "k-sized driver merge — no global sort); the rank window orders "
         "only the ≤ k surviving rows."
     ),
+    "ev_hll_users": (
+        "HyperLogLog registers build in ONE partial-aggregatable exchange "
+        "on (group, bucket) — map-side combine caps in-flight state at "
+        "2^b rows per group per partition regardless of input size; the "
+        "estimate is a second tiny aggregate over ≤ 2^b rows per group."
+    ),
+    "large_order_customers": (
+        "TPC-H Q18 shape: the lineitem HAVING-aggregate runs BEFORE any "
+        "join (only qualifying orders reach the probe side), customer is "
+        "a BroadcastHashJoin, and the top-20 is TakeOrderedAndProject — "
+        "per-partition heaps, k-row merge, no global sort."
+    ),
+    "brand_small_qty_revenue": (
+        "TPC-H Q17 shape: the correlated scalar subquery is an aggregate "
+        "join — the brand filter broadcasts FIRST so both the threshold "
+        "aggregate and the probe side shrink to the brand's rows before "
+        "any shuffle; the threshold join is keyed on the part key."
+    ),
 }
 
 
