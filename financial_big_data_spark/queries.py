@@ -2788,6 +2788,27 @@ def q_doc_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (ml/quality_model.py): a hashed-BoW
+    logistic classifier trained to distinguish a trusted seed (half the
+    English documents) from a deterministic sample of the rest, then
+    scoring the whole corpus — the GPT-3/CCNet curation stage between
+    the heuristic gates and selection. Rows-only: distributed L-BFGS is
+    iterative, not SQL-expressible; held-out separation and the
+    layout-invariant negative sample are pinned in
+    tests/test_quality_model.py."""
+    from .ml.quality_model import seed_quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    seed = docs.where(
+        (F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)
+    ).select("doc_id")
+    out = seed_quality_scores(docs, seed)
+    return out.select(
+        "doc_id", F.round("quality_score", 6).alias("quality_score")
+    )
+
+
 def q_brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue of small-quantity line items, where
     "small" is a PER-PART dynamic threshold (0.2 × that part's average
@@ -3286,6 +3307,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # rows-only: KMeans codebooks are iterative, not SQL-expressible;
     # pinned by tests/test_pq.py + the per-bench recall probe
     "emb_ivfpq": (q_emb_ivfpq, None),
+    # rows-only: distributed L-BFGS training is iterative; pinned by
+    # tests/test_quality_model.py (held-out separation, deterministic
+    # negative sample)
+    "doc_quality_model": (q_doc_quality_model, None),
 }
 
 
