@@ -292,6 +292,32 @@ def main() -> None:
     ivfpq_sec = round(time.time() - t0, 3)
     ivfpq_recall = round(len(exact & approx_pq) / max(len(exact), 1), 3)
 
+    # Dedup recall probe: LSH near-dup pairs vs the EXACT Jaccard ground
+    # truth at the same threshold/shingling — approximate-dedup quality as
+    # a recorded number. LSH candidates are exact-verified, so the LSH set
+    # is a subset of truth and the ratio IS recall (precision = 1).
+    from financial_big_data_spark.operators import dedup as _D
+
+    docs_df = load_table(spark, sf_dir, "documents")
+    truth_pairs = {
+        (r.id_a, r.id_b)
+        for r in _D.jaccard_pairs(docs_df, shingle_n=3)
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    lsh_pairs = {
+        (r.id_a, r.id_b)
+        for r in _D.near_dup_lsh(
+            docs_df, num_hashes=8, bands=4, shingle_n=3, min_jaccard=0.5
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    dedup_lsh_recall = round(
+        len(lsh_pairs & truth_pairs) / max(len(truth_pairs), 1), 3
+    )
+
     # Media decode throughput: real PNG/WAV payloads through the Arrow
     # mapInPandas decode stage (library-free kernels) — recorded so the
     # multimodal pipeline's rate is a measured number, not a claim.
@@ -481,6 +507,7 @@ def main() -> None:
         "ann_ivf_recall_at_10": ivf_recall,
         "ann_ivfpq_recall_at_10": ivfpq_recall,
         "ann_ivfpq_sec": ivfpq_sec,
+        "dedup_lsh_recall": dedup_lsh_recall,
         "ep3_logistic_sec": ep3_sec,
         "ep3_logistic_acc": ep3_acc,
         "ep3_mlp_sec": ep3_mlp_sec,
