@@ -396,6 +396,7 @@ def pagerank(
     n_iter: int = 20,
     damping: float = 0.85,
     weight: str | None = None,
+    reset: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank over directed (src, dst[, w]).
 
@@ -417,6 +418,14 @@ def pagerank(
     Teleport/damping terms mirror the oracle's literal arithmetic: rank =
     (1-d)/N + d * (inflow + dangling/N). Returns (node, rank); isolated
     nodes (no edges at all) are out of the graph by construction.
+
+    ``reset`` (a one-column frame of node ids) switches to PERSONALIZED
+    PageRank: teleport (and dangling) mass returns only to the reset set
+    (uniformly within it) instead of all nodes — rank becomes proximity
+    to the seeds, the graph-walk analogue of seed-based data selection
+    (select crawl hosts near trusted domains). Nodes outside the reset
+    set get teleport mass 0; iteration starts from the reset
+    distribution.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
@@ -442,10 +451,28 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     norm = norm.cache()
+    if reset is None:
+        # constant-teleport arithmetic kept EXACTLY as the oracle mirrors it
+        nodes = nodes.withColumn("_p", F.lit(1.0) / F.lit(float(n)))
+        teleport = F.lit(1.0 - damping) / F.lit(float(n))
+    else:
+        keys = reset.select(
+            F.col(reset.columns[0]).alias("node")
+        ).distinct().withColumn("_in_reset", F.lit(1))
+        nodes = nodes.join(keys, "node", "left")
+        n_reset = nodes.where(F.col("_in_reset") == 1).count()
+        if n_reset == 0:
+            raise ValueError("reset set shares no nodes with the graph")
+        nodes = nodes.select(
+            "node",
+            F.when(F.col("_in_reset") == 1, F.lit(1.0) / F.lit(float(n_reset)))
+            .otherwise(F.lit(0.0))
+            .alias("_p"),
+        )
+        teleport = F.lit(1.0 - damping) * F.col("_p")
     nodes = nodes.cache()
-    teleport = F.lit(1.0 - damping) / F.lit(float(n))
-    ranks = nodes.withColumn("rank", F.lit(1.0) / F.lit(float(n)))
-    dangling_nodes = nodes.join(has_out, "node", "left_anti").cache()
+    ranks = nodes.select("node", F.col("_p").alias("rank"))
+    dangling_nodes = nodes.select("node").join(has_out, "node", "left_anti").cache()
     any_dangling = dangling_nodes.limit(1).count() > 0
     for _ in range(n_iter):
         inflow = (
@@ -458,6 +485,11 @@ def pagerank(
                 dangling_nodes.join(ranks, "node")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
             )
+            dang_share = (
+                F.col("dmass") / F.lit(float(n))
+                if reset is None
+                else F.col("dmass") * F.col("_p")
+            )
             new = (
                 nodes.join(inflow, "node", "left")
                 .crossJoin(F.broadcast(dang))
@@ -466,10 +498,7 @@ def pagerank(
                     (
                         teleport
                         + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("inflow"), F.lit(0.0))
-                            + F.col("dmass") / F.lit(float(n))
-                        )
+                        * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dang_share)
                     ).alias("rank"),
                 )
             )

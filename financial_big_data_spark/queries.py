@@ -3128,10 +3128,12 @@ _PR_DAMPING = 0.85
 _PR_TELEPORT = 1.0 - _PR_DAMPING
 
 
-def _pagerank_oracle_sql(n_iter: int = 10) -> str:
+def _pagerank_oracle_sql(n_iter: int = 10, reset_below: int | None = None) -> str:
     """Fixed-iteration power method unrolled as chained CTEs (DuckDB's
     recursive CTEs allow only one reference to the recursive table, and
-    PageRank needs none of that: the iteration count is a constant)."""
+    PageRank needs none of that: the iteration count is a constant).
+    ``reset_below`` switches to the personalized form: teleport mass
+    returns uniformly to the nodes with id < reset_below."""
     base = """
 WITH slots AS (
   SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
@@ -3151,17 +3153,33 @@ WITH slots AS (
   SELECT DISTINCT src AS node FROM edges
 ), nn AS (
   SELECT count(*)::DOUBLE AS n FROM nodes
-), it0 AS (
-  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    if reset_below is None:
+        base += """, pvec AS (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS p FROM nodes
+)"""
+        teleport = f"{_PR_TELEPORT!r} / (SELECT n FROM nn)"
+    else:
+        base += f""", nr AS (
+  SELECT count(*)::DOUBLE AS n FROM nodes WHERE node < {reset_below}
+), pvec AS (
+  SELECT node,
+         CASE WHEN node < {reset_below} THEN 1.0 / (SELECT n FROM nr)
+              ELSE 0.0 END AS p
+  FROM nodes
+)"""
+        teleport = f"{_PR_TELEPORT!r} * pv.p"
+    base += """, it0 AS (
+  SELECT node, p AS rank FROM pvec
 )"""
     its = []
     for k in range(1, n_iter + 1):
         its.append(
             f""", it{k} AS (
-  SELECT nd.node,
-         {_PR_TELEPORT!r} / (SELECT n FROM nn)
+  SELECT pv.node,
+         {teleport}
          + {_PR_DAMPING!r} * coalesce(i.inflow, 0.0) AS rank
-  FROM nodes nd LEFT JOIN (
+  FROM pvec pv LEFT JOIN (
     SELECT nm.dst AS node, sum(p.rank * nm.wnorm) AS inflow
     FROM it{k - 1} p JOIN norm nm ON nm.src = p.node
     GROUP BY nm.dst
@@ -3176,6 +3194,41 @@ WITH slots AS (
 
 
 _SQL_EV_PAGERANK = _pagerank_oracle_sql(10)
+_SQL_EV_PPR = _pagerank_oracle_sql(10, reset_below=50)
+
+
+def q_ev_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (ml/graph.py pagerank with ``reset``): the
+    same co-occurrence graph, but teleport mass returns only to the seed
+    users (id < 50) — rank becomes graph proximity to the seeds, the
+    walk-based analogue of seed-driven data selection (pick crawl hosts
+    near trusted domains). Oracle: the same unrolled power method with
+    the per-node reset vector."""
+    from .ml.graph import pagerank
+
+    ev = _events(spark, sf_dir)
+    slots = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    a, b = slots.alias("a"), slots.alias("b")
+    pairs = (
+        a.join(b, ["event_type", "hr"])
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 3)
+        .select("src", "dst")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = edges.select(F.col("src").alias("node")).where(F.col("node") < 50).distinct()
+    pr = pagerank(edges, n_iter=10, damping=0.85, reset=seeds)
+    return pr.select(
+        F.col("node").alias("user_id"), _r6s(F.col("rank")).alias("rank")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3302,6 +3355,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_hll_users": (q_ev_hll_users, _SQL_EV_HLL_USERS),
     "ev_quantile_sketch": (q_ev_quantile_sketch, _SQL_EV_QUANTILE_SKETCH),
     "ev_pagerank": (q_ev_pagerank, _SQL_EV_PAGERANK),
+    "ev_ppr": (q_ev_ppr, _SQL_EV_PPR),
     "brand_small_qty_revenue": (q_brand_small_qty_revenue, _SQL_BRAND_SMALL_QTY),
     "large_order_customers": (q_large_order_customers, _SQL_LARGE_ORDER_CUSTOMERS),
     # rows-only: KMeans codebooks are iterative, not SQL-expressible;

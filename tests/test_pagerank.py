@@ -96,3 +96,58 @@ def test_pagerank_validation(spark):
         pagerank(df, damping=1.5)
     with pytest.raises(ValueError):
         pagerank(df, n_iter=0)
+
+
+def _dense_ppr(edges, reset_nodes, d=0.85, iters=1000, weighted=False):
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    p = np.zeros(n)
+    for r in reset_nodes:
+        p[idx[r]] = 1.0 / len(reset_nodes)
+    P = np.zeros((n, n))
+    for e in edges:
+        P[idx[e[0]], idx[e[1]]] += e[2] if weighted else 1.0
+    out = P.sum(axis=1)
+    dangling = out == 0
+    P[~dangling] /= out[~dangling, None]
+    P[dangling] = p  # dangling mass returns to the reset distribution
+    r = p.copy()
+    for _ in range(iters):
+        r = d * (r @ P) + (1 - d) * p
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_personalized_pagerank_matches_dense_reference(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (1, 4)]
+    reset = spark.createDataFrame([(0,), (1,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            _edges_df(spark, edges), n_iter=120, reset=reset
+        ).collect()
+    }
+    want = _dense_ppr(edges, [0, 1])
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-9)
+
+
+def test_personalized_pagerank_concentrates_near_seeds(spark):
+    # symmetric ring: uniform PR gives every node 1/6; personalization
+    # must pull mass toward the seed
+    ring = [(i, (i + 1) % 6) for i in range(6)] + [((i + 1) % 6, i) for i in range(6)]
+    reset = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(_edges_df(spark, ring), n_iter=40, reset=reset).collect()
+    }
+    assert got[0] > got[1] > got[3]  # monotone with ring distance
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_rejects_disjoint_reset(spark):
+    df = _edges_df(spark, [(0, 1), (1, 0)])
+    reset = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError):
+        pagerank(df, reset=reset)
