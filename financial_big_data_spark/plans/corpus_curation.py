@@ -7,6 +7,9 @@ runs over a 100 TB corpus:
       → text_profile        (quality stats + language ID, one map-only pass)
       → quality filter      (length / stopword / punctuation gates — pure
                              predicates, pushed into the scan where possible)
+      → model filter        (optional: GPT-3-style seed-vs-corpus classifier,
+                             ml/quality_model.py — drops fluent junk the
+                             heuristics pass; scoring is map-only)
       → exact dedup         (md5-fingerprint groupBy, keep smallest id)
       → near-dup removal    (MinHash → LSH banding → Jaccard verify on
                              candidates; drop the larger id of each pair)
@@ -60,12 +63,23 @@ def curate_corpus(
     contamination_threshold: float = 0.2,
     contamination_ngram: int = 8,
     token_budget: int | None = None,
+    quality_seed: DataFrame | None = None,
+    model_score_min: float = 0.5,
 ) -> CurationResult:
     """Run the full curation DAG; every stage stays distributed.
 
     ``benchmark`` (optional): a DataFrame with a ``text`` column of eval
     material; documents whose ``contamination_ngram``-gram overlap with it
     reaches ``contamination_threshold`` are dropped before the token cut.
+
+    ``quality_seed`` (optional): one-column frame of trusted doc ids —
+    enables the MODEL-based quality stage (ml/quality_model.py) between
+    the heuristic gates and dedup, the GPT-3-style curated-vs-crawl
+    classifier filter: documents scoring below ``model_score_min``
+    against the seed classifier are dropped. Heuristic gates catch
+    mechanical junk; this stage catches fluent-but-off-distribution
+    text the heuristics cannot see. The audit gains an
+    ``n_model_quality`` column when enabled.
     """
     profiled = text_profile(docs, text=text, id_col=id_col).join(
         docs.select(id_col, text), on=id_col
@@ -84,9 +98,26 @@ def curate_corpus(
     # long-lived session can bulk-release after materializing the result.
     quality = tracked_persist(quality)
 
+    # model-based quality filter (optional): classifier P(seed-like)
+    # over the heuristically-gated corpus; scoring is one map-only
+    # transform, so the stage adds no corpus shuffle
+    gated = quality
+    if quality_seed is not None:
+        from ..ml.quality_model import seed_quality_scores
+
+        keep = (
+            seed_quality_scores(
+                quality.select(id_col, text), quality_seed,
+                id_col=id_col, text=text,
+            )
+            .where(F.col("quality_score") >= model_score_min)
+            .select(id_col)
+        )
+        gated = tracked_persist(quality.join(keep, on=id_col, how="left_semi"))
+
     # exact dedup: keep the deterministic representative of each fingerprint
-    keys = exact_dedup_keys(quality, text=text, id_col=id_col)
-    exact = tracked_persist(quality.join(
+    keys = exact_dedup_keys(gated, text=text, id_col=id_col)
+    exact = tracked_persist(gated.join(
         keys.select(F.col("keep_id").alias(id_col)), on=id_col, how="inner"
     ))
 
@@ -131,6 +162,13 @@ def curate_corpus(
     audit = (
         docs.agg(F.count(F.lit(1)).alias("n_input"))
         .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
+    )
+    if quality_seed is not None:
+        audit = audit.crossJoin(
+            gated.agg(F.count(F.lit(1)).alias("n_model_quality"))
+        )
+    audit = (
+        audit
         .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_dedup")))
         .crossJoin(near.agg(F.count(F.lit(1)).alias("n_near_dedup")))
         .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_decontaminated")))

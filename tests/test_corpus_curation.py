@@ -136,3 +136,46 @@ def test_curate_corpus_decontamination(spark, corpus_df):
     a = decon.audit.collect()[0]
     assert a.n_decontaminated == a.n_near_dedup - 1
     assert a.n_final == a.n_decontaminated
+
+
+def test_curate_corpus_model_quality_stage(spark):
+    """With quality_seed, the GPT-3-style classifier stage drops
+    fluent-but-off-distribution junk the heuristic gates pass; without
+    it, the same docs survive (stage strictly optional)."""
+    prose = [
+        "the committee published a detailed annual report on regional trade",
+        "researchers measured the effect of interest rates on capital flows",
+        "the council approved a framework for sustainable urban development",
+        "analysts reviewed quarterly earnings across the manufacturing sector",
+        "the study examined long term trends in labor market participation",
+        "historians documented the economic reforms of the early republic",
+        "the agency released guidance on municipal infrastructure financing",
+        "economists compared productivity growth across the member states",
+    ]
+    # distinct prose per doc — near-dup removal must not collapse seeds
+    curated = [(i, t + " moreover the findings were considered robust")
+               for i, t in enumerate(prose)]
+    # well-formed junk: right length, low punctuation, no stopword excess
+    junk = [
+        (50 + i, ("wak jxv bnm plo qet uio zzz vvv mmm ddd " * 4) + f"tail {i}")
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(curated + junk, "doc_id long, text string")
+    seed = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+
+    from financial_big_data_spark.cache import release_tracked
+
+    without = curate_corpus(docs, min_tokens=3, near_dup_jaccard=0.9)
+    ids_without = {r.doc_id for r in without.corpus.select("doc_id").collect()}
+    assert {50, 51, 52, 53} <= ids_without  # heuristics can't see junk vocab
+
+    withm = curate_corpus(
+        docs, min_tokens=3, near_dup_jaccard=0.9,
+        quality_seed=seed, model_score_min=0.5,
+    )
+    audit = withm.audit.collect()[0]
+    ids_with = {r.doc_id for r in withm.corpus.select("doc_id").collect()}
+    assert ids_with & {50, 51, 52, 53} == set()   # classifier removes junk
+    assert set(range(8)) <= ids_with              # seeds survive
+    assert audit.n_model_quality == audit.n_quality - 4
+    release_tracked()
