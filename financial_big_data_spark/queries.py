@@ -2788,6 +2788,59 @@ def q_doc_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unicode salt for doc_normalized: decomposed e+COMBINING ACUTE (NFC
+# composes it), the ﬁ ligature and a fullwidth Ａ (NFC preserves both —
+# NFKC would fold them), a C0 control and doubled whitespace. The SAME
+# Python literal is interpolated into the oracle SQL so both engines
+# receive identical codepoints.
+_UNORM_SALT = " cafe\u0301 \ufb01le \uff21BC \x07bell  end"
+
+
+def q_doc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode ingest normalization (operators/textnorm.py): NFC via an
+    Arrow-batched pandas UDF, control-strip + whitespace-collapse
+    JVM-side. Docs with id < 50 get a salt of decomposed accents /
+    ligatures / fullwidth / control chars so the NFC step provably
+    transforms. Oracle: DuckDB `nfc_normalize` (codepoint-identical to
+    Python's unicodedata NFC) + the same RE2/Java-compatible regex
+    chain; outputs are md5 fingerprints of the canonical text, so a
+    single codepoint of drift anywhere in the chain flips the hash."""
+    from .operators.textnorm import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    salted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") < 50, F.concat(F.col("text"), F.lit(_UNORM_SALT))
+        ).otherwise(F.col("text")),
+    ).withColumn("n_chars_raw", F.length("text"))
+    normed = normalize_text(salted, text="text", form="NFC", out="norm")
+    return normed.select(
+        "doc_id",
+        "n_chars_raw",
+        F.length("norm").alias("n_chars_norm"),
+        F.md5(F.col("norm")).alias("fp"),
+    )
+
+
+_SQL_DOC_NORMALIZED = f"""
+WITH inp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 50 THEN text || '{_UNORM_SALT}' ELSE text END AS t
+  FROM documents
+), norm AS (
+  SELECT doc_id, length(t)::BIGINT AS n_chars_raw,
+         trim(regexp_replace(
+           regexp_replace(nfc_normalize(t), '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+           '\\s+', ' ', 'g')) AS nt
+  FROM inp
+)
+SELECT doc_id, n_chars_raw, length(nt)::BIGINT AS n_chars_norm,
+       md5(nt) AS fp
+FROM norm
+"""
+
+
 def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring (ml/quality_model.py): a hashed-BoW
     logistic classifier trained to distinguish a trusted seed (half the
@@ -3356,6 +3409,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_quantile_sketch": (q_ev_quantile_sketch, _SQL_EV_QUANTILE_SKETCH),
     "ev_pagerank": (q_ev_pagerank, _SQL_EV_PAGERANK),
     "ev_ppr": (q_ev_ppr, _SQL_EV_PPR),
+    "doc_normalized": (q_doc_normalized, _SQL_DOC_NORMALIZED),
     "brand_small_qty_revenue": (q_brand_small_qty_revenue, _SQL_BRAND_SMALL_QTY),
     "large_order_customers": (q_large_order_customers, _SQL_LARGE_ORDER_CUSTOMERS),
     # rows-only: KMeans codebooks are iterative, not SQL-expressible;
