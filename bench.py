@@ -144,6 +144,31 @@ def main() -> None:
     _rel()
     spark.catalog.clearCache()
 
+    # Round-7 sketch / graph / ingest queries — same discipline, separate
+    # dict so headline_queries_total stays comparable across rounds.
+    sketch_graph_ops: dict[str, float] = {}
+    for name in (
+        "ev_kmv_users",
+        "ev_hll_users",
+        "ev_cms_counts",
+        "ev_quantile_sketch",
+        "ev_pagerank",
+        "ev_ppr",
+        "doc_normalized",
+    ):
+        fn, _ = REGISTRY[name]
+        best = None
+        for _ in range(2):
+            _rel()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        sketch_graph_ops[name] = round(best, 3)
+    _rel()
+    spark.catalog.clearCache()
+
     # EP2 composite: the reference's full market-analysis DAG in one shot.
     # Same steady-state discipline as the headline queries: min of two runs
     # with the cache cleared between them (the plan persists internally).
@@ -527,6 +552,7 @@ def main() -> None:
         "curation_ops": curation_ops,
         "alignment_ops": alignment_ops,
         "sketch_ops": sketch_ops,
+        "sketch_graph_ops": sketch_graph_ops,
         "ep2_big_rows": n_big,
         "ep2_big_spark_sec": ep2_big_spark,
         "ep2_big_pandas_sec": ep2_big_pandas,

@@ -440,17 +440,20 @@ def pagerank(
         wout = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("wout"))
     norm = e.join(wout, "src").select(
         "src", "dst", (F.col("w") / F.col("wout")).alias("wnorm")
-    )
+    ).cache()
+    # derive node/out-degree sets from the CACHED normalized frame — the
+    # caller's edge lineage (often a heavy self-join) materializes once,
+    # not once per derived set
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        norm.select(F.col("src").alias("node"))
+        .unionByName(norm.select(F.col("dst").alias("node")))
         .distinct()
     )
-    has_out = e.select(F.col("src").alias("node")).distinct()
+    has_out = norm.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
     if n == 0:
+        norm.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
-    norm = norm.cache()
     if reset is None:
         # constant-teleport arithmetic kept EXACTLY as the oracle mirrors it
         nodes = nodes.withColumn("_p", F.lit(1.0) / F.lit(float(n)))

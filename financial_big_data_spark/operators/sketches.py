@@ -1,4 +1,5 @@
-"""Mergeable cardinality sketches (KMV, HyperLogLog) as DataFrame aggregates.
+"""Mergeable sketches as DataFrame aggregates: KMV + HyperLogLog
+(cardinality), bottom-k samples (quantiles), count-min (frequency).
 
 The reference answers "how many distinct X" with exact pandas ``.unique()``
 counts (reference market_analysis.py:262, :621 — `len(index.unique())` per
@@ -286,3 +287,95 @@ def quantile_sketch(
         for q in qs
     ]
     return samp.groupBy(*by).agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (frequency estimation / heavy hitters)
+# --------------------------------------------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame,
+    value: str,
+    depth: int = 4,
+    width: int = 256,
+    by: list[str] | None = None,
+    hash: str = "md5",
+) -> DataFrame:
+    """Count-min sketch [Cormode & Muthukrishnan, J.Alg 2005]: a
+    depth × width counter grid per group — (*by, row, slot, cnt).
+
+    Each input row increments one slot per hash row (slot_j = h_j(x) mod
+    width, independent rows via salted hashes). Built as ONE
+    partial-aggregatable shuffle over (*by, row, slot): bounded state
+    d·w per group regardless of distinct-value count, and two sketches
+    MERGE by element-wise counter addition — the groupBy(sum) is its own
+    merge operator, same contract as the HLL registers.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("cms requires depth >= 1 and width >= 2")
+    by = list(by or [])
+    rows = df.select(
+        *by,
+        F.posexplode(
+            F.array(
+                *[
+                    (uniform_hash60(value, salt=f"#cms{j}", hash=hash) % width)
+                    .cast("int")
+                    for j in range(depth)
+                ]
+            )
+        ).alias("row", "slot"),
+    )
+    return rows.groupBy(*by, "row", "slot").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame, by: list[str] | None = None) -> DataFrame:
+    """Element-wise counter addition — the CMS merge."""
+    by = list(by or [])
+    return (
+        a.unionByName(b)
+        .groupBy(*by, "row", "slot")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value: str,
+    depth: int = 4,
+    width: int = 256,
+    by: list[str] | None = None,
+    hash: str = "md5",
+) -> DataFrame:
+    """Estimated count per probe value: min over the depth rows of the
+    probed slots (never under-counts; over-counts by collision mass with
+    probability ≤ (1/2)^depth beyond 2N/width). The probe side explodes
+    to depth rows, joins the sketch on the bounded (row, slot) key, and
+    takes one min aggregate — probe sets are usually candidate lists
+    (bounded), so the join is broadcast-shaped at scale."""
+    by = list(by or [])
+    p = probes.select(
+        *by,
+        F.col(value).alias("_probe"),
+        F.posexplode(
+            F.array(
+                *[
+                    (uniform_hash60(value, salt=f"#cms{j}", hash=hash) % width)
+                    .cast("int")
+                    for j in range(depth)
+                ]
+            )
+        ).alias("row", "slot"),
+    )
+    joined = p.join(sketch, on=[*by, "row", "slot"], how="left").select(
+        *by, "_probe", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return (
+        joined.groupBy(*by, "_probe")
+        .agg(F.min("cnt").alias("est_count"))
+        .withColumnRenamed("_probe", value)
+    )

@@ -2788,6 +2788,71 @@ def q_doc_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketches.py cms_sketch): a 4×256
+    counter grid over user ids — bounded frequency state that merges by
+    addition — probed for the top-20 users and compared to their exact
+    counts. CMS never under-counts; the overcount is collision mass
+    (≤ 2N/width with prob. 1-2^-depth). All integers, so the oracle
+    re-derives the grid and the min-estimates hash-exactly."""
+    from .operators.sketches import cms_estimate, cms_sketch
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    sk = cms_sketch(ev, "uid", depth=4, width=256)
+    exact = ev.groupBy("uid").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.orderBy(F.desc("exact_count"), F.col("uid")).limit(20)
+    est = cms_estimate(sk, probes.select("uid"), "uid", depth=4, width=256)
+    return (
+        est.join(exact, "uid")
+        .select(
+            "uid",
+            F.col("est_count").cast("long").alias("est_count"),
+            "exact_count",
+        )
+    )
+
+
+def _cms_oracle_sql(depth: int = 4, width: int = 256, topk: int = 20) -> str:
+    """CMS grid + min-estimate re-derived serially; the salted hash rows
+    mirror uniform_hash60(value, salt=f'#cms{j}')."""
+    grid_rows = "\n    UNION ALL\n".join(
+        f"    SELECT {j} AS row_j, (('0x' || substr(md5(v || '#cms{j}'), 1, 15))::BIGINT"
+        f" % {width})::INT AS slot FROM vals"
+        for j in range(depth)
+    )
+    probe_rows = "\n    UNION ALL\n".join(
+        f"    SELECT v, {j} AS row_j, (('0x' || substr(md5(v || '#cms{j}'), 1, 15))::BIGINT"
+        f" % {width})::INT AS slot FROM probes"
+        for j in range(depth)
+    )
+    return f"""
+WITH vals AS (
+  SELECT user_id::VARCHAR AS v FROM events
+), exact AS (
+  SELECT v, count(*)::BIGINT AS exact_count FROM vals GROUP BY v
+), grid AS (
+  SELECT row_j, slot, count(*)::BIGINT AS cnt FROM (
+{grid_rows}
+  ) GROUP BY row_j, slot
+), probes AS (
+  SELECT v FROM exact ORDER BY exact_count DESC, v LIMIT {topk}
+), probe_slots AS (
+{probe_rows}
+), est AS (
+  SELECT p.v, min(coalesce(g.cnt, 0))::BIGINT AS est_count
+  FROM probe_slots p LEFT JOIN grid g USING (row_j, slot)
+  GROUP BY p.v
+)
+SELECT e.v AS uid, e.est_count, x.exact_count
+FROM est e JOIN exact x USING (v)
+"""
+
+
+_SQL_EV_CMS_COUNTS = _cms_oracle_sql()
+
+
 # Unicode salt for doc_normalized: decomposed e+COMBINING ACUTE (NFC
 # composes it), the ﬁ ligature and a fullwidth Ａ (NFC preserves both —
 # NFKC would fold them), a C0 control and doubled whitespace. The SAME
@@ -3410,6 +3475,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_pagerank": (q_ev_pagerank, _SQL_EV_PAGERANK),
     "ev_ppr": (q_ev_ppr, _SQL_EV_PPR),
     "doc_normalized": (q_doc_normalized, _SQL_DOC_NORMALIZED),
+    "ev_cms_counts": (q_ev_cms_counts, _SQL_EV_CMS_COUNTS),
     "brand_small_qty_revenue": (q_brand_small_qty_revenue, _SQL_BRAND_SMALL_QTY),
     "large_order_customers": (q_large_order_customers, _SQL_LARGE_ORDER_CUSTOMERS),
     # rows-only: KMeans codebooks are iterative, not SQL-expressible;

@@ -258,3 +258,71 @@ def test_kmv_xxhash_variant_accuracy(spark):
 def test_unknown_hash_rejected(spark):
     with pytest.raises(ValueError):
         SK.kmv_sketch(_values_df(spark, 5), "val", k=4, hash="sha1")
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch
+# --------------------------------------------------------------------------
+
+
+def _py_cms(values, depth, width):
+    grid = {}
+    for v in values:
+        for j in range(depth):
+            slot = _h60(f"{v}#cms{j}") % width
+            grid[(j, slot)] = grid.get((j, slot), 0) + 1
+    return grid
+
+
+def test_cms_grid_matches_python_reference(spark):
+    vals = [f"v{i % 60}" for i in range(600)]
+    df = spark.createDataFrame([(v,) for v in vals], "val string")
+    got = {
+        (r.row, r.slot): r.cnt
+        for r in SK.cms_sketch(df, "val", depth=3, width=64).collect()
+    }
+    assert got == _py_cms(vals, 3, 64)
+
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    # skewed counts: v0 appears 300x, v1..v29 10x each
+    vals = ["v0"] * 300 + [f"v{i}" for i in range(1, 30) for _ in range(10)]
+    df = spark.createDataFrame([(v,) for v in vals], "val string")
+    sk = SK.cms_sketch(df, "val", depth=4, width=512)
+    probes = spark.createDataFrame([(f"v{i}",) for i in range(30)], "val string")
+    est = {
+        r.val: r.est_count
+        for r in SK.cms_estimate(sk, probes, "val", depth=4, width=512).collect()
+    }
+    exact = {"v0": 300, **{f"v{i}": 10 for i in range(1, 30)}}
+    for v, c in exact.items():
+        assert est[v] >= c                     # CMS never under-counts
+    # 30 keys in 512 slots over 4 rows: min-row is collision-free whp
+    assert est["v0"] == 300
+    assert sum(est[v] == exact[v] for v in exact) >= 28
+
+
+def test_cms_merge_law(spark):
+    vals = [f"v{i % 40}" for i in range(400)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, val string")
+    a = SK.cms_sketch(df.where(F.col("i") < 200), "val", depth=3, width=64)
+    b = SK.cms_sketch(df.where(F.col("i") >= 200), "val", depth=3, width=64)
+    merged = SK.cms_merge(a, b)
+    direct = SK.cms_sketch(df, "val", depth=3, width=64)
+    assert sorted(map(tuple, merged.select("row", "slot", "cnt").collect())) == sorted(
+        map(tuple, direct.select("row", "slot", "cnt").collect())
+    )
+
+
+def test_cms_absent_probe_estimates_bounded(spark):
+    df = spark.createDataFrame([("x",)] * 5, "val string")
+    sk = SK.cms_sketch(df, "val", depth=4, width=256)
+    probes = spark.createDataFrame([("never-seen",)], "val string")
+    est = SK.cms_estimate(sk, probes, "val", depth=4, width=256).collect()[0]
+    assert 0 <= est.est_count <= 5  # only collision mass, likely 0
+
+
+def test_cms_validates_params(spark):
+    df = spark.createDataFrame([("x",)], "val string")
+    with pytest.raises(ValueError):
+        SK.cms_sketch(df, "val", depth=0)
