@@ -2788,6 +2788,45 @@ def q_doc_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance who
+    never placed an order, grouped per nation — the scalar-aggregate
+    subquery (a broadcast 1-row crossJoin, NOT a partitionless window)
+    plus NOT-EXISTS rewritten as a LEFT ANTI join on the uniform
+    customer key. The order side projects to its join column only
+    (column pruning reaches the scan)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_t")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("_t")
+    )
+    idle = rich.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+        how="left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+_SQL_IDLE_RICH_CUSTOMERS = """
+WITH t AS (
+  SELECT avg(c_acctbal) AS thr FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*)::BIGINT AS n_custs,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer, t
+WHERE c_acctbal > t.thr
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
 def q_ev_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (operators/sketches.py cms_sketch): a 4×256
     counter grid over user ids — bounded frequency state that merges by
@@ -3478,6 +3517,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_cms_counts": (q_ev_cms_counts, _SQL_EV_CMS_COUNTS),
     "brand_small_qty_revenue": (q_brand_small_qty_revenue, _SQL_BRAND_SMALL_QTY),
     "large_order_customers": (q_large_order_customers, _SQL_LARGE_ORDER_CUSTOMERS),
+    "idle_rich_customers": (q_idle_rich_customers, _SQL_IDLE_RICH_CUSTOMERS),
     # rows-only: KMeans codebooks are iterative, not SQL-expressible;
     # pinned by tests/test_pq.py + the per-bench recall probe
     "emb_ivfpq": (q_emb_ivfpq, None),

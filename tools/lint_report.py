@@ -77,7 +77,7 @@ for _q in (
     "ev_zscore", "ev_coarse_distribution", "ev_regime_distribution",
     "ev_type_share", "ev_scrub_fill", "pred_summary", "nation_coverage",
     "doc_unigram_lm", "doc_tfidf_topk", "doc_source_mix", "doc_curation",
-    "doc_budget_selection", "doc_shuffle",
+    "doc_budget_selection", "doc_shuffle", "idle_rich_customers",
 ):
     JUSTIFIED[(_q, "nested-loop-join")] = _GLOBAL_SCALAR
 for _q in ("emb_topk", "emb_near_dup", "emb_knn_dist"):
