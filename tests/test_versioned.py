@@ -1,0 +1,118 @@
+"""Versioned parquet tables: time travel, copy-on-write file sharing,
+footer-scoped upserts, atomic pointer, and the CDC changefeed."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.sources.versioned import (
+    changefeed,
+    current_version,
+    read_version,
+    upsert_version,
+    write_version,
+)
+
+
+@pytest.fixture()
+def vpath():
+    d = tempfile.mkdtemp(prefix="versioned_")
+    yield os.path.join(d, "table")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _base(spark, n=100):
+    return spark.range(n).select(
+        F.col("id"), (F.col("id") * 10).cast("double").alias("v"),
+        F.concat(F.lit("name"), F.col("id")).alias("name"),
+    )
+
+
+def _rows(df):
+    return sorted((r.id, r.v, r.name) for r in df.collect())
+
+
+def test_time_travel_preserves_old_snapshot(spark, vpath):
+    v1 = write_version(_base(spark), vpath, key="id", n_files=4)
+    assert v1 == 1 and current_version(vpath) == 1
+    before = _rows(read_version(spark, vpath))
+    updates = spark.createDataFrame(
+        [(3, 999.0, "patched3"), (200, 5.0, "new200")],
+        "id long, v double, name string",
+    )
+    v2 = upsert_version(spark, vpath, updates, key="id")
+    assert v2 == 2 and current_version(vpath) == 2
+    # v1 reads EXACTLY as written; v2 shows the merge
+    assert _rows(read_version(spark, vpath, 1)) == before
+    now = dict((r.id, (r.v, r.name)) for r in read_version(spark, vpath).collect())
+    assert now[3] == (999.0, "patched3")
+    assert now[200] == (5.0, "new200")
+    assert now[7] == (70.0, "name7")
+    assert len(now) == 101
+
+
+def test_upsert_shares_untouched_files(spark, vpath):
+    """Copy-on-write: files outside the update key range carry over BY
+    REFERENCE — same paths in both manifests, bytes untouched."""
+    write_version(_base(spark), vpath, key="id", n_files=4)
+    from financial_big_data_spark.sources.versioned import _load_manifest
+
+    f1 = set(_load_manifest(vpath, 1)["files"])
+    # update keys confined to the low end of the range
+    updates = spark.createDataFrame(
+        [(1, -1.0, "x1"), (2, -2.0, "x2")], "id long, v double, name string"
+    )
+    upsert_version(spark, vpath, updates, key="id")
+    f2 = set(_load_manifest(vpath, 2)["files"])
+    shared = f1 & f2
+    assert shared, "no files carried over — footer scoping did not prune"
+    assert f2 - f1, "no new files written"
+    for f in shared:
+        assert os.path.exists(f)
+
+
+def test_upsert_correct_under_key_collisions_across_files(spark, vpath):
+    write_version(_base(spark, 50), vpath, key="id", n_files=2)
+    updates = spark.createDataFrame(
+        [(i, float(-i), f"u{i}") for i in range(0, 50, 7)],
+        "id long, v double, name string",
+    )
+    upsert_version(spark, vpath, updates, key="id")
+    got = dict((r.id, r.v) for r in read_version(spark, vpath).collect())
+    for i in range(50):
+        assert got[i] == (-i if i % 7 == 0 else i * 10.0), i
+
+
+def test_changefeed_classifies(spark, vpath):
+    write_version(_base(spark, 10), vpath, key="id", n_files=1)
+    updates = spark.createDataFrame(
+        [(0, 999.0, "upd0"), (99, 1.0, "new99")], "id long, v double, name string"
+    )
+    upsert_version(spark, vpath, updates, key="id")
+    feed = {
+        r.id: r.change_type
+        for r in changefeed(spark, vpath, 1, 2, key="id").collect()
+    }
+    assert feed == {0: "update", 99: "insert"}
+
+
+def test_changefeed_detects_delete_via_replacement_snapshot(spark, vpath):
+    write_version(_base(spark, 10), vpath, key="id", n_files=1)
+    write_version(_base(spark, 10).where(F.col("id") != 4), vpath, key="id")
+    feed = {
+        r.id: r.change_type
+        for r in changefeed(spark, vpath, 1, 2, key="id").collect()
+    }
+    assert feed == {4: "delete"}
+
+
+def test_empty_update_is_noop_version(spark, vpath):
+    write_version(_base(spark, 10), vpath, key="id")
+    empty = spark.createDataFrame([], "id long, v double, name string")
+    assert upsert_version(spark, vpath, empty, key="id") == 1
+    assert current_version(vpath) == 1
