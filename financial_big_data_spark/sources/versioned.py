@@ -24,9 +24,8 @@ two snapshots classifying insert/update/delete — the changefeed a
 downstream incremental consumer replays.
 
 At 100 TB: manifests are KBs; the upsert's work is proportional to the
-overlapping files + update batch, not the table; old snapshots retire by
-deleting manifests (and any file no manifest references — a vacuum no
-test here performs, documented for operators).
+overlapping files + update batch, not the table; ``vacuum`` retires old
+snapshots by reference-counting files across the surviving manifests.
 """
 
 from __future__ import annotations
@@ -200,3 +199,36 @@ def changefeed(
         joined.select(F.col(key), change.alias("change_type"))
         .where(F.col("change_type").isNotNull())
     )
+
+
+def vacuum(path: str, keep_last: int = 2) -> dict:
+    """Retire old snapshots: drop all but the newest ``keep_last``
+    manifests, then delete every data file no surviving manifest
+    references. Returns {"manifests_removed": n, "files_removed": n}.
+
+    Safe by construction: a file shared with a surviving snapshot stays
+    (reference counting over manifests, not file age), and the CURRENT
+    pointer is never touched. Time travel to vacuumed versions is gone —
+    that is the point.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    import re
+
+    versions = sorted(
+        int(m.group(1))
+        for f in os.listdir(_vdir(path))
+        if (m := re.fullmatch(r"v(\d+)\.json", f))
+    )
+    drop, keep = versions[:-keep_last], versions[-keep_last:]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_load_manifest(path, v)["files"])
+    dropped_files = 0
+    for v in drop:
+        for f in _load_manifest(path, v)["files"]:
+            if f not in referenced and os.path.exists(f):
+                os.remove(f)
+                dropped_files += 1
+        os.remove(_manifest_path(path, v))
+    return {"manifests_removed": len(drop), "files_removed": dropped_files}

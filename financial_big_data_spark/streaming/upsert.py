@@ -81,3 +81,39 @@ def streaming_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_versioned_upsert(
+    stream: DataFrame,
+    path: str,
+    key: str,
+    order: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """The upsert sink against a VERSIONED table (sources/versioned.py):
+    every micro-batch commits a new snapshot — last-wins collapse →
+    footer-scoped copy-on-write merge → atomic pointer flip. Readers get
+    snapshot isolation while the stream writes, time travel across
+    micro-batches, and a CDC changefeed between any two commits; replay
+    convergence follows from the same idempotent-merge argument as
+    ``streaming_upsert`` (a replayed batch rewrites the same content
+    into a new snapshot — table STATE converges even though a version
+    number is consumed)."""
+    from ..sources.versioned import upsert_version, write_version
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        latest = latest_per_key(batch, key=key, order=order).drop(order)
+        try:
+            upsert_version(batch.sparkSession, path, latest, key=key)
+        except FileNotFoundError:
+            write_version(latest, path, key=key)
+
+    writer = stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

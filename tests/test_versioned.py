@@ -116,3 +116,76 @@ def test_empty_update_is_noop_version(spark, vpath):
     empty = spark.createDataFrame([], "id long, v double, name string")
     assert upsert_version(spark, vpath, empty, key="id") == 1
     assert current_version(vpath) == 1
+
+
+def test_vacuum_reference_counts(spark, vpath):
+    write_version(_base(spark), vpath, key="id", n_files=4)
+    low_updates = spark.createDataFrame(
+        [(1, -1.0, "x1")], "id long, v double, name string"
+    )
+    upsert_version(spark, vpath, low_updates, key="id")
+    from financial_big_data_spark.sources.versioned import _load_manifest, vacuum
+
+    f1 = set(_load_manifest(vpath, 1)["files"])
+    f2 = set(_load_manifest(vpath, 2)["files"])
+    shared, only_v1 = f1 & f2, f1 - f2
+    assert shared and only_v1
+    stats = vacuum(vpath, keep_last=1)
+    assert stats["manifests_removed"] == 1
+    assert stats["files_removed"] == len(only_v1)
+    for f in shared:
+        assert os.path.exists(f)          # still referenced by v2
+    for f in only_v1:
+        assert not os.path.exists(f)      # retired with v1
+    # v2 still reads; v1 is gone
+    assert len(read_version(spark, vpath).collect()) == 100
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, vpath, 1)
+
+
+def test_streaming_versioned_upsert_snapshots(spark, vpath):
+    import tempfile
+
+    from financial_big_data_spark.streaming.upsert import (
+        streaming_versioned_upsert,
+    )
+
+    indir = tempfile.mkdtemp(prefix="vstream_in_")
+    ckpt = tempfile.mkdtemp(prefix="vstream_ck_")
+    try:
+        b1 = spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1)], "id long, name string, seq long"
+        )
+        b1.coalesce(1).write.mode("append").parquet(indir)
+        stream = spark.readStream.schema(b1.schema).parquet(indir)
+        q = streaming_versioned_upsert(
+            stream, vpath, key="id", order="seq", checkpoint=ckpt
+        )
+        q.awaitTermination(120)
+        v_after_b1 = current_version(vpath)
+
+        b2 = spark.createDataFrame(
+            [(2, "b-new", 2), (3, "c", 2)], "id long, name string, seq long"
+        )
+        b2.coalesce(1).write.mode("append").parquet(indir)
+        stream2 = spark.readStream.schema(b1.schema).parquet(indir)
+        q2 = streaming_versioned_upsert(
+            stream2, vpath, key="id", order="seq", checkpoint=ckpt
+        )
+        q2.awaitTermination(120)
+
+        now = {r.id: r.name for r in read_version(spark, vpath).collect()}
+        assert now == {1: "a", 2: "b-new", 3: "c"}
+        # the pre-batch-2 snapshot is still readable (time travel)
+        old = {r.id: r.name for r in read_version(spark, vpath, v_after_b1).collect()}
+        assert old == {1: "a", 2: "b"}
+        feed = {
+            r.id: r.change_type
+            for r in changefeed(
+                spark, vpath, v_after_b1, current_version(vpath), key="id"
+            ).collect()
+        }
+        assert feed == {2: "update", 3: "insert"}
+    finally:
+        shutil.rmtree(indir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
