@@ -232,3 +232,89 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
                 dropped_files += 1
         os.remove(_manifest_path(path, v))
     return {"manifests_removed": len(drop), "files_removed": dropped_files}
+
+
+def delete_version(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key: str,
+    n_files: int | None = None,
+) -> int:
+    """Keyed DELETE as a new snapshot: files whose footer key-range
+    overlaps the delete set are rewritten without the deleted keys
+    (LEFT ANTI on the uniform key); everything else carries over by
+    reference. Completes the DML triple — upsert covers insert/update,
+    this covers delete — and `changefeed` reports the removals."""
+    m = _load_manifest(path, None)
+    mm = keys.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    lo_k, hi_k = mm["lo"], mm["hi"]
+    if lo_k is None:
+        return m["version"]
+    ranges = _key_ranges(m["files"], key)
+    touched = [
+        f for f, (lo, hi) in ranges.items()
+        if lo is None or (lo <= hi_k and hi >= lo_k)
+    ]
+    carried = [f for f in m["files"] if f not in set(touched)]
+    new_files: list[str] = []
+    if touched:
+        survivors = spark.read.parquet(*touched).join(
+            keys.select(key).distinct(), on=key, how="left_anti"
+        )
+        new_files = _write_batch(survivors, path, key, n_files)
+    v = m["version"] + 1
+    _commit(path, carried + new_files, v)
+    return v
+
+
+def compact_version(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Manifest-aware small-file compaction: rewrite the CURRENT
+    snapshot's data into ceil(bytes/target) key-clustered files and
+    commit as a new snapshot. Old snapshots keep reading their original
+    files (immutability preserved — this is compaction WITHOUT breaking
+    time travel, unlike maintenance.compact_small_files' in-place
+    swap); `vacuum` reclaims the fragmented files once their snapshots
+    retire."""
+    import math
+
+    m = _load_manifest(path, None)
+    total = sum(os.path.getsize(f) for f in m["files"])
+    n_after = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(*m["files"])
+    new_files = _write_batch(df, path, key, n_after)
+    v = m["version"] + 1
+    _commit(path, new_files, v)
+    return v
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Key-range read that prunes at the MANIFEST level: only files whose
+    footer key-range intersects [lo, hi] are handed to the scan at all
+    (the exact predicate still applies on top). On a key-clustered
+    snapshot this is the planner-independent guarantee that a point/range
+    lookup touches O(matching files), not the table — the same
+    footer-stats contract the Z-order writer exposes."""
+    m = _load_manifest(path, version)
+    ranges = _key_ranges(m["files"], key)
+    picked = [
+        f for f, (flo, fhi) in ranges.items()
+        if flo is None or (flo <= hi and fhi >= lo)
+    ]
+    if not picked:
+        return (
+            spark.read.parquet(*m["files"]).where(F.lit(False))
+        )
+    return spark.read.parquet(*picked).where(F.col(key).between(lo, hi))

@@ -189,3 +189,68 @@ def test_streaming_versioned_upsert_snapshots(spark, vpath):
     finally:
         shutil.rmtree(indir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_delete_version(spark, vpath):
+    write_version(_base(spark, 40), vpath, key="id", n_files=4)
+    from financial_big_data_spark.sources.versioned import delete_version
+
+    kill = spark.createDataFrame([(3,), (4,), (5,)], "id long")
+    v2 = delete_version(spark, vpath, kill, key="id")
+    assert v2 == 2
+    ids = {r.id for r in read_version(spark, vpath).collect()}
+    assert ids == set(range(40)) - {3, 4, 5}
+    # time travel still has the deleted rows; changefeed reports them
+    assert {r.id for r in read_version(spark, vpath, 1).collect()} == set(range(40))
+    feed = {
+        r.id: r.change_type
+        for r in changefeed(spark, vpath, 1, 2, key="id").collect()
+    }
+    assert feed == {3: "delete", 4: "delete", 5: "delete"}
+
+
+def test_delete_shares_untouched_files(spark, vpath):
+    write_version(_base(spark), vpath, key="id", n_files=4)
+    from financial_big_data_spark.sources.versioned import (
+        _load_manifest,
+        delete_version,
+    )
+
+    kill = spark.createDataFrame([(1,)], "id long")
+    delete_version(spark, vpath, kill, key="id")
+    f1 = set(_load_manifest(vpath, 1)["files"])
+    f2 = set(_load_manifest(vpath, 2)["files"])
+    assert f1 & f2  # high-key files carried by reference
+
+
+def test_compact_version_preserves_rows_and_history(spark, vpath):
+    from financial_big_data_spark.sources.versioned import (
+        _load_manifest,
+        compact_version,
+    )
+
+    write_version(_base(spark), vpath, key="id", n_files=8)
+    before = _rows(read_version(spark, vpath))
+    assert len(_load_manifest(vpath, 1)["files"]) == 8
+    v2 = compact_version(spark, vpath, key="id", target_file_bytes=1 << 30)
+    assert v2 == 2
+    assert len(_load_manifest(vpath, 2)["files"]) == 1   # 8 -> 1
+    assert _rows(read_version(spark, vpath)) == before   # content identical
+    assert _rows(read_version(spark, vpath, 1)) == before  # v1 intact
+
+
+def test_read_version_pruned_touches_fewer_files(spark, vpath):
+    from financial_big_data_spark.sources.versioned import read_version_pruned
+
+    write_version(_base(spark, 400), vpath, key="id", n_files=8)
+    df = read_version_pruned(spark, vpath, key="id", lo=10, hi=20)
+    got = sorted(r.id for r in df.collect())
+    assert got == list(range(10, 21))
+    # manifest-level pruning: the scan's input files are a strict subset
+    files_read = {f for f in df.inputFiles()}
+    from financial_big_data_spark.sources.versioned import _load_manifest
+
+    assert len(files_read) < len(_load_manifest(vpath, 1)["files"])
+    # empty-range read returns no rows, schema intact
+    empty = read_version_pruned(spark, vpath, key="id", lo=10_000, hi=10_001)
+    assert empty.count() == 0 and "name" in empty.columns
