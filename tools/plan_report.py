@@ -159,6 +159,25 @@ SHOWCASE = {
         "aggregate and the probe side shrink to the brand's rows before "
         "any shuffle; the threshold join is keyed on the part key."
     ),
+    "ev_cms_counts": (
+        "Count-min sketch: the depth×width counter grid builds in one "
+        "partial-aggregatable shuffle on (row, slot) — bounded state "
+        "regardless of distinct-key count; the probe side explodes to "
+        "depth rows and joins the grid on the bounded slot key."
+    ),
+    "doc_normalized": (
+        "Unicode ingest normalization: ONE map-only pass — the NFC step "
+        "is an Arrow-batched pandas UDF (ArrowEvalPython, the sanctioned "
+        "vectorized boundary, never row-at-a-time Python), everything "
+        "else (control strip, whitespace collapse, md5) stays in "
+        "whole-stage codegen. No exchange anywhere."
+    ),
+    "idle_rich_customers": (
+        "TPC-H Q22 shape: the scalar average is a broadcast 1-row "
+        "aggregate (never a partitionless window), NOT EXISTS is a "
+        "left-anti join on the uniform customer key, and the orders side "
+        "is pruned to its join column at the scan (ReadSchema)."
+    ),
 }
 
 
