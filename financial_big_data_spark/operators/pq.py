@@ -207,6 +207,7 @@ def ivf_pq_topk(
     query_id: str = "query_id",
     seed: int = 42,
     residual: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-PQ approximate cosine top-k: IVF cells prune candidates, PQ
     codes make the candidate scan read bytes instead of vectors, exact
@@ -293,10 +294,15 @@ def ivf_pq_topk(
         vec_col=vec_col,
     ).select(query_id, "lut")
     base_ip = F.col("_qc_ip") if residual else F.lit(0.0)
+    # exclude_self assumes queries share the corpus id space (probes
+    # drawn from the corpus); pass False when the id spaces are
+    # disjoint, else a corpus vector whose id merely collides with a
+    # query id would be silently dropped from that query's results
+    cands = packed.join(probes, "_cell")
+    if exclude_self:
+        cands = cands.where(F.col(id_col) != F.col(query_id))
     cands = (
-        packed.join(probes, "_cell")
-        .where(F.col(id_col) != F.col(query_id))
-        .join(luts, query_id)
+        cands.join(luts, query_id)
         .select(
             query_id,
             id_col,

@@ -39,6 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Two writers raced to the same version number — the loser's commit
+    is rejected (manifests are claimed with O_EXCL) rather than silently
+    overwriting the winner's manifest and orphaning its files."""
+
+
 def _vdir(path: str) -> str:
     return os.path.join(path, "_versions")
 
@@ -61,12 +67,28 @@ def _load_manifest(path: str, version: int | None) -> dict:
 
 
 def _commit(path: str, files: list[str], version: int) -> None:
+    """Single-writer commit protocol. Readers get atomicity for free
+    (manifest fully written before the CURRENT flip); WRITERS must be
+    serialized externally — the manifest is created with O_EXCL so a
+    second writer that raced to the same version number fails loudly
+    (ConcurrentCommitError) instead of silently orphaning the first
+    commit's data files."""
     os.makedirs(_vdir(path), exist_ok=True)
     manifest = {"version": version, "files": sorted(files)}
     mp = _manifest_path(path, version)
-    tmp = mp + ".tmp"
+    tmp = mp + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
+    try:
+        # exclusive-create claims the version number atomically
+        fd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        os.remove(tmp)
+        raise ConcurrentCommitError(
+            f"version {version} already committed at {mp}; "
+            "re-read CURRENT and retry the operation"
+        )
     os.replace(tmp, mp)
     cur_tmp = os.path.join(_vdir(path), "CURRENT.tmp")
     with open(cur_tmp, "w") as f:
@@ -100,9 +122,24 @@ def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read snapshot ``version`` (default: CURRENT) — time travel is just
-    reading an older manifest."""
+    reading an older manifest. An EMPTY snapshot (every row deleted)
+    reads as zero rows with the schema of the nearest earlier non-empty
+    snapshot, not an error."""
     m = _load_manifest(path, version)
-    return spark.read.parquet(*m["files"])
+    if m["files"]:
+        return spark.read.parquet(*m["files"])
+    # empty snapshot: borrow the schema from the latest prior manifest
+    # that still has files (data files are immutable, so any referenced
+    # file carries the table schema)
+    for v in range(m["version"] - 1, 0, -1):
+        try:
+            prior = _load_manifest(path, v)
+        except FileNotFoundError:  # vacuumed
+            continue
+        if prior["files"]:
+            sch = spark.read.parquet(*prior["files"]).schema
+            return spark.createDataFrame([], sch)
+    raise ValueError(f"table at {path} has no non-empty snapshot to infer a schema from")
 
 
 def _key_ranges(files: list[str], key: str) -> dict[str, tuple]:
@@ -112,16 +149,26 @@ def _key_ranges(files: list[str], key: str) -> dict[str, tuple]:
     out = {}
     for f in files:
         lo = hi = None
+        stat_less = False
         meta = pq.ParquetFile(f).metadata
         for rg in range(meta.num_row_groups):
             g = meta.row_group(rg)
             for ci in range(g.num_columns):
                 col = g.column(ci)
-                if col.path_in_schema == key and col.statistics is not None:
-                    s = col.statistics
-                    lo = s.min if lo is None else min(lo, s.min)
-                    hi = s.max if hi is None else max(hi, s.max)
-        out[f] = (lo, hi)
+                if col.path_in_schema != key:
+                    continue
+                s = col.statistics
+                # a row group may omit min/max (e.g. long string keys
+                # exceed parquet's max-statistics-size) — one stat-less
+                # group makes the WHOLE file conservatively "touched"
+                if s is None or not s.has_min_max:
+                    stat_less = True
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if stat_less:
+                break
+        out[f] = (None, None) if stat_less else (lo, hi)
     return out
 
 
@@ -131,13 +178,32 @@ def upsert_version(
     updates: DataFrame,
     key: str,
     n_files: int | None = None,
+    dedupe_updates: bool = True,
 ) -> int:
     """Copy-on-write MERGE: matched keys take the update row, new keys
     insert, and ONLY files whose footer key-range overlaps the update
     keys are rewritten — every other file carries over by reference
     into the new manifest (byte-shared across snapshots). Returns the
-    new version."""
+    new version.
+
+    The snapshot invariant is ONE row per key. ``dedupe_updates``
+    (default on) enforces it when the updates batch itself carries
+    multiple rows per key, keeping a deterministic representative (max
+    by the canonical JSON rendering of the non-key columns — stable
+    across retries, unlike ``dropDuplicates``). Pass False only when
+    the caller guarantees key-unique input and wants to skip the
+    aggregate."""
     m = _load_manifest(path, None)
+    if dedupe_updates:
+        others = sorted(c for c in updates.columns if c != key)
+        if others:
+            rep = F.max_by(
+                F.struct(*updates.columns),
+                F.to_json(F.struct(*[F.col(c) for c in others])),
+            ).alias("_row")
+            updates = updates.groupBy(key).agg(rep).select("_row.*")
+        else:
+            updates = updates.distinct()
     # bounded metadata only: the update batch's key RANGE (one 2-value
     # aggregate), never a collected key list — finer per-file pruning
     # (bloom filters beside the manifest) is the next notch and changes

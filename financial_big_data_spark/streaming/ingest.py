@@ -63,9 +63,17 @@ def streaming_ingest_dedup(
             cols = quality_metric_columns(text)
             batch = batch.where(cols["pass_quality"] == 1)
         fp = batch.withColumn("_fp", F.md5(normalized_text(text)))
-        # within-batch: deterministic min-id representative per fingerprint
-        w_min = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-        collapsed = fp.join(w_min, on=[id_col, "_fp"], how="left_semi")
+        # within-batch: ONE deterministic representative row per
+        # fingerprint — min-id, and min over the whole row for exact
+        # duplicates sharing both id and fingerprint (a left_semi on
+        # (min-id, fp) alone would keep every such copy)
+        collapsed = (
+            fp.groupBy("_fp")
+            .agg(F.min(F.struct(F.col(id_col), *[
+                F.col(c) for c in fp.columns if c not in (id_col, "_fp")
+            ])).alias("_row"))
+            .select(F.col("_fp"), F.col("_row.*"))
+        )
         if os.path.exists(corpus_path):
             seen = (
                 batch.sparkSession.read.parquet(corpus_path)

@@ -168,3 +168,25 @@ def test_residual_encoding_beats_raw_on_tight_clusters(spark):
     # floor raw provably misses
     assert res >= 0.5
     assert res > raw + 0.1  # the accuracy notch is real, not noise
+
+def test_ivf_pq_exclude_self_opt_out(spark, clustered):
+    """Disjoint query/corpus id spaces: exclude_self=False keeps a corpus
+    vector whose id collides with a query id (ADVICE r4)."""
+    # the query carries corpus vector 1's embedding under query_id=1 —
+    # in a disjoint id space that collision is coincidence, and the
+    # identical corpus vector must STILL be returned (it ranks #1)
+    queries = clustered.where(F.col("vec_id") == 1).select(
+        F.lit(1).alias("query_id"), "embedding"
+    )
+    kept = ivf_pq_topk(
+        clustered, queries, n_cells=4, n_probe=4, m=4, nbits=6, k=10,
+        refine_factor=8, exclude_self=False,
+    )
+    dropped = ivf_pq_topk(
+        clustered, queries, n_cells=4, n_probe=4, m=4, nbits=6, k=10,
+        refine_factor=8, exclude_self=True,
+    )
+    kept_ids = {r.vec_id for r in kept.collect()}
+    dropped_ids = {r.vec_id for r in dropped.collect()}
+    assert 1 in kept_ids        # the colliding corpus vector survives
+    assert 1 not in dropped_ids  # default self-exclusion still works

@@ -87,3 +87,12 @@ def test_ingest_normalized_fingerprint(spark, dirs):
     _write_batch(spark, dirs["in"], [(5, GOOD.upper().replace(" ", "  "))])
     _run(spark, dirs)
     assert _corpus_ids(spark, dirs) == [1]
+
+
+def test_ingest_exact_duplicate_rows_collapse(spark, dirs):
+    """Rows sharing BOTH id and fingerprint inside one micro-batch keep
+    exactly one copy (ADVICE r4: the (min-id, fp) semi-join kept all)."""
+    _write_batch(spark, dirs["in"], [(1, GOOD), (1, GOOD), (1, GOOD)])
+    _run(spark, dirs)
+    rows = spark.read.parquet(dirs["corpus"]).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1

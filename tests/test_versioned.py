@@ -254,3 +254,68 @@ def test_read_version_pruned_touches_fewer_files(spark, vpath):
     # empty-range read returns no rows, schema intact
     empty = read_version_pruned(spark, vpath, key="id", lo=10_000, hi=10_001)
     assert empty.count() == 0 and "name" in empty.columns
+
+
+def test_concurrent_commit_fails_loudly(spark, vpath):
+    """Two writers racing to the same version: the loser raises instead
+    of silently overwriting the winner's manifest (ADVICE r4)."""
+    from financial_big_data_spark.sources.versioned import (
+        ConcurrentCommitError,
+        _commit,
+        _load_manifest,
+    )
+
+    write_version(_base(spark), vpath, key="id", n_files=2)
+    winner_files = _load_manifest(vpath, 1)["files"]
+    _commit(vpath, winner_files, 2)  # writer A commits v2
+    with pytest.raises(ConcurrentCommitError):
+        _commit(vpath, [], 2)        # writer B raced to v2 -> loud failure
+    # winner's manifest intact
+    assert _load_manifest(vpath, 2)["files"] == sorted(winner_files)
+
+
+def test_delete_all_rows_yields_readable_empty_snapshot(spark, vpath):
+    """Deleting every row commits an empty manifest that reads as zero
+    rows with the prior schema (ADVICE r4: used to error on parquet())."""
+    from financial_big_data_spark.sources.versioned import delete_version
+
+    write_version(_base(spark, 10), vpath, key="id", n_files=2)
+    kill = spark.range(10).select(F.col("id"))
+    v2 = delete_version(spark, vpath, kill, key="id")
+    empty = read_version(spark, vpath, v2)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "v", "name"}
+    # and the table comes back to life on the next upsert
+    revive = spark.createDataFrame([(1, 1.0, "one")], "id long, v double, name string")
+    v3 = upsert_version(spark, vpath, revive, key="id")
+    assert _rows(read_version(spark, vpath, v3)) == [(1, 1.0, "one")]
+
+
+def test_upsert_collapses_duplicate_update_keys(spark, vpath):
+    """Multi-row-per-key updates collapse to ONE deterministic
+    representative so the snapshot keeps its one-row-per-key invariant
+    (ADVICE r4)."""
+    write_version(_base(spark, 10), vpath, key="id", n_files=1)
+    dup = spark.createDataFrame(
+        [(3, 1.0, "a"), (3, 2.0, "b"), (3, 2.0, "b")],
+        "id long, v double, name string",
+    )
+    upsert_version(spark, vpath, dup, key="id")
+    rows = [r for r in read_version(spark, vpath).collect() if r.id == 3]
+    assert len(rows) == 1
+    # deterministic winner: max by canonical JSON of non-key cols
+    assert (rows[0].v, rows[0].name) == (2.0, "b")
+
+
+def test_key_ranges_statless_row_group_is_conservative(spark, vpath, tmp_path):
+    """A file whose key column lacks min/max statistics is treated as
+    touched (None, None), not an exception (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from financial_big_data_spark.sources.versioned import _key_ranges
+
+    f = str(tmp_path / "nostats.parquet")
+    tbl = pa.table({"id": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
+    papq.write_table(tbl, f, write_statistics=False)
+    assert _key_ranges([f], "id") == {f: (None, None)}
