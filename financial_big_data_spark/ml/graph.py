@@ -397,6 +397,7 @@ def pagerank(
     damping: float = 0.85,
     weight: str | None = None,
     reset: DataFrame | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank over directed (src, dst[, w]).
 
@@ -426,6 +427,13 @@ def pagerank(
     (select crawl hosts near trusted domains). Nodes outside the reset
     set get teleport mass 0; iteration starts from the reset
     distribution.
+
+    ``tol`` adds a convergence early-exit: after each round, the L1 rank
+    delta (ONE keyed join + 1-row aggregate over the checkpointed state,
+    no node data on the driver) stops the loop once it drops below
+    ``tol``, capped at ``n_iter`` rounds. At scale a converged graph
+    stops paying for dead iterations; ``tol=None`` (default) keeps the
+    fixed-iteration mode the unrolled-CTE oracles mirror exactly.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
@@ -513,7 +521,18 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
+        prev = ranks
         ranks = new.localCheckpoint(eager=True)
+        if tol is not None:
+            delta = (
+                ranks.join(
+                    prev.select("node", F.col("rank").alias("_prev")), "node"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("d"))
+                .first()["d"]
+            )
+            if delta is not None and delta < tol:
+                break
     norm.unpersist()
     nodes.unpersist()
     dangling_nodes.unpersist()

@@ -151,3 +151,35 @@ def test_personalized_pagerank_rejects_disjoint_reset(spark):
     reset = spark.createDataFrame([(99,)], "node long")
     with pytest.raises(ValueError):
         pagerank(df, reset=reset)
+
+
+def test_pagerank_tol_early_exit_matches_converged_fixed(spark):
+    """tol= early exit returns the SAME ranks as running fixed
+    iterations to convergence — the extra rounds after the L1 delta
+    drops below tol are dead work, not different answers."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 4)]
+    df = _edges_df(spark, edges)
+    fixed = {r.node: r.rank for r in pagerank(df, n_iter=200).collect()}
+    early = {
+        r.node: r.rank
+        for r in pagerank(df, n_iter=200, tol=1e-12).collect()
+    }
+    assert set(early) == set(fixed)
+    for n in fixed:
+        assert early[n] == pytest.approx(fixed[n], abs=1e-9)
+
+
+def test_personalized_pagerank_tol_early_exit(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2)]
+    df = _edges_df(spark, edges)
+    reset = spark.createDataFrame([(0,)], "node long")
+    fixed = {
+        r.node: r.rank
+        for r in pagerank(df, n_iter=200, reset=reset).collect()
+    }
+    early = {
+        r.node: r.rank
+        for r in pagerank(df, n_iter=200, reset=reset, tol=1e-12).collect()
+    }
+    for n in fixed:
+        assert early[n] == pytest.approx(fixed[n], abs=1e-9)
