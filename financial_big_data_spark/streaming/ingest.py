@@ -91,3 +91,227 @@ def streaming_ingest_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_curated_corpus(spark, table_path: str) -> DataFrame:
+    """The accepted corpus out of a ``streaming_ingest_curated`` table:
+    a partition-pruned scan (``_status=accepted`` is a partition
+    directory — rejected rows' files are never opened), original
+    columns only."""
+    df = spark.read.parquet(table_path).where(F.col("_status") == "accepted")
+    drop = [c for c in ("_status", "_fp", "_mh", "_shingles") if c in df.columns]
+    return df.drop(*drop)
+
+
+def streaming_ingest_curated(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    quality_gate: bool = False,
+    near_dup_jaccard: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    available_now: bool = True,
+):
+    """Streaming front door with the FULL batch curation semantics:
+    quality gate → exact dedup → MinHash/LSH NEAR-dup gate, per
+    micro-batch, against everything already ingested. The batch
+    pipeline's ``curate_corpus`` runs the same stages offline; this
+    makes near-dups drop AT INGEST instead of waiting for the periodic
+    batch pass.
+
+    The table at ``table_path`` is both sink and state, one atomic
+    append per batch, partitioned by ``_status``:
+
+    - ``accepted`` rows are the corpus (``read_curated_corpus`` is a
+      partition-pruned scan that never opens rejected files);
+    - ``near_dup`` rows are REJECTED documents retained as dedup
+      knowledge + audit trail. Retaining them mirrors
+      ``curate_corpus`` exactly: its ``near_dup_lsh`` pass drops the
+      higher id of every verified pair even when the lower id was
+      itself dropped, so victims must keep vetoing later arrivals.
+
+    Each ingested row carries its MinHash signature (``_mh``), shingle
+    set (``_shingles``) and fingerprint (``_fp``), so the per-batch
+    near-dup check is: band the BATCH signatures (small), hash-join
+    them against the table's banded signatures (one scan of three
+    columns, no shuffle of the corpus), then verify candidates with
+    exact Jaccard over the stored shingle sets — never all-pairs,
+    identical band/verify math to ``near_dup_lsh``.
+
+    Parity with ``curate_corpus`` (pinned by test): feeding the same
+    documents in id order through any batch split yields EXACTLY the
+    batch pipeline's accepted set, because all three gates use the
+    same predicates and the same drop-the-higher-id rule. Streaming
+    keeps the FIRST-arrived representative of each fingerprint —
+    equal to batch's min-id winner when arrival order follows ids;
+    out-of-order arrival degrades representative choice, never
+    membership of the dedup state.
+
+    Replay safety: a replayed batch's fingerprints are already in the
+    table (accepted OR rejected rows), so the exact-dedup anti-join
+    empties it and the append is a no-op — convergent under
+    foreachBatch's at-least-once contract, same argument as
+    ``streaming_ingest_dedup`` but with ONE table write per batch (no
+    corpus/state write-ordering window).
+    """
+    from ..operators.dedup import shingle_table
+
+    n_digests = -(-num_hashes // 4)
+
+    def _sigs_and_shingles(df: DataFrame) -> DataFrame:
+        """(id, _mh array<string>, _shingles array<string>); docs with
+        fewer than shingle_n tokens get an empty array and a null
+        signature — they can never be near-dup candidates, matching
+        near_dup_lsh dropping them at the signature stage."""
+        sh = shingle_table(df, text, id_col, shingle_n, distinct=False)
+        digest = F.concat(*[
+            F.md5(F.concat(F.col("shingle"), F.lit(f"#{d}")))
+            for d in range(n_digests)
+        ])
+        agg = (
+            sh.select(F.col(id_col), F.col("shingle"), digest.alias("h"))
+            .groupBy(id_col)
+            .agg(
+                F.array(*[
+                    F.min(F.col("h").substr(1 + 8 * i, 8))
+                    for i in range(num_hashes)
+                ]).alias("_mh"),
+                F.collect_set("shingle").alias("_shingles"),
+            )
+        )
+        return df.join(agg, on=id_col, how="left").withColumn(
+            "_shingles", F.coalesce(F.col("_shingles"), F.array().cast("array<string>"))
+        )
+
+    def _banded(df: DataFrame, idc: str) -> DataFrame:
+        rows_per_band = num_hashes // bands
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[
+                    F.col("_mh")[b * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+        return (
+            df.where(F.col("_mh").isNotNull())
+            .select(F.col(idc), F.explode(F.array(*band_cols)).alias("bk"))
+            .select(idc, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        )
+
+    jac = lambda a, b: (  # noqa: E731 - exact Jaccard over stored sets
+        F.size(F.array_intersect(a, b)).cast("double")
+        / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+    )
+
+    def _ingest(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        if quality_gate:
+            from ..operators.quality import quality_metric_columns
+
+            cols = quality_metric_columns(text)
+            batch = batch.where(cols["pass_quality"] == 1)
+        fp = batch.withColumn("_fp", F.md5(normalized_text(text)))
+        collapsed = (
+            fp.groupBy("_fp")
+            .agg(F.min(F.struct(F.col(id_col), *[
+                F.col(c) for c in fp.columns if c not in (id_col, "_fp")
+            ])).alias("_row"))
+            .select(F.col("_fp"), F.col("_row.*"))
+        )
+        have_state = os.path.exists(table_path)
+        if have_state:
+            state = spark.read.parquet(table_path)
+            fresh = collapsed.join(
+                state.select("_fp").distinct(), on="_fp", how="left_anti"
+            )
+        else:
+            state = None
+            fresh = collapsed
+        fresh = _sigs_and_shingles(fresh).cache()
+        try:
+            if fresh.isEmpty():
+                # nothing new (all quality-rejected or already seen) — a
+                # schema-less empty append would poison the next batch's
+                # state read when the table doesn't exist yet
+                return
+            fb = _banded(fresh, id_col)
+            # vs accumulated table: every stored doc is "earlier", so any
+            # verified match drops the fresh doc (drop-the-later rule)
+            drops = None
+            if state is not None:
+                sb = _banded(
+                    state.select(F.col(id_col).alias("_sid"), "_mh"), "_sid"
+                )
+                cand_s = (
+                    sb.join(F.broadcast(fb), on=["band", "key"])
+                    .select(id_col, "_sid")
+                    .distinct()
+                )
+                ver_s = (
+                    cand_s.join(
+                        state.select(
+                            F.col(id_col).alias("_sid"),
+                            F.col("_shingles").alias("_sh_s"),
+                        ),
+                        on="_sid",
+                    )
+                    .join(fresh.select(id_col, F.col("_shingles").alias("_sh_f")), on=id_col)
+                    .where(jac(F.col("_sh_f"), F.col("_sh_s")) >= near_dup_jaccard)
+                    .select(id_col)
+                    .distinct()
+                )
+                drops = ver_s
+            # within-batch: id_a < id_b band candidates, drop id_b of every
+            # verified pair (curate_corpus's exact rule — victims still veto)
+            a, b = fb.alias("a"), fb.alias("b")
+            cand_b = (
+                a.join(b, on=["band", "key"])
+                .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                .select(
+                    F.col(f"a.{id_col}").alias("_ida"),
+                    F.col(f"b.{id_col}").alias("_idb"),
+                )
+                .distinct()
+            )
+            ver_b = (
+                cand_b.join(
+                    fresh.select(F.col(id_col).alias("_ida"), F.col("_shingles").alias("_sh_a")),
+                    on="_ida",
+                )
+                .join(
+                    fresh.select(F.col(id_col).alias("_idb"), F.col("_shingles").alias("_sh_b")),
+                    on="_idb",
+                )
+                .where(jac(F.col("_sh_a"), F.col("_sh_b")) >= near_dup_jaccard)
+                .select(F.col("_idb").alias(id_col))
+                .distinct()
+            )
+            drops = ver_b if drops is None else drops.unionByName(ver_b).distinct()
+            out = fresh.join(drops, on=id_col, how="left_anti").withColumn(
+                "_status", F.lit("accepted")
+            ).unionByName(
+                fresh.join(drops, on=id_col, how="left_semi").withColumn(
+                    "_status", F.lit("near_dup")
+                )
+            )
+            # ONE append covers corpus + dedup state atomically enough for
+            # replay convergence (the _fp anti-join keys off either status)
+            out.write.mode("append").partitionBy("_status").parquet(table_path)
+        finally:
+            fresh.unpersist()
+
+    writer = stream.writeStream.foreachBatch(_ingest).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
