@@ -105,6 +105,7 @@ def coarse_regime(
     momentum_percentile: float = 90.0,
     order_tiebreak: list[str] | None = None,
     approx_accuracy: int | None = None,
+    sketch_k: int | None = None,
 ) -> DataFrame:
     """3-state regime with per-series dynamic thresholds (src/utils.py:4-34).
 
@@ -115,9 +116,26 @@ def coarse_regime(
     series' full history — the reference labels before any date filtering
     (leak-by-design, data_merger.py:30) and we preserve that.
 
+    Threshold routing (exact stays the default/oracle path):
+
+    - ``approx_accuracy``: KLL ``approx_percentile`` — constant sketch
+      memory per group, rank error 1/accuracy.
+    - ``sketch_k``: the bottom-k coordinated-sample route
+      (operators/sketches.py ``bottomk_rows``): thresholds are exact
+      interpolated percentiles over a deterministic uniform k-row sample
+      per series. At 100 TB the exact path's per-group ``percentile``
+      buffers a whole series' history in one aggregate; this retains k
+      rows per series and — unlike KLL — the sample is MERGEABLE across
+      days/partitions, so rolling ingest can maintain it incrementally.
+      Rank error by DKW: |F̂(t) − F(t)| ≤ ε with prob ≥ 1−δ for
+      ε = sqrt(ln(2/δ)/(2k)) — k=128 gives ±0.12 rank at 95% confidence,
+      k=512 ±0.06; a series with ≤ k rows is sampled whole (exact).
+
     Returns bars + volatility, momentum, market_regime (0 bull / 1 bear /
     2 consolidation).
     """
+    if approx_accuracy is not None and sketch_k is not None:
+        raise ValueError("pass at most one of approx_accuracy / sketch_k")
     order = [time] + (order_tiebreak or [])
     w = bar_window(series, order)
     returns = pct_change(close, w)
@@ -150,10 +168,33 @@ def coarse_regime(
         mom_thr = F.expr(
             f"approx_percentile(abs(momentum), {momentum_percentile / 100.0}, {approx_accuracy})"
         )
-    thresholds = with_feats.groupBy(series).agg(
-        vol_thr.alias("volatility_threshold"),
-        mom_thr.alias("momentum_threshold"),
-    )
+    if sketch_k is not None:
+        # bottom-k sample per series (deterministic in the row ids), then
+        # EXACT interpolated percentiles over the bounded sample
+        from .sketches import bottomk_rows
+
+        samp = bottomk_rows(
+            with_feats.select(
+                series, time, *(order_tiebreak or []), "volatility", "momentum"
+            ),
+            sketch_k,
+            id_cols=[series, time] + (order_tiebreak or []),
+            keep=["volatility", "momentum"],
+            by=[series],
+        )
+        thresholds = samp.groupBy(series).agg(
+            F.expr(
+                f"percentile(volatility, {volatility_percentile / 100.0})"
+            ).alias("volatility_threshold"),
+            F.expr(
+                f"percentile(abs(momentum), {momentum_percentile / 100.0})"
+            ).alias("momentum_threshold"),
+        )
+    else:
+        thresholds = with_feats.groupBy(series).agg(
+            vol_thr.alias("volatility_threshold"),
+            mom_thr.alias("momentum_threshold"),
+        )
 
     labeled = with_feats.join(F.broadcast(thresholds), on=series, how="left")
     is_volatile = F.col("volatility") >= F.col("volatility_threshold")
