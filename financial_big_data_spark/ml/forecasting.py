@@ -768,9 +768,11 @@ def forecast_and_evaluate(
     multinomial LR), "mlp" (MultilayerPerceptronClassifier on
     point-in-time features + current-regime one-hot), "seq_mlp" (the
     same classifier on the reference's model input — the flattened
-    30-step feature window, lstm_forecasting.py:186-192) or "lstm" (the
+    30-step feature window, lstm_forecasting.py:186-192), "lstm" (the
     reference's LSTM+attention topology, library-free numpy —
-    ml/lstm_numpy.py). All trained on the train split; metrics are
+    ml/lstm_numpy.py) or "lstm_dist" (same topology, data-parallel
+    synchronous training — the train split never leaves the
+    executors). All trained on the train split; metrics are
     computed on the test split only, per the reference's evaluation
     protocol (lstm_forecasting.py:288-302).
 
@@ -784,10 +786,10 @@ def forecast_and_evaluate(
         volume=volume, order_tiebreak=order_tiebreak, macd_buckets=macd_buckets,
     )
     ds = ordered_split(ds, series=series, time=time, order_tiebreak=order_tiebreak)
-    if model == "lstm":
+    if model in ("lstm", "lstm_dist"):
         scored = lstm_regime_classifier(
             ds, series=series, time=time, order_tiebreak=order_tiebreak,
-            seq_len=seq_len,
+            seq_len=seq_len, distributed=(model == "lstm_dist"),
         ).withColumn("true_label", F.col("target_regime"))
     elif model == "seq_mlp":
         scored = seq_mlp_classifier(

@@ -339,21 +339,46 @@ def compact_version(
     path: str,
     key: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int = 8,
 ) -> int:
     """Manifest-aware small-file compaction: rewrite the CURRENT
-    snapshot's data into ceil(bytes/target) key-clustered files and
-    commit as a new snapshot. Old snapshots keep reading their original
-    files (immutability preserved — this is compaction WITHOUT breaking
-    time travel, unlike maintenance.compact_small_files' in-place
-    swap); `vacuum` reclaims the fragmented files once their snapshots
-    retire."""
+    snapshot's data into ceil(bytes/target) clustered files and commit
+    as a new snapshot. Old snapshots keep reading their original files
+    (immutability preserved — this is compaction WITHOUT breaking time
+    travel, unlike maintenance.compact_small_files' in-place swap);
+    `vacuum` reclaims the fragmented files once their snapshots retire.
+
+    ``zorder_cols`` switches the rewrite's clustering from the
+    single-key range sort to the Morton curve over those columns
+    (sources/zorder.py) — Delta's OPTIMIZE ZORDER BY as a snapshot
+    commit: the compacted files' footers become tight in EVERY listed
+    dimension, so ``read_version_box`` range lookups prune at the
+    manifest level on any of them. Trade-off (same as every z-order
+    table): the primary ``key``'s per-file ranges widen, so subsequent
+    footer-scoped upserts/deletes on ``key`` may touch more files —
+    include ``key`` in ``zorder_cols`` to keep it a pruning dimension.
+    """
     import math
 
     m = _load_manifest(path, None)
     total = sum(os.path.getsize(f) for f in m["files"])
     n_after = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(*m["files"])
-    new_files = _write_batch(df, path, key, n_after)
+    if zorder_cols:
+        from .zorder import morton_key
+
+        batch = os.path.join(path, "data", f"batch-{uuid.uuid4().hex[:12]}")
+        keyed = df.withColumn("_zkey", morton_key(df, zorder_cols, zorder_bits))
+        (
+            keyed.repartitionByRange(n_after, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+            .write.parquet(batch)
+        )
+        new_files = sorted(glob.glob(os.path.join(batch, "*.parquet")))
+    else:
+        new_files = _write_batch(df, path, key, n_after)
     v = m["version"] + 1
     _commit(path, new_files, v)
     return v
@@ -374,6 +399,8 @@ def read_version_pruned(
     lookup touches O(matching files), not the table — the same
     footer-stats contract the Z-order writer exposes."""
     m = _load_manifest(path, version)
+    if not m["files"]:
+        return read_version(spark, path, version)
     ranges = _key_ranges(m["files"], key)
     picked = [
         f for f, (flo, fhi) in ranges.items()
@@ -384,3 +411,33 @@ def read_version_pruned(
             spark.read.parquet(*m["files"]).where(F.lit(False))
         )
     return spark.read.parquet(*picked).where(F.col(key).between(lo, hi))
+
+
+def read_version_box(
+    spark: SparkSession,
+    path: str,
+    box: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-dimensional pruned read: only files whose footer min/max
+    intersect EVERY range in ``box`` ({col: (lo, hi)}) reach the scan;
+    the exact predicate applies on top. On a snapshot compacted with
+    ``zorder_cols`` this touches O(files overlapping the box), not the
+    table, for a box on ANY clustered dimension — the versioned-table
+    face of the Z-order footer-stats contract (sources/zorder.py)."""
+    m = _load_manifest(path, version)
+    if not m["files"]:
+        return read_version(spark, path, version)
+    picked = list(m["files"])
+    for col, (lo, hi) in box.items():
+        ranges = _key_ranges(picked, col)
+        picked = [
+            f for f, (flo, fhi) in ranges.items()
+            if flo is None or (flo <= hi and fhi >= lo)
+        ]
+    if not picked:
+        return spark.read.parquet(*m["files"]).where(F.lit(False))
+    out = spark.read.parquet(*picked)
+    for col, (lo, hi) in box.items():
+        out = out.where(F.col(col).between(lo, hi))
+    return out

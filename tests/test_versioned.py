@@ -319,3 +319,57 @@ def test_key_ranges_statless_row_group_is_conservative(spark, vpath, tmp_path):
     tbl = pa.table({"id": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
     papq.write_table(tbl, f, write_statistics=False)
     assert _key_ranges([f], "id") == {f: (None, None)}
+
+
+def test_compact_version_zorder_prunes_box_and_preserves_history(spark, vpath):
+    """Z-order compaction as a snapshot commit: a small box predicate on
+    EITHER clustered dimension overlaps ≤ half the compacted files (vs
+    all files when key-clustered on one column only), v1 still reads
+    byte-stable, and read_version_box returns exactly the box rows."""
+    import numpy as np
+
+    from financial_big_data_spark.sources.versioned import (
+        _load_manifest,
+        compact_version,
+        read_version_box,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    xs = rng.integers(0, 1_000, n).tolist()
+    ys = rng.integers(0, 1_000, n).tolist()
+    df = spark.createDataFrame(
+        [(i, xs[i], ys[i]) for i in range(n)], "id long, x long, y long"
+    )
+    write_version(df, vpath, key="id", n_files=8)
+    before = sorted((r.id, r.x, r.y) for r in read_version(spark, vpath).collect())
+
+    v2 = compact_version(
+        spark, vpath, key="id", target_file_bytes=20_000,
+        zorder_cols=["x", "y"],
+    )
+    m2 = _load_manifest(vpath, v2)
+    n_files = len(m2["files"])
+    assert n_files >= 4  # need granularity for the pruning claim
+
+    # a 10% x 10% box must touch a strict minority of files on the
+    # z-ordered snapshot
+    box = {"x": (100, 199), "y": (400, 499)}
+    got = read_version_box(spark, vpath, box)
+    picked = {f for f in got.inputFiles()}
+    assert len(picked) <= n_files // 2, (len(picked), n_files)
+    want_rows = sorted(
+        (i, xs[i], ys[i]) for i in range(n)
+        if 100 <= xs[i] <= 199 and 400 <= ys[i] <= 499
+    )
+    assert sorted((r.id, r.x, r.y) for r in got.collect()) == want_rows
+
+    # single-dimension slices prune too (the z-order property)
+    for col in ("x", "y"):
+        sl = read_version_box(spark, vpath, {col: (0, 99)})
+        assert len(set(sl.inputFiles())) < n_files
+
+    # history intact: v1 reads exactly as written
+    assert sorted(
+        (r.id, r.x, r.y) for r in read_version(spark, vpath, 1).collect()
+    ) == before

@@ -11,6 +11,12 @@ that is routine machine-load variance on this box, see COVERAGE.md's
 round-6 notes). For timing metrics bigger is worse; ``*_acc`` /
 ``*_recall*`` / ``*_ratio`` metrics treat smaller as worse. Exit 1 if
 anything regressed.
+
+Where BOTH files carry a measured ``bands`` entry for a query (bench.py
+emits [min, max] over its 3 timed runs), the band is the regression
+test: a query regresses only if the bands are DISJOINT with new.min
+above old.max (overlapping bands = the runs are drawn from the same
+machine-load distribution, whatever the min-to-min delta says).
 """
 
 from __future__ import annotations
@@ -46,8 +52,10 @@ def main() -> None:
     if len(sys.argv) < 3:
         print(__doc__)
         sys.exit(2)
-    old = _flatten(_load(sys.argv[1]))
-    new = _flatten(_load(sys.argv[2]))
+    old_raw, new_raw = _load(sys.argv[1]), _load(sys.argv[2])
+    old, new = _flatten(old_raw), _flatten(new_raw)
+    old_bands = old_raw.get("bands") or {}
+    new_bands = new_raw.get("bands") or {}
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
     regressed = []
     for name in sorted(set(old) & set(new)):
@@ -56,10 +64,24 @@ def main() -> None:
             continue
         delta_pct = (n - o) / abs(o) * 100
         worse = -delta_pct if _higher_is_better(name) else delta_pct
-        marker = " <-- REGRESSED" if worse > threshold else ""
+        flagged = worse > threshold
+        note = ""
+        short = name.rsplit(".", 1)[-1]
+        ob, nb = old_bands.get(short), new_bands.get(short)
+        if flagged and ob and nb:
+            # measured variance beats the fixed threshold: only a band
+            # fully above the old one is a real slowdown
+            if nb[0] <= ob[1]:
+                flagged = False
+                note = f"  (bands overlap: old<= {ob[1]}, new>= {nb[0]})"
+            else:
+                note = f"  (bands disjoint: old<= {ob[1]}, new>= {nb[0]})"
+        marker = " <-- REGRESSED" if flagged else ""
         if marker or abs(delta_pct) > threshold / 2:
-            print(f"{name:45s} {o:>12.3f} -> {n:>12.3f}  {delta_pct:+7.1f}%{marker}")
-        if marker:
+            print(
+                f"{name:45s} {o:>12.3f} -> {n:>12.3f}  {delta_pct:+7.1f}%{marker}{note}"
+            )
+        if flagged:
             regressed.append(name)
     if regressed:
         print(f"\n{len(regressed)} metrics regressed past {threshold}%")
