@@ -1,0 +1,550 @@
+"""Library-free baseline JPEG codec (ITU-T T.81 baseline DCT, 8-bit).
+
+Completes the media decode family (media_codecs.py: PNG, WAV) with the
+remaining ubiquitous still-image format, still pure stdlib + numpy — no
+PIL/libjpeg in this environment. Runs inside the same ``mapInPandas``
+workers as the PNG path: one payload at a time, embarrassingly parallel.
+
+Decoder coverage (honest baseline, everything else raises ``ValueError``):
+
+- SOF0 (baseline sequential DCT), 8-bit precision, single scan;
+- 1 component (grayscale) or 3 components (YCbCr) with sampling factors
+  1 or 2 per axis — i.e. 4:4:4, 4:2:2, 4:2:0;
+- arbitrary valid DHT Huffman tables (canonical reconstruction from the
+  BITS/HUFFVAL lists — standard Annex K tables and custom tables alike);
+- restart intervals (DRI + RST0-7: predictor reset, bit realignment);
+- FF00 byte stuffing.
+
+Progressive (SOF2), arithmetic coding, 12-bit precision, 4-component
+CMYK and sampling factors > 2 raise with a precise message — callers
+(``media_codecs.default_decode``) treat those payloads as undecodable
+and fall back to byte features rather than silently mis-decoding.
+
+The encoder emits valid baseline JPEGs for test fixtures: grayscale or
+4:4:4 YCbCr, one scan, flat canonical Huffman tables built from the
+symbols actually present (valid per T.81 — DHT carries the table — if
+~8% larger than the Annex K defaults), and a caller-supplied
+quantization table; ``quant=1`` (all-ones) makes the DCT round-trip
+near-lossless so known-pixel tests can assert tight error bounds.
+
+IDCT/FDCT are exact 8x8 DCT-II basis matmuls (numpy, vectorized over
+all blocks at once), not a fast-DCT approximation: at the 8x8 block
+size the matmul IS the throughput path in numpy, and bit-accuracy
+beats a hand-rolled AAN here.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: ZIGZAG[i] = raster index of the i-th zigzag coefficient
+_ZZ = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# 8x8 DCT-II basis: D[k, n] = c(k) * cos((2n+1) k pi / 16) / 2
+_D = np.zeros((8, 8))
+for _k in range(8):
+    _c = np.sqrt(0.125) if _k == 0 else 0.5
+    for _n in range(8):
+        _D[_k, _n] = _c * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficients -> (n, 8, 8) spatial samples."""
+    return _D.T @ coefs @ _D
+
+
+def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    return _D @ blocks @ _D.T
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with FF00 de-stuffing;
+    stops at any non-RST marker (leaves it for the segment parser)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                # pad with 1-bits past the end (T.81 F.2.2.5 allows the
+                # final EOB's trailing bits to be absent)
+                self.bits = (self.bits << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: caller resyncs via expect_rst()
+                    self.bits = (self.bits << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                else:
+                    # EOI / next segment: pad
+                    self.bits = (self.bits << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bits = (self.bits << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def expect_rst(self) -> None:
+        """Consume the pending RSTn marker and realign to a byte."""
+        self.bits = 0
+        self.nbits = 0
+        d = self.data
+        # skip optional fill FFs then the RST marker
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("jpeg: expected restart marker")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12: map the s received magnitude bits to a signed value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+class _Huff:
+    """Canonical Huffman decode table from DHT BITS/HUFFVAL."""
+
+    def __init__(self, bits: list[int], values: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = values[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid huffman code")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG -> uint8 pixels: (h, w) grayscale or (h, w, 3) RGB."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        if pos + 2 > n:
+            raise ValueError("jpeg: truncated segment")
+        seglen = struct.unpack(">H", payload[pos:pos + 2])[0]
+        seg = payload[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.float64)
+                tbl[_ZZ] = np.frombuffer(seg[p + 1:p + 65], dtype=np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                values = seg[p + 17:p + 17 + nv]
+                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, values)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            if nc not in (1, 3):
+                raise ValueError(f"jpeg: {nc}-component images unsupported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                hs, vs = hv >> 4, hv & 0x0F
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError("jpeg: sampling factors > 2 unsupported")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: only baseline (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for i in range(ns):
+                cs, tda = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan[cs] = (tda >> 4, tda & 0x0F)
+            data_start = pos + seglen
+            return _decode_scan(
+                payload, data_start, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += seglen
+    raise ValueError("jpeg: no scan found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        td, ta = scan[c["id"]]
+        c["dc"] = huff_dc[td]
+        c["ac"] = huff_ac[ta]
+        c["q"] = qt[c["tq"]]
+        c["bw"] = mcux * c["h"]      # blocks per row for this component
+        c["bh"] = mcuy * c["v"]
+        c["blocks"] = np.zeros((c["bh"] * c["bw"], 8, 8), dtype=np.float64)
+        c["pred"] = 0
+    br = _BitReader(data, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                br.expect_rst()
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        s = c["dc"].decode(br)
+                        if s > 11:
+                            raise ValueError("jpeg: bad DC category")
+                        diff = _extend(br.receive(s), s)
+                        c["pred"] += diff
+                        zz[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = c["ac"].decode(br)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            zz[k] = _extend(br.receive(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_ZZ] = zz
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["blocks"][row * c["bw"] + col] = (
+                            blk.reshape(8, 8) * c["q"]
+                        )
+            mcu_count += 1
+    planes = []
+    for c in comps:
+        spat = _idct_blocks(c["blocks"]) + 128.0
+        bh, bw = c["bh"], c["bw"]
+        plane = (
+            spat.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        # upsample to full resolution then crop
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixtures): baseline, one scan, flat canonical Huffman tables
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nacc = 0
+
+    def flush(self) -> bytes:
+        if self.nacc:
+            self.write((1 << (8 - self.nacc)) - 1, 8 - self.nacc)  # 1-pad
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _flat_table(symbols: set[int]) -> tuple[list[int], bytes, dict[int, tuple[int, int]]]:
+    """Equal-length canonical Huffman over the used symbols; one spare
+    slot keeps the all-ones codeword unused (T.81 C.2)."""
+    syms = sorted(symbols) or [0]
+    length = max(1, (len(syms) + 1 - 1).bit_length())
+    if (1 << length) - 1 < len(syms):
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    codes = {s: (length, i) for i, s in enumerate(syms)}
+    return bits, bytes(syms), codes
+
+
+def _encode_component_blocks(plane: np.ndarray, q: np.ndarray):
+    """plane (H, W) float, H/W multiples of 8 -> list of zigzag int blocks."""
+    hh, ww = plane.shape
+    blocks = plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+    blocks = blocks.reshape(-1, 8, 8) - 128.0
+    coefs = _fdct_blocks(blocks) / q
+    qz = np.round(coefs).astype(np.int64).reshape(-1, 64)
+    return qz[:, _ZZ]
+
+
+def _block_rle(blk: np.ndarray, pred: int):
+    """One zigzag block -> (dc_diff, new_pred, [(run, val), ...], eob?)."""
+    dc = int(blk[0])
+    diff = dc - pred
+    acs = []
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last_nz = (nz[-1] + 1) if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            acs.append((15, 0))  # ZRL
+            run -= 16
+        acs.append((run, v))
+        run = 0
+    return diff, dc, acs, last_nz < 63
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quant: int | np.ndarray = 1,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG bytes from uint8 pixels (h, w) gray or (h, w, 3) RGB.
+
+    Single scan, flat canonical Huffman tables. ``quant`` is a scalar or
+    an 8x8 table applied to every component; the default all-ones table
+    makes the round-trip near-lossless (error bounded by FDCT/IDCT float
+    rounding, within ±2 in practice). ``subsample`` writes 4:2:0 chroma
+    (2x2-box-averaged Cb/Cr, Y sampling factor 2x2); ``restart_interval``
+    emits DRI + RST0-7 markers every that many MCUs — both exist so the
+    decoder's subsampled-MCU and restart paths have fixture coverage.
+    """
+    if pixels.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8 pixels")
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (h, w) or (h, w, 3)")
+    if gray and subsample:
+        raise ValueError("subsample applies to color images only")
+    h, w = pixels.shape[:2]
+    q = np.full((8, 8), float(quant)) if np.isscalar(quant) else np.asarray(
+        quant, dtype=np.float64
+    )
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def pad_to(p: np.ndarray, th: int, tw: int) -> np.ndarray:
+        pp = np.empty((th, tw))
+        sh, sw = p.shape
+        pp[:sh, :sw] = p
+        pp[sh:, :sw] = p[sh - 1:sh, :]  # edge replicate
+        pp[:, sw:] = pp[:, sw - 1:sw]
+        return pp
+
+    comps = []
+    for p, (hs, vs) in zip(planes, samp):
+        if (hs, vs) != (hmax, vmax):
+            # box-average downsample by the sampling ratio
+            ry, rx = vmax // vs, hmax // hs
+            ph0 = -(-p.shape[0] // ry) * ry
+            pw0 = -(-p.shape[1] // rx) * rx
+            p = pad_to(p, ph0, pw0)
+            p = p.reshape(ph0 // ry, ry, pw0 // rx, rx).mean(axis=(1, 3))
+        bh, bw_ = mcuy * vs, mcux * hs
+        p = pad_to(p, bh * 8, bw_ * 8)
+        zz = _encode_component_blocks(p, q).reshape(bh, bw_, 64)
+        comps.append({"h": hs, "v": vs, "zz": zz})
+
+    # MCU walk (the DC-diff order the decoder replays); two passes — the
+    # first collects symbols for the canonical tables, the second writes
+    def walk():
+        for c in comps:
+            c["pred"] = 0
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    yield ("rst", None, None, None)
+                    for c in comps:
+                        c["pred"] = 0
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = c["zz"][my * c["v"] + by, mx * c["h"] + bx]
+                            diff, c["pred"], acs, eob = _block_rle(blk, c["pred"])
+                            yield ("blk", diff, acs, eob)
+                mcu_i += 1
+
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = set()
+    for kind, diff, acs, eob in walk():
+        if kind != "blk":
+            continue
+        dc_syms.add(_category(diff))
+        for run, val in acs:
+            ac_syms.add((run << 4) | _category(val))
+        if eob:
+            ac_syms.add(0x00)
+    dc_bits, dc_vals, dc_codes = _flat_table(dc_syms)
+    ac_bits, ac_vals, ac_codes = _flat_table(ac_syms)
+
+    bw = _BitWriter()
+    entropy = bytearray()
+    rst_i = 0
+    for kind, diff, acs, eob in walk():
+        if kind == "rst":
+            entropy += bw.flush()
+            bw = _BitWriter()
+            entropy += bytes([0xFF, 0xD0 + (rst_i % 8)])
+            rst_i += 1
+            continue
+        s = _category(diff)
+        ln, code = dc_codes[s]
+        bw.write(code, ln)
+        if s:
+            amp = diff if diff > 0 else diff + (1 << s) - 1
+            bw.write(amp, s)
+        for run, val in acs:
+            s = _category(val)
+            ln, code = ac_codes[(run << 4) | s]
+            bw.write(code, ln)
+            amp = val if val > 0 else val + (1 << s) - 1
+            bw.write(amp, s)
+        if eob:
+            ln, code = ac_codes[0x00]
+            bw.write(code, ln)
+    entropy += bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    zz_q = np.zeros(64, dtype=np.uint8)
+    zz_q[np.arange(64)] = np.clip(q.reshape(64)[_ZZ], 1, 255).astype(np.uint8)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(zz_q))
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        hs, vs = samp[i]
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc]) + b"".join(bytes([i + 1, 0x00]) for i in range(nc)) + bytes(
+        [0, 63, 0]
+    )
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -17,10 +17,14 @@ a media library):
 - **WAV**: RIFF chunk walk (handles extra chunks like LIST/fact before
   ``data``), PCM 8/16/24/32-bit int and IEEE float 32/64 → ``float64``
   samples ``(n_frames, channels)`` normalized to [-1, 1].
+- **JPEG** (operators/jpeg.py): baseline sequential DCT, 8-bit,
+  grayscale or YCbCr with 4:4:4/4:2:2/4:2:0 sampling, restart
+  intervals, arbitrary DHT tables.
 
-Unsupported variants (16-bit PNG, interlacing, compressed WAV codecs)
-raise ``ValueError`` with a precise message — callers treat that payload
-as undecodable rather than silently mis-decoding.
+Unsupported variants (16-bit PNG, interlacing, compressed WAV codecs,
+progressive/12-bit/CMYK JPEG) raise ``ValueError`` with a precise
+message — callers treat that payload as undecodable rather than
+silently mis-decoding.
 
 Encoders (``encode_png``/``encode_wav``) exist so tests and the synthetic
 media generator can build byte-exact fixtures; they emit the canonical
@@ -442,15 +446,21 @@ DECODE_ERRORS = (ValueError, zlib.error, struct.error, IndexError)
 
 def default_decode(payload: bytes, kind: str, dim: int) -> list[float]:
     """The default `decoder` kernel: REAL decode where a library-free codec
-    exists (PNG pixels, WAV samples), byte-histogram features otherwise.
+    exists (PNG pixels, baseline JPEG pixels, WAV samples), byte-histogram
+    features otherwise.
 
     Payloads that claim a decodable kind but fail to parse — for ANY parse
-    failure mode (`DECODE_ERRORS`) — fall back to byte features rather than
-    poisoning the whole Arrow batch.
+    failure mode (`DECODE_ERRORS`), including non-baseline JPEG variants
+    (progressive, 12-bit, CMYK) the baseline decoder refuses — fall back
+    to byte features rather than poisoning the whole Arrow batch.
     """
     try:
         if payload[:8] == PNG_MAGIC:
             return png_features(decode_png(payload), dim)
+        if payload[:3] == b"\xff\xd8\xff":
+            from .jpeg import decode_jpeg
+
+            return png_features(decode_jpeg(payload), dim)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return wav_features(decode_wav(payload)[0], dim)
     except DECODE_ERRORS:

@@ -52,9 +52,13 @@ MEDIA_SCHEMA = T.StructType(
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table for plumbing tests. Image rows are REAL
-    PNGs and audio rows REAL 16-bit PCM WAVs (built with the library-free
+    PNGs and baseline JPEGs (every third image row — 4:2:0 subsampled on
+    alternate ones, so the chroma-upsample decode path is in the mix) and
+    audio rows REAL 16-bit PCM WAVs (built with the library-free
     encoders, decodable by the real kernels); video rows are seeded opaque
     bytes (no library-free mp4 codec exists — see media_codecs docstring)."""
+    from .jpeg import encode_jpeg
+
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -62,10 +66,13 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             px = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
-            # cycle scanline filters so fixtures exercise every unfilter
-            # path incl. the wavefront Average/Paeth kernel (decoded pixels
-            # are filter-independent, so downstream features don't change)
-            payload = encode_png(px, filter_type=(i // 3) % 5)
+            if (i // 3) % 3 == 2:
+                payload = encode_jpeg(px, quant=4, subsample=(i // 9) % 2 == 0)
+            else:
+                # cycle scanline filters so fixtures exercise every unfilter
+                # path incl. the wavefront Average/Paeth kernel (decoded
+                # pixels are filter-independent; features don't change)
+                payload = encode_png(px, filter_type=(i // 3) % 5)
         elif kind == "audio":
             t = np.arange(1600 + (i % 7) * 160) / 16000.0
             payload = encode_wav(
@@ -75,11 +82,15 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             payload = rng.integers(
                 0, 256, size=256 + (i % 7) * 64, dtype=np.uint8
             ).tobytes()
+        if kind == "image":
+            mime = "image/jpeg" if payload[:3] == b"\xff\xd8\xff" else "image/png"
+        else:
+            mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
         rows.append(
             (
                 i,
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                mime,
                 bytearray(payload),
                 64 if kind != "audio" else None,
                 48 if kind != "audio" else None,
