@@ -106,6 +106,7 @@ def coarse_regime(
     order_tiebreak: list[str] | None = None,
     approx_accuracy: int | None = None,
     sketch_k: int | None = None,
+    sketch_id_cols: list[str] | None = None,
 ) -> DataFrame:
     """3-state regime with per-series dynamic thresholds (src/utils.py:4-34).
 
@@ -170,15 +171,20 @@ def coarse_regime(
         )
     if sketch_k is not None:
         # bottom-k sample per series (deterministic in the row ids), then
-        # EXACT interpolated percentiles over the bounded sample
+        # EXACT interpolated percentiles over the bounded sample.
+        # sketch_id_cols overrides the sample key when the caller has a
+        # unique row id (one int hashed instead of a 3-column concat —
+        # and a key DuckDB can reproduce for cross-engine oracles).
         from .sketches import bottomk_rows
 
+        ids = sketch_id_cols or [series, time] + (order_tiebreak or [])
         samp = bottomk_rows(
             with_feats.select(
-                series, time, *(order_tiebreak or []), "volatility", "momentum"
+                series, *[c for c in ids if c != series],
+                "volatility", "momentum",
             ),
             sketch_k,
-            id_cols=[series, time] + (order_tiebreak or []),
+            id_cols=ids,
             keep=["volatility", "momentum"],
             by=[series],
         )

@@ -2827,6 +2827,287 @@ GROUP BY c_nationkey
 """
 
 
+def q_priority_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS semi-join + priority count): orders placed
+    in 1996 having at least one RETURNED line item, counted per
+    priority. The EXISTS is a LEFT SEMI join on the uniform order key —
+    the order side is date-pruned BEFORE the join (filter reaches the
+    scan) and the lineitem side projects to (key, flag) then filters,
+    so the semi-join shuffles two skinny inputs. (The reference schema
+    carries no commit/receipt dates, so the returned flag stands in for
+    Q4's late-delivery predicate — the plan shape is the point.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    o96 = orders.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o96.join(returned, o96.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_SQL_PRIORITY_RETURNED = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): revenue of
+    line items shipped 1996-1997 where supplier and customer sit in
+    NATION_1/NATION_2 (either direction), grouped by the nation pair and
+    ship year. The two nation dimensions broadcast; the supplier and
+    customer maps broadcast onto the fact scans (both are key→nation
+    projections), so the only big shuffle is the lineitem↔orders join on
+    the uniform order key; the cross-pair predicate is a Column filter
+    on broadcast-joined attributes, never a cartesian."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = nation.where(F.col("n_name").isin(*pair))
+    s_n = supp.join(F.broadcast(n1), supp.s_nationkey == n1.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    c_n = cust.join(F.broadcast(n1), cust.c_nationkey == n1.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    shipped = li.where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    return (
+        shipped.join(F.broadcast(s_n), shipped.l_suppkey == s_n.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c_n), F.col("o_custkey") == c_n.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_SQL_NATION_TRADE_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::INT AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+  AND n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_returnflag_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (join + conditional aggregation): per return
+    flag, how many 1996-shipped line items belong to high-priority
+    (1-URGENT/2-HIGH) vs lower-priority orders — the CASE-inside-SUM
+    pattern. One keyed join (both sides pre-filtered/projected), counts
+    as conditional sums so a single aggregate pass produces both
+    columns. (No l_shipmode in this schema; l_returnflag carries the
+    grouping role.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    shipped = li.where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        shipped.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            shipped.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_SQL_RETURNFLAG_PRIORITY_MIX = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (conditional share of a join): the percentage of
+    1996-06 revenue coming from PROMO-type parts. The part dimension
+    broadcasts as a (key, is_promo) projection; numerator and
+    denominator come out of ONE aggregate pass (CASE inside SUM), so
+    the fact side is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    month = li.where(
+        (F.col("l_shipdate") >= "1996-06-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    pk = part.select("p_partkey", (F.col("p_type") == "PROMO").alias("is_promo"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        month.join(F.broadcast(pk), month.l_partkey == pk.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("is_promo"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_SQL_PROMO_REVENUE_SHARE = """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= '1996-06-01' AND l_shipdate < '1996-07-01'
+"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (aggregate view + scalar-max join-back): supplier
+    revenue over 1996-H1, returning the supplier(s) that achieve the
+    maximum. The revenue aggregate computes once and is reused for both
+    the max (a 1-row broadcast — never a global sort or a partitionless
+    rank window) and the equality probe; supplier detail broadcasts
+    onto the one-row-per-qualifying-supplier result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-07-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+              rev.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_SQL_TOP_SUPPLIER_REVENUE = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (semi-join + anti-join chain on the same key):
+    suppliers with RETURNED lines in multi-supplier orders where NO
+    OTHER supplier of that order had a return — the classic
+    exists/not-exists pair, both expressed as LEFT SEMI / LEFT ANTI
+    joins on the uniform order key (the per-order supplier sets are
+    pre-aggregated projections, so each join input is one skinny row
+    per (order, supplier)). Top-10 by blame count via
+    TakeOrderedAndProject. (No receipt/commit dates in this schema —
+    the returned flag is Q21's lateness stand-in.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    order_supp = li.select("l_orderkey", "l_suppkey").distinct()
+    returned = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        order_supp.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+        .where(F.col("n_supp") > 1)
+        .select("l_orderkey")
+    )
+    # other suppliers of the same order with a return — anti-join target
+    others_returned = (
+        returned.alias("r")
+        .join(returned.alias("r2"), on="l_orderkey")
+        .where(F.col("r.l_suppkey") != F.col("r2.l_suppkey"))
+        .select(F.col("l_orderkey"), F.col("r.l_suppkey").alias("l_suppkey"))
+        .distinct()
+    )
+    blamed = (
+        returned.join(multi, "l_orderkey", "left_semi")
+        .join(others_returned, ["l_orderkey", "l_suppkey"], "left_anti")
+    )
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.col("s_name"))
+        .limit(10)
+    )
+
+
+_SQL_SOLE_BLAME_SUPPLIERS = """
+WITH returned AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+), order_supp AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), multi AS (
+  SELECT l_orderkey FROM order_supp GROUP BY l_orderkey HAVING count(*) > 1
+), blamed AS (
+  SELECT r.l_orderkey, r.l_suppkey
+  FROM returned r
+  WHERE r.l_orderkey IN (SELECT l_orderkey FROM multi)
+    AND NOT EXISTS (SELECT 1 FROM returned r2
+                    WHERE r2.l_orderkey = r.l_orderkey
+                      AND r2.l_suppkey <> r.l_suppkey)
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM blamed JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
 def q_ev_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (operators/sketches.py cms_sketch): a 4×256
     counter grid over user ids — bounded frequency state that merges by
@@ -3244,6 +3525,66 @@ FROM appx a JOIN ex e USING (event_type)
 """
 
 
+def q_ev_regime_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8's SCALE route, oracle-checked end-to-end: 3-state regime where
+    the per-user 80/90th-percentile thresholds come from the 128-row
+    bottom-k coordinated sample (operators/regime.py ``sketch_k=`` →
+    operators/sketches.py ``bottomk_rows``) instead of the exact
+    full-history percentile — the whole routed pipeline (windows →
+    deterministic md5 sample → sample percentiles → broadcast label
+    join) re-derived relationally in DuckDB, so even the APPROXIMATE
+    path is hash-gated, not just rank-error-tested. Output is the
+    per-user regime distribution (bounded rows)."""
+    from .operators.regime import coarse_regime
+
+    ev = _events(spark, sf_dir)
+    out = coarse_regime(
+        ev, series="user_id", time="ts", close="value",
+        order_tiebreak=["event_id"], sketch_k=128,
+        sketch_id_cols=["event_id"],
+    )
+    return out.groupBy("user_id", "market_regime").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+_SQL_EV_REGIME_SKETCH = f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, value,
+         value / nullif(lag(value) OVER w, 0) - 1     AS ret,
+         value / nullif(lag(value, 24) OVER w, 0) - 1 AS momentum
+  FROM events
+  WINDOW w AS ({_EV_WINDOW_SQL})
+), feats AS (
+  SELECT user_id, event_id, momentum,
+         CASE WHEN count(ret) OVER w24 >= 24 THEN stddev_samp(ret) OVER w24 END AS volatility
+  FROM base
+  WINDOW w24 AS ({_EV_WINDOW_SQL} ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+), ranked AS (
+  SELECT user_id, event_id, volatility, momentum,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT, event_id
+         ) AS rn
+  FROM feats
+), samp AS (
+  SELECT user_id, volatility, momentum FROM ranked WHERE rn <= 128
+), thr AS (
+  SELECT user_id,
+         quantile_cont(volatility, 0.8)    AS vthr,
+         quantile_cont(abs(momentum), 0.9) AS mthr
+  FROM samp GROUP BY user_id
+)
+SELECT f.user_id,
+       CASE WHEN (f.momentum < -t.mthr) OR (f.momentum < 0 AND f.volatility >= t.vthr) THEN 1
+            WHEN (f.momentum >  t.mthr) OR (f.momentum > 0 AND f.volatility >= t.vthr) THEN 0
+            ELSE 2 END AS market_regime,
+       count(*)::BIGINT AS n_events
+FROM feats f JOIN thr t USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_ev_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PageRank (ml/graph.py pagerank) over the user
     co-occurrence graph: users who share ≥3 distinct (event_type, hour)
@@ -3551,6 +3892,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "brand_small_qty_revenue": (q_brand_small_qty_revenue, _SQL_BRAND_SMALL_QTY),
     "large_order_customers": (q_large_order_customers, _SQL_LARGE_ORDER_CUSTOMERS),
     "idle_rich_customers": (q_idle_rich_customers, _SQL_IDLE_RICH_CUSTOMERS),
+    "ev_regime_sketch": (q_ev_regime_sketch, _SQL_EV_REGIME_SKETCH),
+    "priority_returned_orders": (q_priority_returned_orders, _SQL_PRIORITY_RETURNED),
+    "nation_trade_volume": (q_nation_trade_volume, _SQL_NATION_TRADE_VOLUME),
+    "returnflag_priority_mix": (q_returnflag_priority_mix, _SQL_RETURNFLAG_PRIORITY_MIX),
+    "promo_revenue_share": (q_promo_revenue_share, _SQL_PROMO_REVENUE_SHARE),
+    "top_supplier_revenue": (q_top_supplier_revenue, _SQL_TOP_SUPPLIER_REVENUE),
+    "sole_blame_suppliers": (q_sole_blame_suppliers, _SQL_SOLE_BLAME_SUPPLIERS),
     # rows-only: KMeans codebooks are iterative, not SQL-expressible;
     # pinned by tests/test_pq.py + the per-bench recall probe
     "emb_ivfpq": (q_emb_ivfpq, None),
