@@ -192,3 +192,63 @@ def test_q17_threshold_join_keyed_and_brand_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q4_shape_semi_join_after_date_prune(spark):
+    """priority_returned_orders: the EXISTS runs as a LEFT SEMI hash
+    join, never a nested loop, and the order-date filter reaches the
+    parquet scan as a pushed filter."""
+    from financial_big_data_spark.queries import q_priority_returned_orders
+
+    plan = _plan(q_priority_returned_orders(spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_q7_shape_dimensions_broadcast_one_fact_shuffle(spark):
+    """nation_trade_volume: supplier/customer/nation maps broadcast; the
+    cross-nation predicate is a filter, not a cartesian."""
+    from financial_big_data_spark.queries import q_nation_trade_volume
+
+    plan = _plan(q_nation_trade_volume(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q15_shape_scalar_max_broadcast_no_rank_window(spark):
+    """top_supplier_revenue: the max is a 1-row broadcast join-back —
+    no partitionless Window (rank over everything) in the plan."""
+    from financial_big_data_spark.queries import q_top_supplier_revenue
+
+    plan = _plan(q_top_supplier_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_q21_shape_semi_anti_chain_topk_merge(spark):
+    """sole_blame_suppliers: EXISTS/NOT-EXISTS as LeftSemi + LeftAnti
+    hash joins on the order key; top-10 is a k-row merge."""
+    from financial_big_data_spark.queries import q_sole_blame_suppliers
+
+    plan = _plan(q_sole_blame_suppliers(spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_regime_sketch_no_partitionless_window(spark):
+    """ev_regime_sketch: the bottom-k sample ranks within the series key
+    (keyed window), and the threshold join back is a broadcast — no
+    partitionless Window, no nested loop."""
+    from financial_big_data_spark.queries import q_ev_regime_sketch
+
+    plan = _plan(q_ev_regime_sketch(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    import re
+
+    # every Window node must carry a partitionBy key (no global windows)
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start():m.start() + 400]
+        assert "partitionBy" not in seg or "partitionBy=[]" not in seg
