@@ -131,6 +131,8 @@ def main() -> None:
         # -> budget), timed as one number (VERDICT r4 #4) — stage rows
         # above don't show composition cost
         "doc_curation",
+        # exact-substring (duplicated-span) removal — round 8
+        "doc_span_dedup",
     ):
         fn, _ = REGISTRY[name]
         best = None
@@ -176,6 +178,7 @@ def main() -> None:
         "ev_pagerank",
         "ev_ppr",
         "doc_normalized",
+        "ev_regime_sketch",
     ):
         sketch_graph_ops[name] = timed_min(name, run_query(name), release=_rel)
     # the tol=1e-6 early-exit variant of ev_pagerank (NOT registered —
@@ -190,6 +193,33 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save(),
         release=_rel,
     )
+    _rel()
+    spark.catalog.clearCache()
+
+    # TPC-H query shapes (round 8) — the relational-coverage rows, timed
+    # min-of-2 in their own dict for cross-round comparability.
+    tpch_ops: dict[str, float] = {}
+    for name in (
+        "brand_small_qty_revenue",
+        "large_order_customers",
+        "idle_rich_customers",
+        "priority_returned_orders",
+        "nation_trade_volume",
+        "returnflag_priority_mix",
+        "promo_revenue_share",
+        "top_supplier_revenue",
+        "sole_blame_suppliers",
+    ):
+        fn, _ = REGISTRY[name]
+        best = None
+        for _ in range(2):
+            _rel()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        tpch_ops[name] = round(best, 3)
     _rel()
     spark.catalog.clearCache()
 
@@ -582,6 +612,7 @@ def main() -> None:
         "skew_salted_ratio": round(skew_naive / max(skew_salted, 1e-9), 2),
         "curation_ops": curation_ops,
         "alignment_ops": alignment_ops,
+        "tpch_ops": tpch_ops,
         "sketch_ops": sketch_ops,
         "sketch_graph_ops": sketch_graph_ops,
         "bands": bands,

@@ -526,3 +526,109 @@ def incremental_dedup(
     return batch_keep.join(ex_fp, on="fp", how="left_anti").select(
         id_col, "fp", "batch_copies"
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 50,
+) -> DataFrame:
+    """Duplicated-SPAN removal — exact substring dedup at token
+    granularity (the Lee et al. 2022 "Deduplicating Training Data"
+    operation, re-expressed relationally): any ``span_tokens``-token
+    window whose text occurs more than once across the corpus keeps its
+    FIRST occurrence (global (id, position) order) and is cut from every
+    other location; document-level dedup (``exact_dedup_keys`` /
+    ``near_dup_lsh``) cannot see these — boilerplate headers, license
+    blocks, quoted passages — because the SURROUNDING document differs.
+
+    Relational pipeline, no suffix arrays, no driver state:
+
+    1. tokenize (posexplode) → one keyed window pass builds the rolling
+       span under md5 (``lead`` over token index — same machinery as
+       ``shingle_table`` but position-preserving);
+    2. span hashes aggregate once (uniform md5 shuffle): occurrences ≥ 2
+       are duplicated; the winner is the min (id, idx) struct — one
+       aggregate, no self-join;
+    3. losing occurrences explode to their covered token positions
+       (``sequence`` — output bounded by duplicate MASS, not corpus
+       size), distinct, and anti-join the token table;
+    4. surviving tokens reassemble via sort_array over (idx, token)
+       structs — deterministic, no order-by window.
+
+    Returns (id_col, text, n_tokens, n_removed) with the cleaned text
+    (single-space joined). Docs shorter than ``span_tokens`` pass
+    through untouched. md5 collisions could cut a non-duplicate span;
+    at 2^128 that is the standard accepted risk of every hash-keyed
+    dedup in this module.
+
+    Overlapping duplicated spans union their positions (stride-1
+    windows make consecutive duplicate positions contiguous), so a long
+    repeated block is removed exactly once however many windows cover
+    it.
+    """
+    if span_tokens < 2:
+        raise ValueError("span_tokens must be >= 2")
+    from pyspark.sql import Window
+
+    toks = _repartitioned(docs).select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(text), " ")).alias("idx", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("idx")
+    parts = [F.col("tok")] + [
+        F.lead("tok", k).over(w) for k in range(1, span_tokens)
+    ]
+    spans = (
+        toks.select(
+            F.col(id_col),
+            F.col("idx"),
+            F.lead("tok", span_tokens - 1).over(w).alias("_last"),
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select(id_col, "idx", "h")
+    )
+    per_hash = spans.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("idx").alias("p"))).alias("w"),
+    )
+    losers = (
+        spans.join(per_hash.where(F.col("n_occ") >= 2), on="h")
+        .where(
+            (F.col(id_col) != F.col("w.i")) | (F.col("idx") != F.col("w.p"))
+        )
+        .select(id_col, "idx")
+    )
+    covered = losers.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("idx"), F.col("idx") + F.lit(span_tokens - 1))
+        ).alias("idx"),
+    ).distinct()
+    kept = toks.join(covered, on=[id_col, "idx"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("idx"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias(text),
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_orig"))
+    return (
+        totals.join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text), F.lit("")).alias(text),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            (F.col("_n_orig") - F.coalesce(F.col("n_tokens"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

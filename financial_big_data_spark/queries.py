@@ -3585,6 +3585,67 @@ GROUP BY 1, 2
 """
 
 
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN removal (operators/dedup.py span_dedup — the
+    Lee et al. 2022 exact-substring dedup, relationally): every 10-token
+    window occurring more than once corpus-wide keeps its first
+    (doc, position) occurrence and is cut everywhere else — boilerplate
+    document-level dedup cannot see. Output is (doc, surviving-token
+    count, removed count, md5 of the cleaned text): the md5 makes the
+    oracle compare value-strict on the REASSEMBLED text, not just the
+    counts."""
+    from .operators.dedup import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = span_dedup(docs, span_tokens=10)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("text").alias("clean_md5")
+    )
+
+
+_SQL_DOC_SPAN_DEDUP = """
+WITH arr AS (
+  SELECT doc_id, string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS a
+  FROM documents
+), toks AS (
+  SELECT doc_id, CAST(u.gen AS INT) - 1 AS idx, a[CAST(u.gen AS INT)] AS tok
+  FROM arr CROSS JOIN LATERAL unnest(generate_series(1, len(a))) AS u(gen)
+), spans AS (
+  SELECT doc_id, idx,
+         md5(string_agg(tok, ' ') OVER w10) AS h,
+         count(*) OVER w10 AS w
+  FROM toks
+  WINDOW w10 AS (PARTITION BY doc_id ORDER BY idx
+                 ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
+), full_spans AS (
+  SELECT doc_id, idx, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn,
+         count(*)     OVER (PARTITION BY h) AS n_occ
+  FROM spans WHERE w = 10
+), losers AS (
+  SELECT doc_id, idx FROM full_spans WHERE n_occ >= 2 AND rn > 1
+), covered AS (
+  SELECT DISTINCT doc_id, CAST(u.gen AS INT) AS idx
+  FROM losers CROSS JOIN LATERAL unnest(generate_series(idx, idx + 9)) AS u(gen)
+), kept AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+  WHERE c.doc_id IS NULL
+), rebuilt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         string_agg(tok, ' ' ORDER BY idx) AS text
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*)::BIGINT AS n_orig FROM toks GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(r.n_tokens, 0)::BIGINT AS n_tokens,
+       (t.n_orig - coalesce(r.n_tokens, 0))::BIGINT AS n_removed,
+       md5(coalesce(r.text, '')) AS clean_md5
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_ev_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PageRank (ml/graph.py pagerank) over the user
     co-occurrence graph: users who share ≥3 distinct (event_type, hour)
@@ -3899,6 +3960,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "promo_revenue_share": (q_promo_revenue_share, _SQL_PROMO_REVENUE_SHARE),
     "top_supplier_revenue": (q_top_supplier_revenue, _SQL_TOP_SUPPLIER_REVENUE),
     "sole_blame_suppliers": (q_sole_blame_suppliers, _SQL_SOLE_BLAME_SUPPLIERS),
+    "doc_span_dedup": (q_doc_span_dedup, _SQL_DOC_SPAN_DEDUP),
     # rows-only: KMeans codebooks are iterative, not SQL-expressible;
     # pinned by tests/test_pq.py + the per-bench recall probe
     "emb_ivfpq": (q_emb_ivfpq, None),

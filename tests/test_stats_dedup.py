@@ -199,3 +199,70 @@ def test_stratified_systematic_sample(spark):
     r1 = {r.id for r in stratified_random_sample(df, "stratum", {"a": 0.3, "b": 0.3}, seed=7).collect()}
     r2 = {r.id for r in stratified_random_sample(df, "stratum", {"a": 0.3, "b": 0.3}, seed=7).collect()}
     assert r1 == r2 and 0 < len(r1) < 100
+
+
+def test_span_dedup_cuts_repeated_blocks_keeps_first(spark):
+    """Duplicated 6-token block: the first (doc, position) occurrence
+    survives, every other occurrence is cut — including a doc that IS
+    the block (left empty), while unique text passes untouched."""
+    from financial_big_data_spark.operators.dedup import span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(6))
+    uniq = lambda d, n: " ".join(f"d{d}w{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, uniq(1, 4) + " " + boiler + " " + uniq(11, 4)),
+            (2, uniq(2, 5) + " " + boiler + " " + uniq(22, 3)),
+            (3, uniq(3, 8)),
+            (4, boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, span_tokens=6).collect()}
+    assert out[1].n_removed == 0 and boiler in out[1].text  # first keeps it
+    assert out[2].n_removed == 6 and "b0" not in out[2].text
+    assert out[2].text == uniq(2, 5) + " " + uniq(22, 3)  # order preserved
+    assert out[3].n_removed == 0 and out[3].text == uniq(3, 8)
+    assert out[4].n_removed == 6 and out[4].text == "" and out[4].n_tokens == 0
+
+
+def test_span_dedup_overlapping_long_block_removed_once(spark):
+    """A 10-token repeated block under span=6 marks overlapping windows;
+    the union of covered positions removes the block exactly, not more."""
+    from financial_big_data_spark.operators.dedup import span_dedup
+
+    block = " ".join(f"x{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, block + " tail1 tail2"), (2, "head1 head2 " + block)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, span_tokens=6).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 10
+    assert out[2].text == "head1 head2"
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    """The SAME doc repeating a span keeps only the first copy."""
+    from financial_big_data_spark.operators.dedup import span_dedup
+
+    blk = " ".join(f"r{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [(7, blk + " mid " + blk)], "doc_id long, text string"
+    )
+    r = span_dedup(docs, span_tokens=5).collect()[0]
+    assert r.n_removed == 5
+    assert r.text == blk + " mid"
+
+
+def test_span_dedup_short_docs_untouched(spark):
+    from financial_big_data_spark.operators.dedup import span_dedup
+    import pytest as _pt
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, span_tokens=10).collect()}
+    assert out[1].n_removed == 0 and out[2].n_removed == 0  # < span length
+    with _pt.raises(ValueError):
+        span_dedup(docs, span_tokens=1)
