@@ -172,6 +172,31 @@ SHOWCASE = {
         "else (control strip, whitespace collapse, md5) stays in "
         "whole-stage codegen. No exchange anywhere."
     ),
+    "doc_span_dedup": (
+        "Exact-substring (duplicated-span) dedup: one keyed window pass "
+        "builds rolling span hashes; winners come from ONE aggregate "
+        "(min struct), never a self-join; covered positions explode from "
+        "duplicate mass only; reassembly is sort_array inside the group "
+        "aggregate — no order-by window, no suffix array."
+    ),
+    "ev_regime_sketch": (
+        "Sketch-routed F8 thresholds: the bottom-k sample ranks inside "
+        "the keyed (series) window, sample percentiles aggregate 128 "
+        "rows/series, and the label join-back broadcasts — the full "
+        "history never sorts."
+    ),
+    "nation_trade_volume": (
+        "TPC-H Q7 shape: every dimension map (supplier/customer/nation) "
+        "broadcasts; the only fact-sized shuffle is lineitem↔orders on "
+        "the order key; the cross-nation predicate is a filter on "
+        "broadcast attributes, not a cartesian."
+    ),
+    "sole_blame_suppliers": (
+        "TPC-H Q21 shape: EXISTS and NOT-EXISTS run as LeftSemi + "
+        "LeftAnti hash joins on the uniform order key over "
+        "pre-aggregated (order, supplier) projections; final top-10 is "
+        "a TakeOrderedAndProject k-row merge."
+    ),
     "idle_rich_customers": (
         "TPC-H Q22 shape: the scalar average is a broadcast 1-row "
         "aggregate (never a partitionless window), NOT EXISTS is a "
