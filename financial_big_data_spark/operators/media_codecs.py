@@ -20,6 +20,11 @@ a media library):
 - **JPEG** (operators/jpeg.py): baseline sequential DCT, 8-bit,
   grayscale or YCbCr with 4:4:4/4:2:2/4:2:0 sampling, restart
   intervals, arbitrary DHT tables.
+- **MP4/ISO-BMFF** (``parse_mp4``): CONTAINER metadata only — brand,
+  movie/track durations, per-track codec fourcc / handler kind /
+  sample counts from the ftyp/moov box walk. Codec SAMPLE decode
+  (H.264/AAC) is a codec stack, not a container format, and stays
+  behind an injected kernel.
 
 Unsupported variants (16-bit PNG, interlacing, compressed WAV codecs,
 progressive/12-bit/CMYK JPEG) raise ``ValueError`` with a precise
@@ -466,3 +471,179 @@ def default_decode(payload: bytes, kind: str, dim: int) -> list[float]:
     except DECODE_ERRORS:
         pass
     return byte_features(payload, dim)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF container (metadata only — codec decode is out of scope)
+# ---------------------------------------------------------------------------
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """ISO base-media (MP4/MOV) CONTAINER metadata via the box/atom walk
+    (ISO/IEC 14496-12): brand, movie duration, per-track codec fourcc /
+    kind / duration / sample count, from `ftyp` + `moov` structure
+    alone. This is the honest boundary for video in this environment:
+    container metadata is self-describing and fully parseable
+    library-free; H.264/AAC SAMPLE decode is a codec stack and stays
+    behind an injected decoder (byte-histogram fallback in
+    `default_decode`). Metadata extraction at corpus scale — routing,
+    filtering by duration/codec, quota-by-modality — needs exactly this.
+
+    Returns {"brand", "duration_ms", "tracks": [{"kind", "codec",
+    "duration_ms", "n_samples"}, ...]}. Raises ValueError on anything
+    that is not a plausible BMFF stream (caller quarantines via
+    DECODE_ERRORS as usual).
+    """
+
+    def boxes(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos:pos + 4], "big")
+            btype = buf[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    raise ValueError("mp4: truncated largesize box")
+                size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+                hdr = 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("mp4: invalid box size")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    def find(buf, start, end, name):
+        for t, a, b in boxes(buf, start, end):
+            if t == name:
+                return a, b
+        return None
+
+    n = len(payload)
+    if n < 16:
+        raise ValueError("mp4: too short")
+    top = list(boxes(payload, 0, n))
+    types = [t for t, _, _ in top]
+    if b"ftyp" not in types or b"moov" not in types:
+        raise ValueError("mp4: missing ftyp/moov")
+    fa, fb = next((a, b) for t, a, b in top if t == b"ftyp")
+    brand = payload[fa:fa + 4].decode("ascii", "replace")
+    ma, mb = next((a, b) for t, a, b in top if t == b"moov")
+
+    mv = find(payload, ma, mb, b"mvhd")
+    if mv is None:
+        raise ValueError("mp4: missing mvhd")
+    va, _vb = mv
+    ver = payload[va]
+    if ver == 1:
+        tscale = int.from_bytes(payload[va + 20:va + 24], "big")
+        dur = int.from_bytes(payload[va + 24:va + 32], "big")
+    else:
+        tscale = int.from_bytes(payload[va + 12:va + 16], "big")
+        dur = int.from_bytes(payload[va + 16:va + 20], "big")
+    if tscale == 0:
+        raise ValueError("mp4: zero movie timescale")
+
+    kinds = {b"vide": "video", b"soun": "audio", b"text": "text"}
+    tracks = []
+    for t, a, b in boxes(payload, ma, mb):
+        if t != b"trak":
+            continue
+        mdia = find(payload, a, b, b"mdia")
+        if mdia is None:
+            continue
+        da, db = mdia
+        mdhd = find(payload, da, db, b"mdhd")
+        hdlr = find(payload, da, db, b"hdlr")
+        minf = find(payload, da, db, b"minf")
+        kind = codec = None
+        tdur_ms = nsamples = None
+        if mdhd is not None:
+            ha, _ = mdhd
+            hv = payload[ha]
+            if hv == 1:
+                ts = int.from_bytes(payload[ha + 20:ha + 24], "big")
+                td = int.from_bytes(payload[ha + 24:ha + 32], "big")
+            else:
+                ts = int.from_bytes(payload[ha + 12:ha + 16], "big")
+                td = int.from_bytes(payload[ha + 16:ha + 20], "big")
+            if ts:
+                tdur_ms = round(td * 1000.0 / ts, 3)
+        if hdlr is not None:
+            ha, _ = hdlr
+            kind = kinds.get(payload[ha + 8:ha + 12], "other")
+        if minf is not None:
+            sa, sb = minf
+            stbl = find(payload, sa, sb, b"stbl")
+            if stbl is None:
+                mi = find(payload, sa, sb, b"minf")  # defensive; not expected
+                stbl = mi
+            if stbl is not None:
+                ta2, tb2 = stbl
+                stsd = find(payload, ta2, tb2, b"stsd")
+                if stsd is not None:
+                    xa, _ = stsd
+                    codec = payload[xa + 12:xa + 16].decode("ascii", "replace")
+                stsz = find(payload, ta2, tb2, b"stsz")
+                if stsz is not None:
+                    xa, _ = stsz
+                    nsamples = int.from_bytes(payload[xa + 8:xa + 12], "big")
+        tracks.append(
+            {
+                "kind": kind,
+                "codec": codec,
+                "duration_ms": tdur_ms,
+                "n_samples": nsamples,
+            }
+        )
+    return {
+        "brand": brand,
+        "duration_ms": round(dur * 1000.0 / tscale, 3),
+        "tracks": tracks,
+    }
+
+
+def encode_mp4_stub(
+    brand: str = "isom",
+    duration_ms: float = 2000.0,
+    tracks: tuple = (("vide", "avc1", 2000.0, 48), ("soun", "mp4a", 2000.0, 86)),
+) -> bytes:
+    """Minimal VALID BMFF fixture: ftyp + moov(mvhd + trak(mdia(mdhd,
+    hdlr, minf(stbl(stsd, stsz))))) with empty sample data — enough
+    structure for `parse_mp4` and any standards-conforming box walker;
+    carries no media samples (this is a metadata fixture, not a fake
+    video)."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    tscale = 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", tscale, int(duration_ms))
+        + b"\x00" * 80,
+    )
+    traks = b""
+    for kind, codec, tdur, nsamp in tracks:
+        mdhd = box(
+            b"mdhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", tscale, int(tdur))
+            + b"\x00" * 4,
+        )
+        hdlr = box(
+            b"hdlr", b"\x00" * 8 + kind.encode() + b"\x00" * 12 + b"\x00"
+        )
+        entry = struct.pack(">I", 16) + codec.encode() + b"\x00" * 8
+        stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+        stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, nsamp))
+        stbl = box(b"stbl", stsd + stsz)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        traks += box(b"trak", mdia)
+    moov = box(b"moov", mvhd + traks)
+    ftyp = box(b"ftyp", brand.encode() + struct.pack(">I", 0) + b"isom")
+    return ftyp + moov

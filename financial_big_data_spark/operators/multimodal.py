@@ -79,9 +79,24 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 0.5 * np.sin(2 * np.pi * (220 + 10 * i) * t), sample_rate=16000
             )
         else:
-            payload = rng.integers(
-                0, 256, size=256 + (i % 7) * 64, dtype=np.uint8
-            ).tobytes()
+            # a REAL (valid ISO-BMFF) container with junk sample data: the
+            # ftyp/moov metadata parses (parse_mp4); the mdat payload is
+            # seeded bytes — codec SAMPLE decode stays behind an injected
+            # kernel, so features remain honest byte histograms
+            from .media_codecs import encode_mp4_stub
+
+            dur = 1000.0 + (i % 7) * 500
+            meta = encode_mp4_stub(
+                duration_ms=dur,
+                tracks=(
+                    ("vide", "avc1", dur, 24 + i % 5),
+                    ("soun", "mp4a", dur, 43 + i % 5),
+                ),
+            )
+            mdat = rng.integers(0, 256, size=256 + (i % 7) * 64, dtype=np.uint8)
+            import struct as _struct
+
+            payload = meta + _struct.pack(">I", len(mdat) + 8) + b"mdat" + mdat.tobytes()
         if kind == "image":
             mime = "image/jpeg" if payload[:3] == b"\xff\xd8\xff" else "image/png"
         else:
@@ -138,6 +153,57 @@ def extract_features(
             )
 
     return media.mapInPandas(fn, out_schema)
+
+
+def extract_container_metadata(media: DataFrame) -> DataFrame:
+    """ISO-BMFF (MP4/MOV) CONTAINER metadata per payload → (media_id,
+    brand, container_duration_ms, n_tracks, codecs array<string>,
+    track_kinds array<string>) — the honest metadata level for video:
+    box-walk parsing (media_codecs.parse_mp4) is library-free and runs
+    Arrow-batched in mapInPandas; sample decode stays behind injected
+    kernels. Non-BMFF payloads yield null metadata (same quarantine
+    contract as the decode stage — corpus routing/filtering by
+    duration/codec needs the parseable subset, not an exception)."""
+    from .media_codecs import DECODE_ERRORS, parse_mp4
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("brand", T.StringType()),
+            T.StructField("container_duration_ms", T.DoubleType()),
+            T.StructField("n_tracks", T.IntegerType()),
+            T.StructField("codecs", T.ArrayType(T.StringType())),
+            T.StructField("track_kinds", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    m = parse_mp4(bytes(payload))
+                    recs.append(
+                        (
+                            mid,
+                            m["brand"],
+                            m["duration_ms"],
+                            len(m["tracks"]),
+                            [t["codec"] for t in m["tracks"]],
+                            [t["kind"] for t in m["tracks"]],
+                        )
+                    )
+                except DECODE_ERRORS:
+                    recs.append((mid, None, None, None, None, None))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "brand", "container_duration_ms",
+                    "n_tracks", "codecs", "track_kinds",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(fn, out_schema)
 
 
 def frame_sample(

@@ -416,3 +416,52 @@ def test_parse_media_headers_real_formats(spark):
     assert (got[4].hdr_sample_rate, got[4].hdr_duration_ms) == (16000, 500)
     assert got[5].hdr_format is None and got[5].hdr_width is None
     assert got[5].hdr_duration_ms is None
+
+
+def test_parse_mp4_roundtrip_and_validation():
+    """BMFF box-walk: the stub fixture parses exactly; truncation and
+    junk raise within DECODE_ERRORS (quarantine contract)."""
+    import pytest as _pt
+
+    from financial_big_data_spark.operators.media_codecs import (
+        DECODE_ERRORS,
+        encode_mp4_stub,
+        parse_mp4,
+    )
+
+    p = encode_mp4_stub(
+        brand="mp42", duration_ms=3500.0,
+        tracks=(("vide", "hvc1", 3500.0, 84), ("soun", "opus", 3400.0, 150)),
+    )
+    m = parse_mp4(p)
+    assert m["brand"] == "mp42" and m["duration_ms"] == 3500.0
+    assert [t["codec"] for t in m["tracks"]] == ["hvc1", "opus"]
+    assert [t["kind"] for t in m["tracks"]] == ["video", "audio"]
+    assert [t["n_samples"] for t in m["tracks"]] == [84, 150]
+    assert m["tracks"][1]["duration_ms"] == 3400.0
+    for bad in (b"", b"\x00" * 12, p[:20], b"A" * 64):
+        with _pt.raises(DECODE_ERRORS):
+            parse_mp4(bad)
+
+
+def test_extract_container_metadata(spark):
+    """Video rows in the synthetic fixture now carry REAL BMFF metadata;
+    image/audio rows yield nulls (not exceptions)."""
+    from financial_big_data_spark.operators.multimodal import (
+        extract_container_metadata,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12)
+    out = {r.media_id: r for r in extract_container_metadata(media).collect()}
+    assert len(out) == 12
+    vids = [r for r in media.collect() if r.kind == "video"]
+    assert vids
+    for v in vids:
+        m = out[v.media_id]
+        assert m.brand == "isom"
+        assert m.n_tracks == 2 and m.codecs == ["avc1", "mp4a"]
+        assert m.container_duration_ms and m.container_duration_ms >= 1000.0
+    for r in media.collect():
+        if r.kind != "video":
+            assert out[r.media_id].brand is None
