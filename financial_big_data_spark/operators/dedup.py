@@ -122,6 +122,43 @@ def _repartitioned(docs: DataFrame) -> DataFrame:
     return docs.repartition(target)
 
 
+def minhash_digest(num_hashes: int, shingle: str | Column = "shingle") -> Column:
+    """THE MinHash hash-family expression — one md5 per salt bucket
+    yields four independent 32-bit hex slices. Every consumer (batch
+    signatures, near_dup_lsh, the streaming near-dup gate) must build
+    its digest HERE: two hand-synced copies of this formula would let
+    batch and streaming signatures silently drift apart."""
+    s = F.col(shingle) if isinstance(shingle, str) else shingle
+    return F.concat(
+        *[F.md5(F.concat(s, F.lit(f"#{d}"))) for d in range(-(-num_hashes // 4))]
+    )
+
+
+def minhash_min_slices(num_hashes: int, h: str | Column = "h") -> list[Column]:
+    """The per-signature aggregate: min over the i-th 8-hex slice of the
+    digest (fixed-width lowercase hex preserves numeric order). Unaliased
+    — callers name or array-pack them."""
+    c = F.col(h) if isinstance(h, str) else h
+    return [F.min(c.substr(1 + 8 * i, 8)) for i in range(num_hashes)]
+
+
+def band_structs(num_hashes: int, bands: int, slot) -> list[Column]:
+    """LSH band keys over a signature: ``slot(i)`` supplies the i-th
+    MinHash value (a column ``mh_i`` or an array element), and each band
+    concatenates its rows_per_band slots — the single definition both
+    the batch candidate join and the streaming gate band with."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[slot(b * rows_per_band + r) for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame,
     text: str = "text",
@@ -139,17 +176,13 @@ def minhash_signatures(
     Docs with no shingles (shorter than n tokens) are dropped, matching the
     relational oracle's semantics.
     """
-    n_digests = -(-num_hashes // 4)  # ceil
     # min() is duplicate-insensitive -> skip the distinct shuffle
     sh = shingle_table(docs, text, id_col, shingle_n, distinct=False)
-    digest = F.concat(
-        *[F.md5(F.concat(F.col("shingle"), F.lit(f"#{d}"))) for d in range(n_digests)]
-    )
     # digest becomes a materialized attribute at the aggregate boundary —
     # the md5s run once per shingle row; the 8 substr-mins are trivial.
-    hashed = sh.select(F.col(id_col), digest.alias("h"))
+    hashed = sh.select(F.col(id_col), minhash_digest(num_hashes).alias("h"))
     return hashed.groupBy(id_col).agg(
-        *[F.min(F.col("h").substr(1 + 8 * i, 8)).alias(f"mh_{i}") for i in range(num_hashes)]
+        *[c.alias(f"mh_{i}") for i, c in enumerate(minhash_min_slices(num_hashes))]
     )
 
 
@@ -165,11 +198,7 @@ def lsh_candidate_pairs(
     band index so one shuffle covers all bands (explode-then-join, not
     bands× separate joins).
     """
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        slots = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.concat_ws("|", *slots).alias("key")))
+    band_cols = band_structs(num_hashes, bands, lambda i: F.col(f"mh_{i}"))
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -263,13 +292,13 @@ def near_dup_lsh(
     from ..cache import tracked_persist
 
     sh = tracked_persist(shingle_table(docs, text, id_col, shingle_n, distinct=False))
-    digest = F.concat(
-        *[F.md5(F.concat(F.col("shingle"), F.lit(f"#{d}"))) for d in range(-(-num_hashes // 4))]
-    )
     sigs = (
-        sh.select(F.col(id_col), digest.alias("h"))
+        sh.select(F.col(id_col), minhash_digest(num_hashes).alias("h"))
         .groupBy(id_col)
-        .agg(*[F.min(F.col("h").substr(1 + 8 * i, 8)).alias(f"mh_{i}") for i in range(num_hashes)])
+        .agg(*[
+            c.alias(f"mh_{i}")
+            for i, c in enumerate(minhash_min_slices(num_hashes))
+        ])
     )
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))

@@ -187,6 +187,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if pos + 2 > n:
             raise ValueError("jpeg: truncated segment")
         seglen = struct.unpack(">H", payload[pos:pos + 2])[0]
+        if seglen < 2:
+            # a 0/1 segment length can't even cover its own length field;
+            # without this check `pos += seglen` would never advance and
+            # the marker loop would spin forever on corrupt bytes
+            raise ValueError("jpeg: invalid segment length")
         seg = payload[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -250,7 +255,16 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     for c in comps:
+        # explicit lookups so a malformed file raises ValueError (the
+        # DECODE_ERRORS quarantine tuple), never a bare KeyError that
+        # would escape default_decode and poison the Arrow batch
+        if c["id"] not in scan:
+            raise ValueError(f"jpeg: SOS missing component {c['id']}")
         td, ta = scan[c["id"]]
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError(f"jpeg: undefined huffman table {td}/{ta}")
+        if c["tq"] not in qt:
+            raise ValueError(f"jpeg: undefined quant table {c['tq']}")
         c["dc"] = huff_dc[td]
         c["ac"] = huff_ac[ta]
         c["q"] = qt[c["tq"]]

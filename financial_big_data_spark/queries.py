@@ -2998,13 +2998,19 @@ WHERE l_shipdate >= '1996-06-01' AND l_shipdate < '1996-07-01'
 def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (aggregate view + scalar-max join-back): supplier
     revenue over 1996-H1, returning the supplier(s) that achieve the
-    maximum. The revenue aggregate computes once and is reused for both
-    the max (a 1-row broadcast — never a global sort or a partitionless
-    rank window) and the equality probe; supplier detail broadcasts
-    onto the one-row-per-qualifying-supplier result."""
+    maximum. The revenue aggregate MATERIALIZES once (tracked persist)
+    and both consumers — the max (a 1-row broadcast, never a global
+    sort or a partitionless rank window) and the equality probe — read
+    the same values: two independent evaluations of a double-sum
+    subtree could disagree in the last ulp under different partial
+    combine orders and silently drop the winner at a rounding
+    boundary. Supplier detail broadcasts onto the
+    one-row-per-qualifying-supplier result."""
+    from .cache import tracked_persist
+
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    rev = (
+    rev = tracked_persist(
         li.where(
             (F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1996-07-01")

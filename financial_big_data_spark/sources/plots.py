@@ -195,21 +195,27 @@ def line_chart_svg(
     px = lambda v: _ML + (_W - _ML - _MR) * (v - x0) / (x1 - x0 or 1)  # noqa: E731
     py = lambda v: _MT + (_H - _MT - _MB) * (1 - (v - y0) / (y1 - y0))  # noqa: E731
     for i, yc in enumerate(ys):
-        seg = [(px(xv), py(r[yc])) for xv, r in zip(xs, pts) if r[yc] is not None]
+        # coordinates and their source values filtered TOGETHER so every
+        # tooltip labels its own point even across null gaps
+        seg = [
+            (px(xv), py(r[yc]), xv, r[yc])
+            for xv, r in zip(xs, pts)
+            if r[yc] is not None
+        ]
         if not seg:
             continue
-        path = " ".join(f"{a:.1f},{b:.1f}" for a, b in seg)
+        path = " ".join(f"{a:.1f},{b:.1f}" for a, b, _, _ in seg)
         parts.append(
             f'<polyline points="{path}" fill="none" stroke="{_SERIES[i]}" '
             f'stroke-width="2" stroke-linejoin="round"/>'
         )
         # hover targets: invisible-ish markers with native tooltips
         step = max(1, len(seg) // 120)  # bounded DOM on long series
-        for (a, b), (xv, r) in zip(seg[::step], list(zip(xs, pts))[::step]):
+        for a, b, xv, val in seg[::step]:
             parts.append(
                 f'<circle cx="{a:.1f}" cy="{b:.1f}" r="4" fill="{_SERIES[i]}" '
                 f'fill-opacity="0"><title>'
-                f"{_esc(yc)} @ {_esc(_fmt_tick(xv, is_time))}: {_fmt(r[yc])}"
+                f"{_esc(yc)} @ {_esc(_fmt_tick(xv, is_time))}: {_fmt(val)}"
                 "</title></circle>"
             )
     parts.append(_legend(ys))

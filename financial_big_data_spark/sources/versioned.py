@@ -80,16 +80,18 @@ def _commit(path: str, files: list[str], version: int) -> None:
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     try:
-        # exclusive-create claims the version number atomically
-        fd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
+        # hard-link claims the version number AND publishes the complete
+        # manifest in ONE atomic step — an O_EXCL-then-replace sequence
+        # would leave an empty v<N>.json (bricking the version number)
+        # if the writer crashed between the two calls
+        os.link(tmp, mp)
     except FileExistsError:
         os.remove(tmp)
         raise ConcurrentCommitError(
             f"version {version} already committed at {mp}; "
             "re-read CURRENT and retry the operation"
         )
-    os.replace(tmp, mp)
+    os.remove(tmp)
     cur_tmp = os.path.join(_vdir(path), "CURRENT.tmp")
     with open(cur_tmp, "w") as f:
         f.write(str(version))
@@ -142,34 +144,45 @@ def read_version(
     raise ValueError(f"table at {path} has no non-empty snapshot to infer a schema from")
 
 
-def _key_ranges(files: list[str], key: str) -> dict[str, tuple]:
-    """(min, max) of ``key`` per file from parquet FOOTERS only."""
+def _col_ranges(files: list[str], cols: list[str]) -> dict[str, dict[str, tuple]]:
+    """Per-file (min, max) for EVERY column in ``cols`` from parquet
+    FOOTERS only — one metadata pass per file however many columns a
+    box predicate carries."""
     import pyarrow.parquet as pq
 
-    out = {}
+    want = set(cols)
+    out: dict[str, dict[str, tuple]] = {}
     for f in files:
-        lo = hi = None
-        stat_less = False
+        lo: dict[str, object] = {c: None for c in cols}
+        hi: dict[str, object] = {c: None for c in cols}
+        stat_less = set()
         meta = pq.ParquetFile(f).metadata
         for rg in range(meta.num_row_groups):
             g = meta.row_group(rg)
             for ci in range(g.num_columns):
                 col = g.column(ci)
-                if col.path_in_schema != key:
+                name = col.path_in_schema
+                if name not in want or name in stat_less:
                     continue
                 s = col.statistics
                 # a row group may omit min/max (e.g. long string keys
                 # exceed parquet's max-statistics-size) — one stat-less
                 # group makes the WHOLE file conservatively "touched"
+                # for that column
                 if s is None or not s.has_min_max:
-                    stat_less = True
-                    break
-                lo = s.min if lo is None else min(lo, s.min)
-                hi = s.max if hi is None else max(hi, s.max)
-            if stat_less:
-                break
-        out[f] = (None, None) if stat_less else (lo, hi)
+                    stat_less.add(name)
+                    continue
+                lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        out[f] = {
+            c: (None, None) if c in stat_less else (lo[c], hi[c]) for c in cols
+        }
     return out
+
+
+def _key_ranges(files: list[str], key: str) -> dict[str, tuple]:
+    """(min, max) of ``key`` per file from parquet FOOTERS only."""
+    return {f: r[key] for f, r in _col_ranges(files, [key]).items()}
 
 
 def upsert_version(
@@ -428,13 +441,16 @@ def read_version_box(
     m = _load_manifest(path, version)
     if not m["files"]:
         return read_version(spark, path, version)
-    picked = list(m["files"])
-    for col, (lo, hi) in box.items():
-        ranges = _key_ranges(picked, col)
-        picked = [
-            f for f, (flo, fhi) in ranges.items()
-            if flo is None or (flo <= hi and fhi >= lo)
-        ]
+    # ONE footer pass per file covers every box dimension
+    ranges = _col_ranges(m["files"], list(box))
+    picked = [
+        f for f, per_col in ranges.items()
+        if all(
+            per_col[c][0] is None
+            or (per_col[c][0] <= hi and per_col[c][1] >= lo)
+            for c, (lo, hi) in box.items()
+        )
+    ]
     if not picked:
         return spark.read.parquet(*m["files"]).where(F.lit(False))
     out = spark.read.parquet(*picked)

@@ -39,6 +39,20 @@ from pyspark.sql import functions as F
 from ..operators.dedup import normalized_text
 
 
+def _collapse_per_fingerprint(fp: DataFrame, id_col: str) -> DataFrame:
+    """ONE deterministic representative row per fingerprint: min over
+    (id, rest-of-row) — exact duplicate rows sharing both id and
+    fingerprint keep a single copy (a left_semi on (min-id, fp) alone
+    would keep every such copy). Shared by both ingest front doors."""
+    return (
+        fp.groupBy("_fp")
+        .agg(F.min(F.struct(F.col(id_col), *[
+            F.col(c) for c in fp.columns if c not in (id_col, "_fp")
+        ])).alias("_row"))
+        .select(F.col("_fp"), F.col("_row.*"))
+    )
+
+
 def streaming_ingest_dedup(
     stream: DataFrame,
     corpus_path: str,
@@ -63,17 +77,7 @@ def streaming_ingest_dedup(
             cols = quality_metric_columns(text)
             batch = batch.where(cols["pass_quality"] == 1)
         fp = batch.withColumn("_fp", F.md5(normalized_text(text)))
-        # within-batch: ONE deterministic representative row per
-        # fingerprint — min-id, and min over the whole row for exact
-        # duplicates sharing both id and fingerprint (a left_semi on
-        # (min-id, fp) alone would keep every such copy)
-        collapsed = (
-            fp.groupBy("_fp")
-            .agg(F.min(F.struct(F.col(id_col), *[
-                F.col(c) for c in fp.columns if c not in (id_col, "_fp")
-            ])).alias("_row"))
-            .select(F.col("_fp"), F.col("_row.*"))
-        )
+        collapsed = _collapse_per_fingerprint(fp, id_col)
         if os.path.exists(corpus_path):
             seen = (
                 batch.sparkSession.read.parquet(corpus_path)
@@ -158,9 +162,15 @@ def streaming_ingest_curated(
     ``streaming_ingest_dedup`` but with ONE table write per batch (no
     corpus/state write-ordering window).
     """
-    from ..operators.dedup import shingle_table
-
-    n_digests = -(-num_hashes // 4)
+    # the digest / min-slice / banding math comes from dedup.py's shared
+    # primitives — the batch-parity claim is load-bearing, so there is
+    # exactly ONE definition of each for batch and streaming to share
+    from ..operators.dedup import (
+        band_structs,
+        minhash_digest,
+        minhash_min_slices,
+        shingle_table,
+    )
 
     def _sigs_and_shingles(df: DataFrame) -> DataFrame:
         """(id, _mh array<string>, _shingles array<string>); docs with
@@ -168,18 +178,14 @@ def streaming_ingest_curated(
         signature — they can never be near-dup candidates, matching
         near_dup_lsh dropping them at the signature stage."""
         sh = shingle_table(df, text, id_col, shingle_n, distinct=False)
-        digest = F.concat(*[
-            F.md5(F.concat(F.col("shingle"), F.lit(f"#{d}")))
-            for d in range(n_digests)
-        ])
         agg = (
-            sh.select(F.col(id_col), F.col("shingle"), digest.alias("h"))
+            sh.select(
+                F.col(id_col), F.col("shingle"),
+                minhash_digest(num_hashes).alias("h"),
+            )
             .groupBy(id_col)
             .agg(
-                F.array(*[
-                    F.min(F.col("h").substr(1 + 8 * i, 8))
-                    for i in range(num_hashes)
-                ]).alias("_mh"),
+                F.array(*minhash_min_slices(num_hashes)).alias("_mh"),
                 F.collect_set("shingle").alias("_shingles"),
             )
         )
@@ -188,17 +194,7 @@ def streaming_ingest_curated(
         )
 
     def _banded(df: DataFrame, idc: str) -> DataFrame:
-        rows_per_band = num_hashes // bands
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *[
-                    F.col("_mh")[b * rows_per_band + r]
-                    for r in range(rows_per_band)
-                ]).alias("key"),
-            )
-            for b in range(bands)
-        ]
+        band_cols = band_structs(num_hashes, bands, lambda i: F.col("_mh")[i])
         return (
             df.where(F.col("_mh").isNotNull())
             .select(F.col(idc), F.explode(F.array(*band_cols)).alias("bk"))
@@ -220,13 +216,7 @@ def streaming_ingest_curated(
             cols = quality_metric_columns(text)
             batch = batch.where(cols["pass_quality"] == 1)
         fp = batch.withColumn("_fp", F.md5(normalized_text(text)))
-        collapsed = (
-            fp.groupBy("_fp")
-            .agg(F.min(F.struct(F.col(id_col), *[
-                F.col(c) for c in fp.columns if c not in (id_col, "_fp")
-            ])).alias("_row"))
-            .select(F.col("_fp"), F.col("_row.*"))
-        )
+        collapsed = _collapse_per_fingerprint(fp, id_col)
         have_state = os.path.exists(table_path)
         if have_state:
             state = spark.read.parquet(table_path)

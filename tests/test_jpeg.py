@@ -153,3 +153,31 @@ def test_synthetic_media_contains_decodable_jpegs(spark):
     for r in jpegs:
         img = decode_jpeg(bytes(r.payload))
         assert img.shape == (48, 64, 3)
+
+
+def test_zero_length_segment_raises_not_hangs():
+    """A corrupt APP0 with segment length 0 must raise (ValueError),
+    never spin the marker loop forever (code-review r5 finding)."""
+    bad = b"\xff\xd8\xff\xe0\x00\x00" + b"\x00" * 32
+    with pytest.raises(ValueError, match="segment length"):
+        decode_jpeg(bad)
+
+
+def test_undefined_tables_raise_value_error_not_keyerror():
+    """SOS referencing undefined Huffman/quant tables must raise inside
+    DECODE_ERRORS (ValueError), not a bare KeyError that would escape
+    default_decode's quarantine (code-review r5 finding)."""
+    good = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    # flip the SOS component's huffman selector from table 0 to table 7
+    sos_at = bytes(good).find(b"\xff\xda")
+    assert sos_at > 0
+    patched = bytearray(good)
+    patched[sos_at + 6] = 0x77  # td=7, ta=7 (never defined)
+    with pytest.raises(ValueError, match="huffman table"):
+        decode_jpeg(bytes(patched))
+    patched2 = bytearray(good)
+    # flip SOF0 component's quant-table selector to 3 (never defined)
+    sof_at = bytes(good).find(b"\xff\xc0")
+    patched2[sof_at + 12] = 3  # comp tq byte inside SOF0
+    with pytest.raises(ValueError, match="quant table"):
+        decode_jpeg(bytes(patched2))

@@ -80,7 +80,6 @@ def _batch_survivors(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     res = curate_corpus(docs, min_tokens=1, near_dup_jaccard=0.5)
     ids = sorted(r.doc_id for r in res.corpus.select("doc_id").collect())
-    res.corpus.unpersist
     from financial_big_data_spark.cache import release_tracked
 
     release_tracked()
