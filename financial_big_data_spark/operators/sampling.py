@@ -125,3 +125,86 @@ def interleave_sources(
         tiebreak=[source_col, id_col],
     )
     return out.drop("_one", "_vtime")
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight: str,
+    id_cols: list[str],
+    by: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement — the
+    Efraimidis–Spirakis (2006) exponential-jump formulation: each row
+    draws key ``-ln(u)/w`` with ``u`` uniform from the 60-bit md5 hash
+    of (seed, id), and the k SMALLEST keys win; inclusion probability is
+    proportional to ``weight`` among competitors. The
+    quality-score-weighted cousin of ``sketches.bottomk_rows``:
+
+    - **deterministic / layout-invariant**: u is a pure function of the
+      row id and seed, never RNG state — re-runs and repartitions pick
+      the same sample (the property every oracle here leans on);
+    - **mergeable**: the weighted-bottom-k of a union is the k smallest
+      of the parts' keys, so per-partition/per-day samples combine
+      without rescanning — a one-permutation coordinated sample;
+    - **keyed**: per-``by``-group top-k via a keyed rank window (global
+      case is one TakeOrderedAndProject) — no partitionless window.
+
+    Rows with null/non-positive weight are excluded (they can never win
+    under the formulation). Returns the selected rows plus ``_wkey``.
+    Corpus use: ``weight=quality_score`` draws a training subset biased
+    toward quality while keeping tail diversity — the soft alternative
+    to a hard threshold gate.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from .sketches import HASH_BITS, uniform_hash60
+
+    by = list(by or [])
+    idstr = F.concat_ws(
+        "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in id_cols]
+    )
+    # u in (0, 1]: (h + 1) / 2^60 — never 0, so ln(u) is finite
+    u = (uniform_hash60(idstr) + F.lit(1).cast("double")) / F.lit(
+        float(2**HASH_BITS)
+    )
+    w = F.col(weight).cast("double")
+    keyed = df.where(w.isNotNull() & (w > 0)).withColumn(
+        "_wkey", -F.log(u) / w
+    )
+    order = [F.col("_wkey")] + [F.col(c) for c in id_cols]
+    if not by:
+        return keyed.orderBy(*order).limit(k)
+    win = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+    return (
+        keyed.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    alpha: float,
+    source_col: str = "source",
+) -> dict[str, float]:
+    """Temperature-scaled mixing weights (the T5 / multilingual-LM
+    recipe): source s with n_s documents gets weight ∝ n_s^alpha,
+    normalized to sum 1. ``alpha=1`` reproduces natural proportions,
+    ``alpha=0`` uniform across sources, ``0<alpha<1`` up-samples the
+    tail — the standard knob against head-domain domination. One
+    aggregate over the source column (bounded rows collect); feed the
+    result to ``interleave_sources`` for the prefix-stable training
+    order."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1))).collect()
+    }
+    if not counts:
+        return {}
+    scaled = {s: float(n) ** alpha for s, n in counts.items()}
+    total = sum(scaled.values())
+    return {s: v / total for s, v in sorted(scaled.items())}

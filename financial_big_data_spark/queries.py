@@ -3652,6 +3652,44 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators/sampling.py
+    weighted_sample — Efraimidis–Spirakis keys ``-ln(u)/w`` with u from
+    the shared 60-bit md5 hash): per language, the 20 documents drawn
+    with probability ∝ n_chars. The layout-invariant / mergeable
+    weighted cousin of the bottom-k sketch, hash-gated cross-engine
+    (DuckDB re-derives u, the exponential key and the per-group rank
+    bit-for-bit)."""
+    from .operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = weighted_sample(
+        docs, k=20, weight="n_chars", id_cols=["doc_id"], by=["lang"], seed=0
+    )
+    return out.select(
+        "lang", "doc_id", "n_chars", _r6s(F.col("_wkey")).alias("wkey")
+    )
+
+
+_SQL_DOC_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         -ln( (('0x' || substr(md5('0' || '|' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+              / 1152921504606846976.0 ) / n_chars AS wkey
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+), ranked AS (
+  SELECT lang, doc_id, n_chars, wkey,
+         row_number() OVER (PARTITION BY lang ORDER BY wkey, doc_id) AS rn
+  FROM keyed
+)
+SELECT lang, doc_id, n_chars, round(wkey + 5e-13, 6) AS wkey
+FROM ranked WHERE rn <= 20
+"""
+
+
 def q_ev_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PageRank (ml/graph.py pagerank) over the user
     co-occurrence graph: users who share ≥3 distinct (event_type, hour)
@@ -3967,6 +4005,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "top_supplier_revenue": (q_top_supplier_revenue, _SQL_TOP_SUPPLIER_REVENUE),
     "sole_blame_suppliers": (q_sole_blame_suppliers, _SQL_SOLE_BLAME_SUPPLIERS),
     "doc_span_dedup": (q_doc_span_dedup, _SQL_DOC_SPAN_DEDUP),
+    "doc_weighted_sample": (q_doc_weighted_sample, _SQL_DOC_WEIGHTED_SAMPLE),
     # rows-only: KMeans codebooks are iterative, not SQL-expressible;
     # pinned by tests/test_pq.py + the per-bench recall probe
     "emb_ivfpq": (q_emb_ivfpq, None),
