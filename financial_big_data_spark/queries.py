@@ -3068,17 +3068,20 @@ def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_supp") > 1)
         .select("l_orderkey")
     )
-    # other suppliers of the same order with a return — anti-join target
-    others_returned = (
-        returned.alias("r")
-        .join(returned.alias("r2"), on="l_orderkey")
-        .where(F.col("r.l_suppkey") != F.col("r2.l_suppkey"))
-        .select(F.col("l_orderkey"), F.col("r.l_suppkey").alias("l_suppkey"))
-        .distinct()
+    # "no OTHER supplier of this order had a return" ≡ the order's
+    # returned-supplier count is exactly 1 — one keyed aggregate replaces
+    # the NOT-EXISTS self-join of the returned set (same rows, one
+    # shuffle fewer; the oracle keeps the literal NOT-EXISTS form, so
+    # the equivalence itself is hash-checked)
+    sole = (
+        returned.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_ret"))
+        .where(F.col("n_ret") == 1)
+        .select("l_orderkey")
     )
     blamed = (
         returned.join(multi, "l_orderkey", "left_semi")
-        .join(others_returned, ["l_orderkey", "l_suppkey"], "left_anti")
+        .join(sole, "l_orderkey", "left_semi")
     )
     return (
         blamed.groupBy("l_suppkey")

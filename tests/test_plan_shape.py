@@ -226,16 +226,18 @@ def test_q15_shape_scalar_max_broadcast_no_rank_window(spark):
     assert "Window" not in plan
 
 
-def test_q21_shape_semi_anti_chain_topk_merge(spark):
-    """sole_blame_suppliers: EXISTS/NOT-EXISTS as LeftSemi + LeftAnti
-    hash joins on the order key; top-10 is a k-row merge."""
+def test_q21_shape_semi_joins_topk_merge(spark):
+    """sole_blame_suppliers: the EXISTS is a LeftSemi hash join on the
+    order key and the NOT-EXISTS collapsed to a count==1 aggregate +
+    second LeftSemi (one shuffle fewer than the self-join form — the
+    oracle keeps literal NOT EXISTS, so the equivalence is hash-checked);
+    top-10 is a k-row merge."""
     from financial_big_data_spark.queries import q_sole_blame_suppliers
 
     plan = _plan(q_sole_blame_suppliers(spark, SF))
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert plan.count("LeftSemi") >= 2
     assert "TakeOrderedAndProject" in plan
-    assert "CartesianProduct" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_regime_sketch_no_partitionless_window(spark):
