@@ -133,6 +133,8 @@ def main() -> None:
         "doc_curation",
         # exact-substring (duplicated-span) removal — round 8
         "doc_span_dedup",
+        # Efraimidis-Spirakis weighted sampling — round 8
+        "doc_weighted_sample",
     ):
         fn, _ = REGISTRY[name]
         best = None
