@@ -197,3 +197,72 @@ def global_running_sum(
         .withColumn(out, F.col("_local_cum") + F.coalesce("_offset", F.lit(0)))
         .drop("_pid", "_local_cum", "_offset")
     )
+
+
+def welch_ttest(
+    df,
+    value: str,
+    group: str,
+    group_a,
+    group_b,
+) -> "DataFrame":
+    """Welch's unequal-variance t-test between two groups as ONE
+    aggregate pass: per-group (n, mean, sample variance) reduce
+    map-side, then t = (m_a − m_b) / sqrt(s²_a/n_a + s²_b/n_b) and the
+    Welch–Satterthwaite degrees of freedom — the A/B-evaluation
+    primitive (is the treatment corpus' metric different?) with no
+    driver math beyond the 1-row result. Returns one row: n_a, n_b,
+    mean_a, mean_b, t_stat, df. (p-values need the t CDF — callers map
+    through scipy when available; the statistic + df are the portable,
+    oracle-checkable part.)"""
+    stats = (
+        df.where(F.col(group).isin([group_a, group_b]))
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(value).alias("m"),
+            F.var_samp(value).alias("v"),
+        )
+    )
+    a = stats.where(F.col(group) == group_a).select(
+        F.col("n").alias("n_a"), F.col("m").alias("mean_a"), F.col("v").alias("v_a")
+    )
+    b = stats.where(F.col(group) == group_b).select(
+        F.col("n").alias("n_b"), F.col("m").alias("mean_b"), F.col("v").alias("v_b")
+    )
+    j = a.crossJoin(b)  # two 1-row frames
+    se2_a = F.col("v_a") / F.col("n_a")
+    se2_b = F.col("v_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2_a + se2_b)
+    dof = (se2_a + se2_b) ** 2 / (
+        se2_a ** 2 / (F.col("n_a") - 1) + se2_b ** 2 / (F.col("n_b") - 1)
+    )
+    return j.select(
+        "n_a", "n_b", "mean_a", "mean_b",
+        t.alias("t_stat"), dof.alias("df"),
+    )
+
+
+def chi2_independence(df, row: str, col: str) -> "DataFrame":
+    """Pearson chi-square statistic for independence of two categorical
+    columns: observed cell counts from one groupBy, expected =
+    row_total × col_total / N via two broadcast-joined marginal
+    aggregates, χ² = Σ (O−E)²/E as a final 1-row sum (plus the degrees
+    of freedom (r−1)(c−1)). All partial-aggregatable — nothing driver-
+    side, no contingency matrix collected."""
+    obs = df.groupBy(row, col).agg(F.count(F.lit(1)).alias("o"))
+    row_tot = obs.groupBy(row).agg(F.sum("o").alias("rt"))
+    col_tot = obs.groupBy(col).agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(row_tot), row)
+        .join(F.broadcast(col_tot), col)
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", F.col("rt") * F.col("ct") / F.col("n"))
+    )
+    return (
+        cells.agg(
+            F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")).alias("chi2"),
+            ((F.countDistinct(row) - 1) * (F.countDistinct(col) - 1)).alias("dof"),
+        )
+    )

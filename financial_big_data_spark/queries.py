@@ -3693,6 +3693,75 @@ FROM ranked WHERE rn <= 20
 """
 
 
+def q_ev_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B evaluation primitive (functions/stats.py welch_ttest):
+    Welch's unequal-variance t between click and purchase event values —
+    one aggregate pass for per-group (n, mean, s²), then the statistic
+    and Welch–Satterthwaite df from the two 1-row frames. The oracle
+    re-derives the full arithmetic, so the statistic itself is
+    hash-gated."""
+    from .functions.stats import welch_ttest
+
+    ev = _events(spark, sf_dir)
+    out = welch_ttest(ev, value="value", group="event_type",
+                      group_a="click", group_b="purchase")
+    return out.select(
+        "n_a", "n_b",
+        _r6s(F.col("mean_a")).alias("mean_a"),
+        _r6s(F.col("mean_b")).alias("mean_b"),
+        _r6s(F.col("t_stat")).alias("t_stat"),
+        _r6s(F.col("df")).alias("df"),
+    )
+
+
+_SQL_EV_AB_TTEST = """
+WITH s AS (
+  SELECT event_type, count(*)::BIGINT AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type
+), a AS (SELECT n AS n_a, m AS mean_a, v AS v_a FROM s WHERE event_type = 'click'),
+   b AS (SELECT n AS n_b, m AS mean_b, v AS v_b FROM s WHERE event_type = 'purchase')
+SELECT n_a, n_b,
+       round(mean_a + 5e-13, 6) AS mean_a,
+       round(mean_b + 5e-13, 6) AS mean_b,
+       round((mean_a - mean_b) / sqrt(v_a / n_a + v_b / n_b) + 5e-13, 6) AS t_stat,
+       round(pow(v_a / n_a + v_b / n_b, 2)
+             / (pow(v_a / n_a, 2) / (n_a - 1) + pow(v_b / n_b, 2) / (n_b - 1))
+             + 5e-13, 6) AS df
+FROM a, b
+"""
+
+
+def q_ev_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence (functions/stats.py chi2_independence) of
+    event type × 6-hour day segment: observed counts from one groupBy,
+    expected from broadcast marginals, χ² as a final 1-row sum — the
+    does-this-categorical-depend-on-that screen, nothing collected."""
+    from .functions.stats import chi2_independence
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day_seg", (F.hour("ts") / 6).cast("int")
+    )
+    out = chi2_independence(ev, row="event_type", col="day_seg")
+    return out.select(
+        _r6s(F.col("chi2")).alias("chi2"), F.col("dof").cast("long").alias("dof")
+    )
+
+
+_SQL_EV_TYPE_HOUR_CHI2 = """
+WITH obs AS (
+  SELECT event_type, CAST(floor(extract(hour FROM ts) / 6) AS INT) AS day_seg,
+         count(*)::DOUBLE AS o
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY event_type),
+   ct AS (SELECT day_seg, sum(o) AS ct FROM obs GROUP BY day_seg),
+   n AS (SELECT sum(o) AS n FROM obs)
+SELECT round(sum((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n)) + 5e-13, 6) AS chi2,
+       ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS dof
+FROM obs JOIN rt USING (event_type) JOIN ct USING (day_seg) CROSS JOIN n
+"""
+
+
 def q_ev_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PageRank (ml/graph.py pagerank) over the user
     co-occurrence graph: users who share ≥3 distinct (event_type, hour)
@@ -4009,6 +4078,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sole_blame_suppliers": (q_sole_blame_suppliers, _SQL_SOLE_BLAME_SUPPLIERS),
     "doc_span_dedup": (q_doc_span_dedup, _SQL_DOC_SPAN_DEDUP),
     "doc_weighted_sample": (q_doc_weighted_sample, _SQL_DOC_WEIGHTED_SAMPLE),
+    "ev_ab_ttest": (q_ev_ab_ttest, _SQL_EV_AB_TTEST),
+    "ev_type_hour_chi2": (q_ev_type_hour_chi2, _SQL_EV_TYPE_HOUR_CHI2),
     # rows-only: KMeans codebooks are iterative, not SQL-expressible;
     # pinned by tests/test_pq.py + the per-bench recall probe
     "emb_ivfpq": (q_emb_ivfpq, None),

@@ -138,3 +138,55 @@ def test_weighted_f1(spark):
     got = weighted_f1(_preds(spark)).collect()[0].weighted_f1
     exp = (pc["a"] * 10 + pc["b"] * 10) / 20
     assert abs(got - exp) < 1e-12
+
+
+def test_welch_ttest_matches_numpy(spark):
+    """Statistic + Welch-Satterthwaite df vs a from-scratch numpy
+    derivation (no scipy dependency in the check)."""
+    import numpy as np
+    import pytest
+
+    from financial_big_data_spark.functions.stats import welch_ttest
+
+    rng = np.random.default_rng(5)
+    xa = rng.normal(1.0, 2.0, 400)
+    xb = rng.normal(1.3, 0.7, 250)
+    rows = [("a", float(v)) for v in xa] + [("b", float(v)) for v in xb]
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = welch_ttest(df, "value", "g", "a", "b").collect()[0]
+    va, vb = xa.var(ddof=1), xb.var(ddof=1)
+    se2 = va / len(xa) + vb / len(xb)
+    t = (xa.mean() - xb.mean()) / np.sqrt(se2)
+    dof = se2**2 / ((va / len(xa)) ** 2 / (len(xa) - 1)
+                    + (vb / len(xb)) ** 2 / (len(xb) - 1))
+    assert r.n_a == 400 and r.n_b == 250
+    assert r.t_stat == pytest.approx(t, abs=1e-9)
+    assert r.df == pytest.approx(dof, abs=1e-6)
+
+
+def test_chi2_independence_matches_numpy(spark):
+    import numpy as np
+    import pytest
+
+    from financial_big_data_spark.functions.stats import chi2_independence
+
+    rng = np.random.default_rng(6)
+    rows = [
+        (["r0", "r1", "r2"][rng.integers(3)], ["c0", "c1"][rng.integers(2)])
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi2_independence(df, "r", "c").collect()[0]
+    # hand-computed contingency chi2
+    from collections import Counter
+
+    obs = Counter(rows)
+    rt = Counter(r for r, _ in rows)
+    ct = Counter(c for _, c in rows)
+    n = len(rows)
+    chi2 = sum(
+        (o - rt[r] * ct[c] / n) ** 2 / (rt[r] * ct[c] / n)
+        for (r, c), o in obs.items()
+    )
+    assert out.chi2 == pytest.approx(chi2, abs=1e-9)
+    assert out.dof == (len(rt) - 1) * (len(ct) - 1)

@@ -78,6 +78,10 @@ for _q in (
     "ev_type_share", "ev_scrub_fill", "pred_summary", "nation_coverage",
     "doc_unigram_lm", "doc_tfidf_topk", "doc_source_mix", "doc_curation",
     "doc_budget_selection", "doc_shuffle", "idle_rich_customers",
+    # round 8: both cross exactly 1-row aggregate frames (the two group
+    # summaries of the t-test; the N total of the chi-square) — the same
+    # global-scalar shape
+    "ev_ab_ttest", "ev_type_hour_chi2",
 ):
     JUSTIFIED[(_q, "nested-loop-join")] = _GLOBAL_SCALAR
 for _q in ("emb_topk", "emb_near_dup", "emb_knn_dist"):
