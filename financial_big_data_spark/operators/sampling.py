@@ -188,23 +188,37 @@ def temperature_mix_weights(
     df: DataFrame,
     alpha: float,
     source_col: str = "source",
+    size_col: str | None = None,
+    normalize: bool = True,
 ) -> dict[str, float]:
     """Temperature-scaled mixing weights (the T5 / multilingual-LM
-    recipe): source s with n_s documents gets weight ∝ n_s^alpha,
-    normalized to sum 1. ``alpha=1`` reproduces natural proportions,
-    ``alpha=0`` uniform across sources, ``0<alpha<1`` up-samples the
-    tail — the standard knob against head-domain domination. One
-    aggregate over the source column (bounded rows collect); feed the
-    result to ``interleave_sources`` for the prefix-stable training
-    order."""
+    recipe): source s of size n_s gets weight ∝ n_s^alpha, where n_s is
+    the document count or — closer to the published recipe —
+    ``sum(size_col)`` (tokens/chars) when given. ``alpha=1`` reproduces
+    natural proportions, ``alpha=0`` uniform across sources,
+    ``0<alpha<1`` up-samples the tail — the standard knob against
+    head-domain domination. One aggregate over the source column
+    (bounded rows collect); feed the result to ``interleave_sources``
+    for the prefix-stable training order.
+
+    ``normalize=False`` returns the raw n^alpha weights —
+    ``interleave_sources`` is scale-invariant (virtual time r/w orders
+    identically under any positive scaling), and skipping the
+    normalizing sum keeps the weights bit-reproducible across engines
+    (alpha=0.5 is one IEEE-exact sqrt; the normalized form adds a
+    sum whose accumulation order floats with the engine)."""
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha must be in [0, 1]")
+    size = F.count(F.lit(1)) if size_col is None else F.sum(size_col)
     counts = {
         r[0]: r[1]
-        for r in df.groupBy(source_col).agg(F.count(F.lit(1))).collect()
+        for r in df.groupBy(source_col).agg(size).collect()
+        if r[1] is not None and r[1] > 0
     }
     if not counts:
         return {}
-    scaled = {s: float(n) ** alpha for s, n in counts.items()}
+    scaled = {s: float(n) ** alpha for s, n in sorted(counts.items())}
+    if not normalize:
+        return scaled
     total = sum(scaled.values())
-    return {s: v / total for s, v in sorted(scaled.items())}
+    return {s: v / total for s, v in scaled.items()}

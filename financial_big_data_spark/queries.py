@@ -3693,6 +3693,45 @@ FROM ranked WHERE rn <= 20
 """
 
 
+def q_doc_temperature_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled training mix, end-to-end oracle-checked:
+    per-source sizes (total chars — the token-proportional T5 recipe) →
+    alpha=0.5 weights (one IEEE-exact sqrt each; unnormalized, since
+    WFQ order is scale-invariant and skipping the normalizing sum keeps
+    the doubles bit-identical cross-engine) → weighted-fair-queueing
+    interleave (operators/sampling.py): the char-weighted mix ratio
+    holds in every prefix of the training order."""
+    from .operators.sampling import interleave_sources, temperature_mix_weights
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = temperature_mix_weights(
+        docs, alpha=0.5, size_col="n_chars", normalize=False
+    )
+    out = interleave_sources(docs.select("doc_id", "source"), weights=w, seed=7)
+    return out.select("doc_id", "source", "src_rank", "interleave_pos")
+
+
+_SQL_DOC_TEMPERATURE_INTERLEAVE = """
+WITH w AS (
+  SELECT source, sqrt(sum(n_chars)) AS wt FROM documents GROUP BY source
+), ranked AS (
+  SELECT d.doc_id, d.source, w.wt,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5('7:' || d.doc_id::VARCHAR), d.doc_id
+         ) AS src_rank
+  FROM documents d JOIN w USING (source)
+)
+SELECT doc_id, source, src_rank,
+       row_number() OVER (
+         ORDER BY src_rank::DOUBLE / wt, source, doc_id
+       ) AS interleave_pos
+FROM ranked
+"""
+
+
 def q_ev_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B evaluation primitive (functions/stats.py welch_ttest):
     Welch's unequal-variance t between click and purchase event values —
@@ -4080,6 +4119,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_weighted_sample": (q_doc_weighted_sample, _SQL_DOC_WEIGHTED_SAMPLE),
     "ev_ab_ttest": (q_ev_ab_ttest, _SQL_EV_AB_TTEST),
     "ev_type_hour_chi2": (q_ev_type_hour_chi2, _SQL_EV_TYPE_HOUR_CHI2),
+    "doc_temperature_interleave": (
+        q_doc_temperature_interleave, _SQL_DOC_TEMPERATURE_INTERLEAVE
+    ),
     # rows-only: KMeans codebooks are iterative, not SQL-expressible;
     # pinned by tests/test_pq.py + the per-bench recall probe
     "emb_ivfpq": (q_emb_ivfpq, None),
