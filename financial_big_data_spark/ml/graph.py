@@ -537,3 +537,76 @@ def pagerank(
     nodes.unpersist()
     dangling_nodes.unpersist()
     return ranks
+
+
+def triangle_count(edges: DataFrame, per_node: bool = False) -> DataFrame:
+    """Distributed triangle counting by DEGREE-ORDERED orientation — the
+    standard scale formulation (node-iterator++ / Cohen's MapReduce
+    algorithm): orient each undirected edge from the lower-(degree, id)
+    endpoint to the higher, enumerate wedges by joining the oriented
+    adjacency with itself on the center node, then close each wedge
+    against the oriented edge set. Every triangle is counted EXACTLY
+    once (its unique degree-ordered orientation is acyclic), and the
+    wedge join is bounded by Σ out_deg² where out-degree ≤ O(√m) under
+    this orientation — the hot-node blowup a naive three-way self-join
+    suffers is capped by construction.
+
+    Input: (src, dst) in either or both directions; self-loops and
+    duplicates are dropped. Output: one row (n_triangles) or, with
+    ``per_node``, (node, n_triangles) counting triangles each node
+    participates in. Three shuffles total (degree aggregate rides the
+    canonical-edge distinct)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withd = (
+        und.join(deg.withColumnsRenamed({"node": "a", "deg": "da"}), "a")
+        .join(deg.withColumnsRenamed({"node": "b", "deg": "db"}), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # carry the head's (deg, id) ORDER KEY: wedge endpoints must compare
+    # in the same total order the orientation used — comparing raw node
+    # ids instead silently drops every triangle whose closing edge runs
+    # against id order (caught by the brute-force parity test)
+    oriented = withd.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(
+            lower_first, F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+        ).otherwise(
+            F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+        ).alias("vkey"),
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"), F.col("vkey").alias("xk"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("vkey").alias("yk"))
+    wedges = (
+        w1.join(w2, "u")
+        .where(F.col("xk") < F.col("yk"))
+        .select("u", "x", "y")
+    )
+    # close the wedge: x precedes y in the degree order by construction,
+    # so the oriented edge set needs exactly one direction checked
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    if not per_node:
+        return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    per = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per

@@ -3732,6 +3732,58 @@ FROM ranked
 """
 
 
+def q_ev_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (ml/graph.py triangle_count) over the
+    user co-occurrence graph (≥3 shared (event_type, hour) slots — the
+    same graph the PageRank queries rank): degree-ordered orientation
+    bounds the wedge join by Σ out_deg² with out-degree ≤ O(√m), so the
+    hot-node blowup of a naive three-way self-join never happens; each
+    triangle counts exactly once. The oracle brute-forces the canonical
+    a<b<c three-way join — the orientation trick itself is what the
+    hash check certifies."""
+    from .ml.graph import triangle_count
+
+    ev = _events(spark, sf_dir)
+    slots = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    a, b = slots.alias("a"), slots.alias("b")
+    pairs = (
+        a.join(b, ["event_type", "hr"])
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 3)
+        .select("src", "dst")
+    )
+    return (
+        triangle_count(pairs, per_node=True)
+        .select(F.col("node").alias("user_id"), "n_triangles")
+    )
+
+
+_SQL_EV_TRIANGLES = """
+WITH slots AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr FROM events
+), e AS (
+  SELECT a.user_id AS a, b.user_id AS b
+  FROM slots a JOIN slots b USING (event_type, hr)
+  WHERE a.user_id < b.user_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), nodes AS (
+  SELECT x AS user_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT user_id, count(*)::BIGINT AS n_triangles FROM nodes GROUP BY user_id
+"""
+
+
 def q_ev_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B evaluation primitive (functions/stats.py welch_ttest):
     Welch's unequal-variance t between click and purchase event values —
@@ -4122,6 +4174,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_temperature_interleave": (
         q_doc_temperature_interleave, _SQL_DOC_TEMPERATURE_INTERLEAVE
     ),
+    "ev_triangles": (q_ev_triangles, _SQL_EV_TRIANGLES),
     # rows-only: KMeans codebooks are iterative, not SQL-expressible;
     # pinned by tests/test_pq.py + the per-bench recall probe
     "emb_ivfpq": (q_emb_ivfpq, None),

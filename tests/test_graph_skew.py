@@ -242,3 +242,41 @@ def test_lpa_modularity_near_louvain(spark):
     lpa_comms, lpa_metrics = lpa_communities_df(edges)
     assert lpa_metrics["n_communities"] == 2
     assert abs(lpa_metrics["modularity"] - louvain_metrics["modularity"]) < 0.1
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Degree-ordered orientation vs an itertools brute force on a random
+    graph — mixed edge directions, duplicates and a self-loop in the
+    input exercise canonicalization."""
+    import itertools
+    import random
+
+    from financial_big_data_spark.ml.graph import triangle_count
+
+    random.seed(3)
+    n, p = 40, 0.18
+    und = {(a, b) for a in range(n) for b in range(a + 1, n) if random.random() < p}
+    want = sum(
+        1 for a, b, c in itertools.combinations(range(n), 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    rows = [(a, b) for a, b in und] + [(b, a) for a, b in list(und)[:50]] + [(5, 5)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    assert triangle_count(df).collect()[0].n_triangles == want
+    per = triangle_count(df, per_node=True)
+    assert sum(r.n_triangles for r in per.collect()) == 3 * want
+
+
+def test_triangle_count_hub_graph(spark):
+    """A hub star plus one rim edge: exactly the triangles through the
+    rim edge — the skew shape the orientation bounds (the hub gets LOW
+    out-degree because every neighbor has smaller degree)."""
+    from financial_big_data_spark.ml.graph import triangle_count
+
+    star = [(0, i) for i in range(1, 101)]      # hub 0
+    rim = [(1, 2), (3, 4), (5, 6)]              # 3 triangles via the hub
+    df = spark.createDataFrame(star + rim, "src long, dst long")
+    assert triangle_count(df).collect()[0].n_triangles == 3
+    per = {r.node: r.n_triangles for r in triangle_count(df, per_node=True).collect()}
+    assert per[0] == 3      # the hub is in all three
+    assert per[1] == per[2] == 1
