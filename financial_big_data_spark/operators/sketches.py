@@ -116,6 +116,52 @@ def kmv_merge(a: DataFrame, b: DataFrame, k: int, by: list[str] | None = None) -
     return _k_smallest(a.unionByName(b).distinct(), k, by)
 
 
+def kmv_set_estimates(
+    a: DataFrame, b: DataFrame, k: int, by: list[str] | None = None
+) -> DataFrame:
+    """SET-OPERATION estimates from two COORDINATED KMV sketches (same
+    hash family — the property that makes bottom-k sketches composable,
+    Beyer et al. SIGMOD'07): the k smallest hashes of A∪B are a uniform
+    sample of the union, so the fraction of that sample present in BOTH
+    sketches estimates Jaccard(A, B), and intersection cardinality
+    follows as Ĵ · |A∪B|̂ — the audience-overlap / corpus-overlap
+    estimator, computed entirely from two ≤k-row sketches (never from
+    the underlying data). Returns per group: est_union, est_jaccard,
+    est_intersection.
+
+    Accuracy: Ĵ has standard error ≈ sqrt(J(1−J)/k); groups whose union
+    sketch is under capacity are EXACT (the sample is the whole union).
+    Sketches built with different hashes must never be combined — same
+    contract as ``kmv_merge``."""
+    by = list(by or [])
+    u = kmv_merge(a, b, k, by=by)
+    in_a = a.select(*by, "h").withColumn("_ina", F.lit(1))
+    in_b = b.select(*by, "h").withColumn("_inb", F.lit(1))
+    tagged = (
+        u.join(in_a, on=[*by, "h"], how="left")
+        .join(in_b, on=[*by, "h"], how="left")
+    )
+    agg = tagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth"),
+        F.sum(
+            F.when((F.col("_ina") == 1) & (F.col("_inb") == 1), 1).otherwise(0)
+        ).alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("kth").cast("double")
+    )
+    jac = F.col("n_both").cast("double") / F.col("n_kept")
+    return agg.select(
+        *by,
+        est_union.alias("est_union"),
+        jac.alias("est_jaccard"),
+        (est_union * jac).alias("est_intersection"),
+    )
+
+
 def kmv_estimate(sketch: DataFrame, k: int, by: list[str] | None = None) -> DataFrame:
     """Distinct-count estimate from a KMV sketch.
 

@@ -3784,6 +3784,60 @@ SELECT user_id, count(*)::BIGINT AS n_triangles FROM nodes GROUP BY user_id
 """
 
 
+def q_ev_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from COORDINATED KMV sketches
+    (operators/sketches.py kmv_set_estimates, Beyer et al. SIGMOD'07):
+    the click-user and purchase-user sets never meet — only their
+    ≤256-row sketches do — yet union, Jaccard and intersection
+    cardinalities come out with ~1/sqrt(k) error, EXACT below sketch
+    capacity. The oracle re-derives both sketches, the union sample and
+    the membership arithmetic hash-for-hash."""
+    from .operators.sketches import kmv_set_estimates, kmv_sketch
+
+    ev = _events(spark, sf_dir)
+    users = lambda t: ev.where(F.col("event_type") == t).select(  # noqa: E731
+        F.col("user_id").cast("string").alias("uid")
+    )
+    k = 256
+    sk_a = kmv_sketch(users("click"), "uid", k=k)
+    sk_b = kmv_sketch(users("purchase"), "uid", k=k)
+    out = kmv_set_estimates(sk_a, sk_b, k=k)
+    return out.select(
+        _r6s(F.col("est_union")).alias("est_union"),
+        _r6s(F.col("est_jaccard")).alias("est_jaccard"),
+        _r6s(F.col("est_intersection")).alias("est_intersection"),
+    )
+
+
+_SQL_EV_USER_OVERLAP = """
+WITH ha AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'click'
+), hb AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'purchase'
+), ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+   skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+   u AS (
+     SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+     ORDER BY h LIMIT 256
+   ), agg AS (
+  SELECT count(*)::BIGINT AS n_kept, max(h) AS kth,
+         sum(CASE WHEN h IN (SELECT h FROM ska)
+                   AND h IN (SELECT h FROM skb) THEN 1 ELSE 0 END) AS n_both
+  FROM u
+)
+SELECT
+  round(CASE WHEN n_kept < 256 THEN n_kept::DOUBLE
+             ELSE 255.0 * 1152921504606846976.0 / kth END + 5e-13, 6) AS est_union,
+  round(n_both::DOUBLE / n_kept + 5e-13, 6) AS est_jaccard,
+  round((CASE WHEN n_kept < 256 THEN n_kept::DOUBLE
+              ELSE 255.0 * 1152921504606846976.0 / kth END)
+        * (n_both::DOUBLE / n_kept) + 5e-13, 6) AS est_intersection
+FROM agg
+"""
+
+
 def q_ev_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B evaluation primitive (functions/stats.py welch_ttest):
     Welch's unequal-variance t between click and purchase event values —
@@ -4175,6 +4229,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         q_doc_temperature_interleave, _SQL_DOC_TEMPERATURE_INTERLEAVE
     ),
     "ev_triangles": (q_ev_triangles, _SQL_EV_TRIANGLES),
+    "ev_user_overlap": (q_ev_user_overlap, _SQL_EV_USER_OVERLAP),
     # rows-only: KMeans codebooks are iterative, not SQL-expressible;
     # pinned by tests/test_pq.py + the per-bench recall probe
     "emb_ivfpq": (q_emb_ivfpq, None),

@@ -326,3 +326,61 @@ def test_cms_validates_params(spark):
     df = spark.createDataFrame([("x",)], "val string")
     with pytest.raises(ValueError):
         SK.cms_sketch(df, "val", depth=0)
+
+
+def test_kmv_set_estimates_accuracy_and_exactness(spark):
+    """Intersection/Jaccard estimates from coordinated sketches: exact
+    below capacity, ~1/sqrt(k) error above it."""
+    from pyspark.sql import functions as F
+
+    from financial_big_data_spark.operators.sketches import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    # EXACT case: tiny sets, sketches under capacity
+    a_small = spark.range(0, 30).select(F.col("id").cast("string").alias("v"))
+    b_small = spark.range(20, 60).select(F.col("id").cast("string").alias("v"))
+    r = kmv_set_estimates(
+        kmv_sketch(a_small, "v", k=256), kmv_sketch(b_small, "v", k=256), k=256
+    ).collect()[0]
+    assert r.est_union == 60.0
+    assert r.est_jaccard == pytest.approx(10 / 60)
+    assert r.est_intersection == pytest.approx(10.0)
+
+    # approximate case: 20k vs 20k with 10k overlap, k=256
+    a = spark.range(0, 20_000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(10_000, 30_000).select(F.col("id").cast("string").alias("v"))
+    r = kmv_set_estimates(
+        kmv_sketch(a, "v", k=256), kmv_sketch(b, "v", k=256), k=256
+    ).collect()[0]
+    true_j = 10_000 / 30_000
+    assert r.est_union == pytest.approx(30_000, rel=0.15)
+    assert r.est_jaccard == pytest.approx(true_j, abs=3 * (true_j * (1 - true_j) / 256) ** 0.5)
+    assert r.est_intersection == pytest.approx(10_000, rel=0.3)
+
+
+def test_kmv_set_estimates_grouped(spark):
+    from pyspark.sql import functions as F
+
+    from financial_big_data_spark.operators.sketches import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    rows_a = [("g1", str(i)) for i in range(50)] + [("g2", str(i)) for i in range(10)]
+    rows_b = [("g1", str(i)) for i in range(25, 75)] + [("g2", str(i)) for i in range(10, 20)]
+    a = spark.createDataFrame(rows_a, "g string, v string")
+    b = spark.createDataFrame(rows_b, "g string, v string")
+    out = {
+        r.g: r
+        for r in kmv_set_estimates(
+            kmv_sketch(a, "v", k=128, by=["g"]),
+            kmv_sketch(b, "v", k=128, by=["g"]),
+            k=128,
+            by=["g"],
+        ).collect()
+    }
+    assert out["g1"].est_intersection == pytest.approx(25.0)
+    assert out["g2"].est_intersection == pytest.approx(0.0)
+    assert out["g2"].est_union == 20.0
