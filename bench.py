@@ -135,6 +135,8 @@ def main() -> None:
         "doc_span_dedup",
         # Efraimidis-Spirakis weighted sampling — round 8
         "doc_weighted_sample",
+        # temperature-scaled mixing through the WFQ interleave — round 8
+        "doc_temperature_interleave",
     ):
         fn, _ = REGISTRY[name]
         best = None
@@ -181,6 +183,11 @@ def main() -> None:
         "ev_ppr",
         "doc_normalized",
         "ev_regime_sketch",
+        # round-8 additions: set-op sketches, triangles, A/B statistics
+        "ev_user_overlap",
+        "ev_triangles",
+        "ev_ab_ttest",
+        "ev_type_hour_chi2",
     ):
         sketch_graph_ops[name] = timed_min(name, run_query(name), release=_rel)
     # the tol=1e-6 early-exit variant of ev_pagerank (NOT registered —
