@@ -214,23 +214,34 @@ def welch_ttest(
     driver math beyond the 1-row result. Returns one row: n_a, n_b,
     mean_a, mean_b, t_stat, df. (p-values need the t CDF — callers map
     through scipy when available; the statistic + df are the portable,
-    oracle-checkable part.)"""
+    oracle-checkable part.)
+
+    ``n`` counts NON-NULL values (``count(value)``) so it matches the
+    population avg/var_samp actually aggregate over — counting raw rows
+    would inflate apparent precision wherever the metric has nulls. A
+    missing group raises (an A/B comparison against a typo'd label must
+    not silently return zero rows)."""
     stats = (
         df.where(F.col(group).isin([group_a, group_b]))
         .groupBy(group)
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.count(value).alias("n"),
             F.avg(value).alias("m"),
             F.var_samp(value).alias("v"),
         )
     )
-    a = stats.where(F.col(group) == group_a).select(
-        F.col("n").alias("n_a"), F.col("m").alias("mean_a"), F.col("v").alias("v_a")
+    # bounded collect (≤ 2 rows): validates presence AND computes the
+    # aggregate pass exactly once (the two filtered subtrees would
+    # otherwise each re-run it)
+    got = {r[0]: (r[1], r[2], r[3]) for r in stats.collect()}
+    for g in (group_a, group_b):
+        if g not in got or got[g][0] == 0:
+            raise ValueError(f"group {g!r} has no non-null {value!r} rows")
+    spark = df.sparkSession
+    j = spark.createDataFrame(
+        [got[group_a] + got[group_b]],
+        "n_a long, mean_a double, v_a double, n_b long, mean_b double, v_b double",
     )
-    b = stats.where(F.col(group) == group_b).select(
-        F.col("n").alias("n_b"), F.col("m").alias("mean_b"), F.col("v").alias("v_b")
-    )
-    j = a.crossJoin(b)  # two 1-row frames
     se2_a = F.col("v_a") / F.col("n_a")
     se2_b = F.col("v_b") / F.col("n_b")
     t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2_a + se2_b)
@@ -245,24 +256,30 @@ def welch_ttest(
 
 def chi2_independence(df, row: str, col: str) -> "DataFrame":
     """Pearson chi-square statistic for independence of two categorical
-    columns: observed cell counts from one groupBy, expected =
-    row_total × col_total / N via two broadcast-joined marginal
-    aggregates, χ² = Σ (O−E)²/E as a final 1-row sum (plus the degrees
-    of freedom (r−1)(c−1)). All partial-aggregatable — nothing driver-
-    side, no contingency matrix collected."""
+    columns: the FULL r×c grid comes from crossing the two marginal
+    aggregates (so structurally-empty cells contribute their (0−E)²/E =
+    E term — summing observed cells only would underestimate χ²
+    wherever a combination never occurs), observed counts left-join
+    onto it, χ² = Σ (O−E)²/E as a final 1-row sum plus the (r−1)(c−1)
+    degrees of freedom. All partial-aggregatable; the grid is
+    marginal-sized (r×c), never data-sized — no contingency matrix
+    collects to the driver."""
     obs = df.groupBy(row, col).agg(F.count(F.lit(1)).alias("o"))
     row_tot = obs.groupBy(row).agg(F.sum("o").alias("rt"))
     col_tot = obs.groupBy(col).agg(F.sum("o").alias("ct"))
     n = obs.agg(F.sum("o").alias("n"))
+    grid = row_tot.crossJoin(col_tot)  # r×c rows — marginal-sized
     cells = (
-        obs.join(F.broadcast(row_tot), row)
-        .join(F.broadcast(col_tot), col)
+        grid.join(obs, [row, col], "left")
         .crossJoin(F.broadcast(n))
-        .withColumn("e", F.col("rt") * F.col("ct") / F.col("n"))
-    )
-    return (
-        cells.agg(
-            F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")).alias("chi2"),
-            ((F.countDistinct(row) - 1) * (F.countDistinct(col) - 1)).alias("dof"),
+        .select(
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("e"),
+            F.col(row).alias("_r"),
+            F.col(col).alias("_c"),
         )
+    )
+    return cells.agg(
+        F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")).alias("chi2"),
+        ((F.countDistinct("_r") - 1) * (F.countDistinct("_c") - 1)).alias("dof"),
     )

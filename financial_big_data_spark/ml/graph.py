@@ -602,6 +602,12 @@ def triangle_count(edges: DataFrame, per_node: bool = False) -> DataFrame:
     tri = wedges.join(closing, ["x", "y"], "left_semi")
     if not per_node:
         return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    # the three union branches each read tri — tracked-persist it so the
+    # wedge join (the Σ out_deg² dominant cost) runs once, not three
+    # times (ReuseExchange shares shuffle outputs, not join operators)
+    from ..cache import tracked_persist
+
+    tri = tracked_persist(tri)
     per = (
         tri.select(F.col("u").alias("node"))
         .unionByName(tri.select(F.col("x").alias("node")))

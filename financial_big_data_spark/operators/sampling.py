@@ -159,29 +159,24 @@ def weighted_sample(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    from .sketches import HASH_BITS, uniform_hash60
+    from .sketches import HASH_BITS, keyed_topk, uniform_hash60
 
     by = list(by or [])
     idstr = F.concat_ws(
         "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in id_cols]
     )
-    # u in (0, 1]: (h + 1) / 2^60 — never 0, so ln(u) is finite
-    u = (uniform_hash60(idstr) + F.lit(1).cast("double")) / F.lit(
+    # u in (0, 1]: (h + 1) / 2^60, with h + 1 added in EXACT bigint
+    # BEFORE the double cast — double(h) + 1.0 rounds differently for
+    # ~3% of 60-bit hashes (beyond the 53-bit mantissa), which would
+    # break the bit-for-bit oracle parity this sampler advertises
+    u = (uniform_hash60(idstr) + F.lit(1)).cast("double") / F.lit(
         float(2**HASH_BITS)
     )
     w = F.col(weight).cast("double")
     keyed = df.where(w.isNotNull() & (w > 0)).withColumn(
         "_wkey", -F.log(u) / w
     )
-    order = [F.col("_wkey")] + [F.col(c) for c in id_cols]
-    if not by:
-        return keyed.orderBy(*order).limit(k)
-    win = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
-    return (
-        keyed.withColumn("_rn", F.row_number().over(win))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return keyed_topk(keyed, ["_wkey", *id_cols], k, by)
 
 
 def temperature_mix_weights(
@@ -213,7 +208,9 @@ def temperature_mix_weights(
     counts = {
         r[0]: r[1]
         for r in df.groupBy(source_col).agg(size).collect()
-        if r[1] is not None and r[1] > 0
+        # a NULL source key would also crash the sorted() below —
+        # filtered with the null/non-positive sizes
+        if r[0] is not None and r[1] is not None and r[1] > 0
     }
     if not counts:
         return {}

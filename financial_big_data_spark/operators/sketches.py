@@ -95,18 +95,28 @@ def kmv_sketch(
     return _k_smallest(hashed, k, by)
 
 
-def _k_smallest(hashed: DataFrame, k: int, by: list[str]) -> DataFrame:
-    """k smallest distinct hashes per group. Grouped → keyed rank window
-    (spill-safe, never partitionless); global → orderBy+limit, which Spark
-    plans as TakeOrderedAndProject (per-partition top-k, k-row merge)."""
+def keyed_topk(
+    df: DataFrame, order_cols: list, k: int, by: list[str]
+) -> DataFrame:
+    """THE keyed smallest-k-by-order pattern: grouped → keyed rank
+    window (spill-safe, never partitionless); global → orderBy+limit,
+    which Spark plans as TakeOrderedAndProject (per-partition top-k,
+    k-row merge). Shared by the KMV sketch, the bottom-k sampler and
+    the weighted sampler — one place to fix spill/tiebreak behavior."""
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if not by:
-        return hashed.orderBy("h").limit(k)
-    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("h")
+        return df.orderBy(*order).limit(k)
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
     return (
-        hashed.withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def _k_smallest(hashed: DataFrame, k: int, by: list[str]) -> DataFrame:
+    """k smallest distinct hashes per group (keyed_topk on the hash)."""
+    return keyed_topk(hashed, ["h"], k, by)
 
 
 def kmv_merge(a: DataFrame, b: DataFrame, k: int, by: list[str] | None = None) -> DataFrame:

@@ -3715,7 +3715,11 @@ def q_doc_temperature_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_DOC_TEMPERATURE_INTERLEAVE = """
 WITH w AS (
-  SELECT source, sqrt(sum(n_chars)) AS wt FROM documents GROUP BY source
+  -- sources with NULL or non-positive char totals are dropped, matching
+  -- temperature_mix_weights' filter (their rows never reach the mix)
+  SELECT source, sqrt(sum(n_chars)) AS wt FROM documents
+  WHERE source IS NOT NULL
+  GROUP BY source HAVING sum(n_chars) > 0
 ), ranked AS (
   SELECT d.doc_id, d.source, w.wt,
          row_number() OVER (
@@ -3861,7 +3865,7 @@ def q_ev_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_EV_AB_TTEST = """
 WITH s AS (
-  SELECT event_type, count(*)::BIGINT AS n, avg(value) AS m, var_samp(value) AS v
+  SELECT event_type, count(value)::BIGINT AS n, avg(value) AS m, var_samp(value) AS v
   FROM events WHERE event_type IN ('click', 'purchase')
   GROUP BY event_type
 ), a AS (SELECT n AS n_a, m AS mean_a, v AS v_a FROM s WHERE event_type = 'click'),
@@ -3900,10 +3904,18 @@ WITH obs AS (
   FROM events GROUP BY 1, 2
 ), rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY event_type),
    ct AS (SELECT day_seg, sum(o) AS ct FROM obs GROUP BY day_seg),
-   n AS (SELECT sum(o) AS n FROM obs)
+   n AS (SELECT sum(o) AS n FROM obs),
+   grid AS (
+     -- the FULL r x c grid: structurally-empty cells still contribute
+     -- their (0 - E)^2 / E = E term
+     SELECT rt.event_type, rt.rt, ct.day_seg, ct.ct,
+            coalesce(o.o, 0.0) AS o
+     FROM rt CROSS JOIN ct
+     LEFT JOIN obs o USING (event_type, day_seg)
+   )
 SELECT round(sum((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n)) + 5e-13, 6) AS chi2,
        ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS dof
-FROM obs JOIN rt USING (event_type) JOIN ct USING (day_seg) CROSS JOIN n
+FROM grid CROSS JOIN n
 """
 
 

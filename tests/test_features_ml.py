@@ -190,3 +190,70 @@ def test_chi2_independence_matches_numpy(spark):
     )
     assert out.chi2 == pytest.approx(chi2, abs=1e-9)
     assert out.dof == (len(rt) - 1) * (len(ct) - 1)
+
+
+def test_chi2_counts_structurally_empty_cells(spark):
+    """A (row, col) combination that never occurs still contributes its
+    (0-E)^2/E = E term — observed-cells-only summation underestimates
+    the statistic (code-review r5b finding)."""
+    import pytest
+
+    from financial_big_data_spark.functions.stats import chi2_independence
+
+    # (r2, c1) never occurs
+    rows = (
+        [("r0", "c0")] * 10 + [("r0", "c1")] * 10
+        + [("r1", "c0")] * 10 + [("r1", "c1")] * 10
+        + [("r2", "c0")] * 10
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi2_independence(df, "r", "c").collect()[0]
+    # hand-computed over the FULL 3x2 grid (incl. the empty cell's E=4)
+    from collections import Counter
+
+    obs = Counter(rows)
+    rt, ct, n = Counter(r for r, _ in rows), Counter(c for _, c in rows), len(rows)
+    want = sum(
+        (obs.get((r, c), 0) - rt[r] * ct[c] / n) ** 2 / (rt[r] * ct[c] / n)
+        for r in rt for c in ct
+    )
+    assert out.chi2 == pytest.approx(want, abs=1e-9)
+    assert out.dof == 2
+    # and the full-grid value is strictly larger than observed-only
+    obs_only = sum(
+        (o - rt[r] * ct[c] / n) ** 2 / (rt[r] * ct[c] / n)
+        for (r, c), o in obs.items()
+    )
+    assert out.chi2 > obs_only
+
+
+def test_welch_ttest_null_values_and_missing_group(spark):
+    """n counts non-null values only (matching avg/var_samp); a missing
+    or all-null group raises instead of returning zero rows
+    (code-review r5b findings)."""
+    import numpy as np
+    import pytest
+
+    from financial_big_data_spark.functions.stats import welch_ttest
+
+    rows = (
+        [("a", float(v)) for v in range(10)] + [("a", None)] * 5
+        + [("b", float(v)) for v in range(5, 20)]
+    )
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = welch_ttest(df, "value", "g", "a", "b").collect()[0]
+    assert r.n_a == 10 and r.n_b == 15  # nulls excluded from n
+    xa, xb = np.arange(10.0), np.arange(5.0, 20.0)
+    se2 = xa.var(ddof=1) / 10 + xb.var(ddof=1) / 15
+    assert r.t_stat == pytest.approx((xa.mean() - xb.mean()) / np.sqrt(se2), abs=1e-9)
+    with pytest.raises(ValueError, match="no non-null"):
+        welch_ttest(df, "value", "g", "a", "purchse")  # typo'd label
+
+
+def test_temperature_mix_null_source_excluded(spark):
+    from financial_big_data_spark.operators.sampling import temperature_mix_weights
+
+    rows = [(1, "web"), (2, "web"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = temperature_mix_weights(df, alpha=0.5)
+    assert set(w) == {"web"}  # no TypeError, no None key
