@@ -194,11 +194,17 @@ def main() -> None:
     # the oracle unrolls exactly 10 CTE rounds): the dense co-occurrence
     # graph converges by ~iteration 5, so this row measures what the
     # convergence exit saves over the fixed-10 row above.
-    from financial_big_data_spark.queries import q_ev_pagerank_tol
+    from financial_big_data_spark.queries import q_ev_pagerank_tol, q_ev_ppr_tol
 
     sketch_graph_ops["ev_pagerank_tol"] = timed_min(
         "ev_pagerank_tol",
         lambda: q_ev_pagerank_tol(spark, sf_dir)
+        .write.format("noop").mode("overwrite").save(),
+        release=_rel,
+    )
+    sketch_graph_ops["ev_ppr_tol"] = timed_min(
+        "ev_ppr_tol",
+        lambda: q_ev_ppr_tol(spark, sf_dir)
         .write.format("noop").mode("overwrite").save(),
         release=_rel,
     )

@@ -3986,6 +3986,42 @@ def q_ev_pagerank_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_ppr_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only tol variant of ``ev_ppr`` (same rationale as
+    ``q_ev_pagerank_tol``): personalized teleport to the sub-50 user
+    seed set, convergence exit at tol=1e-6 capped at 10 rounds. NOT
+    registered — the PPR oracle unrolls exactly 10 CTE iterations."""
+    from .ml.graph import pagerank
+
+    ev = _events(spark, sf_dir)
+    slots = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    a, b = slots.alias("a"), slots.alias("b")
+    pairs = (
+        a.join(b, ["event_type", "hr"])
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 3)
+        .select("src", "dst")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") < 50)
+        .distinct()
+    )
+    pr = pagerank(edges, n_iter=10, damping=0.85, reset=seeds, tol=1e-6)
+    return pr.select(
+        F.col("node").alias("user_id"), _r6s(F.col("rank")).alias("rank")
+    )
+
+
 _PR_DAMPING = 0.85
 # the teleport constant must be the SAME double on both engines: Python's
 # 1.0-0.85 is 0.15000000000000002, not the SQL literal 0.15 — repr() the

@@ -192,10 +192,12 @@ SHOWCASE = {
         "broadcast attributes, not a cartesian."
     ),
     "sole_blame_suppliers": (
-        "TPC-H Q21 shape: EXISTS and NOT-EXISTS run as LeftSemi + "
-        "LeftAnti hash joins on the uniform order key over "
-        "pre-aggregated (order, supplier) projections; final top-10 is "
-        "a TakeOrderedAndProject k-row merge."
+        "TPC-H Q21 shape: the EXISTS is a LeftSemi hash join on the "
+        "uniform order key; the NOT-EXISTS collapsed to a count==1 "
+        "aggregate + second LeftSemi (one shuffle fewer than the "
+        "self-join form — the oracle keeps literal NOT EXISTS, so the "
+        "equivalence is hash-checked); final top-10 is a "
+        "TakeOrderedAndProject k-row merge."
     ),
     "idle_rich_customers": (
         "TPC-H Q22 shape: the scalar average is a broadcast 1-row "
