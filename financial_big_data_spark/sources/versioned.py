@@ -13,7 +13,8 @@ tiny manifest layer (the mechanism beneath every table format):
   replaced via ``os.replace`` after the manifest is fully written, so
   readers see the old or the new snapshot, never a torn one;
 - **upsert is copy-on-write, file-scoped** — writes cluster by key
-  (``repartitionByRange`` + sort), so parquet footers carry tight
+  (frozen-boundary range clustering + sort, ``zorder.range_clustered``
+  — deterministic layout, no sampled boundaries), so footers carry tight
   min/max key ranges; an upsert rewrites ONLY the files whose key range
   overlaps the update batch (footer statistics read via pyarrow — no
   data scan) and CARRIES OVER every other file by reference. Untouched
@@ -99,9 +100,12 @@ def _commit(path: str, files: list[str], version: int) -> None:
 
 
 def _write_batch(df: DataFrame, path: str, key: str, n_files: int | None) -> list[str]:
+    from .zorder import range_clustered
+
     batch = os.path.join(path, "data", f"batch-{uuid.uuid4().hex[:12]}")
-    out = df.repartitionByRange(*( [n_files] if n_files else [] ), F.col(key))
-    out.sortWithinPartitions(key).write.parquet(batch)
+    # frozen-boundary range clustering (not repartitionByRange): snapshot
+    # rewrites of identical data produce an identical file layout
+    range_clustered(df, key, n_files).write.parquet(batch)
     return sorted(glob.glob(os.path.join(batch, "*.parquet")))
 
 
@@ -379,16 +383,10 @@ def compact_version(
     n_after = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(*m["files"])
     if zorder_cols:
-        from .zorder import morton_key
+        from .zorder import zorder_clustered
 
         batch = os.path.join(path, "data", f"batch-{uuid.uuid4().hex[:12]}")
-        keyed = df.withColumn("_zkey", morton_key(df, zorder_cols, zorder_bits))
-        (
-            keyed.repartitionByRange(n_after, "_zkey")
-            .sortWithinPartitions("_zkey")
-            .drop("_zkey")
-            .write.parquet(batch)
-        )
+        zorder_clustered(df, zorder_cols, zorder_bits, n_after).write.parquet(batch)
         new_files = sorted(glob.glob(os.path.join(batch, "*.parquet")))
     else:
         new_files = _write_batch(df, path, key, n_after)

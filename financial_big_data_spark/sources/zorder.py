@@ -15,8 +15,22 @@ behind Delta's OPTIMIZE ZORDER BY, re-expressed in plain DataFrame ops:
    expression;
 2. interleave the bucket bits into one Morton key (pure integer
    arithmetic, JVM-side);
-3. ``repartitionByRange`` on the key (range exchange → contiguous curve
-   segments per file) + ``sortWithinPartitions`` + parquet write.
+3. bucket the key into equal-width slices of the key space (the
+   per-column rank quantization makes the interleaved key ~uniform, so
+   equal-width slices are balanced WITHOUT a second data pass —
+   contiguous curve segments per file), route each bucket to a distinct
+   shuffle partition through
+   a driver-computed hash preimage (``repartition(n, col)`` is
+   ``pmod(murmur3(col), n)`` — picking column values whose hash lands on
+   each partition makes the bucket→partition map a deterministic
+   bijection), then ``sortWithinPartitions`` + parquet write.
+
+Step 3 deliberately avoids ``repartitionByRange``: its boundary SAMPLE is
+seeded from the session's RDD-id counter, so the written layout would
+differ run-to-run — a rewrite (compaction, versioned copy) of identical
+data would reshuffle bytes for no reason, and layout-property tests
+flake under load. With frozen boundaries + preimage routing the layout
+is a pure function of the data.
 
 Evidence contract: ``zorder_stats`` reads back the written files'
 parquet FOOTERS (no data scan) and reports per-file min/max per column —
@@ -68,6 +82,101 @@ def morton_key(
     return key
 
 
+def _hash_preimages(spark, n_parts: int) -> list[int]:
+    """The smallest bigints ``p_i`` with ``pmod(murmur3(p_i), n_parts) == i``
+    for every partition ``i`` — computed by ONE bounded Spark job so the
+    Python side never has to reimplement Spark's Murmur3. Repartitioning on
+    a column holding ``p_{fid}`` then routes bucket ``fid`` to partition
+    ``fid`` exactly, deterministically."""
+    pre: dict[int, int] = {}
+    lo = 0
+    while len(pre) < n_parts:
+        rows = (
+            spark.range(lo, lo + 64 * n_parts)
+            .select(
+                F.col("id"),
+                F.pmod(F.hash(F.col("id")), F.lit(n_parts)).alias("p"),
+            )
+            .collect()
+        )
+        for r in sorted(rows, key=lambda r: r["id"]):
+            pre.setdefault(r["p"], r["id"])
+        lo += 64 * n_parts
+        if lo > 10_000 * n_parts:  # murmur3 covers residues fast; belt+braces
+            raise RuntimeError(f"no hash preimage found for some of {n_parts} partitions")
+    return [pre[i] for i in range(n_parts)]
+
+
+def zorder_clustered(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    n_files: int = 8,
+) -> DataFrame:
+    """``df`` repartitioned into ≤ ``n_files`` contiguous Morton-curve
+    segments, sorted within each — the deterministic clustering stage
+    shared by ``write_zordered`` and the versioned-table z-order
+    compaction. File boundaries are frozen quantiles of the Morton key;
+    bucket→partition routing is a hash-preimage bijection; no sampled
+    ``repartitionByRange`` anywhere, so the partition layout is a pure
+    function of the data."""
+    keyed = df.withColumn("_zkey", morton_key(df, cols, bits))
+    # File boundaries: EQUAL-WIDTH splits of the key space. The per-column
+    # buckets are already rank-quantized (frozen quantiles inside
+    # morton_key), so the interleaved key is ~uniform over
+    # [0, 2^(bits·n)) and equal-width splits are balanced by construction
+    # — no quantile pass over the (large) interleave expression needed.
+    # Strongly correlated columns concentrate mass on the curve diagonal
+    # and can leave some slots lighter/empty (empty slots simply write no
+    # file); layout stays deterministic either way.
+    n_total = 1 << (bits * len(cols))
+    bounds = sorted({(i * n_total) // n_files for i in range(1, n_files)})
+    fid = _bucket_expr("_zkey", bounds, bits)
+    n_slots = len(bounds) + 1
+    pre = _hash_preimages(df.sparkSession, n_slots)
+    slot = F.element_at(F.array(*[F.lit(int(p)) for p in pre]), fid + 1)
+    return (
+        keyed.withColumn("_slot", slot.cast("bigint"))
+        .repartition(n_slots, "_slot")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", "_slot")
+    )
+
+
+def range_clustered(
+    df: DataFrame, order_col: str, n_files: int | None = None
+) -> DataFrame:
+    """``df`` repartitioned into ≤ ``n_files`` contiguous ``order_col``
+    ranges, sorted within each — the single-key analogue of
+    ``zorder_clustered``, replacing ``repartitionByRange``'s sampled
+    boundaries with frozen quantiles + preimage routing so versioned
+    snapshot rewrites lay out identically run-to-run."""
+    from ..functions.stats import _NUMERIC_TYPES, _TEMPORAL_TYPES
+
+    spark = df.sparkSession
+    n = n_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = dict(df.dtypes)[order_col].split("(")[0]
+    if base in _NUMERIC_TYPES or base.startswith("decimal"):
+        key = F.col(order_col).cast("double")
+    elif base in _TEMPORAL_TYPES:
+        key = F.col(order_col).cast("timestamp").cast("double")
+    else:
+        key = F.col(order_col)
+    bounds = _frozen_range_bounds(df, order_col, n)
+    fid = F.lit(0)
+    for b in bounds:
+        fid = fid + F.when(key > F.lit(b), 1).otherwise(0)
+    n_slots = len(bounds) + 1
+    pre = _hash_preimages(spark, n_slots)
+    slot = F.element_at(F.array(*[F.lit(int(p)) for p in pre]), fid + 1)
+    return (
+        df.withColumn("_slot", slot.cast("bigint"))
+        .repartition(n_slots, "_slot")
+        .sortWithinPartitions(order_col)
+        .drop("_slot")
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -77,15 +186,13 @@ def write_zordered(
 ) -> None:
     """Cluster ``df`` on the Morton key of ``cols`` and write ``n_files``
     parquet files whose footer min/max are tight in every clustered
-    dimension."""
-    keyed = df.withColumn("_zkey", morton_key(df, cols, bits))
-    (
-        keyed.repartitionByRange(n_files, "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    dimension.
+
+    The layout is DETERMINISTIC (see ``zorder_clustered``): two writes of
+    the same frame produce the same per-file row sets and footer
+    statistics (pinned by
+    tests/test_zorder.py::test_zorder_write_is_deterministic)."""
+    zorder_clustered(df, cols, bits, n_files).write.mode("overwrite").parquet(path)
 
 
 def zorder_stats(path: str, cols: Sequence[str]) -> list[dict]:
