@@ -25,6 +25,51 @@ from pyspark.sql import Column, WindowSpec
 from pyspark.sql import functions as F
 
 
+def _t_pvalue_udf():
+    """Two-sided Student-t p-value, Arrow-vectorized. Runs on 1-row
+    statistic frames (welch_ttest output), never fact tables. Built
+    lazily — ``pandas_udf`` needs an active session, and this module is
+    importable before one exists."""
+
+    @F.pandas_udf("double")
+    def p(t, dof):
+        import pandas as pd
+
+        from .special import student_t_sf_two_sided
+
+        return pd.Series(
+            [
+                student_t_sf_two_sided(float(tv), float(dv))
+                if pd.notna(tv) and pd.notna(dv)
+                else None
+                for tv, dv in zip(t, dof)
+            ]
+        )
+
+    return p
+
+
+def _chi2_pvalue_udf():
+    """Chi-square survival p-value, Arrow-vectorized (1-row frames)."""
+
+    @F.pandas_udf("double")
+    def p(x, k):
+        import pandas as pd
+
+        from .special import chi2_sf
+
+        return pd.Series(
+            [
+                chi2_sf(float(xv), float(kv))
+                if pd.notna(xv) and pd.notna(kv) and kv > 0
+                else None
+                for xv, kv in zip(x, k)
+            ]
+        )
+
+    return p
+
+
 def skew_pandas(c: Column | str) -> Column:
     """Bias-corrected sample skewness G1 (pandas ``Series.skew()``).
 
@@ -212,9 +257,11 @@ def welch_ttest(
     Welch–Satterthwaite degrees of freedom — the A/B-evaluation
     primitive (is the treatment corpus' metric different?) with no
     driver math beyond the 1-row result. Returns one row: n_a, n_b,
-    mean_a, mean_b, t_stat, df. (p-values need the t CDF — callers map
-    through scipy when available; the statistic + df are the portable,
-    oracle-checkable part.)
+    mean_a, mean_b, t_stat, df, p_value. The two-sided p comes from the
+    library-free regularized incomplete beta (functions/special.py,
+    golden-pinned to closed forms) via an Arrow pandas_udf on the 1-row
+    statistic frame; the statistic + df stay the oracle-hash-checked
+    part (DuckDB has no t CDF — p_value is pytest-pinned instead).
 
     ``n`` counts NON-NULL values (``count(value)``) so it matches the
     population avg/var_samp actually aggregate over — counting raw rows
@@ -251,7 +298,7 @@ def welch_ttest(
     return j.select(
         "n_a", "n_b", "mean_a", "mean_b",
         t.alias("t_stat"), dof.alias("df"),
-    )
+    ).withColumn("p_value", _t_pvalue_udf()("t_stat", "df"))
 
 
 def chi2_independence(df, row: str, col: str) -> "DataFrame":
@@ -263,7 +310,17 @@ def chi2_independence(df, row: str, col: str) -> "DataFrame":
     onto it, χ² = Σ (O−E)²/E as a final 1-row sum plus the (r−1)(c−1)
     degrees of freedom. All partial-aggregatable; the grid is
     marginal-sized (r×c), never data-sized — no contingency matrix
-    collects to the driver."""
+    collects to the driver. Output row: chi2, dof, p_value (library-free
+    upper incomplete gamma, functions/special.py; DuckDB has no chi² SF,
+    so p_value is pytest-pinned while chi2/dof stay oracle-hashed).
+
+    Null categories are dropped up front (both columns non-null): a null
+    key would survive groupBy into the marginals but never match the
+    left join onto the crossed grid, silently counting its observed mass
+    as 0 against an inflated E — a wrong statistic, not a choice. Rows
+    with nulls are simply not observations of the (row, col) pair, the
+    same treatment scipy's contingency pipeline gives missing data."""
+    df = df.where(F.col(row).isNotNull() & F.col(col).isNotNull())
     obs = df.groupBy(row, col).agg(F.count(F.lit(1)).alias("o"))
     row_tot = obs.groupBy(row).agg(F.sum("o").alias("rt"))
     col_tot = obs.groupBy(col).agg(F.sum("o").alias("ct"))
@@ -282,4 +339,4 @@ def chi2_independence(df, row: str, col: str) -> "DataFrame":
     return cells.agg(
         F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")).alias("chi2"),
         ((F.countDistinct("_r") - 1) * (F.countDistinct("_c") - 1)).alias("dof"),
-    )
+    ).withColumn("p_value", _chi2_pvalue_udf()("chi2", F.col("dof").cast("double")))

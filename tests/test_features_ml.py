@@ -250,6 +250,53 @@ def test_welch_ttest_null_values_and_missing_group(spark):
         welch_ttest(df, "value", "g", "a", "purchse")  # typo'd label
 
 
+def test_welch_ttest_p_value(spark):
+    """p_value column: two-sided t p from the library-free incomplete
+    beta, cross-checked against the closed form at df=2 and against the
+    scalar special-function directly at the real df."""
+    import pytest
+
+    from financial_big_data_spark.functions.special import student_t_sf_two_sided
+    from financial_big_data_spark.functions.stats import welch_ttest
+
+    rows = [("a", float(v)) for v in range(20)] + [
+        ("b", float(v) + 3.0) for v in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = welch_ttest(df, "value", "g", "a", "b").collect()[0]
+    assert r.p_value == pytest.approx(
+        student_t_sf_two_sided(r.t_stat, r.df), abs=1e-12
+    )
+    assert 0.0 < r.p_value < 1.0
+
+
+def test_chi2_p_value_and_null_categories(spark):
+    """(1) p_value = chi2 survival of the statistic; (2) null categories
+    are dropped up front — with nulls left in, the null group's observed
+    mass would vanish in the grid join while still inflating marginals
+    (ADVICE r5 finding). Dropping null rows must give the same result as
+    pre-filtering them manually."""
+    import pytest
+
+    from financial_big_data_spark.functions.special import chi2_sf
+    from financial_big_data_spark.functions.stats import chi2_independence
+
+    rows = (
+        [("r0", "c0")] * 12 + [("r0", "c1")] * 8
+        + [("r1", "c0")] * 6 + [("r1", "c1")] * 14
+        + [(None, "c0")] * 9 + [("r1", None)] * 7 + [(None, None)] * 3
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi2_independence(df, "r", "c").collect()[0]
+    clean = [t for t in rows if t[0] is not None and t[1] is not None]
+    want = chi2_independence(
+        spark.createDataFrame(clean, "r string, c string"), "r", "c"
+    ).collect()[0]
+    assert out.chi2 == pytest.approx(want.chi2, abs=1e-12)
+    assert out.dof == want.dof == 1
+    assert out.p_value == pytest.approx(chi2_sf(out.chi2, float(out.dof)), abs=1e-12)
+
+
 def test_temperature_mix_null_source_excluded(spark):
     from financial_big_data_spark.operators.sampling import temperature_mix_weights
 
