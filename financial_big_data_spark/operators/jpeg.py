@@ -224,6 +224,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 hs, vs = hv >> 4, hv & 0x0F
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise ValueError("jpeg: sampling factors > 2 unsupported")
+                if nc == 1:
+                    # T.81 A.2.2: a single-component scan is
+                    # NON-interleaved — one data unit per MCU in raster
+                    # block order, sampling factors irrelevant. Normalize
+                    # to 1x1 so the interleaved-MCU walk below degenerates
+                    # to exactly that geometry; honoring declared 2x2
+                    # factors here would mis-order blocks (ADVICE r5).
+                    hs = vs = 1
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,

@@ -427,22 +427,29 @@ def write_market_report(
         )
     daily = _collect_bounded(result.daily_regime, max_rows)
     if daily:
-        # long (day, regime, n) -> one series per regime (fixed order)
-        regimes = sorted({r["regime"] for r in daily}, key=str)[: len(_SERIES)]
+        # long (day, regime, n) -> one series per regime (fixed order).
+        # The palette has len(_SERIES) hues and line_chart_svg raises on
+        # more; rather than silently dropping regimes past the 8th
+        # (ADVICE r5), fold the tail into an explicit "other" series so
+        # every row's mass stays on the chart.
+        all_regimes = sorted({r["regime"] for r in daily}, key=str)
+        if len(all_regimes) > len(_SERIES):
+            keep = set(all_regimes[: len(_SERIES) - 1])
+            names = [str(r) for r in sorted(keep, key=str)] + ["other"]
+        else:
+            keep = set(all_regimes)
+            names = [str(r) for r in all_regimes]
         by_day: dict = {}
         for r in daily:
-            by_day.setdefault(r["day"], {})
-        for r in daily:
-            if r["regime"] in regimes:
-                by_day[r["day"]][str(r["regime"])] = r["n"]
+            series = str(r["regime"]) if r["regime"] in keep else "other"
+            day = by_day.setdefault(r["day"], {})
+            day[series] = day.get(series, 0) + r["n"]
         wide = [
             {"day": datetime(d.year, d.month, d.day), **cnt}
             for d, cnt in sorted(by_day.items())
         ]
         for w in wide:
-            for reg in regimes:
-                w.setdefault(str(reg), 0)
-        sections.append(
-            line_chart_svg(wide, "day", [str(r) for r in regimes], "daily regime mix")
-        )
+            for name in names:
+                w.setdefault(name, 0)
+        sections.append(line_chart_svg(wide, "day", names, "daily regime mix"))
     _write_report(path, "market analysis", sections)

@@ -294,7 +294,19 @@ def streaming_ingest_curated(
                 )
             )
             # ONE append covers corpus + dedup state atomically enough for
-            # replay convergence (the _fp anti-join keys off either status)
+            # replay convergence (the _fp anti-join keys off either status).
+            # INVARIANT the convergence argument leans on (ADVICE r5):
+            # each doc contributes exactly ONE row, and a row is visible
+            # iff its task's file committed — plain parquet append is not
+            # an atomic multi-file commit, so a driver crash mid-commit
+            # may leave a PARTIAL batch visible. That is tolerable only
+            # because per-doc state is single-row/single-file: on replay,
+            # docs whose row landed are anti-joined away, docs whose row
+            # didn't are re-evaluated — at-least-once per doc, never a
+            # torn per-doc state. If a change ever makes one doc span
+            # multiple rows (e.g. per-shingle rows), route this append
+            # through sources/versioned.py's O_EXCL manifest commit to
+            # get a real atomic batch boundary.
             out.write.mode("append").partitionBy("_status").parquet(table_path)
         finally:
             fresh.unpersist()

