@@ -576,7 +576,11 @@ def span_dedup(
 
     1. tokenize (posexplode) → one keyed window pass builds the rolling
        span under md5 (``lead`` over token index — same machinery as
-       ``shingle_table`` but position-preserving);
+       ``shingle_table`` but position-preserving); the span table is
+       PERSISTED (memory-and-disk) because both stage 2 and stage 3
+       consume it — without the persist the ``span_tokens``-lead window
+       (the widest stage in the pipeline) executed twice (r5 verdict
+       finding; PLANS.md showed both branches re-running it);
     2. span hashes aggregate once (uniform md5 shuffle): occurrences ≥ 2
        are duplicated; the winner is the min (id, idx) struct — one
        aggregate, no self-join;
@@ -609,7 +613,9 @@ def span_dedup(
     parts = [F.col("tok")] + [
         F.lead("tok", k).over(w) for k in range(1, span_tokens)
     ]
-    spans = (
+    from ..cache import tracked_persist
+
+    spans = tracked_persist(
         toks.select(
             F.col(id_col),
             F.col("idx"),
