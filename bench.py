@@ -49,6 +49,12 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # Machine-load context (VERDICT r5 #5): the r5 ep2_big ratio drifted
+    # 0.62->0.87 purely because a concurrent run loaded the box (the
+    # pandas side drifted identically). Record loadavg at both ends so
+    # tools/bench_compare.py can refuse to call a delta a regression
+    # when the two rounds ran under different load.
+    load_start = round(os.getloadavg()[0], 2)
 
     spark = build_session("bench", cpus=cpus, shuffle_partitions=cpus)
     # Warm the JVM (codegen, classloading, shuffle machinery) by running every
@@ -499,6 +505,11 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    def time_noop_fn(fn) -> float:
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
     time_noop(skew_big.join(skew_dim, on="key"))  # materialize fixture caches
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     skew_naive = round(min(time_noop(skew_big.join(skew_dim, on="key")) for _ in range(2)), 3)
@@ -512,6 +523,53 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_before)
     skew_big.unpersist()
     skew_dim.unpersist()
+
+    # Co-occurrence hot-slot probe (VERDICT r5 #2): the graph-build pair
+    # generation is quadratic per slot; one deliberately hot slot (8k
+    # members among 2k normal 20-member slots) shows what the slot_cap
+    # bound earns — capped emits ≤ cap²/2 pairs from the hot slot
+    # (deterministic min-xxhash membership) vs the uncapped ~32M.
+    from financial_big_data_spark.ml.graph import cooccurrence_pairs
+
+    hot_slots = (
+        spark.range(8_000)
+        .select(
+            F.col("id").alias("user_id"),
+            F.lit("hot").alias("event_type"),
+            F.lit("h0").alias("hr"),
+        )
+        .unionByName(
+            spark.range(40_000).select(
+                (F.col("id") % 20_000).alias("user_id"),
+                F.concat(F.lit("t"), (F.col("id") % 40).cast("string")).alias(
+                    "event_type"
+                ),
+                F.concat(
+                    F.lit("h"), (F.floor(F.col("id") / 40) % 50 + 1).cast("string")
+                ).alias("hr"),
+            )
+        )
+        .cache()
+    )
+    hot_slots.count()  # materialize outside the timed window
+
+    def _cooc(cap):
+        return lambda: cooccurrence_pairs(
+            hot_slots, node="user_id", keys=["event_type", "hr"],
+            min_shared=1, slot_cap=cap,
+        ).write.format("noop").mode("overwrite").save()
+
+    _cooc(1024)()  # warm
+    cooc_capped = round(min(time_noop_fn(_cooc(1024)) for _ in range(2)), 3)
+    cooc_uncapped = round(min(time_noop_fn(_cooc(None)) for _ in range(2)), 3)
+    cooc_skew = {
+        "hot_slot_members": 8_000,
+        "slot_cap": 1024,
+        "capped_sec": cooc_capped,
+        "uncapped_sec": cooc_uncapped,
+        "uncapped_over_capped": round(cooc_uncapped / max(cooc_capped, 1e-9), 2),
+    }
+    hot_slots.unpersist()
 
     # Cardinality-sketch scale probe: exact COUNT(DISTINCT) vs the HLL
     # aggregate (b=12, ±~1.6%) on a generated 20M-row / 8M-distinct frame —
@@ -635,6 +693,9 @@ def main() -> None:
         "ep2_big_spark_sec": ep2_big_spark,
         "ep2_big_pandas_sec": ep2_big_pandas,
         "ep2_big_ratio": round(ep2_big_spark / max(ep2_big_pandas, 1e-9), 2),
+        "cooccurrence_skew": cooc_skew,
+        "loadavg_1m_start": load_start,
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(out))
 

@@ -3745,22 +3745,17 @@ def q_ev_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle counts exactly once. The oracle brute-forces the canonical
     a<b<c three-way join — the orientation trick itself is what the
     hash check certifies."""
-    from .ml.graph import triangle_count
+    from .ml.graph import cooccurrence_pairs, triangle_count
 
     ev = _events(spark, sf_dir)
-    slots = ev.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    a, b = slots.alias("a"), slots.alias("b")
-    pairs = (
-        a.join(b, ["event_type", "hr"])
-        .where(F.col("a.user_id") < F.col("b.user_id"))
-        .groupBy(
-            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 3)
-        .select("src", "dst")
+    pairs = cooccurrence_pairs(
+        ev.select(
+            "user_id", "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        ),
+        node="user_id",
+        keys=["event_type", "hr"],
+        min_shared=3,
     )
     return (
         triangle_count(pairs, per_node=True)
@@ -3927,22 +3922,17 @@ def q_ev_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior web-corpus curation ranks hosts by. The slot self-join is an
     equi-join on bounded keys; each iteration is one edges↔ranks join +
     one partial aggregate; rank state is one row per node."""
-    from .ml.graph import pagerank
+    from .ml.graph import cooccurrence_pairs, pagerank
 
     ev = _events(spark, sf_dir)
-    slots = ev.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    a, b = slots.alias("a"), slots.alias("b")
-    pairs = (
-        a.join(b, ["event_type", "hr"])
-        .where(F.col("a.user_id") < F.col("b.user_id"))
-        .groupBy(
-            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 3)
-        .select("src", "dst")
+    pairs = cooccurrence_pairs(
+        ev.select(
+            "user_id", "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        ),
+        node="user_id",
+        keys=["event_type", "hr"],
+        min_shared=3,
     )
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -3960,22 +3950,17 @@ def q_ev_pagerank_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-iteration oracle mode must still pay for. NOT registered — the
     DuckDB oracle unrolls exactly 10 CTE rounds, and an early exit is
     allowed to differ in the last rounded decimal."""
-    from .ml.graph import pagerank
+    from .ml.graph import cooccurrence_pairs, pagerank
 
     ev = _events(spark, sf_dir)
-    slots = ev.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    a, b = slots.alias("a"), slots.alias("b")
-    pairs = (
-        a.join(b, ["event_type", "hr"])
-        .where(F.col("a.user_id") < F.col("b.user_id"))
-        .groupBy(
-            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 3)
-        .select("src", "dst")
+    pairs = cooccurrence_pairs(
+        ev.select(
+            "user_id", "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        ),
+        node="user_id",
+        keys=["event_type", "hr"],
+        min_shared=3,
     )
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -3991,22 +3976,17 @@ def q_ev_ppr_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_ev_pagerank_tol``): personalized teleport to the sub-50 user
     seed set, convergence exit at tol=1e-6 capped at 10 rounds. NOT
     registered — the PPR oracle unrolls exactly 10 CTE iterations."""
-    from .ml.graph import pagerank
+    from .ml.graph import cooccurrence_pairs, pagerank
 
     ev = _events(spark, sf_dir)
-    slots = ev.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    a, b = slots.alias("a"), slots.alias("b")
-    pairs = (
-        a.join(b, ["event_type", "hr"])
-        .where(F.col("a.user_id") < F.col("b.user_id"))
-        .groupBy(
-            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 3)
-        .select("src", "dst")
+    pairs = cooccurrence_pairs(
+        ev.select(
+            "user_id", "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        ),
+        node="user_id",
+        keys=["event_type", "hr"],
+        min_shared=3,
     )
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -4105,22 +4085,17 @@ def q_ev_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk-based analogue of seed-driven data selection (pick crawl hosts
     near trusted domains). Oracle: the same unrolled power method with
     the per-node reset vector."""
-    from .ml.graph import pagerank
+    from .ml.graph import cooccurrence_pairs, pagerank
 
     ev = _events(spark, sf_dir)
-    slots = ev.select(
-        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
-    a, b = slots.alias("a"), slots.alias("b")
-    pairs = (
-        a.join(b, ["event_type", "hr"])
-        .where(F.col("a.user_id") < F.col("b.user_id"))
-        .groupBy(
-            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 3)
-        .select("src", "dst")
+    pairs = cooccurrence_pairs(
+        ev.select(
+            "user_id", "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        ),
+        node="user_id",
+        keys=["event_type", "hr"],
+        min_shared=3,
     )
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

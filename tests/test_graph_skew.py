@@ -280,3 +280,61 @@ def test_triangle_count_hub_graph(spark):
     per = {r.node: r.n_triangles for r in triangle_count(df, per_node=True).collect()}
     assert per[0] == 3      # the hub is in all three
     assert per[1] == per[2] == 1
+
+
+def _slot_rows(spark):
+    # 3 slots; users co-occur when they share a slot. Users 1,2 share
+    # slots s1+s2+s3 (>=3), users 1,3 share only s1 (<3).
+    rows = []
+    for slot in ("s1", "s2", "s3"):
+        rows += [(1, "click", slot), (2, "click", slot)]
+    rows += [(3, "click", "s1")]
+    return spark.createDataFrame(rows, "user_id long, event_type string, hr string")
+
+
+def test_cooccurrence_pairs_min_shared(spark):
+    from financial_big_data_spark.ml.graph import cooccurrence_pairs
+
+    out = cooccurrence_pairs(
+        _slot_rows(spark), node="user_id", keys=["event_type", "hr"], min_shared=3
+    ).collect()
+    assert [(r.src, r.dst) for r in out] == [(1, 2)]
+
+
+def test_cooccurrence_pairs_cap_is_lossless_below_max_slot(spark):
+    """cap >= max slot size -> exact: capped output equals uncapped on a
+    multi-slot fixture (the regime the registered queries run in)."""
+    from financial_big_data_spark.ml.graph import cooccurrence_pairs
+
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (rng.randrange(40), "t%d" % rng.randrange(4), "h%d" % rng.randrange(6))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, hr string")
+    kw = dict(node="user_id", keys=["event_type", "hr"], min_shared=2)
+    capped = {(r.src, r.dst) for r in cooccurrence_pairs(df, slot_cap=1024, **kw).collect()}
+    exact = {(r.src, r.dst) for r in cooccurrence_pairs(df, slot_cap=None, **kw).collect()}
+    assert capped == exact and len(exact) > 0
+
+
+def test_cooccurrence_pairs_hot_slot_bounded(spark):
+    """One hot slot with 500 members: uncapped emits 500*499/2 pairs from
+    it; cap=20 bounds the expansion to <= 20*19/2 — the skew-blowup
+    guard (r5 verdict's named scale-killer). The sample is deterministic
+    (min-xxhash members), so two runs agree."""
+    from financial_big_data_spark.ml.graph import cooccurrence_pairs
+
+    hot = [(u, "click", "hot") for u in range(500)]
+    df = spark.createDataFrame(hot, "user_id long, event_type string, hr string")
+    kw = dict(node="user_id", keys=["event_type", "hr"], min_shared=1)
+    capped = cooccurrence_pairs(df, slot_cap=20, **kw)
+    got = {(r.src, r.dst) for r in capped.collect()}
+    assert len(got) == 20 * 19 // 2  # bounded, not 124750
+    again = {(r.src, r.dst) for r in cooccurrence_pairs(df, slot_cap=20, **kw).collect()}
+    assert got == again  # deterministic membership sample
+    # under-count bias only: capped pairs are a subset of exact pairs
+    exact = {(r.src, r.dst) for r in cooccurrence_pairs(df, slot_cap=None, **kw).collect()}
+    assert got <= exact

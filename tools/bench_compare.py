@@ -57,6 +57,25 @@ def main() -> None:
     old_bands = old_raw.get("bands") or {}
     new_bands = new_raw.get("bands") or {}
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
+    # Load-context guard (VERDICT r5 #5): when the two runs recorded
+    # materially different machine load (either end of either run), a
+    # timing delta is a load artifact, not a code regression — report
+    # deltas as usual but exit 0, with the suppression stated loudly.
+    def _peak_load(d: dict) -> float | None:
+        vals = [d.get("loadavg_1m_start"), d.get("loadavg_1m_end")]
+        vals = [v for v in vals if isinstance(v, (int, float))]
+        return max(vals) if vals else None
+
+    lo, ln = _peak_load(old_raw), _peak_load(new_raw)
+    load_skewed = (
+        lo is not None and ln is not None and abs(ln - lo) > max(4.0, 0.5 * max(lo, ln))
+    )
+    if load_skewed:
+        print(
+            f"LOAD MISMATCH: old peak loadavg {lo} vs new {ln} — timing deltas "
+            "below are reported for context but NOT counted as regressions; "
+            "re-run bench.py on a quiet box to compare."
+        )
     regressed = []
     for name in sorted(set(old) & set(new)):
         o, n = old[name], new[name]
@@ -81,7 +100,7 @@ def main() -> None:
             print(
                 f"{name:45s} {o:>12.3f} -> {n:>12.3f}  {delta_pct:+7.1f}%{marker}{note}"
             )
-        if flagged:
+        if flagged and not load_skewed:
             regressed.append(name)
     if regressed:
         print(f"\n{len(regressed)} metrics regressed past {threshold}%")

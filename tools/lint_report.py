@@ -93,6 +93,50 @@ JUSTIFIED[("emb_ivfpq", "nested-loop-join")] = (
 )
 
 
+# Source-level rule (VERDICT r5 #2): unbounded SELF-JOIN pair generation.
+# The `x, y = Z.alias("a"), Z.alias("b")` idiom marks a pair-expansion
+# self-join — quadratic in the join-key group size, the skew blowup that
+# made the co-occurrence graph build the r5 scale-killer. Every such
+# site must either bound its per-key expansion or carry a justification
+# here; a NEW site with no entry fails the sweep. Co-occurrence builds
+# must go through ml/graph.py cooccurrence_pairs (slot_cap-bounded).
+SELF_JOIN_JUSTIFIED: dict[str, str] = {
+    "financial_big_data_spark/ml/graph.py": (
+        "cooccurrence_pairs: per-slot expansion capped at slot_cap "
+        "min-xxhash members (≤ cap² per key); the one sanctioned builder"
+    ),
+    "financial_big_data_spark/ml/clustering.py": (
+        "_correlation_matrix_relational: size-routed — only taken when "
+        "n_keys ≤ pivot_threshold (bounded series count; k² intended)"
+    ),
+    "financial_big_data_spark/streaming/ingest.py": (
+        "within-batch LSH candidates: join keyed on (band, key) buckets "
+        "of the micro-batch — group size bounded by band collisions of "
+        "one batch, verified pairs only"
+    ),
+}
+
+
+def _self_join_sites() -> list[tuple[str, int]]:
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "financial_big_data_spark")
+    pat = _re.compile(r"=\s*(\w+)\.alias\(\"a\"\),\s*(\w+)\.alias\(\"b\"\)")
+    sites = []
+    for dirpath, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, f)
+            with open(path) as fh:
+                for i, line in enumerate(fh, 1):
+                    m = pat.search(line)
+                    if m and m.group(1) == m.group(2):
+                        sites.append((os.path.relpath(path, root), i))
+    return sites
+
+
 def main() -> None:
     spark = build_session("lint-report", cpus=8, shuffle_partitions=8)
     lines = [
@@ -131,6 +175,23 @@ def main() -> None:
                 unjustified += 1
         # collapse duplicate kinds for readability
         lines.append(f"| {name} | {'; '.join(sorted(set(cells)))} |")
+    lines.append("")
+    lines.append("## Self-join pair-generation sites (source sweep)")
+    lines.append("")
+    lines.append("Each `Z.alias(\"a\"), Z.alias(\"b\")` self-join must bound its")
+    lines.append("per-key expansion or carry a justification (SELF_JOIN_JUSTIFIED):")
+    lines.append("")
+    lines.append("| site | status |")
+    lines.append("|---|---|")
+    for path, lineno in _self_join_sites():
+        why = SELF_JOIN_JUSTIFIED.get(path)
+        if why:
+            lines.append(f"| {path}:{lineno} | justified: {why} |")
+        else:
+            lines.append(
+                f"| {path}:{lineno} | **UNJUSTIFIED unbounded pair self-join** |"
+            )
+            unjustified += 1
     lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "LINT.md")
     with open(out, "w") as fh:
