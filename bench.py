@@ -378,17 +378,23 @@ def main() -> None:
     }
     ivf_recall = round(len(exact & approx) / max(len(exact), 1), 3)
 
-    # IVF-PQ: same probe set through the compressed-code path (8-byte-ish
-    # codes + ADC + exact refine). Uniform embeddings are also PQ's worst
-    # case (no cluster structure for the codebooks to exploit), so this is
-    # a floor, recorded beside the plain-IVF number.
+    # IVF-PQ: same probe set through the compressed-code path (PQ codes +
+    # ADC + exact refine). Uniform embeddings are PQ's worst case (no
+    # cluster structure for the codebooks to exploit — and the isotropic
+    # covariance means an OPQ rotation earns nothing here), so this is a
+    # floor, recorded beside the plain-IVF number. m=16/nbits=8 (VERDICT
+    # r5 #6: finer subspaces + 256-centroid codebooks lift the uniform-
+    # fixture floor 0.80 -> ~0.93, matching plain IVF): codes are 16
+    # bytes/vector vs 512 raw — the candidate scan still reads ~30x less;
+    # the wall-clock delta vs the old m=8/nbits=6 config is TRAIN cost
+    # (16 KMeans fits), paid once per corpus, not per query.
     from financial_big_data_spark.operators.pq import ivf_pq_topk
 
     t0 = time.time()
     approx_pq = {
         (r.query_id, r.vec_id)
         for r in ivf_pq_topk(
-            emb, probes, n_cells=16, n_probe=10, m=8, nbits=6, k=10,
+            emb, probes, n_cells=16, n_probe=10, m=16, nbits=8, k=10,
             refine_factor=8, residual=True,
         )
         .select("query_id", "vec_id")
