@@ -5,27 +5,40 @@ remaining ubiquitous still-image format, still pure stdlib + numpy — no
 PIL/libjpeg in this environment. Runs inside the same ``mapInPandas``
 workers as the PNG path: one payload at a time, embarrassingly parallel.
 
-Decoder coverage (honest baseline, everything else raises ``ValueError``):
+Decoder coverage (honest scope, everything else raises ``ValueError``):
 
-- SOF0 (baseline sequential DCT), 8-bit precision, single scan;
+- SOF0/1 (baseline/extended sequential DCT), 8-bit precision, single
+  scan;
+- **SOF2 progressive** (round 9, VERDICT r5 #7): spectral selection +
+  successive approximation — DC first/refine, AC first/refine with
+  EOB-run state, interleaved DC scans, non-interleaved AC block
+  geometry — semantics transcribed against T.81 G.1.2/G.2 and the IJG
+  reference decoder's jdphuff.c; coefficients accumulate across scans,
+  dequantize + IDCT once at EOI;
 - 1 component (grayscale) or 3 components (YCbCr) with sampling factors
   1 or 2 per axis — i.e. 4:4:4, 4:2:2, 4:2:0;
 - arbitrary valid DHT Huffman tables (canonical reconstruction from the
   BITS/HUFFVAL lists — standard Annex K tables and custom tables alike);
-- restart intervals (DRI + RST0-7: predictor reset, bit realignment);
+- restart intervals (DRI + RST0-7: predictor reset, bit realignment;
+  the progressive restart path additionally clears the EOB run);
 - FF00 byte stuffing.
 
-Progressive (SOF2), arithmetic coding, 12-bit precision, 4-component
-CMYK and sampling factors > 2 raise with a precise message — callers
-(``media_codecs.default_decode``) treat those payloads as undecodable
-and fall back to byte features rather than silently mis-decoding.
+Arithmetic coding, hierarchical/lossless SOFs, 12-bit precision,
+4-component CMYK and sampling factors > 2 raise with a precise message
+— callers (``media_codecs.default_decode``) treat those payloads as
+undecodable and fall back to byte features rather than silently
+mis-decoding.
 
-The encoder emits valid baseline JPEGs for test fixtures: grayscale or
-4:4:4 YCbCr, one scan, flat canonical Huffman tables built from the
-symbols actually present (valid per T.81 — DHT carries the table — if
-~8% larger than the Annex K defaults), and a caller-supplied
-quantization table; ``quant=1`` (all-ones) makes the DCT round-trip
-near-lossless so known-pixel tests can assert tight error bounds.
+The encoders emit valid JPEGs for test fixtures: baseline (grayscale or
+4:4:4/4:2:0 YCbCr, one scan) and progressive
+(``encode_jpeg_progressive``: DC+AC first scans at point transform
+``al`` plus refinement scans down to 0), flat canonical Huffman tables
+built from the symbols actually present (valid per T.81 — DHT carries
+the table — if ~8% larger than the Annex K defaults), and a
+caller-supplied quantization table; ``quant=1`` (all-ones) makes the
+DCT round-trip near-lossless so known-pixel tests can assert tight
+error bounds. The progressive decoder is additionally pinned by a
+hand-assembled multi-scan stream (encoder-independent).
 
 IDCT/FDCT are exact 8x8 DCT-II basis matmuls (numpy, vectorized over
 all blocks at once), not a fast-DCT approximation: at the 8x8 block
@@ -212,7 +225,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 values = seg[p + 17:p + 17 + nv]
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, values)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -233,10 +246,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     # factors here would mis-order blocks (ADVICE r5).
                     hs = vs = 1
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps, "prog": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline (SOF0) supported")
+            raise ValueError(
+                "jpeg: only baseline (SOF0/1) and progressive (SOF2) supported"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS
@@ -248,11 +263,58 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tda = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cs] = (tda >> 4, tda & 0x0F)
             data_start = pos + seglen
-            return _decode_scan(
-                payload, data_start, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
-            )
+            if not frame["prog"]:
+                return _decode_scan(
+                    payload, data_start, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            # progressive: decode this scan into the coefficient
+            # accumulator, then keep walking markers (more scans follow)
+            _prog_alloc(frame)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            by_id = {c["id"]: c for c in frame["comps"]}
+            for cs in scan:
+                if cs not in by_id:
+                    raise ValueError(f"jpeg: SOS unknown component {cs}")
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("jpeg: progressive DC scan needs Se=0")
+                scomps = []
+                for c in frame["comps"]:
+                    if c["id"] not in scan:
+                        continue
+                    td_id = scan[c["id"]][0]
+                    if ah == 0:
+                        if td_id not in huff_dc:
+                            raise ValueError(f"jpeg: undefined huffman table {td_id}")
+                        scomps.append((c, huff_dc[td_id]))
+                    else:
+                        scomps.append((c, None))  # refinement: raw bits
+                if not scomps:
+                    raise ValueError("jpeg: empty DC scan")
+                pos = _prog_dc_scan(
+                    payload, data_start, frame, scomps, ah, al, restart_interval
+                )
+            else:
+                if ns != 1:
+                    raise ValueError("jpeg: progressive AC scan must be 1-component")
+                if not (1 <= ss <= se <= 63):
+                    raise ValueError("jpeg: bad spectral selection")
+                cs = next(iter(scan))
+                ta_id = scan[cs][1]
+                if ta_id not in huff_ac:
+                    raise ValueError(f"jpeg: undefined huffman table {ta_id}")
+                pos = _prog_ac_scan(
+                    payload, data_start, frame, by_id[cs], huff_ac[ta_id],
+                    ss, se, ah, al, restart_interval,
+                )
+            frame["n_scans"] += 1
+            continue
         pos += seglen
+    if frame is not None and frame.get("prog") and frame.get("n_scans"):
+        return _render_progressive(frame, qt)
     raise ValueError("jpeg: no scan found")
 
 
@@ -320,6 +382,12 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                             blk.reshape(8, 8) * c["q"]
                         )
             mcu_count += 1
+    return _render(comps, h, w, hmax, vmax)
+
+
+def _render(comps, h: int, w: int, hmax: int, vmax: int) -> np.ndarray:
+    """Dequantized (n, 8, 8) blocks per component -> pixels (shared by the
+    baseline single-scan path and the progressive accumulator)."""
     planes = []
     for c in comps:
         spat = _idct_blocks(c["blocks"]) + 128.0
@@ -342,6 +410,191 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) scan decoding — T.81 G.1.2 / G.2, successive
+# approximation semantics transcribed against the IJG reference decoder
+# (jdphuff.c): DC first/refine, AC first/refine with EOB-run state.
+# Coefficients accumulate across scans in per-component zigzag int32
+# arrays; dequantize + IDCT happen once at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _prog_alloc(frame) -> None:
+    """Per-component coefficient storage + geometry, once, at first SOS."""
+    if "zz" in frame["comps"][0]:
+        return
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    frame["mcux"] = -(-w // (8 * hmax))
+    frame["mcuy"] = -(-h // (8 * vmax))
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["n_scans"] = 0
+    for c in comps:
+        c["bw"] = frame["mcux"] * c["h"]  # MCU-padded block dims
+        c["bh"] = frame["mcuy"] * c["v"]
+        # true (non-interleaved) block dims: ceil(comp_size / 8)
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        c["nbw"] = -(-cw // 8)
+        c["nbh"] = -(-ch // 8)
+        c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """First position >= pos of a real marker (FF + non-stuff, non-RST)."""
+    n = len(data)
+    while pos + 1 < n:
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _prog_dc_scan(data, pos, frame, scomps, ah, al, dri) -> int:
+    """One DC scan (Ss=Se=0): interleaved MCU walk when the scan carries
+    several components, raster block order for one. Ah=0 decodes the
+    point-transformed DC diffs (value << Al); Ah>0 appends one magnitude
+    bit per block (two's-complement OR, matching the reference codec)."""
+    br = _BitReader(data, pos)
+    preds = {id(c): 0 for c, _td in scomps}
+
+    def one(c, td, idx):
+        if ah == 0:
+            s = td.decode(br)
+            if s > 11:
+                raise ValueError("jpeg: bad DC category")
+            preds[id(c)] += _extend(br.receive(s), s)
+            c["zz"][idx, 0] = preds[id(c)] << al
+        else:
+            if br.read_bit():
+                c["zz"][idx, 0] |= 1 << al
+
+    if len(scomps) > 1:
+        mcu = 0
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                if dri and mcu and mcu % dri == 0:
+                    br.expect_rst()
+                    for key in preds:
+                        preds[key] = 0
+                for c, td in scomps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            idx = (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                            one(c, td, idx)
+                mcu += 1
+    else:
+        c, td = scomps[0]
+        mcu = 0
+        for row in range(c["nbh"]):
+            for col in range(c["nbw"]):
+                if dri and mcu and mcu % dri == 0:
+                    br.expect_rst()
+                    for key in preds:
+                        preds[key] = 0
+                one(c, td, row * c["bw"] + col)
+                mcu += 1
+    return _next_marker(data, br.pos)
+
+
+def _ac_first_block(br, huff, zz, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = huff.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("jpeg: AC index overflow")
+            zz[k] = _extend(br.receive(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                break
+            k += 16  # ZRL
+    return eobrun
+
+
+def _ac_refine_block(br, huff, zz, ss, se, al, eobrun) -> int:
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = huff.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s:
+                if s != 1:
+                    raise ValueError("jpeg: bad AC refinement symbol")
+                val = p1 if br.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if br.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_ac_scan(data, pos, frame, c, ta, ss, se, ah, al, dri) -> int:
+    """One AC scan — always single-component, non-interleaved raster
+    order over the component's true block grid (T.81 G.2)."""
+    br = _BitReader(data, pos)
+    eobrun = 0
+    decode_block = _ac_refine_block if ah else _ac_first_block
+    mcu = 0
+    for row in range(c["nbh"]):
+        for col in range(c["nbw"]):
+            if dri and mcu and mcu % dri == 0:
+                br.expect_rst()
+                eobrun = 0
+            zz = c["zz"][row * c["bw"] + col]
+            eobrun = decode_block(br, ta, zz, ss, se, al, eobrun)
+            mcu += 1
+    return _next_marker(data, br.pos)
+
+
+def _render_progressive(frame, qt) -> np.ndarray:
+    comps = frame["comps"]
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError(f"jpeg: undefined quant table {c['tq']}")
+        blocks = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
+        blocks[:, _ZZ] = c["zz"].astype(np.float64)
+        c["blocks"] = blocks.reshape(-1, 8, 8) * qt[c["tq"]]
+    return _render(comps, frame["h"], frame["w"], frame["hmax"], frame["vmax"])
 
 
 # ---------------------------------------------------------------------------
@@ -568,5 +821,218 @@ def encode_jpeg(
     )
     out += seg(0xDA, sos)
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixtures): spectral selection + one level of
+# successive approximation, 4:4:4 / grayscale, per-block EOB flushes
+# (valid T.81, trades a little compression for a simple state machine).
+# Exists so the progressive DECODER has known-pixel coverage without
+# libjpeg in the image; the decoder is additionally pinned by a
+# hand-assembled stream test (encoder-independent).
+# ---------------------------------------------------------------------------
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """T.81 point transform for AC: divide by 2^Al truncating toward ZERO
+    (DC uses a plain arithmetic shift instead)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _ac_first_scan_block(blk, ss, se, al, emit_sym, emit_amp):
+    r = 0
+    for k in range(ss, se + 1):
+        t = _trunc_shift(int(blk[k]), al)
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            emit_sym(0xF0)
+            r -= 16
+        s = _category(t)
+        emit_sym((r << 4) | s)
+        emit_amp(t if t > 0 else t + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        emit_sym(0x00)  # EOB (run of exactly this block)
+
+
+def _ac_refine_scan_block(blk, ss, se, al, emit_sym, emit_amp):
+    """Mirror of the decoder's refinement walk (T.81 G.1.2.3): newly
+    nonzero coefficients carry (run, 1) + sign; already-nonzero ones
+    append correction bits after the next emitted symbol."""
+    absv = []
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(int(blk[k])) >> al
+        absv.append(t)
+        if t == 1:
+            eob = k
+    r = 0
+    pending: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            emit_sym(0xF0)
+            r -= 16
+            for b in pending:
+                emit_amp(b, 1)
+            pending = []
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        emit_sym((r << 4) | 1)
+        emit_amp(1 if int(blk[k]) > 0 else 0, 1)
+        for b in pending:
+            emit_amp(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        emit_sym(0x00)
+        for b in pending:
+            emit_amp(b, 1)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quant: int | np.ndarray = 1,
+    al: int = 1,
+) -> bytes:
+    """Progressive (SOF2) JPEG bytes: one interleaved DC-first scan at
+    point transform ``al``, DC refinement scans down to 0, then per
+    component an AC-first scan (Ss=1..63 at ``al``) and AC refinement
+    scans down to 0. ``al=0`` degenerates to spectral selection only."""
+    if pixels.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive expects uint8 pixels")
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise ValueError("encode_jpeg_progressive expects (h, w) or (h, w, 3)")
+    h, w = pixels.shape[:2]
+    q = np.full((8, 8), float(quant)) if np.isscalar(quant) else np.asarray(
+        quant, dtype=np.float64
+    )
+    if gray:
+        planes = [pixels.astype(np.float64)]
+    else:
+        rgb = pixels.astype(np.float64)
+        r_, g_, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+            -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0,
+            0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0,
+        ]
+    nbh, nbw = -(-h // 8), -(-w // 8)
+
+    def pad_to(p, th, tw):
+        pp = np.empty((th, tw))
+        sh, sw = p.shape
+        pp[:sh, :sw] = p
+        pp[sh:, :sw] = p[sh - 1:sh, :]
+        pp[:, sw:] = pp[:, sw - 1:sw]
+        return pp
+
+    comps = [
+        _encode_component_blocks(pad_to(p, nbh * 8, nbw * 8), q).reshape(nbh * nbw, 64)
+        for p in planes
+    ]
+    nc = len(comps)
+
+    # ---- scan walkers, parameterized by emit callbacks so one walk
+    # collects Huffman symbols and a second writes the entropy bits
+    def dc_first_walk(emit_sym, emit_amp):
+        preds = [0] * nc
+        for i in range(nbh * nbw):  # MCU order == block raster (all 1x1)
+            for ci in range(nc):
+                v = int(comps[ci][i, 0]) >> al  # arithmetic shift (DC rule)
+                diff = v - preds[ci]
+                preds[ci] = v
+                s = _category(diff)
+                emit_sym(s)
+                if s:
+                    emit_amp(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+    def dc_refine_walk(bit_al, emit_amp):
+        for i in range(nbh * nbw):
+            for ci in range(nc):
+                emit_amp((int(comps[ci][i, 0]) >> bit_al) & 1, 1)
+
+    def ac_walk(ci, scan_al, refine, emit_sym, emit_amp):
+        fn = _ac_refine_scan_block if refine else _ac_first_scan_block
+        for i in range(nbh * nbw):
+            fn(comps[ci][i], 1, 63, scan_al, emit_sym, emit_amp)
+
+    # ---- pass 1: collect symbols per table (0=DC, 1=AC first, 2=AC refine)
+    dc_syms: set[int] = set()
+    acf_syms: set[int] = set()
+    acr_syms: set[int] = set()
+    dc_first_walk(dc_syms.add, lambda v, n: None)
+    for ci in range(nc):
+        ac_walk(ci, al, False, acf_syms.add, lambda v, n: None)
+        for lvl in range(al, 0, -1):
+            ac_walk(ci, lvl - 1, True, acr_syms.add, lambda v, n: None)
+    dc_bits, dc_vals, dc_codes = _flat_table(dc_syms)
+    acf_bits, acf_vals, acf_codes = _flat_table(acf_syms)
+    acr_bits, acr_vals, acr_codes = _flat_table(acr_syms or {0x00})
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def entropy_of(walk) -> bytes:
+        bw_ = _BitWriter()
+
+        def emit_with(codes):
+            def emit_sym(sym):
+                ln, code = codes[sym]
+                bw_.write(code, ln)
+
+            return emit_sym
+
+        walk(emit_with, lambda v, n: bw_.write(v, n))
+        return bw_.flush()
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = np.clip(q.reshape(64)[_ZZ], 1, 255).astype(np.uint8)
+    out += seg(0xDB, bytes([0x00]) + bytes(zz_q))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(acf_bits) + acf_vals)
+    out += seg(0xC4, bytes([0x11]) + bytes(acr_bits) + acr_vals)
+
+    # DC first (interleaved, all components), Ah=0 Al=al
+    sos = bytes([nc]) + b"".join(bytes([i + 1, 0x00]) for i in range(nc)) + bytes(
+        [0, 0, al]
+    )
+    out += seg(0xDA, sos)
+    out += entropy_of(lambda ew, ea: dc_first_walk(ew(dc_codes), ea))
+    # DC refinements: raw bits, Ah=l Al=l-1
+    for lvl in range(al, 0, -1):
+        sos = bytes([nc]) + b"".join(bytes([i + 1, 0x00]) for i in range(nc)) + bytes(
+            [0, 0, (lvl << 4) | (lvl - 1)]
+        )
+        out += seg(0xDA, sos)
+        out += entropy_of(lambda ew, ea, _l=lvl: dc_refine_walk(_l - 1, ea))
+    # AC first + refinements per component (AC table 0 first, 1 refine)
+    for ci in range(nc):
+        sos = bytes([1, ci + 1, 0x00, 1, 63, al])
+        out += seg(0xDA, sos)
+        out += entropy_of(
+            lambda ew, ea, _c=ci: ac_walk(_c, al, False, ew(acf_codes), ea)
+        )
+        for lvl in range(al, 0, -1):
+            sos = bytes([1, ci + 1, 0x01, 1, 63, (lvl << 4) | (lvl - 1)])
+            out += seg(0xDA, sos)
+            out += entropy_of(
+                lambda ew, ea, _c=ci, _l=lvl: ac_walk(
+                    _c, _l - 1, True, ew(acr_codes), ea
+                )
+            )
     out += b"\xff\xd9"
     return bytes(out)

@@ -17,7 +17,8 @@ a media library):
 - **WAV**: RIFF chunk walk (handles extra chunks like LIST/fact before
   ``data``), PCM 8/16/24/32-bit int and IEEE float 32/64 → ``float64``
   samples ``(n_frames, channels)`` normalized to [-1, 1].
-- **JPEG** (operators/jpeg.py): baseline sequential DCT, 8-bit,
+- **JPEG** (operators/jpeg.py): baseline sequential AND progressive
+  (SOF2: spectral selection + successive approximation) DCT, 8-bit,
   grayscale or YCbCr with 4:4:4/4:2:2/4:2:0 sampling, restart
   intervals, arbitrary DHT tables.
 - **MP4/ISO-BMFF** (``parse_mp4``): CONTAINER metadata only — brand,
@@ -27,7 +28,7 @@ a media library):
   behind an injected kernel.
 
 Unsupported variants (16-bit PNG, interlacing, compressed WAV codecs,
-progressive/12-bit/CMYK JPEG) raise ``ValueError`` with a precise
+arithmetic/12-bit/CMYK JPEG) raise ``ValueError`` with a precise
 message — callers treat that payload as undecodable rather than
 silently mis-decoding.
 
@@ -455,9 +456,10 @@ def default_decode(payload: bytes, kind: str, dim: int) -> list[float]:
     features otherwise.
 
     Payloads that claim a decodable kind but fail to parse — for ANY parse
-    failure mode (`DECODE_ERRORS`), including non-baseline JPEG variants
-    (progressive, 12-bit, CMYK) the baseline decoder refuses — fall back
-    to byte features rather than poisoning the whole Arrow batch.
+    failure mode (`DECODE_ERRORS`), including the JPEG variants the codec
+    refuses (arithmetic-coded, 12-bit, CMYK; progressive decodes for real
+    as of round 9) — fall back to byte features rather than poisoning the
+    whole Arrow batch.
     """
     try:
         if payload[:8] == PNG_MAGIC:

@@ -113,10 +113,16 @@ def test_gray_with_declared_2x2_factors_decodes_as_noninterleaved():
 
 def test_rejects_non_baseline():
     good = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
-    # flip SOF0 (FFC0) to SOF2 (FFC2, progressive)
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # flip SOF0 (FFC0) to SOF3 (FFC3, lossless) — still unsupported
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
     with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(prog)
+        decode_jpeg(lossless)
+    # a baseline stream RELABELED SOF2 is malformed as progressive (its
+    # single scan says Ss=0, Se=63 — a progressive DC scan must have
+    # Se=0): refused, never mis-decoded
+    relabeled = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(relabeled)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02")
 
@@ -196,3 +202,105 @@ def test_undefined_tables_raise_value_error_not_keyerror():
     patched2[sof_at + 12] = 3  # comp tq byte inside SOF0
     with pytest.raises(ValueError, match="quant table"):
         decode_jpeg(bytes(patched2))
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_gray_matches_baseline_decode():
+    """Progressive round-trip: successive-approximation scans (DC first
+    Al=1 + refine, AC first Al=1 + refine) reassemble the exact
+    coefficients, so the decode matches the baseline decode of the same
+    pixels bit-for-bit at quant=1."""
+    from financial_big_data_spark.operators.jpeg import encode_jpeg_progressive
+
+    g = (np.arange(24)[:, None] * 5 + np.arange(40)[None, :] * 3).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(g, quant=1))
+    prog = decode_jpeg(encode_jpeg_progressive(g, quant=1, al=1))
+    assert prog.shape == base.shape
+    assert np.array_equal(prog, base)
+    assert np.array_equal(prog, g)  # all-ones quant: exact here
+
+
+def test_progressive_color_roundtrip():
+    from financial_big_data_spark.operators.jpeg import encode_jpeg_progressive
+
+    rgb = _rng().integers(0, 255, size=(17, 23, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_progressive(rgb, quant=1, al=1))
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_progressive_spectral_selection_only():
+    """al=0: no successive approximation — pure spectral selection (DC
+    scan + per-component AC band scans), the other half of G.1.2."""
+    from financial_big_data_spark.operators.jpeg import encode_jpeg_progressive
+
+    rgb = _smooth_rgb(16, 16)
+    base = decode_jpeg(encode_jpeg(rgb, quant=2))
+    prog = decode_jpeg(encode_jpeg_progressive(rgb, quant=2, al=0))
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_quantized():
+    from financial_big_data_spark.operators.jpeg import encode_jpeg_progressive
+
+    sm = _smooth_rgb(33, 47)
+    out = decode_jpeg(encode_jpeg_progressive(sm, quant=4, al=2))
+    base = decode_jpeg(encode_jpeg(sm, quant=4))
+    # same quantized coefficients -> identical reconstruction
+    assert np.array_equal(out, base)
+
+
+def test_decodes_hand_assembled_progressive_stream():
+    """Encoder-independent pin: 8x8 gray assembled byte-by-byte as THREE
+    progressive scans — DC first (Al=1, value 8 -> coef 16), DC refine
+    (bit 0), AC first (EOB only). DC table: code '0' -> category 4; AC
+    table: code '0' -> EOB. Expected: constant 130 (16/8 + 128)."""
+    q = bytes([0x00]) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00] + [1] + [0] * 15) + bytes([4])
+    dht_ac = bytes([0x10] + [1] + [0] * 15) + bytes([0x00])
+    scan1 = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bytes([0b01000111])
+    scan2 = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + bytes([0b01111111])
+    scan3 = _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bytes([0b01111111])
+    payload = (
+        b"\xff\xd8" + _seg(0xDB, q) + _seg(0xC2, sof) + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac) + scan1 + scan2 + scan3 + b"\xff\xd9"
+    )
+    img = decode_jpeg(payload)
+    assert img.shape == (8, 8)
+    assert (img == 130).all()
+
+
+def test_default_decode_routes_progressive():
+    """SOF2 no longer falls back to byte features — the decoded-pixel
+    feature path handles progressive payloads (VERDICT r5 #7)."""
+    from financial_big_data_spark.operators.jpeg import encode_jpeg_progressive
+    from financial_big_data_spark.operators.media_codecs import default_decode
+
+    sm = _smooth_rgb(16, 16)
+    f_prog = default_decode(encode_jpeg_progressive(sm, quant=1, al=1), "image", 8)
+    f_base = default_decode(encode_jpeg(sm, quant=1), "image", 8)
+    assert f_prog == pytest.approx(f_base, abs=1e-9)
+
+
+def test_progressive_corrupt_payload_raises_decode_errors_only():
+    from financial_big_data_spark.operators.jpeg import encode_jpeg_progressive
+    from financial_big_data_spark.operators.media_codecs import DECODE_ERRORS
+
+    good = bytearray(encode_jpeg_progressive(_smooth_rgb(16, 16), quant=2, al=1))
+    for cut in (12, len(good) // 3, len(good) // 2, len(good) - 3):
+        try:
+            decode_jpeg(bytes(good[:cut]))
+        except DECODE_ERRORS:
+            pass
+    for flip in range(len(good) - 40, len(good) - 2, 3):
+        bad = bytearray(good)
+        bad[flip] ^= 0x5A
+        try:
+            decode_jpeg(bytes(bad))
+        except DECODE_ERRORS:
+            pass
