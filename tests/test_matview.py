@@ -1,0 +1,168 @@
+"""Incrementally-maintained materialized aggregates (sources/matview.py):
+delta refresh ≡ full recompute under insert/update/delete, zero-count
+group deletion, the changed-keys fast path, and the stated limits."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.sources.matview import (
+    create_matview,
+    read_matview,
+    refresh_matview,
+)
+from financial_big_data_spark.sources.versioned import (
+    delete_version,
+    read_version,
+    upsert_version,
+    write_version,
+)
+
+
+@pytest.fixture()
+def paths():
+    d = tempfile.mkdtemp(prefix="matview_")
+    yield os.path.join(d, "base"), os.path.join(d, "view")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _base(spark, n=200):
+    # group = id % 7, value = id * 1.5
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+
+
+def _recompute(spark, base_path):
+    return {
+        (r.g, round(r.s, 6), r.c)
+        for r in read_version(spark, base_path)
+        .groupBy("g")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+
+
+def _view_rows(spark, view_path):
+    return {
+        (r.g, round(r.agg_sum, 6), r.agg_count)
+        for r in read_matview(spark, view_path).collect()
+    }
+
+
+def test_create_matches_full_aggregate(spark, paths):
+    base, view = paths
+    write_version(_base(spark), base, key="id")
+    create_matview(spark, base, view, group="g", value="v")
+    assert _view_rows(spark, view) == _recompute(spark, base)
+
+
+def test_refresh_after_insert_update_delete(spark, paths):
+    base, view = paths
+    write_version(_base(spark), base, key="id")
+    create_matview(spark, base, view, group="g", value="v")
+    # update: double v for ids 10-19; insert: ids 200-219
+    updates = spark.range(10, 20).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), (F.col("id") * 3.0).alias("v")
+    ).unionByName(
+        spark.range(200, 220).select(
+            F.col("id"), (F.col("id") % 7).alias("g"), (F.col("id") * 1.5).alias("v")
+        )
+    )
+    upsert_version(spark, base, updates, key="id")
+    # delete: every id divisible by 5
+    delete_version(
+        spark, base, spark.range(0, 220, 5).select("id"), key="id"
+    )
+    stats = refresh_matview(spark, base, view, key="id")
+    assert stats["groups_upserted"] > 0
+    assert _view_rows(spark, view) == _recompute(spark, base)
+
+
+def test_zero_count_group_is_deleted(spark, paths):
+    base, view = paths
+    # two groups; wipe one entirely
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") % 2).alias("g"), F.lit(1.0).alias("v")
+    )
+    write_version(df, base, key="id")
+    create_matview(spark, base, view, group="g", value="v")
+    delete_version(
+        spark, base, spark.range(0, 20, 2).select("id"), key="id"
+    )  # removes all of group 0
+    stats = refresh_matview(spark, base, view, key="id")
+    assert stats["groups_deleted"] == 1
+    rows = _view_rows(spark, view)
+    assert rows == _recompute(spark, base)
+    assert all(g == 1 for g, _, _ in rows)
+
+
+def test_noop_refresh_and_changed_keys_fast_path(spark, paths):
+    base, view = paths
+    write_version(_base(spark), base, key="id")
+    create_matview(spark, base, view, group="g", value="v")
+    assert refresh_matview(spark, base, view, key="id") == {
+        "base_version": 1,
+        "groups_upserted": 0,
+        "groups_deleted": 0,
+    }
+    updates = spark.range(50, 60).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), F.lit(100.0).alias("v")
+    )
+    upsert_version(spark, base, updates, key="id")
+    # writer passes the batch keys — no changefeed diff needed
+    refresh_matview(
+        spark, base, view, key="id", changed_keys=updates.select("id")
+    )
+    assert _view_rows(spark, view) == _recompute(spark, base)
+
+
+def test_view_is_itself_versioned(spark, paths):
+    base, view = paths
+    write_version(_base(spark), base, key="id")
+    create_matview(spark, base, view, group="g", value="v")
+    before = _view_rows(spark, view)
+    upsert_version(
+        spark,
+        base,
+        spark.range(300, 310).select(
+            F.col("id"), (F.col("id") % 7).alias("g"), F.lit(9.0).alias("v")
+        ),
+        key="id",
+    )
+    refresh_matview(spark, base, view, key="id")
+    # time travel to the pre-refresh view
+    v1 = {
+        (r.g, round(r.agg_sum, 6), r.agg_count)
+        for r in read_version(spark, view, 1).collect()
+    }
+    assert v1 == before
+    assert _view_rows(spark, view) != before
+
+
+def test_non_maintainable_aggregate_refuses(spark, paths):
+    base, view = paths
+    write_version(_base(spark), base, key="id")
+    with pytest.raises(ValueError, match="not self-maintainable"):
+        create_matview(spark, base, view, group="g", value="v", aggs=("sum", "max"))
+
+
+def test_stale_view_after_rollback_refuses(spark, paths):
+    base, view = paths
+    write_version(_base(spark), base, key="id")
+    create_matview(spark, base, view, group="g", value="v")
+    meta_path = os.path.join(view, "_matview.json")
+    import json
+
+    meta = json.load(open(meta_path))
+    meta["base_version"] = 99
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="went backwards"):
+        refresh_matview(spark, base, view, key="id")

@@ -82,6 +82,10 @@ for _q in (
     # summaries of the t-test; the N total of the chi-square) — the same
     # global-scalar shape
     "ev_ab_ttest", "ev_type_hour_chi2",
+    # round 9: TPC-H Q11 — the HAVING threshold crosses the 1-row grand
+    # total onto the per-part aggregate (both read one materialized
+    # frame, so threshold and probe can't disagree in the last ulp)
+    "important_parts",
 ):
     JUSTIFIED[(_q, "nested-loop-join")] = _GLOBAL_SCALAR
 for _q in ("emb_topk", "emb_near_dup", "emb_knn_dist"):
