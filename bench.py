@@ -143,6 +143,8 @@ def main() -> None:
         "doc_weighted_sample",
         # temperature-scaled mixing through the WFQ interleave — round 8
         "doc_temperature_interleave",
+        # quality-ranked canonical per dup cluster — round 9
+        "doc_canonical",
     ):
         fn, _ = REGISTRY[name]
         best = None
@@ -161,7 +163,15 @@ def main() -> None:
     # discipline, separate dict for the same cross-round comparability
     # reason.
     alignment_ops: dict[str, float] = {}
-    for name in ("ev_asof_join", "ev_range_join", "ev_time_rollup"):
+    for name in (
+        "ev_asof_join",
+        "ev_range_join",
+        "ev_time_rollup",
+        # round 9: CUBE grouping sets + the CDC-maintained materialized
+        # aggregate (create + 2 delta refreshes incl. versioned-table DML)
+        "ev_cube",
+        "ev_incremental_agg",
+    ):
         fn, _ = REGISTRY[name]
         best = None
         for _ in range(2):
@@ -230,6 +240,17 @@ def main() -> None:
         "promo_revenue_share",
         "top_supplier_revenue",
         "sole_blame_suppliers",
+        # round 9: the remaining 10 shapes — the full 22 are now covered
+        "min_cost_supplier",
+        "discount_band_revenue",
+        "nation_market_share",
+        "product_type_profit",
+        "returned_item_ranking",
+        "important_parts",
+        "order_count_distribution",
+        "part_supplier_variety",
+        "disjunctive_band_revenue",
+        "excess_shippers",
     ):
         fn, _ = REGISTRY[name]
         best = None

@@ -4725,6 +4725,91 @@ GROUP BY user_id
 """
 
 
+def q_ev_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets aggregation (the multidimensional complement of
+    ``order_rollup``'s ROLLUP): event counts + value sums over every
+    subset of (event_type, hour-of-day) — 4 grouping sets in ONE pass
+    (Spark Expand + single keyed agg, not 4 scans unioned). grouping_id
+    disambiguates a NULL group value from a rolled-up dimension; the
+    oracle's GROUP BY CUBE + GROUPING() follows the same SQL-standard
+    bit order (first column = MSB)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    return (
+        ev.cube("event_type", "hr")
+        .agg(
+            F.grouping_id().alias("grouping_set"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("event_type", "hr", "grouping_set", "n", "total_value")
+    )
+
+
+_SQL_EV_CUBE = """
+SELECT event_type, hour(ts) AS hr,
+       GROUPING(event_type, hour(ts))::BIGINT AS grouping_set,
+       count(*)::BIGINT AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type, hour(ts))
+"""
+
+
+def q_doc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection per near-dup cluster: instead of keeping the
+    min-id member (``doc_exact_dedup``'s rule), keep the HIGHEST-QUALITY
+    member — the curation policy real corpus pipelines want (longest
+    surviving text here; byte length via octet_length so both engines
+    count identically on non-ASCII). One lexicographic min-struct
+    aggregate per cluster ((-score, doc_id): max score, ties to the
+    smaller id) — no per-cluster rank window. The oracle re-derives the
+    clusters with the recursive min-label CTE and picks winners with the
+    textbook QUALIFY row_number() form, so the struct-agg ≡ rank-1
+    equivalence is hash-checked on top of the component arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = D.dup_clusters(
+        docs, num_hashes=8, bands=4, shingle_n=3, min_jaccard=0.5
+    )
+    scored = clusters.select("doc_id", "cluster_id", "cluster_size").join(
+        docs.select("doc_id", F.octet_length("text").alias("score")), on="doc_id"
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.min(F.struct((-F.col("score")).alias("neg"), F.col("doc_id"))).alias("w"),
+            F.max("cluster_size").alias("cluster_size"),
+        )
+        .select(
+            "cluster_id",
+            F.col("w.doc_id").alias("canonical_doc_id"),
+            (-F.col("w.neg")).alias("kept_score"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_discarded"),
+        )
+    )
+
+
+_SQL_DOC_CANONICAL = (
+    """
+SELECT cluster_id, doc_id AS canonical_doc_id, score AS kept_score,
+       cluster_size, cluster_size - 1 AS n_discarded
+FROM (
+  SELECT c.cluster_id, c.doc_id, c.cluster_size,
+         strlen(d.text) AS score
+  FROM ("""
+    + _SQL_DOC_DUP_CLUSTERS
+    + """) c
+  JOIN documents d ON d.doc_id = c.doc_id
+)
+QUALIFY row_number() OVER (
+  PARTITION BY cluster_id ORDER BY score DESC, doc_id
+) = 1
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4893,6 +4978,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # is hash-checked against a from-scratch SQL aggregate of the final
     # logical state (sources/matview.py; tests/test_matview.py)
     "ev_incremental_agg": (q_ev_incremental_agg, _SQL_EV_INCREMENTAL_AGG),
+    # CUBE grouping sets (one Expand pass) + quality-based canonical
+    # selection per dup cluster (min-struct ≡ QUALIFY rank-1, hash-checked)
+    "ev_cube": (q_ev_cube, _SQL_EV_CUBE),
+    "doc_canonical": (q_doc_canonical, _SQL_DOC_CANONICAL),
     # rows-only: KMeans codebooks are iterative, not SQL-expressible;
     # pinned by tests/test_pq.py + the per-bench recall probe
     "emb_ivfpq": (q_emb_ivfpq, None),

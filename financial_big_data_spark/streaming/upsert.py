@@ -83,6 +83,62 @@ def streaming_upsert(
     return writer.start()
 
 
+def streaming_versioned_upsert_with_matview(
+    stream: DataFrame,
+    path: str,
+    key: str,
+    order: str,
+    checkpoint: str,
+    view_path: str,
+    group: str,
+    value: str,
+    available_now: bool = True,
+):
+    """``streaming_versioned_upsert`` + a materialized aggregate
+    (sources/matview.py) kept current per micro-batch.
+
+    The view refresh takes the DELTA fast path: the batch's own keys are
+    the changed-key set, so no changefeed diff runs and the refresh
+    touches O(files overlapping the batch's key range) of two base
+    snapshots — per-batch maintenance cost scales with the batch, not
+    the table. The fast path is only sound when the view lagged exactly
+    ONE commit; after a crash between the table commit and the view
+    refresh the next batch sees a 2-commit lag and falls back to the
+    changefeed diff (catch-up covers the lost batch's keys too), which
+    is what makes replay converge — the same at-least-once →
+    idempotent-state argument as the base sink."""
+    from ..sources.matview import create_matview, refresh_matview, _read_meta
+    from ..sources.versioned import current_version, upsert_version, write_version
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        latest = latest_per_key(batch, key=key, order=order).drop(order)
+        try:
+            upsert_version(spark, path, latest, key=key)
+        except FileNotFoundError:
+            write_version(latest, path, key=key)
+        try:
+            meta = _read_meta(view_path)
+        except FileNotFoundError:
+            create_matview(spark, path, view_path, group=group, value=value)
+            return
+        if meta["base_version"] == current_version(path) - 1:
+            refresh_matview(
+                spark, path, view_path, key=key, changed_keys=latest.select(key)
+            )
+        else:  # crashed between commit and refresh: full-diff catch-up
+            refresh_matview(spark, path, view_path, key=key)
+
+    writer = stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_versioned_upsert(
     stream: DataFrame,
     path: str,

@@ -166,3 +166,37 @@ def test_stale_view_after_rollback_refuses(spark, paths):
     json.dump(meta, open(meta_path, "w"))
     with pytest.raises(ValueError, match="went backwards"):
         refresh_matview(spark, base, view, key="id")
+
+
+def test_streaming_upsert_keeps_view_current(spark, paths):
+    """Two micro-batches through the streaming versioned-upsert sink with
+    view maintenance: after the stream drains, the view equals a full
+    recompute of the final table state (batch 1 bootstraps table+view,
+    batch 2 takes the one-commit-lag delta fast path)."""
+    base, view = paths
+    d = os.path.dirname(base)
+    indir, ckpt = os.path.join(d, "in"), os.path.join(d, "ckpt")
+    os.makedirs(indir)
+    from financial_big_data_spark.streaming.upsert import (
+        streaming_versioned_upsert_with_matview,
+    )
+
+    schema = "id long, g long, v double, seq long"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+        stream = spark.readStream.schema(schema).parquet(indir)
+        q = streaming_versioned_upsert_with_matview(
+            stream, base, key="id", order="seq", checkpoint=ckpt,
+            view_path=view, group="g", value="v",
+        )
+        q.awaitTermination(180)
+
+    run_batch([(1, 0, 1.0, 1), (2, 1, 2.0, 1), (3, 0, 3.0, 1)])
+    # batch 2: update id 1 (and in-batch last-wins on seq), insert id 4
+    run_batch([(1, 0, 10.0, 2), (1, 0, 99.0, 3), (4, 1, 4.0, 2)])
+    got = _view_rows(spark, view)
+    assert got == _recompute(spark, base)
+    assert got == {(0, 102.0, 2), (1, 6.0, 2)}  # 99+3 / 2+4
