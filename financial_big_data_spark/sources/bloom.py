@@ -1,0 +1,173 @@
+"""Per-file key Bloom filters — the pruning notch past footer key ranges.
+
+Footer min/max ranges (``_key_ranges``) prune a key-clustered snapshot well
+for RANGE predicates, but a point/set probe inside a file's range still
+touches the file even when none of the probed keys exist there. A Bloom
+sidecar answers "might this file contain key k?" with a bounded false-
+positive rate and ZERO false negatives, so
+
+- ``upsert_version``/``delete_version`` with a small update batch rewrite
+  only files that genuinely (probably) hold a matched key — an insert of
+  brand-new keys rewrites nothing;
+- ``read_version_keys`` (point-set lookup) opens O(files that may match),
+  not O(files whose range brackets the keys).
+
+Layout: each immutable data file gets an immutable ``<file>.bloom``
+sidecar (JSON: m bits, k hashes, n keys, base64 bitset) written right
+after the batch — sidecars share the data file's lifecycle (carried by
+reference across snapshots, removed by vacuum with their file). A missing
+sidecar degrades to "might contain" — range pruning still applies, so
+older tables keep working.
+
+Determinism: keys canonicalize through ``str()`` and hash with
+md5-double-hashing (h1 + i·h2 mod m) — pure Python on both the build side
+(grouped pandas batches, one group per file — a file's keys already fit a
+task) and the probe side (driver, bounded key sets only). No engine hash()
+whose seed could drift between sessions.
+
+Parameters: 10 bits/key, k=7 → ~1% false positives; a 1M-row file costs a
+~1.2 MB sidecar, read only when a point probe considers the file.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+BITS_PER_KEY = 10
+NUM_HASHES = 7
+
+
+def _h2(key) -> tuple[int, int]:
+    d = hashlib.md5(str(key).encode("utf-8")).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:16], "little") | 1,  # odd step → full cycle
+    )
+
+
+def bloom_build(keys, bits_per_key: int = BITS_PER_KEY, k: int = NUM_HASHES) -> dict:
+    """Build a serializable Bloom filter over ``keys`` (any str()-able)."""
+    n = len(keys)
+    m = max(64, ((n * bits_per_key + 7) // 8) * 8)
+    bits = bytearray(m // 8)
+    for key in keys:
+        h1, h2 = _h2(key)
+        for i in range(k):
+            idx = (h1 + i * h2) % m
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return {
+        "m": m,
+        "k": k,
+        "n": n,
+        "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+    }
+
+
+class Bloom:
+    __slots__ = ("m", "k", "bits")
+
+    def __init__(self, d: dict):
+        self.m = d["m"]
+        self.k = d["k"]
+        self.bits = base64.b64decode(d["b64"])
+
+    def might_contain(self, key) -> bool:
+        h1, h2 = _h2(key)
+        for i in range(self.k):
+            idx = (h1 + i * h2) % self.m
+            if not (self.bits[idx >> 3] >> (idx & 7)) & 1:
+                return False
+        return True
+
+    def might_contain_any(self, keys) -> bool:
+        return any(self.might_contain(k) for k in keys)
+
+
+def sidecar_path(data_file: str) -> str:
+    return data_file + ".bloom"
+
+
+def load_sidecar(data_file: str) -> Bloom | None:
+    """None = no sidecar (pre-bloom file): caller must treat as 'might'."""
+    try:
+        with open(sidecar_path(data_file)) as fh:
+            return Bloom(json.load(fh))
+    except FileNotFoundError:
+        return None
+
+
+def write_bloom_sidecars(spark, files: list[str], key: str) -> None:
+    """One sidecar per data file, built DISTRIBUTED: the key column is
+    read once, grouped by source file (``input_file_name``), and each
+    group — exactly one file's keys, already task-sized by construction —
+    builds its bitset in a grouped pandas batch. Only the (file, bloom)
+    rows come to the driver: bounded metadata, one row per file."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if not files:
+        return
+
+    def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        b = bloom_build(pdf["_k"].tolist())
+        return pd.DataFrame([{"_f": pdf["_f"].iloc[0], "_bloom": json.dumps(b)}])
+
+    rows = (
+        spark.read.parquet(*files)
+        .select(F.input_file_name().alias("_f"), F.col(key).cast("string").alias("_k"))
+        .groupBy("_f")
+        .applyInPandas(_build, "_f string, _bloom string")
+        .collect()
+    )
+    for r in rows:
+        p = r["_f"]
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+            if not p.startswith("/"):
+                p = "/" + p
+        tmp = sidecar_path(p) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(r["_bloom"])
+        os.replace(tmp, sidecar_path(p))
+
+
+def prune_by_keys(files: list[str], keys) -> list[str]:
+    """Files that MIGHT contain at least one of ``keys`` (bounded probe
+    set — the caller enforces the cap). Missing sidecar → kept."""
+    out = []
+    for f in files:
+        b = load_sidecar(f)
+        if b is None or b.might_contain_any(keys):
+            out.append(f)
+    return out
+
+
+_EXACT_STR_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "string",
+}
+
+
+def _collect_keys_capped(updates: DataFrame, key: str, cap: int) -> list | None:
+    """The update batch's distinct keys IF there are ≤ cap of them, else
+    None (fall back to range-only pruning). The cap bounds driver memory:
+    the collect is explicitly a bounded-metadata move, never fact data.
+
+    Also None for key types whose Python ``str()`` could disagree with
+    Spark's string cast (timestamps, decimals, floats) — the build side
+    stringifies through the engine, so only types with one canonical
+    rendering may probe (a disagreement would be a FALSE NEGATIVE, i.e.
+    a correctness bug, not just a missed prune)."""
+    dtype = dict(updates.dtypes).get(key)
+    if dtype not in _EXACT_STR_TYPES:
+        return None
+    sample = updates.select(key).distinct().limit(cap + 1).collect()
+    if len(sample) > cap:
+        return None
+    return [r[0] for r in sample]

@@ -106,7 +106,13 @@ def _write_batch(df: DataFrame, path: str, key: str, n_files: int | None) -> lis
     # frozen-boundary range clustering (not repartitionByRange): snapshot
     # rewrites of identical data produce an identical file layout
     range_clustered(df, key, n_files).write.parquet(batch)
-    return sorted(glob.glob(os.path.join(batch, "*.parquet")))
+    files = sorted(glob.glob(os.path.join(batch, "*.parquet")))
+    # per-file key Bloom sidecars (sources/bloom.py): immutable like the
+    # data files they describe, carried by reference across snapshots
+    from .bloom import write_bloom_sidecars
+
+    write_bloom_sidecars(df.sparkSession, files, key)
+    return files
 
 
 def write_version(
@@ -236,6 +242,18 @@ def upsert_version(
             touched.append(f)
         else:
             carried.append(f)
+    # Bloom notch (sources/bloom.py): when the update batch's distinct
+    # keys fit the bounded-metadata cap, drop range-touched files whose
+    # sidecar proves no matched key — an insert of brand-new keys then
+    # rewrites NOTHING. Zero false negatives, so correctness is the
+    # range path's; this only removes work.
+    from .bloom import _collect_keys_capped, prune_by_keys
+
+    probe = _collect_keys_capped(updates, key, cap=10_000)
+    if probe is not None and touched:
+        still = set(prune_by_keys(touched, probe))
+        carried += [f for f in touched if f not in still]
+        touched = [f for f in touched if f in still]
     survivors = None
     if touched:
         survivors = spark.read.parquet(*touched).join(
@@ -313,6 +331,10 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
             if f not in referenced and os.path.exists(f):
                 os.remove(f)
                 dropped_files += 1
+                from .bloom import sidecar_path
+
+                if os.path.exists(sidecar_path(f)):
+                    os.remove(sidecar_path(f))
         os.remove(_manifest_path(path, v))
     return {"manifests_removed": len(drop), "files_removed": dropped_files}
 
@@ -339,6 +361,13 @@ def delete_version(
         f for f, (lo, hi) in ranges.items()
         if lo is None or (lo <= hi_k and hi >= lo_k)
     ]
+    # same Bloom notch as upsert_version: a delete of absent keys
+    # rewrites nothing
+    from .bloom import _collect_keys_capped, prune_by_keys
+
+    probe = _collect_keys_capped(keys, key, cap=10_000)
+    if probe is not None and touched:
+        touched = prune_by_keys(touched, probe)
     carried = [f for f in m["files"] if f not in set(touched)]
     new_files: list[str] = []
     if touched:
@@ -422,6 +451,41 @@ def read_version_pruned(
             spark.read.parquet(*m["files"]).where(F.lit(False))
         )
     return spark.read.parquet(*picked).where(F.col(key).between(lo, hi))
+
+
+def read_version_keys(
+    spark: SparkSession,
+    path: str,
+    keys: list,
+    key: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Point-SET read: only files whose Bloom sidecar might contain one
+    of ``keys`` (a bounded, driver-held probe set — this is the lookup
+    API, not a join) reach the scan; files without a sidecar fall back
+    to footer range intersection. The exact IN-predicate applies on
+    top, so false positives cost a scan, never a wrong row. On a
+    key-clustered snapshot a miss probe (no key present) touches ZERO
+    files — the case range pruning cannot express when the keys sit
+    inside some file's [min, max]."""
+    from .bloom import load_sidecar
+
+    m = _load_manifest(path, version)
+    if not m["files"] or not keys:
+        return read_version(spark, path, version).where(F.lit(False))
+    lo, hi = min(keys), max(keys)
+    picked = []
+    for f in m["files"]:
+        b = load_sidecar(f)
+        if b is None:
+            flo, fhi = _key_ranges([f], key)[f]
+            if flo is None or (flo <= hi and fhi >= lo):
+                picked.append(f)
+        elif b.might_contain_any(keys):
+            picked.append(f)
+    if not picked:
+        return spark.read.parquet(*m["files"]).where(F.lit(False))
+    return spark.read.parquet(*picked).where(F.col(key).isin(list(keys)))
 
 
 def read_version_box(
