@@ -456,6 +456,7 @@ def pagerank(
     weight: str | None = None,
     reset: DataFrame | None = None,
     tol: float | None = None,
+    checkpoint_interval: int = 1,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank over directed (src, dst[, w]).
 
@@ -492,7 +493,21 @@ def pagerank(
     ``tol``, capped at ``n_iter`` rounds. At scale a converged graph
     stops paying for dead iterations; ``tol=None`` (default) keeps the
     fixed-iteration mode the unrolled-CTE oracles mirror exactly.
+
+    ``checkpoint_interval=k`` (fixed-iteration mode only) materializes
+    the rank state every k-th round instead of every round: k rounds
+    fuse into ONE job (the un-checkpointed iterations stack as k-deep
+    plan lineage — bounded, since the next checkpoint cuts it), trading
+    a deeper plan for fewer sequential job floors. The arithmetic is
+    IDENTICAL (checkpointing never changes the computed values, only
+    where lineage is cut), so oracle hashes are unaffected. With ``tol``
+    set the interval is forced to 1 — the convergence test needs each
+    round materialized anyway.
     """
+    if checkpoint_interval < 1:
+        raise ValueError("checkpoint_interval must be >= 1")
+    if tol is not None:
+        checkpoint_interval = 1
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
     if n_iter < 1:
@@ -543,7 +558,7 @@ def pagerank(
     ranks = nodes.select("node", F.col("_p").alias("rank"))
     dangling_nodes = nodes.select("node").join(has_out, "node", "left_anti").cache()
     any_dangling = dangling_nodes.limit(1).count() > 0
-    for _ in range(n_iter):
+    for _it in range(n_iter):
         inflow = (
             norm.join(ranks, norm.src == ranks.node)
             .groupBy(F.col("dst").alias("node"))
@@ -580,7 +595,10 @@ def pagerank(
                 ).alias("rank"),
             )
         prev = ranks
-        ranks = new.localCheckpoint(eager=True)
+        if (_it + 1) % checkpoint_interval == 0 or _it == n_iter - 1:
+            ranks = new.localCheckpoint(eager=True)
+        else:
+            ranks = new
         if tol is not None:
             delta = (
                 ranks.join(

@@ -183,3 +183,19 @@ def test_personalized_pagerank_tol_early_exit(spark):
     }
     for n in fixed:
         assert early[n] == pytest.approx(fixed[n], abs=1e-9)
+
+
+def test_pagerank_checkpoint_interval_is_bit_identical(spark):
+    # Checkpointing cuts lineage; it must never change the arithmetic.
+    # interval=3 with n_iter=7 exercises both a mid-stride checkpoint and
+    # the forced final-iteration materialization.
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 4), (4, 1)]
+    df = _edges_df(spark, edges)
+    base = {r.node: r.rank for r in pagerank(df, n_iter=7).collect()}
+    strided = {
+        r.node: r.rank
+        for r in pagerank(df, n_iter=7, checkpoint_interval=3).collect()
+    }
+    assert base == strided  # exact float equality, not approx
+    with pytest.raises(ValueError):
+        pagerank(df, checkpoint_interval=0)
