@@ -471,6 +471,15 @@ def _prog_dc_scan(data, pos, frame, scomps, ah, al, dri) -> int:
             if s > 11:
                 raise ValueError("jpeg: bad DC category")
             preds[id(c)] += _extend(br.receive(s), s)
+            # legal DC values stay far below 2^16 (8-bit precision:
+            # |quantized DC| <= 1024, diffs category <= 11); a corrupt
+            # stream can accumulate past that, and `pred << al` (Al <=
+            # 13) would then overflow the int32 store — numpy 1.x wraps
+            # silently, numpy 2.x raises OverflowError, which is NOT in
+            # DECODE_ERRORS. Refuse loudly instead, so default_decode's
+            # byte-features fallback engages per contract.
+            if abs(preds[id(c)]) > (1 << 16):
+                raise ValueError("jpeg: DC accumulation out of range")
             c["zz"][idx, 0] = preds[id(c)] << al
         else:
             if br.read_bit():

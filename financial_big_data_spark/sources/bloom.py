@@ -77,7 +77,9 @@ class Bloom:
         self.bits = base64.b64decode(d["b64"])
 
     def might_contain(self, key) -> bool:
-        h1, h2 = _h2(key)
+        return self.might_contain_hashed(*_h2(key))
+
+    def might_contain_hashed(self, h1: int, h2: int) -> bool:
         for i in range(self.k):
             idx = (h1 + i * h2) % self.m
             if not (self.bits[idx >> 3] >> (idx & 7)) & 1:
@@ -86,6 +88,12 @@ class Bloom:
 
     def might_contain_any(self, keys) -> bool:
         return any(self.might_contain(k) for k in keys)
+
+    def might_contain_any_hashed(self, hashes) -> bool:
+        """Probe with precomputed ``_h2`` pairs — callers testing the
+        same key set against MANY files hash each key once, not once
+        per file."""
+        return any(self.might_contain_hashed(h1, h2) for h1, h2 in hashes)
 
 
 def sidecar_path(data_file: str) -> str:
@@ -140,11 +148,13 @@ def write_bloom_sidecars(spark, files: list[str], key: str) -> None:
 
 def prune_by_keys(files: list[str], keys) -> list[str]:
     """Files that MIGHT contain at least one of ``keys`` (bounded probe
-    set — the caller enforces the cap). Missing sidecar → kept."""
+    set — the caller enforces the cap). Missing sidecar → kept. Keys
+    hash ONCE up front (O(keys) md5), only the bit probes are per-file."""
+    hashes = [_h2(k) for k in keys]
     out = []
     for f in files:
         b = load_sidecar(f)
-        if b is None or b.might_contain_any(keys):
+        if b is None or b.might_contain_any_hashed(hashes):
             out.append(f)
     return out
 
@@ -152,6 +162,22 @@ def prune_by_keys(files: list[str], keys) -> list[str]:
 _EXACT_STR_TYPES = {
     "tinyint", "smallint", "int", "bigint", "string",
 }
+
+
+def probe_values_safe(dtype: str | None, keys) -> bool:
+    """True iff a driver-side probe set can hash against sidecars built
+    from Spark's string cast of a ``dtype`` column with ZERO false-
+    negative risk: the column type must have one canonical rendering
+    (``_EXACT_STR_TYPES``) AND every probe value's Python ``str()`` must
+    be that rendering — ``str`` probes for string columns, true ``int``
+    probes (bool excluded: ``str(True)`` is ``'True'``, Spark renders
+    ``1``) for integer columns. A float probe like ``4.0`` against a
+    bigint table renders ``'4.0'`` vs the engine's ``'4'`` — unsafe."""
+    if dtype not in _EXACT_STR_TYPES:
+        return False
+    if dtype == "string":
+        return all(isinstance(k, str) for k in keys)
+    return all(isinstance(k, int) and not isinstance(k, bool) for k in keys)
 
 
 def _collect_keys_capped(updates: DataFrame, key: str, cap: int) -> list | None:

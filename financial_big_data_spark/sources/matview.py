@@ -178,15 +178,21 @@ def refresh_matview(
     )
     # only groups the delta touched change; send exactly those through the
     # view's copy-on-write upsert (untouched view files carry by reference)
-    touched = merged.join(delta.select(group), on=group, how="left_semi")
-    dead = touched.where(F.col("agg_count") <= 0).select(group)
-    live = touched.where(F.col("agg_count") > 0)
-    n_up = live.count()
-    n_dead = dead.count()
-    if n_up:
-        upsert_version(spark, view_path, live, key=group, dedupe_updates=False)
-    if n_dead:
-        delete_version(spark, view_path, dead, key=group)
+    # — persisted ONCE: counts + upsert + delete all consume this frame,
+    # and without the pin each would re-run the two pruned base scans and
+    # the full-outer merge (4x the refresh I/O)
+    touched = merged.join(delta.select(group), on=group, how="left_semi").persist()
+    try:
+        dead = touched.where(F.col("agg_count") <= 0).select(group)
+        live = touched.where(F.col("agg_count") > 0)
+        n_up = live.count()
+        n_dead = dead.count()
+        if n_up:
+            upsert_version(spark, view_path, live, key=group, dedupe_updates=False)
+        if n_dead:
+            delete_version(spark, view_path, dead, key=group)
+    finally:
+        touched.unpersist()
     _write_meta(view_path, {**meta, "base_version": v1})
     return {
         "base_version": v1,

@@ -249,11 +249,15 @@ def upsert_version(
     # range path's; this only removes work.
     from .bloom import _collect_keys_capped, prune_by_keys
 
-    probe = _collect_keys_capped(updates, key, cap=10_000)
-    if probe is not None and touched:
-        still = set(prune_by_keys(touched, probe))
-        carried += [f for f in touched if f not in still]
-        touched = [f for f in touched if f in still]
+    # the distinct+collect is itself a Spark job — only pay it when
+    # range pruning left files to maybe drop (the pure-append path,
+    # keys beyond every file's range, skips it entirely)
+    if touched:
+        probe = _collect_keys_capped(updates, key, cap=10_000)
+        if probe is not None:
+            still = set(prune_by_keys(touched, probe))
+            carried += [f for f in touched if f not in still]
+            touched = [f for f in touched if f in still]
     survivors = None
     if touched:
         survivors = spark.read.parquet(*touched).join(
@@ -365,9 +369,10 @@ def delete_version(
     # rewrites nothing
     from .bloom import _collect_keys_capped, prune_by_keys
 
-    probe = _collect_keys_capped(keys, key, cap=10_000)
-    if probe is not None and touched:
-        touched = prune_by_keys(touched, probe)
+    if touched:
+        probe = _collect_keys_capped(keys, key, cap=10_000)
+        if probe is not None:
+            touched = prune_by_keys(touched, probe)
     carried = [f for f in m["files"] if f not in set(touched)]
     new_files: list[str] = []
     if touched:
@@ -468,20 +473,30 @@ def read_version_keys(
     key-clustered snapshot a miss probe (no key present) touches ZERO
     files — the case range pruning cannot express when the keys sit
     inside some file's [min, max]."""
-    from .bloom import load_sidecar
+    from .bloom import load_sidecar, probe_values_safe
 
     m = _load_manifest(path, version)
     if not m["files"] or not keys:
         return read_version(spark, path, version).where(F.lit(False))
+    # Sidecars hash Spark's STRING CAST of the key column; a probe whose
+    # Python str() could render differently (timestamps, floats, a float
+    # probe against an int column) would be a FALSE NEGATIVE — silently
+    # dropped rows. Same guard as _collect_keys_capped on the write path:
+    # when unsafe, skip blooms entirely and fall back to range pruning.
+    dtype = dict(spark.read.parquet(m["files"][0]).dtypes).get(key)
+    bloom_ok = probe_values_safe(dtype, keys)
+    from .bloom import _h2
+
+    hashes = [_h2(k) for k in keys] if bloom_ok else None
     lo, hi = min(keys), max(keys)
     picked = []
     for f in m["files"]:
-        b = load_sidecar(f)
+        b = load_sidecar(f) if bloom_ok else None
         if b is None:
             flo, fhi = _key_ranges([f], key)[f]
             if flo is None or (flo <= hi and fhi >= lo):
                 picked.append(f)
-        elif b.might_contain_any(keys):
+        elif b.might_contain_any_hashed(hashes):
             picked.append(f)
     if not picked:
         return spark.read.parquet(*m["files"]).where(F.lit(False))

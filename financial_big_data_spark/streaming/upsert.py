@@ -83,6 +83,25 @@ def streaming_upsert(
     return writer.start()
 
 
+def _merge_versioned_batch(batch: DataFrame, path: str, key: str, order: str):
+    """The shared micro-batch body of BOTH versioned sinks: empty-batch
+    guard → last-wins collapse → versioned upsert, bootstrapping the
+    table on the first batch (FileNotFoundError → write_version).
+    Returns the collapsed frame, or None when the batch was empty —
+    one copy of the merge/bootstrap semantics, so a change to the
+    dedupe or bootstrap contract cannot silently miss one sink."""
+    from ..sources.versioned import upsert_version, write_version
+
+    if batch.isEmpty():
+        return None
+    latest = latest_per_key(batch, key=key, order=order).drop(order)
+    try:
+        upsert_version(batch.sparkSession, path, latest, key=key)
+    except FileNotFoundError:
+        write_version(latest, path, key=key)
+    return latest
+
+
 def streaming_versioned_upsert_with_matview(
     stream: DataFrame,
     path: str,
@@ -108,17 +127,13 @@ def streaming_versioned_upsert_with_matview(
     is what makes replay converge — the same at-least-once →
     idempotent-state argument as the base sink."""
     from ..sources.matview import create_matview, refresh_matview, _read_meta
-    from ..sources.versioned import current_version, upsert_version, write_version
+    from ..sources.versioned import current_version
 
     def _merge(batch: DataFrame, _batch_id: int) -> None:
-        if batch.isEmpty():
+        latest = _merge_versioned_batch(batch, path, key=key, order=order)
+        if latest is None:
             return
         spark = batch.sparkSession
-        latest = latest_per_key(batch, key=key, order=order).drop(order)
-        try:
-            upsert_version(spark, path, latest, key=key)
-        except FileNotFoundError:
-            write_version(latest, path, key=key)
         try:
             meta = _read_meta(view_path)
         except FileNotFoundError:
@@ -156,16 +171,8 @@ def streaming_versioned_upsert(
     ``streaming_upsert`` (a replayed batch rewrites the same content
     into a new snapshot — table STATE converges even though a version
     number is consumed)."""
-    from ..sources.versioned import upsert_version, write_version
-
     def _merge(batch: DataFrame, _batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        latest = latest_per_key(batch, key=key, order=order).drop(order)
-        try:
-            upsert_version(batch.sparkSession, path, latest, key=key)
-        except FileNotFoundError:
-            write_version(latest, path, key=key)
+        _merge_versioned_batch(batch, path, key=key, order=order)
 
     writer = stream.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint

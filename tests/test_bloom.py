@@ -170,3 +170,36 @@ def test_streaming_matview_still_green_with_blooms(spark, vpath):
         for r in read_matview(spark, view).collect()
     }
     assert got == expect
+
+
+def test_mismatched_probe_types_fall_back_to_ranges(spark, vpath):
+    """A probe whose Python str() disagrees with Spark's string cast
+    (float 4.0 against a bigint column) must NOT hash the sidecars —
+    a hash on '4.0' vs the stored '4' would be a false NEGATIVE
+    (silently dropped rows). The guard falls back to footer-range
+    pruning, which still finds the row (review r6)."""
+    write_version(_base(spark), vpath, key="id", n_files=4)
+    got = {r.id for r in read_version_keys(spark, vpath, [4.0, 8.0], key="id").collect()}
+    assert got == {4, 8}
+    # bool probes render 'True', Spark renders 'true'/'1' — also guarded
+    from financial_big_data_spark.sources.bloom import probe_values_safe
+
+    assert probe_values_safe("bigint", [4, 8])
+    assert not probe_values_safe("bigint", [4.0])
+    assert not probe_values_safe("bigint", [True])
+    assert probe_values_safe("string", ["a"])
+    assert not probe_values_safe("string", [4])
+    assert not probe_values_safe("timestamp", ["2024-01-01 00:00:00"])
+
+
+def test_hashed_probe_matches_keyed_probe():
+    from financial_big_data_spark.sources.bloom import _h2
+
+    keys = [str(i) for i in range(100)]
+    b = Bloom(bloom_build(keys))
+    probes = [str(i) for i in range(0, 300, 7)]
+    hashes = [_h2(k) for k in probes]
+    assert b.might_contain_any_hashed(hashes) == b.might_contain_any(probes)
+    for k in probes:
+        h1, h2 = _h2(k)
+        assert b.might_contain_hashed(h1, h2) == b.might_contain(k)

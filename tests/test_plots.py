@@ -148,6 +148,9 @@ def test_market_report_folds_excess_regimes_into_other(spark, tmp_path):
     assert "regime07" not in html and "regime09" not in html
     # folded mass lands in the table: day1 other = 17+18+19 = 54
     assert ">54<" in html or ">54.0<" in html or "54" in html
+
+
+def test_timestamps_on_x_axis(spark, tmp_path):
     df = spark.createDataFrame(
         [("2024-01-0%d 00:00:00" % (i + 1), float(i)) for i in range(5)],
         "ts string, v double",
