@@ -173,10 +173,13 @@ SHOWCASE = {
         "whole-stage codegen. No exchange anywhere."
     ),
     "doc_span_dedup": (
-        "Exact-substring (duplicated-span) dedup: one keyed window pass "
-        "builds rolling span hashes; winners come from ONE aggregate "
-        "(min struct), never a self-join; covered positions explode from "
-        "duplicate mass only; reassembly is sort_array inside the group "
+        "Exact-substring (duplicated-span) dedup: an O(n) two-prime "
+        "polynomial rolling hash (one narrow cumsum window + one lead, "
+        "modpow via constant-folded digit tables) replaces the former "
+        "O(n·k) lead-column fan; candidate spans (hash pair seen ≥ 2) are "
+        "exact-verified by re-extracting their true text (cost bounded by "
+        "duplicate mass); winners come from ONE aggregate (min struct), "
+        "never a self-join; reassembly is sort_array inside the group "
         "aggregate — no order-by window, no suffix array."
     ),
     "ev_regime_sketch": (
