@@ -564,7 +564,10 @@ _RH_PARAMS = [
     (2147483629, 1000003, 0x5EED1),
     (2147483587, 1000033, 0x5EED2),
 ]
-# base-2^6 digits, 6 levels: covers idx < 2^36. The table size is a
+# base-2^6 digits, 11 levels: 64^11 = 2^66 covers every positive bigint
+# index, so the decomposition can never silently wrap (a wrapped power
+# would hash identical sequences differently and MISS duplicates — a
+# recall loss the exact-verify stage cannot repair). Table width is a
 # DRIVER-side tradeoff, not an executor one: each table is a CreateArray
 # of literals in the unresolved plan, and the analyzer re-walks every
 # expression node on each subsequent DataFrame operation — 2^11-wide
@@ -573,7 +576,7 @@ _RH_PARAMS = [
 # that ~16× while execution stays O(1) lookups either way (the arrays
 # constant-fold to a single Literal before execution).
 _RH_DIGIT_BITS = 6
-_RH_DIGIT_LEVELS = 6
+_RH_DIGIT_LEVELS = 11
 
 
 def _rh_digit_arrays(base: int, p: int, invert: bool) -> list[list[int]]:

@@ -280,3 +280,78 @@ def test_budget_selection_invariants(spark, docs, budget):
     assert sel == sorted(sel, reverse=True)  # 1s then 0s — a prefix
     for r in rows:
         assert r["selected"] == (1 if r["cum_tokens"] <= budget else 0)
+
+
+# ---------------------------------------------------------------------------
+# span_dedup: rolling-hash + exact-verify pipeline vs a brute-force oracle
+# ---------------------------------------------------------------------------
+
+
+def _py_span_dedup(docs: dict[int, str], k: int):
+    """Reference implementation of Lee-et-al keep-first span dedup: every
+    k-token window occurring >1x corpus-wide keeps its min-(id, idx)
+    occurrence; every other occurrence's positions are cut."""
+    import re as _re
+
+    toks = {i: _re.sub(r"\s+", " ", t.lower()).split(" ") for i, t in docs.items()}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for idx in range(len(ts) - k + 1):
+            occ.setdefault(" ".join(ts[idx : idx + k]), []).append((i, idx))
+    covered: dict[int, set] = {i: set() for i in toks}
+    for positions in occ.values():
+        if len(positions) >= 2:
+            for (i, idx) in sorted(positions)[1:]:
+                covered[i].update(range(idx, idx + k))
+    out = {}
+    for i, ts in toks.items():
+        kept = [t for j, t in enumerate(ts) if j not in covered[i]]
+        out[i] = (" ".join(kept), len(kept), len(ts) - len(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_span_dedup_matches_bruteforce_oracle(spark, docs, k):
+    """The tiny alphabet forces heavy span collisions, overlapping
+    duplicate windows, and within-doc repeats — every code path of the
+    candidate/verify pipeline."""
+    from financial_big_data_spark.operators.dedup import span_dedup
+
+    doc_map = dict(enumerate(docs))
+    df = spark.createDataFrame(list(doc_map.items()), "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in span_dedup(df, span_tokens=k).collect()
+    }
+    assert got == _py_span_dedup(doc_map, k)
+
+
+def test_modpow_digits_exact_over_bigint_range(spark):
+    """The digit-table modpow must agree with python pow() across the
+    full bigint index range — a wrapped power would make identical
+    sequences hash differently (silent recall loss)."""
+    from financial_big_data_spark.operators.dedup import _RH_PARAMS, _modpow_digits
+
+    vals = [0, 1, 63, 64, 4095, 2**20 + 7, 2**35 + 123, 2**47 + 9, 2**62 + 5]
+    df = spark.createDataFrame([(v,) for v in vals], "idx bigint")
+    for p, b, _seed in _RH_PARAMS:
+        for invert in (False, True):
+            base = pow(b, p - 2, p) if invert else b
+            got = [
+                r.m
+                for r in df.select(
+                    _modpow_digits(F.col("idx"), b, p, invert=invert).alias("m")
+                ).collect()
+            ]
+            assert got == [pow(base, v, p) for v in vals]
