@@ -1,0 +1,177 @@
+"""Streaming EWM / MACD — O(1)-state continuation of the batch recurrence
+(SURVEY §2.10 / W8 streaming surface).
+
+``functions/ewm.py`` computes the adjust=False recurrence
+``y_t = (1-α)·y_{t-1} + α·x_t`` (reference src/models/lstm_forecasting.py:
+150-163) with one ``applyInPandas`` task per series and explicitly declares
+the pathological case — a single series whose full history exceeds one
+task's memory — out of scope for batch, pointing at "chunked carry-over
+(stateful streaming)". This module IS that carry-over path:
+
+- state per series is O(1) — exactly the last EWM value(s), not a window
+  of history (contrast streaming/regime.py, which must carry the last
+  ``2×window`` closes): one double for ``streaming_ewm_mean``, three for
+  ``streaming_macd`` (fast/slow/signal EMAs);
+- each micro-batch continues the recurrence bit-for-bit: the carried value
+  seeds pandas' own C ``ewm`` kernel (prepend-seed-then-drop-it), which
+  runs the identical float recurrence in the identical operand order — so
+  splitting a series across ANY number of micro-batches produces
+  byte-identical doubles to the single-pass batch operator (pinned by the
+  parity test, which asserts ``==`` on floats, not approx);
+- ordering contract: rows are sorted by event time WITHIN a micro-batch;
+  across batches the source must deliver per-series in-order (file replay,
+  availableNow) — the same contract streaming/regime.py documents. Late
+  rows would need event-time history buffering, which an O(1)-state
+  recurrence cannot express — out of scope, stated loudly;
+- optional ``state_ttl_ms`` evicts idle series (processing-time timeout),
+  bounding total state under key churn.
+
+API note: built on ``applyInPandasWithState``. Spark 4 also ships the
+richer ``transformWithStateInPandas``; its Python state server requires
+``google.protobuf`` at runtime, which this environment does not provide,
+and the per-series O(1) ValueState carried here needs none of its extras
+(timers, multiple state variables, initial state), so the widely-available
+API is the right dependency floor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _continue_ewm(series: pd.Series, span: int, prev: float | None) -> pd.Series:
+    """Continue an adjust=False EWM from carried value ``prev`` —
+    bit-exact: the seed row reproduces the recurrence's y_{t-1} operand and
+    the kernel is the same C path the batch operator uses.
+
+    Parameterized by ``span``, NOT a precomputed alpha: pandas derives the
+    internal decay weight differently for ``span=`` (com/(1+com)) and
+    ``alpha=`` (1-alpha) — equal as reals, off by one ulp as doubles, which
+    diverges the recurrence within ~5 steps (measured). Byte-parity with
+    ``functions/ewm.py`` requires the identical parameterization."""
+    s = series.astype("float64").reset_index(drop=True)
+    if prev is None:
+        return s.ewm(span=span, adjust=False).mean()
+    seeded = pd.concat([pd.Series([prev], dtype="float64"), s], ignore_index=True)
+    return seeded.ewm(span=span, adjust=False).mean().iloc[1:].reset_index(drop=True)
+
+
+def streaming_ewm_mean(
+    stream: DataFrame,
+    value: str,
+    span: int,
+    series: str = "symbol",
+    time: str = "ts",
+    out: str = "ewm",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming ``ewm(span, adjust=False).mean()`` per series — the
+    unbounded-series companion of ``functions.ewm.ewm_mean``; identical
+    doubles for any micro-batch split of the same in-order input."""
+    cols = [f.name for f in stream.schema.fields]
+    out_schema = T.StructType(stream.schema.fields + [T.StructField(out, T.DoubleType())])
+    state_schema = T.StructType([T.StructField("last_ewm", T.DoubleType())])
+
+    def fn(
+        key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        prev = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([time]).reset_index(drop=True)
+            y = _continue_ewm(pdf[value], span, prev)
+            pdf[out] = y.to_numpy()
+            prev = float(y.iloc[-1])
+            yield pdf[cols + [out]]
+        if prev is not None:
+            state.update((prev,))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
+
+    return stream.groupBy(series).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def streaming_macd(
+    stream: DataFrame,
+    close: str = "close",
+    series: str = "symbol",
+    time: str = "ts",
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming MACD(fast, slow, signal) — appends macd, macd_signal,
+    macd_hist exactly as ``functions.ewm.macd`` does in batch, carrying
+    three doubles of state per series across micro-batches."""
+    cols = [f.name for f in stream.schema.fields]
+    out_fields = [
+        T.StructField("macd", T.DoubleType()),
+        T.StructField("macd_signal", T.DoubleType()),
+        T.StructField("macd_hist", T.DoubleType()),
+    ]
+    out_schema = T.StructType(stream.schema.fields + out_fields)
+    state_schema = T.StructType(
+        [
+            T.StructField("ema_fast", T.DoubleType()),
+            T.StructField("ema_slow", T.DoubleType()),
+            T.StructField("ema_signal", T.DoubleType()),
+        ]
+    )
+
+    def fn(
+        key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        prev_f, prev_s, prev_sig = state.get if state.exists else (None, None, None)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([time]).reset_index(drop=True)
+            ef = _continue_ewm(pdf[close], fast, prev_f)
+            es = _continue_ewm(pdf[close], slow, prev_s)
+            macd_line = ef - es
+            sig = _continue_ewm(macd_line, signal, prev_sig)
+            pdf["macd"] = macd_line.to_numpy()
+            pdf["macd_signal"] = sig.to_numpy()
+            pdf["macd_hist"] = (macd_line - sig).to_numpy()
+            prev_f, prev_s, prev_sig = (
+                float(ef.iloc[-1]),
+                float(es.iloc[-1]),
+                float(sig.iloc[-1]),
+            )
+            yield pdf[cols + ["macd", "macd_signal", "macd_hist"]]
+        if prev_f is not None:
+            state.update((prev_f, prev_s, prev_sig))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
+
+    return stream.groupBy(series).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -1,0 +1,118 @@
+"""Streaming EWM/MACD: byte-exact continuation of the batch recurrence
+across micro-batches (the chunked carry-over path functions/ewm.py declares
+out of scope for batch)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+import time as _time
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.functions.ewm import ewm_mean as batch_ewm
+from financial_big_data_spark.functions.ewm import macd as batch_macd
+from financial_big_data_spark.streaming.ewm import streaming_ewm_mean, streaming_macd
+
+
+@pytest.fixture(scope="module")
+def ewm_stream(spark):
+    rows = []
+    for s in ("AAA", "BBB"):
+        for i in range(60):
+            rows.append(
+                (
+                    s,
+                    dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                    100.0 + ((i * 37) % 13) - (i % 5) * 0.7,
+                )
+            )
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+    d = tempfile.mkdtemp(prefix="ewm_stream_")
+    # Three files with strictly increasing mtimes → three micro-batches in
+    # event-time order under maxFilesPerTrigger=1 (FileStreamSource orders
+    # by modification time; sub-second ties would break the in-order
+    # contract, hence the sleeps).
+    for j, (lo, hi) in enumerate([(0, 20), (20, 40), (40, 60)]):
+        df.where((F.minute("ts") >= lo) & (F.minute("ts") < hi)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/f{j}")
+        _time.sleep(1.1)
+    yield df, d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run(spark, d, build, name):
+    schema = spark.read.parquet(f"{d}/f0").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{d}/f*")
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    return spark.table(name), n_batches
+
+
+def test_streaming_ewm_mean_bit_exact_across_batches(spark, ewm_stream):
+    df, d = ewm_stream
+    got_df, n_batches = _run(
+        spark, d, lambda s: streaming_ewm_mean(s, value="close", span=10), "ewm_tws"
+    )
+    assert n_batches >= 3, "state carry-over untested with a single micro-batch"
+    got = {(r.symbol, r.ts): r.ewm for r in got_df.collect()}
+    exp = {
+        (r.symbol, r.ts): r.ewm
+        for r in batch_ewm(df, value="close", span=10).collect()
+    }
+    assert len(got) == len(exp) == 120
+    # exact ==, not approx: the continuation must be byte-identical
+    mism = [k for k in exp if got[k] != exp[k]]
+    assert not mism, mism[:5]
+
+
+def test_streaming_macd_bit_exact_across_batches(spark, ewm_stream):
+    df, d = ewm_stream
+    got_df, n_batches = _run(spark, d, streaming_macd, "macd_tws")
+    assert n_batches >= 3
+    got = {
+        (r.symbol, r.ts): (r.macd, r.macd_signal, r.macd_hist)
+        for r in got_df.collect()
+    }
+    exp = {
+        (r.symbol, r.ts): (r.macd, r.macd_signal, r.macd_hist)
+        for r in batch_macd(df).collect()
+    }
+    assert len(got) == len(exp) == 120
+    mism = [k for k in exp if got[k] != exp[k]]
+    assert not mism, mism[:5]
+
+
+def test_continue_ewm_span_not_alpha():
+    """pandas derives the decay weight differently for span= and alpha= —
+    equal as reals, one ulp apart as doubles, diverging the recurrence
+    within a few steps. The continuation must use span=."""
+    import pandas as pd
+
+    s = pd.Series([100.0 + ((i * 37) % 13) for i in range(20)])
+    a = s.ewm(span=10, adjust=False).mean()
+    b = s.ewm(alpha=2.0 / 11.0, adjust=False).mean()
+    assert (a.to_numpy() != b.to_numpy()).any()  # the trap is real
+
+    from financial_big_data_spark.streaming.ewm import _continue_ewm
+
+    out, prev = [], None
+    for chunk in (s[:7], s[7:13], s[13:]):
+        y = _continue_ewm(chunk, 10, prev)
+        out.append(y)
+        prev = float(y.iloc[-1])
+    got = pd.concat(out, ignore_index=True)
+    assert (got.to_numpy() == a.to_numpy()).all()
