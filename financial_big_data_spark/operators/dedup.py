@@ -763,6 +763,10 @@ def span_dedup(
             ).alias("h")
         )
     )
+    # per_hash and losers both consume the verify aggregate — persist so
+    # the explode+join+collect_list subtree executes once (the same
+    # two-consumer rule that pins toks and spans above).
+    cand_text = tracked_persist(cand_text)
     per_hash = cand_text.groupBy("h").agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.min(F.struct(F.col(id_col).alias("i"), F.col("idx").alias("p"))).alias("w"),
@@ -793,11 +797,21 @@ def span_dedup(
             " ",
         ).alias(text),
     )
-    # Token totals are a pure map-side projection of the source — no
-    # shuffle (split of "" yields [""], matching posexplode's one row).
-    totals = docs.select(
-        F.col(id_col),
-        F.size(F.split(normalized_text(text), " ")).cast("bigint").alias("_n_orig"),
+    # Token totals come from a doc-cardinality aggregate over per-row
+    # token counts (split of "" yields [""], matching posexplode's one
+    # row) — a shuffle on doc ids, never on tokens. The null filter and
+    # the groupBy reproduce the token-table semantics exactly: NULL-text
+    # docs emit no posexplode rows (so they must emit no output row,
+    # not a bogus negative count), and duplicate ids aggregate to ONE
+    # output row whose total spans all their rows.
+    totals = (
+        docs.where(F.col(text).isNotNull())
+        .select(
+            F.col(id_col),
+            F.size(F.split(normalized_text(text), " ")).cast("bigint").alias("_n"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_n").alias("_n_orig"))
     )
     return (
         totals.join(rebuilt, on=id_col, how="left")

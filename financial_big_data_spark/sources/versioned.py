@@ -195,6 +195,32 @@ def _key_ranges(files: list[str], key: str) -> dict[str, tuple]:
     return {f: r[key] for f, r in _col_ranges(files, [key]).items()}
 
 
+def _footer_spark_dtype(file: str, col: str) -> str | None:
+    """Spark dtype name of ``col`` from the parquet FOOTER schema — the
+    point-lookup path must not pay a Spark datasource resolution (file
+    listing + schema inference) just to learn a column's type. Only the
+    types ``probe_values_safe`` can accept are mapped; anything else
+    returns its arrow name, which the safety check then rejects."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.ParquetFile(file).schema_arrow
+    if col not in schema.names:
+        return None
+    t = schema.field(col).type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    for pred, name in (
+        (pa.types.is_int64, "bigint"),
+        (pa.types.is_int32, "int"),
+        (pa.types.is_int16, "smallint"),
+        (pa.types.is_int8, "tinyint"),
+    ):
+        if pred(t):
+            return name
+    return str(t)
+
+
 def upsert_version(
     spark: SparkSession,
     path: str,
@@ -483,7 +509,7 @@ def read_version_keys(
     # probe against an int column) would be a FALSE NEGATIVE — silently
     # dropped rows. Same guard as _collect_keys_capped on the write path:
     # when unsafe, skip blooms entirely and fall back to range pruning.
-    dtype = dict(spark.read.parquet(m["files"][0]).dtypes).get(key)
+    dtype = _footer_spark_dtype(m["files"][0], key)
     bloom_ok = probe_values_safe(dtype, keys)
     from .bloom import _h2
 

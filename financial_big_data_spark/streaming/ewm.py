@@ -84,17 +84,25 @@ def streaming_ewm_mean(
         if state.hasTimedOut:
             state.remove()
             return
+        # One group arrives as MULTIPLE Arrow chunks (maxRecordsPerBatch)
+        # in no guaranteed order — sorting per chunk while carrying the
+        # EMA across chunks would run the recurrence on an out-of-order
+        # sequence. Concatenate the whole group's batch, sort ONCE.
+        chunks = list(pdf_iter)
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values([time])
+            .reset_index(drop=True)
+        )
         prev = state.get[0] if state.exists else None
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values([time]).reset_index(drop=True)
-            y = _continue_ewm(pdf[value], span, prev)
-            pdf[out] = y.to_numpy()
-            prev = float(y.iloc[-1])
-            yield pdf[cols + [out]]
-        if prev is not None:
-            state.update((prev,))
-            if state_ttl_ms is not None:
-                state.setTimeoutDuration(state_ttl_ms)
+        y = _continue_ewm(pdf[value], span, prev)
+        pdf[out] = y.to_numpy()
+        state.update((float(y.iloc[-1]),))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pdf[cols + [out]]
 
     return stream.groupBy(series).applyInPandasWithState(
         fn,
@@ -143,26 +151,29 @@ def streaming_macd(
         if state.hasTimedOut:
             state.remove()
             return
+        # See streaming_ewm_mean: chunks are unordered — concat, sort once.
+        chunks = list(pdf_iter)
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values([time])
+            .reset_index(drop=True)
+        )
         prev_f, prev_s, prev_sig = state.get if state.exists else (None, None, None)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values([time]).reset_index(drop=True)
-            ef = _continue_ewm(pdf[close], fast, prev_f)
-            es = _continue_ewm(pdf[close], slow, prev_s)
-            macd_line = ef - es
-            sig = _continue_ewm(macd_line, signal, prev_sig)
-            pdf["macd"] = macd_line.to_numpy()
-            pdf["macd_signal"] = sig.to_numpy()
-            pdf["macd_hist"] = (macd_line - sig).to_numpy()
-            prev_f, prev_s, prev_sig = (
-                float(ef.iloc[-1]),
-                float(es.iloc[-1]),
-                float(sig.iloc[-1]),
-            )
-            yield pdf[cols + ["macd", "macd_signal", "macd_hist"]]
-        if prev_f is not None:
-            state.update((prev_f, prev_s, prev_sig))
-            if state_ttl_ms is not None:
-                state.setTimeoutDuration(state_ttl_ms)
+        ef = _continue_ewm(pdf[close], fast, prev_f)
+        es = _continue_ewm(pdf[close], slow, prev_s)
+        macd_line = ef - es
+        sig = _continue_ewm(macd_line, signal, prev_sig)
+        pdf["macd"] = macd_line.to_numpy()
+        pdf["macd_signal"] = sig.to_numpy()
+        pdf["macd_hist"] = (macd_line - sig).to_numpy()
+        state.update(
+            (float(ef.iloc[-1]), float(es.iloc[-1]), float(sig.iloc[-1]))
+        )
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pdf[cols + ["macd", "macd_signal", "macd_hist"]]
 
     return stream.groupBy(series).applyInPandasWithState(
         fn,

@@ -143,7 +143,12 @@ def streaming_label_transitions(
             closes_prefix = list(closes_prefix)
         else:
             closes_prefix, last_regime = [], None
-        for pdf in pdf_iter:
+        # One group can arrive as MULTIPLE Arrow chunks (maxRecordsPerBatch)
+        # in no guaranteed order; labeling per chunk while carrying the
+        # prefix across chunks would process out-of-order closes.
+        # Concatenate the whole group's batch and sort ONCE.
+        chunks = list(pdf_iter)
+        for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
             pdf = pdf.sort_values([time])
             full = pd.Series(closes_prefix + pdf[close].astype(float).tolist())
             labels = _label_rows(full, window_size, t).iloc[len(closes_prefix):]

@@ -266,3 +266,20 @@ def test_span_dedup_short_docs_untouched(spark):
     assert out[1].n_removed == 0 and out[2].n_removed == 0  # < span length
     with _pt.raises(ValueError):
         span_dedup(docs, span_tokens=1)
+
+
+def test_span_dedup_null_text_and_duplicate_ids(spark):
+    """NULL-text docs emit NO output row (posexplode of NULL produces no
+    tokens — a bogus (0, -1) row would be worse than absence); duplicate
+    ids aggregate to ONE row whose totals span all their rows, matching
+    the token-table semantics."""
+    from financial_big_data_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f"), (2, "g h i j k l")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in span_dedup(docs, span_tokens=4).collect()}
+    assert 1 not in rows
+    assert set(rows) == {2}
+    assert rows[2].n_tokens + rows[2].n_removed == 12

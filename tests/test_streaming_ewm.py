@@ -116,3 +116,33 @@ def test_continue_ewm_span_not_alpha():
         prev = float(y.iloc[-1])
     got = pd.concat(out, ignore_index=True)
     assert (got.to_numpy() == a.to_numpy()).all()
+
+
+def test_streaming_ewm_multi_chunk_group(spark, ewm_stream):
+    """A group bigger than arrow maxRecordsPerBatch arrives as MULTIPLE
+    unordered chunks — the processor must concat + sort the whole batch
+    before continuing the recurrence (regression: per-chunk sorting with
+    cross-chunk carry diverged from batch)."""
+    df, d = ewm_stream
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got_df, _ = _run(
+            spark,
+            d,
+            lambda s: streaming_ewm_mean(s, value="close", span=10),
+            "ewm_chunked",
+        )
+        got = {(r.symbol, r.ts): r.ewm for r in got_df.collect()}
+        exp = {
+            (r.symbol, r.ts): r.ewm
+            for r in batch_ewm(df, value="close", span=10).collect()
+        }
+        assert len(got) == 120
+        mism = [k for k in exp if got[k] != exp[k]]
+        assert not mism, mism[:5]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
