@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -629,92 +629,57 @@ def _modpow_digits(idx: Column, base: int, p: int, invert: bool = False) -> Colu
     return out
 
 
-def span_dedup(
-    docs: DataFrame,
-    text: str = "text",
-    id_col: str = "doc_id",
-    span_tokens: int = 50,
+def _span_occurrences_lead(toks: DataFrame, w, id_col: str, k: int) -> DataFrame:
+    """(id, idx, h) for EVERY k-token span — md5 over a k-wide ``lead``
+    column fan; one keyed window pass of O(n·k) string work. The win for
+    narrow spans: exact hashes fall out of the single window stage with
+    no further shuffles."""
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    return (
+        toks.select(
+            F.col(id_col),
+            F.col("idx"),
+            F.lead("tok", k - 1).over(w).alias("_last"),
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select(id_col, "idx", "h")
+    )
+
+
+def _span_occurrences_rolling(
+    toks: DataFrame, w, id_col: str, k: int
 ) -> DataFrame:
-    """Duplicated-SPAN removal — exact substring dedup at token
-    granularity (the Lee et al. 2022 "Deduplicating Training Data"
-    operation, re-expressed relationally): any ``span_tokens``-token
-    window whose text occurs more than once across the corpus keeps its
-    FIRST occurrence (global (id, position) order) and is cut from every
-    other location; document-level dedup (``exact_dedup_keys`` /
-    ``near_dup_lsh``) cannot see these — boilerplate headers, license
-    blocks, quoted passages — because the SURROUNDING document differs.
+    """(id, idx, h) for CANDIDATE spans only (hash pair seen ≥ 2) — the
+    O(n)-window path for wide spans:
 
-    Relational pipeline, no suffix arrays, no driver state:
-
-    1. tokenize (posexplode) → a TRUE O(n) rolling hash replaces the
-       former ``span_tokens``-wide ``lead`` column fan (which did
-       O(n·k) string work per corpus token — the r5 verdict's named
-       efficiency gap even after the persist fix): each token hashes to
-       two residues mod 31-bit primes, a single cumulative-sum window
-       builds the prefix ``Q(i) = Σ h_j·B^{-j}``, and the span hash is
-       ``(Q(i+k-1) − Q(i−1))·B^{i+k-1} mod p`` — one narrow cumsum +
-       one ``lead(Q, k−1)`` per prime, all bigint modular arithmetic
-       inside codegen.  ``B^{±idx} mod p`` comes from the base-2^6
-       digit decomposition of ``idx`` against literal power tables
-       (no join, no per-row modpow loop; see ``_modpow_digits`` for
-       why the tables are narrow and Column-cached). The token table
-       and the narrow (id, idx, rh1, rh2) table are PERSISTED (three
-       and two consumers respectively). Measured at sf0.1 (270k
-       tokens): cluster-side execution 0.2s vs 0.7s for the wide-lead
-       formulation — the remaining ~1.2s of wall is driver-side plan
-       build/analysis (constant in data size), so the crossover in
-       total wall sits just above bench scale while the at-scale CPU
-       saving is the full O(k) factor on the widest stage;
-    2. candidate detection: (rh1, rh2) pairs occurring ≥ 2 — identical
-       token sequences always collide (the hash is a pure function of
-       the token sequence), so recall is exact; false candidates need a
-       simultaneous collision mod BOTH primes (~2^62 space) and only
-       cost verify work, never correctness;
+    1. each token hashes to two residues mod 31-bit primes; a single
+       cumulative-sum window builds the prefix ``Q(i) = Σ h_j·B^{-j}``
+       and the span hash is ``(Q(i+k-1) − Q(i−1))·B^{i+k-1} mod p`` —
+       one narrow cumsum + one ``lead(Q, k−1)`` per prime, bigint
+       modular arithmetic inside codegen; ``B^{±idx} mod p`` comes from
+       base-2^6 digit tables (``_modpow_digits``), no per-row loop;
+    2. identical token sequences always collide (the hash is a pure
+       function of the sequence), so recall is exact; false candidates
+       need a simultaneous collision mod BOTH primes (~2^62 space) and
+       only cost verify work, never correctness;
     3. EXACT verification on candidates only: covered positions
        re-extracted via ``sequence``-explode join against the token
        table (bounded by candidate mass, not corpus size), the true
-       span text reassembled and md5'd — so duplicate identity is
-       decided by the same md5-of-exact-text contract as before, and
-       the winner is the min (id, idx) struct per verified hash;
-    4. losing occurrences explode to their covered token positions,
-       distinct, and anti-join the token table;
-    5. surviving tokens reassemble via sort_array over (idx, token)
-       structs — deterministic, no order-by window.
+       span text reassembled and md5'd — duplicate identity is decided
+       by the same md5-of-exact-text contract as the lead path. Unique
+       spans never appear in the output, which is sound because a
+       unique span can never lose.
 
-    Returns (id_col, text, n_tokens, n_removed) with the cleaned text
-    (single-space joined). Docs shorter than ``span_tokens`` pass
-    through untouched. md5 collisions could cut a non-duplicate span;
-    at 2^128 that is the standard accepted risk of every hash-keyed
-    dedup in this module.
-
-    Overlapping duplicated spans union their positions (stride-1
-    windows make consecutive duplicate positions contiguous), so a long
-    repeated block is removed exactly once however many windows cover
-    it.
-    """
-    if span_tokens < 2:
-        raise ValueError("span_tokens must be >= 2")
-    from pyspark.sql import Window
-
+    The cumulative sum stays below 2^63 for documents up to 2^32
+    tokens (each term < 2^31)."""
     from ..cache import tracked_persist
 
-    toks = tracked_persist(
-        _repartitioned(docs).select(
-            F.col(id_col),
-            F.posexplode(F.split(normalized_text(text), " ")).alias("idx", "tok"),
-        )
-    )
-    w = Window.partitionBy(id_col).orderBy("idx")
-
-    # --- stage 1: O(n) double rolling hash over token positions -------
-    k = span_tokens
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rh_cols = []
     for tag, (p, b, seed) in enumerate(_RH_PARAMS, start=1):
         inv = _modpow_digits(F.col("idx"), b, p, invert=True)
         h = F.pmod(F.xxhash64(F.col("tok"), F.lit(seed)), F.lit(p))
-        # T_j = h_j · B^{-j} mod p  (< 2^31) — the cumulative sum stays
-        # below 2^63 for documents up to 2^32 tokens.
         t = F.pmod(h * inv, F.lit(p))
         q = F.sum(t).over(cum)
         q_end = F.lead(q, k - 1).over(w)  # null past doc end → span excluded
@@ -726,7 +691,6 @@ def span_dedup(
             F.col("rh1").isNotNull()
         )
     )
-    # --- stage 2: candidate (rh1, rh2) pairs seen ≥ 2 ------------------
     cand_keys = (
         spans.groupBy("rh1", "rh2")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -734,9 +698,7 @@ def span_dedup(
         .select("rh1", "rh2")
     )
     candidates = spans.join(cand_keys, on=["rh1", "rh2"]).select(id_col, "idx")
-    # --- stage 3: exact verify — re-extract the true span text for the
-    # candidate positions only (cost bounded by duplicate+collision mass)
-    cand_text = (
+    return (
         candidates.select(
             F.col(id_col),
             F.col("idx"),
@@ -763,16 +725,100 @@ def span_dedup(
             ).alias("h")
         )
     )
-    # per_hash and losers both consume the verify aggregate — persist so
-    # the explode+join+collect_list subtree executes once (the same
-    # two-consumer rule that pins toks and spans above).
-    cand_text = tracked_persist(cand_text)
-    per_hash = cand_text.groupBy("h").agg(
+
+
+# Crossover between the two span-hash formulations, in tokens: below
+# this the k-wide lead fan's single window stage beats the rolling
+# path's extra shuffles (candidate groupBy + join-back + verify join);
+# above it the O(n·k) string work dominates. Measured at sf0.1 (270k
+# tokens) with noop-write wall time (the honest metric — count() lets
+# Catalyst prune the text-rebuild column, hiding most of the cost):
+# rolling is FLAT in k at ~6.5-8s; lead grows linearly — ~1.8-2.7s at
+# k=10, ~4-5s at k=50-64, ~9-12s at k=100 — local warm crossover ≈ 80.
+# At cluster scale the crossover drops: rolling's overhead is a fixed
+# number of narrow shuffles that amortize with data size, while the
+# lead fan's O(n·k) string CPU does not.
+_SPAN_ROLLING_MIN_TOKENS = 80
+
+
+def span_dedup(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 50,
+    method: str = "auto",
+) -> DataFrame:
+    """Duplicated-SPAN removal — exact substring dedup at token
+    granularity (the Lee et al. 2022 "Deduplicating Training Data"
+    operation, re-expressed relationally): any ``span_tokens``-token
+    window whose text occurs more than once across the corpus keeps its
+    FIRST occurrence (global (id, position) order) and is cut from every
+    other location; document-level dedup (``exact_dedup_keys`` /
+    ``near_dup_lsh``) cannot see these — boilerplate headers, license
+    blocks, quoted passages — because the SURROUNDING document differs.
+
+    Relational pipeline, no suffix arrays, no driver state:
+
+    1. tokenize (posexplode); the token table is PERSISTED (three
+       consumers: span hashing, exact verify, survivor anti-join);
+    2. span occurrence hashing, size-routed by ``method``:
+       ``"lead"`` — md5 over a ``span_tokens``-wide lead fan, one keyed
+       window pass (``_span_occurrences_lead``); ``"rolling"`` — O(n)
+       two-prime rolling hash + candidate detect + exact verify
+       (``_span_occurrences_rolling``); ``"auto"`` routes on
+       ``_SPAN_ROLLING_MIN_TOKENS`` (narrow spans → lead, wide → rolling
+       — measured crossover, see the constant). Both paths key
+       duplicate identity by md5 of the exact span text, so results are
+       identical;
+    3. span hashes aggregate once: occurrences ≥ 2 are duplicated; the
+       winner is the min (id, idx) struct — one aggregate, no self-join;
+    4. losing occurrences explode to their covered token positions
+       (``sequence`` — output bounded by duplicate MASS, not corpus
+       size), distinct, and anti-join the token table;
+    5. surviving tokens reassemble via sort_array over (idx, token)
+       structs — deterministic, no order-by window.
+
+    Returns (id_col, text, n_tokens, n_removed) with the cleaned text
+    (single-space joined). Docs shorter than ``span_tokens`` pass
+    through untouched; NULL-text docs emit no row. md5 collisions could
+    cut a non-duplicate span; at 2^128 that is the standard accepted
+    risk of every hash-keyed dedup in this module.
+
+    Overlapping duplicated spans union their positions (stride-1
+    windows make consecutive duplicate positions contiguous), so a long
+    repeated block is removed exactly once however many windows cover
+    it.
+    """
+    if span_tokens < 2:
+        raise ValueError("span_tokens must be >= 2")
+    if method not in ("auto", "lead", "rolling"):
+        raise ValueError(f"unknown span_dedup method: {method!r}")
+    from ..cache import tracked_persist
+
+    if method == "auto":
+        method = "rolling" if span_tokens >= _SPAN_ROLLING_MIN_TOKENS else "lead"
+
+    toks = tracked_persist(
+        _repartitioned(docs).select(
+            F.col(id_col),
+            F.posexplode(F.split(normalized_text(text), " ")).alias("idx", "tok"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("idx")
+
+    if method == "lead":
+        occ = _span_occurrences_lead(toks, w, id_col, span_tokens)
+    else:
+        occ = _span_occurrences_rolling(toks, w, id_col, span_tokens)
+    # per_hash and losers both consume the occurrence table — persist so
+    # its subtree (the wide window / the verify aggregate) executes once.
+    occ = tracked_persist(occ)
+    per_hash = occ.groupBy("h").agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.min(F.struct(F.col(id_col).alias("i"), F.col("idx").alias("p"))).alias("w"),
     )
     losers = (
-        cand_text.join(per_hash.where(F.col("n_occ") >= 2), on="h")
+        occ.join(per_hash.where(F.col("n_occ") >= 2), on="h")
         .where(
             (F.col(id_col) != F.col("w.i")) | (F.col("idx") != F.col("w.p"))
         )

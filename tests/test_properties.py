@@ -311,7 +311,7 @@ def _py_span_dedup(docs: dict[int, str], k: int):
     return out
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14).map(
@@ -322,17 +322,18 @@ def _py_span_dedup(docs: dict[int, str], k: int):
     ),
     k=st.integers(min_value=2, max_value=4),
 )
-def test_span_dedup_matches_bruteforce_oracle(spark, docs, k):
+@pytest.mark.parametrize("method", ["lead", "rolling"])
+def test_span_dedup_matches_bruteforce_oracle(spark, method, docs, k):
     """The tiny alphabet forces heavy span collisions, overlapping
-    duplicate windows, and within-doc repeats — every code path of the
-    candidate/verify pipeline."""
+    duplicate windows, and within-doc repeats — every code path of BOTH
+    span-hash formulations (auto would route small k to lead only)."""
     from financial_big_data_spark.operators.dedup import span_dedup
 
     doc_map = dict(enumerate(docs))
     df = spark.createDataFrame(list(doc_map.items()), "doc_id bigint, text string")
     got = {
         r.doc_id: (r.text, r.n_tokens, r.n_removed)
-        for r in span_dedup(df, span_tokens=k).collect()
+        for r in span_dedup(df, span_tokens=k, method=method).collect()
     }
     assert got == _py_span_dedup(doc_map, k)
 
