@@ -189,6 +189,83 @@ def unigram_lm_scores(
     )
 
 
+def _doc_bigrams(docs: DataFrame, text: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) rows for every adjacent token pair — built map-only
+    from the token array (no window, no per-doc shuffle) and exploded."""
+    toks = tokens(F.col(text))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return docs.select(
+        F.col(id_col), F.explode(pairs).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Mean bigram log-score under a stupid-backoff LM (Brants et al. 2007,
+    "Large Language Models in Machine Translation" §4) trained on ``train``
+    (default: ``docs`` itself) and scored over every document in ``docs``.
+
+    score(w2 | w1) = c(w1 w2) / c(w1)            if the bigram was seen,
+                     backoff * c(w2) / T          otherwise
+    (unseen unigrams fall back to the add-one floor 1/(T+V) so the log is
+    always defined). Each document reports avg(ln score) over its adjacent
+    pairs — the step up from ``unigram_lm_scores`` that catches fluent-word
+    /ungrammatical-order junk a unigram model scores as fine.
+
+    Plan shape: bigrams are built map-only from the token array (no window
+    — one explode per side), counts are two keyed aggregates over the
+    train split, scoring is two equi-joins (bigram table ⋈ on (w1,w2),
+    unigram table ⋈ on w2 — both vocabulary-vs-corpus asymmetric, AQE
+    broadcasts when they fit) and corpus totals ride along as a broadcast
+    1-row frame. No driver-side state; every stage is keyed — scales.
+    """
+    train = docs if train is None else train
+    tr_bi = _doc_bigrams(train, text, id_col)
+    bi_counts = tr_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    tr_uni = train.select(F.explode(tokens(F.col(text))).alias("w"))
+    uni_counts = tr_uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    totals = uni_counts.agg(
+        F.sum("c1").alias("t_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    sc = (
+        _doc_bigrams(docs, text, id_col)
+        .join(bi_counts, on=["w1", "w2"], how="left")
+        .join(
+            uni_counts.select(F.col("w").alias("w1"), F.col("c1").alias("c_w1")),
+            on="w1", how="left",
+        )
+        .join(
+            uni_counts.select(F.col("w").alias("w2"), F.col("c1").alias("c_w2")),
+            on="w2", how="left",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    seen = F.col("c12").isNotNull() & F.col("c_w1").isNotNull()
+    unseen = F.when(
+        F.col("c_w2").isNotNull(),
+        F.lit(backoff) * F.col("c_w2") / F.col("t_total"),
+    ).otherwise(F.lit(1.0) / (F.col("t_total") + F.col("v_size")))
+    lp = F.log(F.when(seen, F.col("c12") / F.col("c_w1")).otherwise(unseen))
+    return sc.select(F.col(id_col), lp.alias("lp")).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("lp").alias("avg_logscore"),
+    )
+
+
 def top_ngrams(
     docs: DataFrame,
     n: int = 3,

@@ -2197,6 +2197,142 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-score under a stupid-backoff LM
+    (operators/quality.py bigram_lm_scores) trained on the even-doc_id
+    half of the corpus and scored over every document — odd docs contain
+    bigrams the train split never saw, so BOTH the seen path and the
+    unigram-backoff path carry hash-checked mass (training and scoring on
+    the same corpus would never exercise the backoff branch)."""
+    from .operators.quality import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bigram_lm_scores(docs, train=docs.where(F.col("doc_id") % 2 == 0))
+    return out.select(
+        "doc_id", "n_bigrams", _r6s(F.col("avg_logscore")).alias("avg_logscore")
+    )
+
+
+_SQL_DOC_BIGRAM_LM = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)),
+                               i -> struct_pack(w1 := l[i], w2 := l[i + 1]))) AS bg
+  FROM tok WHERE len(l) >= 2
+), pairs AS (
+  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bi
+), tr_bi AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs WHERE doc_id % 2 = 0 GROUP BY 1, 2
+), tr_uni AS (
+  SELECT term AS w, count(*) AS c1 FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE doc_id % 2 = 0 GROUP BY 1
+), tot AS (
+  SELECT sum(c1) AS t_total, count(*) AS v_size FROM tr_uni
+), sc AS (
+  SELECT p.doc_id,
+         ln(CASE WHEN tb.c12 IS NOT NULL AND u1.c1 IS NOT NULL
+                   THEN tb.c12 / u1.c1::DOUBLE
+                 WHEN u2.c1 IS NOT NULL
+                   THEN 0.4 * u2.c1 / t.t_total::DOUBLE
+                 ELSE 1.0 / (t.t_total + t.v_size)::DOUBLE END) AS lp
+  FROM pairs p
+  LEFT JOIN tr_bi tb ON p.w1 = tb.w1 AND p.w2 = tb.w2
+  LEFT JOIN tr_uni u1 ON p.w1 = u1.w
+  LEFT JOIN tr_uni u2 ON p.w2 = u2.w
+  CROSS JOIN tot t
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(lp) + 5e-13, 6) AS avg_logscore
+FROM sc GROUP BY doc_id
+"""
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/text.py redact_pii: email /
+    phone / IPv4 / SSN regexes chained as map-only regexp_replace, all
+    JVM-side). The synthetic corpus contains no PII, so the query first
+    injects deterministic doc_id-derived PII tokens — an email on every
+    doc, an IP on every doc, an SSN on doc_id%3==0, a phone on
+    doc_id%5==0 — IDENTICALLY in both engines; the hash then certifies
+    regex-dialect parity (Java vs RE2) on match + replace + count, not
+    just on an all-zeros no-op. Returns the per-doc redaction count and
+    an md5 of the redacted text."""
+    from .operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+            F.lit(" host 10.0."), (did % 256).cast("string"),
+            F.lit("."), ((did * 7) % 256).cast("string"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = redact_pii(injected)
+    return out.select(
+        "doc_id",
+        F.col("n_redactions").cast("bigint").alias("n_redactions"),
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )
+
+
+_SQL_DOC_PII = """
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com'
+              || ' host 10.0.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                      ELSE '' END AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n1,
+         regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM injected
+), s2 AS (
+  SELECT doc_id, n1,
+         len(regexp_extract_all(t1, '(\\+?\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}')) AS n2,
+         regexp_replace(t1, '(\\+?\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}', '<PHONE>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n1, n2,
+         len(regexp_extract_all(t2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n3,
+         regexp_replace(t2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IPV4>', 'g') AS t3
+  FROM s2
+), s4 AS (
+  SELECT doc_id, n1, n2, n3,
+         len(regexp_extract_all(t3, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n4,
+         regexp_replace(t3, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS t4
+  FROM s3
+)
+SELECT doc_id, (n1 + n2 + n3 + n4)::BIGINT AS n_redactions, md5(t4) AS redacted_md5
+FROM s4
+"""
+
+
 def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs resolved into duplicate clusters via distributed
     connected components (operators/dedup.py dup_clusters): one row per
@@ -4910,6 +5046,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_quality_flags": (q_doc_quality_flags, _SQL_DOC_QUALITY),
     "doc_tfidf_topk": (q_doc_tfidf_topk, _SQL_DOC_TFIDF),
     "doc_unigram_lm": (q_doc_unigram_lm, _SQL_DOC_UNIGRAM_LM),
+    "doc_bigram_lm": (q_doc_bigram_lm, _SQL_DOC_BIGRAM_LM),
+    "doc_pii_redact": (q_doc_pii_redact, _SQL_DOC_PII),
     "doc_dup_clusters": (q_doc_dup_clusters, _SQL_DOC_DUP_CLUSTERS),
     "emb_dup_clusters": (q_emb_dup_clusters, _SQL_EMB_DUP_CLUSTERS),
     "doc_incremental_dedup": (q_doc_incremental_dedup, _SQL_DOC_INCREMENTAL),

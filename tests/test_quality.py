@@ -93,6 +93,38 @@ def test_unigram_lm_hand_computed(spark):
     assert out[0]["n_tokens"] == 3
 
 
+def test_bigram_lm_hand_computed(spark):
+    from financial_big_data_spark.operators.quality import bigram_lm_scores
+
+    # train on doc 0 only; score both. doc 0: "a b a b" -> bigrams
+    # (a,b)x2, (b,a)x1; unigrams a=2, b=2, T=4, V=2.
+    docs = _docs(spark, ["a b a b", "a c b"])
+    train = docs.where(F.col("doc_id") == 0)
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs, train=train).collect()}
+    # doc 0: p(b|a)=2/2=1, p(a|b)=1/2 — all seen
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_logscore"] == pytest.approx(
+        (math.log(1.0) + math.log(0.5) + math.log(1.0)) / 3
+    )
+    # doc 1: (a,c) unseen, c unseen too -> add-one floor 1/(T+V)=1/6;
+    # (c,b) unseen, b seen -> backoff 0.4 * 2/4 = 0.2
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["avg_logscore"] == pytest.approx(
+        (math.log(1 / 6) + math.log(0.2)) / 2
+    )
+
+
+def test_bigram_lm_short_docs_excluded(spark):
+    from financial_big_data_spark.operators.quality import bigram_lm_scores
+
+    # a 1-token document has no adjacent pairs: it contributes nothing to
+    # training and produces NO output row (documented contract)
+    docs = _docs(spark, ["solo", "a b"])
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_bigrams"] == 1
+
+
 def test_dup_clusters_transitive_chain(spark):
     # A~B and B~C by heavy shingle overlap, but A and C differ enough that
     # only transitivity links them; D is an unrelated singleton.
