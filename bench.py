@@ -145,6 +145,8 @@ def main() -> None:
         "doc_temperature_interleave",
         # quality-ranked canonical per dup cluster — round 9
         "doc_canonical",
+        # SemDeDup cluster-scoped semantic dedup — round 10
+        "emb_semdedup",
     ):
         fn, _ = REGISTRY[name]
         best = None

@@ -295,3 +295,195 @@ def semantic_dup_clusters(
 
     pairs = embedding_near_dups(corpus, threshold, planes, id_col, vec_col)
     return pair_clusters(pairs, id_col)
+
+
+# A k × dim centroid table parses comfortably as one plan literal up to
+# this many scalars (~1.3 MB of SQL text at the cap); beyond it, the
+# broadcast-join assignment path takes over.
+_SEED_LITERAL_MAX = 65536
+
+
+def _assign_nearest_seed(emb: DataFrame, seeds: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid (argmax cosine) assignment of ``emb`` (id, _v) to
+    ``seeds`` (_seed_id, _sv); ties break toward the smaller seed id.
+
+    Centroid sets are bounded metadata, so the small side is collected and
+    folded over IN the row expression — a map-only pass with no join, no
+    row blowup, and no exchange (the one collect is k rows, the same class
+    of bounded driver aggregate as percentile thresholds). Very large
+    k · dim routes to a broadcast join + map-side-combining max-struct
+    aggregate instead: the partial aggregate collapses the k-fan back to
+    one row per id inside the scan partition, so the exchange moves n
+    rows, not k·n. Both paths order ties identically (sim DESC, seed ASC).
+
+    Returns (id_col, _v, cluster, seed_sim).
+    """
+    seed_rows = [(r[0], list(r[1])) for r in seeds.collect()]
+    if not seed_rows:
+        raise ValueError("semdedup: empty centroid set")
+    seed_rows.sort(key=lambda t: t[0])
+    n_scalars = sum(len(v) for _, v in seed_rows)
+    if n_scalars <= _SEED_LITERAL_MAX:
+        # one parsed literal (single F.expr — never per-element lit() py4j
+        # calls); fold keeps the first-in-order seed on exact sim ties,
+        # which with the id-ascending array IS (sim DESC, seed ASC)
+        structs = ", ".join(
+            "named_struct('sid', CAST({sid} AS BIGINT), 'sv', array({xs}))".format(
+                sid=int(sid),
+                xs=", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec),
+            )
+            for sid, vec in seed_rows
+        )
+        seed_arr = F.expr(f"array({structs})")
+        init = F.struct(
+            F.lit(None).cast("double").alias("sim"),
+            F.lit(None).cast("bigint").alias("sid"),
+        )
+        best = F.aggregate(
+            seed_arr,
+            init,
+            lambda acc, s: F.when(
+                acc["sim"].isNull()
+                | (cosine(F.col("_v"), s["sv"]) > acc["sim"]),
+                F.struct(
+                    cosine(F.col("_v"), s["sv"]).alias("sim"),
+                    s["sid"].alias("sid"),
+                ),
+            ).otherwise(acc),
+        )
+        return emb.select(
+            F.col(id_col),
+            F.col("_v"),
+            best["sid"].alias("cluster"),
+            best["sim"].alias("seed_sim"),
+        )
+    small = emb.sparkSession.createDataFrame(
+        seed_rows, "sid bigint, sv array<double>"
+    )
+    scored = emb.join(F.broadcast(small)).select(
+        F.col(id_col),
+        F.col("_v"),
+        F.col("sid"),
+        cosine(F.col("_v"), F.col("sv")).alias("_sim"),
+    )
+    # max of (sim, -sid) lexicographic = argmax sim, ties to smaller sid;
+    # partial aggregation reduces the k-fan map-side before the exchange
+    agg = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("_sim").alias("sim"),
+                (-F.col("sid")).alias("negsid"),
+                F.col("sid").alias("sid"),
+                F.col("_v").alias("v"),
+            )
+        ).alias("_best")
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("_best.v").alias("_v"),
+        F.col("_best.sid").alias("cluster"),
+        F.col("_best.sim").alias("seed_sim"),
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    semantic deduplication — partition the corpus into embedding clusters,
+    then prune within each cluster only, keeping of every near-duplicate
+    group the member FARTHEST from its cluster centroid (lowest centroid
+    similarity ⇒ most "extreme"/diverse representative, the paper's keep
+    rule).
+
+    The two-level structure is the scale story: the quadratic pairwise
+    stage is confined to one cluster (|C| ≈ n/k rows, k grown with the
+    corpus — the paper uses k=50k on LAION), so no all-pairs join ever
+    forms. Assignment is MAP-ONLY: the centroid set is bounded metadata
+    (k · dim floats — the paper's largest is 50k × 768 ≈ 150 MB, a
+    broadcast, never a shuffle), so each row folds over an in-plan seed
+    array and keeps its argmax-cosine centroid with zero exchanges and
+    zero row blowup; the first shuffle in the whole operator is the
+    per-cluster rank window, and the prune join reuses that cluster
+    partitioning. For k · dim beyond the plan-literal comfort zone
+    (``_SEED_LITERAL_MAX`` scalars) assignment falls back to a broadcast
+    join + one map-side-combining ``max_by`` aggregate — still one
+    skinny exchange of n rows, never k·n.
+
+    Centroid modes:
+    - default (``centroids=None``): k deterministic hash-seeded exemplars
+      (the k corpus vectors with smallest ``md5(id)``) act as centroids.
+      Every step is then exactly re-derivable in another engine — this is
+      the oracle-checkable mode, and the assignment geometry matches IVF's
+      seeded coarse quantizer (operators/pq.py).
+    - pass ``centroids`` (cluster_id, vec) — e.g. MLlib KMeans
+      ``clusterCenters()`` — for the learned path; the relational
+      assignment + prune below is identical.
+
+    Prune rule, exactly the paper's released formulation: within a cluster,
+    sort members by centroid similarity DESC (closest first, ties on id);
+    member i is removed iff some member ranked BEFORE it has cosine ≥
+    ``threshold`` with it. The survivor of each duplicate group is the
+    last-ranked (farthest-from-centroid) member, and chains prune greedily
+    in rank order (NOT connected components — see
+    :func:`semantic_dup_clusters` for the component roll-up semantics).
+
+    Returns one row per corpus vector:
+    (id_col, cluster, seed_sim, rank_in_cluster, kept).
+    """
+    v = _as_double(F.col(vec_col))
+    emb = corpus.select(F.col(id_col), v.alias("_v"))
+    if centroids is None:
+        seeds = (
+            emb.select(
+                F.col(id_col).alias("_seed_id"),
+                F.col("_v").alias("_sv"),
+                F.md5(F.col(id_col).cast("string")).alias("_hk"),
+            )
+            .orderBy("_hk")
+            .limit(n_clusters)
+            .drop("_hk")
+        )
+    else:
+        cols = centroids.columns
+        seeds = centroids.select(
+            F.col(cols[0]).alias("_seed_id"), _as_double(F.col(cols[1])).alias("_sv")
+        )
+    members = _assign_nearest_seed(emb, seeds, id_col)
+    w_rank = Window.partitionBy("cluster").orderBy(F.desc("seed_sim"), F.col(id_col))
+    from ..cache import tracked_persist
+
+    ranked = tracked_persist(
+        members.withColumn("rank_in_cluster", F.row_number().over(w_rank))
+    )
+    lhs = ranked.select(
+        "cluster",
+        F.col(id_col).alias("_ia"),
+        F.col("_v").alias("_va"),
+        F.col("rank_in_cluster").alias("_ra"),
+    )
+    rhs = ranked.select(
+        "cluster",
+        F.col("_v").alias("_vb"),
+        F.col("rank_in_cluster").alias("_rb"),
+    )
+    removed = (
+        lhs.join(rhs, on="cluster")
+        .where(F.col("_rb") < F.col("_ra"))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+        .select(F.col("_ia").alias(id_col))
+        .distinct()
+        .withColumn("_removed", F.lit(True))
+    )
+    return ranked.join(removed, on=id_col, how="left").select(
+        id_col,
+        "cluster",
+        "seed_sim",
+        "rank_in_cluster",
+        F.col("_removed").isNull().alias("kept"),
+    )

@@ -1182,6 +1182,86 @@ GROUP BY a.vec_id
 """
 
 
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup over the
+    embeddings table in the deterministic hash-seeded-centroid mode —
+    nearest-centroid assignment, per-cluster rank by centroid similarity,
+    greedy prune of any member with a better-ranked ≥0.8-cosine neighbor
+    (the survivor of each dup group is the farthest-from-centroid member).
+
+    Corpus is salted with two planted copies of the first 40 vectors
+    (groups of three exact duplicates → exactly two removals per group);
+    organic pairs top out near cosine 0.46, far from the 0.8 boundary, so
+    the kept flag is never decided by a cross-engine ulp.
+    """
+    from .operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 2000).select(
+        "vec_id", "embedding"
+    )
+    planted = emb.where(F.col("vec_id") < 40)
+    corpus = emb.unionByName(
+        planted.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    ).unionByName(
+        planted.select((F.col("vec_id") + 20000).alias("vec_id"), "embedding")
+    )
+    out = semdedup(corpus, n_clusters=16, threshold=0.8)
+    return out.select(
+        "vec_id",
+        "cluster",
+        _r6(F.col("seed_sim")).alias("seed_sim"),
+        "rank_in_cluster",
+        "kept",
+    )
+
+
+_SQL_EMB_SEMDEDUP = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 2000
+),
+corpus AS (
+  SELECT * FROM base
+  UNION ALL SELECT vec_id + 10000 AS vec_id, v FROM base WHERE vec_id < 40
+  UNION ALL SELECT vec_id + 20000 AS vec_id, v FROM base WHERE vec_id < 40
+),
+seeds AS (
+  SELECT vec_id AS seed_id, v AS sv
+  FROM corpus ORDER BY md5(vec_id::VARCHAR) LIMIT 16
+),
+scored AS (
+  SELECT c.vec_id, c.v, s.seed_id,
+         list_dot_product(c.v, s.sv)
+           / nullif(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.sv, s.sv)), 0.0)
+           AS sim
+  FROM corpus c CROSS JOIN seeds s
+),
+members AS (
+  SELECT vec_id, v, seed_id AS cluster, sim AS seed_sim
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, v, cluster, seed_sim,
+         row_number() OVER (PARTITION BY cluster ORDER BY seed_sim DESC, vec_id)
+           AS rank_in_cluster
+  FROM members
+),
+removed AS (
+  SELECT DISTINCT a.vec_id
+  FROM ranked a
+  JOIN ranked b ON a.cluster = b.cluster AND b.rank_in_cluster < a.rank_in_cluster
+  WHERE list_dot_product(a.v, b.v)
+          / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0.0)
+        >= 0.8
+)
+SELECT r.vec_id, r.cluster, round(r.seed_sim, 6) AS seed_sim, r.rank_in_cluster,
+       (rm.vec_id IS NULL) AS kept
+FROM ranked r LEFT JOIN removed rm ON r.vec_id = rm.vec_id
+"""
+
+
 def q_ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward inclusive as-of join: each purchase gets the most recent
     prior-or-equal view's value for the same user (union + ordered-ffill —
@@ -5131,6 +5211,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # tests/test_quality_model.py (held-out separation, deterministic
     # negative sample)
     "doc_quality_model": (q_doc_quality_model, None),
+    # round-10 additions (past the driver window; hash-verified by the
+    # local gate): SemDeDup cluster-scoped semantic dedup in the
+    # deterministic hash-seeded-centroid mode
+    "emb_semdedup": (q_emb_semdedup, _SQL_EMB_SEMDEDUP),
 }
 
 

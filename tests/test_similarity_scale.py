@@ -136,3 +136,135 @@ def test_ivf_plan_flat_in_n_cells(spark, clustered_emb):
         plans[n_cells] = len(df._jdf.queryExecution().analyzed().toString())
     # allow small jitter (cell-count digits etc.), not O(n_cells·dim) growth
     assert plans[32] < plans[4] * 1.2, plans
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-scoped semantic dedup, Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _unit(theta_deg: float) -> list[float]:
+    """2-D unit vector at the given angle — cosine between two of these is
+    cos(angle difference), making thresholds easy to reason about."""
+    import math
+
+    t = math.radians(theta_deg)
+    return [math.cos(t), math.sin(t)]
+
+
+def test_semdedup_exact_dup_groups_keep_one(spark):
+    """Groups of exact duplicates keep exactly one member each; singletons
+    are untouched; every corpus row appears exactly once in the output."""
+    from financial_big_data_spark.operators.similarity import semdedup
+
+    base = [(i, _unit(i * 37.0)) for i in range(8)]
+    dups = [(i + 100, v) for i, v in base[:3]] + [(i + 200, v) for i, v in base[:3]]
+    df = spark.createDataFrame(base + dups, "vec_id long, embedding array<float>")
+    out = semdedup(df, n_clusters=4, threshold=0.999).collect()
+    assert len(out) == len(base) + len(dups)
+    kept = {r.vec_id for r in out if r.kept}
+    # each of the 3 dup-groups keeps exactly one of {i, i+100, i+200}
+    for i in range(3):
+        assert len(kept & {i, i + 100, i + 200}) == 1
+    # vectors 3..7 are mutually far (37° apart ⇒ cosine ≤ cos(37°) < 0.999)
+    assert {3, 4, 5, 6, 7} <= kept
+
+
+def test_semdedup_greedy_chain_not_connected_components(spark):
+    """The paper's prune is greedy in centroid-similarity rank order and
+    compares against ALL better-ranked members (removed ones included):
+    a chain a~b, b~c with a≁c still collapses to the single farthest
+    member when a is ranked first — unlike a connected-components
+    one-per-component rule, which would also keep only one, but unlike
+    pairwise-independent pruning, which would keep a and c."""
+    from financial_big_data_spark.operators.similarity import semdedup
+
+    # one cluster: centroid is the seed (hash-picked). Force a known seed by
+    # passing explicit centroids so rank order is fully controlled.
+    centroid = spark.createDataFrame(
+        [(0, _unit(0.0))], "cluster long, vec array<float>"
+    )
+    # sims to centroid: a=cos(10°) > b=cos(30°) > c=cos(50°)
+    # pair sims: a·b=cos(20°)≈0.94, b·c=cos(20°)≈0.94, a·c=cos(40°)≈0.77
+    df = spark.createDataFrame(
+        [(1, _unit(10.0)), (2, _unit(30.0)), (3, _unit(50.0))],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in semdedup(df, threshold=0.9, centroids=centroid).collect()}
+    # rank order by centroid similarity: 1, 2, 3
+    assert [out[i].rank_in_cluster for i in (1, 2, 3)] == [1, 2, 3]
+    # greedy: 1 kept (nothing before it); 2 removed (sim(1,2) ≥ 0.9);
+    # 3 removed too — sim(2,3) ≥ 0.9 and 2 is better-ranked EVEN THOUGH
+    # 2 itself was removed (the paper compares against all earlier-ranked)
+    assert out[1].kept is True
+    assert out[2].kept is False
+    assert out[3].kept is False
+
+
+def test_semdedup_survivor_is_farthest_from_centroid(spark):
+    """Within a duplicate group of near-identical vectors at different
+    centroid distances, the kept member is the farthest one (lowest
+    centroid similarity) — the paper's diversity-keeping rule."""
+    from financial_big_data_spark.operators.similarity import semdedup
+
+    centroid = spark.createDataFrame(
+        [(7, _unit(0.0))], "cluster long, vec array<float>"
+    )
+    # three near-duplicates of each other (≤2° apart ⇒ cosine ≥ 0.999),
+    # at 20°, 21°, 22° from the centroid; plus one far singleton at 80°
+    df = spark.createDataFrame(
+        [(1, _unit(20.0)), (2, _unit(21.0)), (3, _unit(22.0)), (9, _unit(80.0))],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in semdedup(df, threshold=0.999, centroids=centroid).collect()}
+    assert all(r.cluster == 7 for r in out.values())
+    # ranks: 1 (20°, closest), 2, 3; survivor of the dup run is the
+    # farthest-ranked member ONLY via greedy semantics: 1 kept, 2 and 3
+    # removed (each has a better-ranked ≥-threshold neighbor)
+    assert out[1].kept is True and out[2].kept is False and out[3].kept is False
+    assert out[9].kept is True
+
+
+def test_semdedup_learned_centroids_assignment(spark):
+    """Learned-centroid mode assigns each vector to its argmax-cosine
+    centroid; pruning never crosses cluster boundaries (near-identical
+    vectors in different clusters both survive)."""
+    from financial_big_data_spark.operators.similarity import semdedup
+
+    centroids = spark.createDataFrame(
+        [(0, _unit(0.0)), (1, _unit(90.0))], "cluster long, vec array<float>"
+    )
+    df = spark.createDataFrame(
+        [(1, _unit(5.0)), (2, _unit(85.0)), (3, _unit(6.0))],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in semdedup(df, threshold=0.99, centroids=centroids).collect()}
+    assert out[1].cluster == 0 and out[3].cluster == 0 and out[2].cluster == 1
+    # 1 and 3 are 1° apart (cos ≥ 0.99): greedy keeps the closer-ranked 3?
+    # rank by centroid sim: 1 (5°) before 3 (6°) → 1 kept, 3 removed
+    assert out[1].kept is True and out[3].kept is False
+    # 2 is alone in cluster 1 — kept even though it is ~80° from others
+    assert out[2].kept is True
+
+
+def test_semdedup_assignment_paths_agree(spark, monkeypatch):
+    """The plan-literal fold and the broadcast-join max_by fallback produce
+    identical (cluster, seed_sim, kept) assignments — including on exact
+    sim ties (planted duplicate of a seed vector)."""
+    import financial_big_data_spark.operators.similarity as sim
+
+    rng = __import__("numpy").random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(60)]
+    rows.append((999, rows[0][1]))  # exact dup of vector 0 → sim tie on every seed
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    lit_out = sorted(
+        (r.vec_id, r.cluster, round(r.seed_sim, 12), r.kept)
+        for r in sim.semdedup(df, n_clusters=6, threshold=0.95).collect()
+    )
+    monkeypatch.setattr(sim, "_SEED_LITERAL_MAX", 0)
+    join_out = sorted(
+        (r.vec_id, r.cluster, round(r.seed_sim, 12), r.kept)
+        for r in sim.semdedup(df, n_clusters=6, threshold=0.95).collect()
+    )
+    assert lit_out == join_out

@@ -86,6 +86,9 @@ for _q in (
     # total onto the per-part aggregate (both read one materialized
     # frame, so threshold and probe can't disagree in the last ulp)
     "important_parts",
+    # round 10: stupid-backoff corpus totals (t_total, v_size) — one
+    # broadcast row crossed onto the scored-bigram flow
+    "doc_bigram_lm",
 ):
     JUSTIFIED[(_q, "nested-loop-join")] = _GLOBAL_SCALAR
 for _q in ("emb_topk", "emb_near_dup", "emb_knn_dist"):
