@@ -616,3 +616,101 @@ def _dbscan_distributed(
     if n_candidates is not None:
         stats["n_candidates"] = n_candidates
     return out, stats
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fully relational Lloyd k-means over an array column — deterministic
+    hash-seeded init (the k corpus vectors with smallest ``md5(id)``),
+    ``n_iter`` fixed assign/update rounds, every step expressible in ANSI
+    SQL so the whole trajectory is cross-engine re-derivable (the same
+    unrolled-iteration oracle discipline as PageRank's 10-CTE power
+    method). MLlib ``kmeans_clusters`` stays the production M1 path; this
+    is the audit-grade twin that turns "iterative ML, rows-only" into a
+    hash-checked claim.
+
+    Per round, ASSIGNMENT is map-only: current centroids are bounded
+    metadata (k · dim doubles, collected like any percentile threshold)
+    folded over an in-plan literal — argmin euclidean distance, ties to
+    the smaller cluster id; no join, no exchange, no row blowup. UPDATE
+    is one hash aggregate (k rows × dim partial sums, map-side combined).
+    So each round costs exactly one shuffle of k skinny rows — at 100 TB
+    the corpus is never reshuffled, mirroring how MLlib's own KMeans
+    iterates. Empty clusters drop (standard Lloyd-with-drop; determinism
+    keeps both engines dropping the same ones).
+
+    Returns one row per input: (id_col, cluster, dist) where ``cluster``
+    is the seed id of the final centroid and ``dist`` the euclidean
+    distance to it.
+    """
+    if k < 1 or n_iter < 1:
+        raise ValueError("lloyd_kmeans: k and n_iter must be >= 1")
+    emb = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    seed_rows = (
+        emb.select(
+            F.col(id_col).alias("_sid"),
+            F.col("_v").alias("_sv"),
+            F.md5(F.col(id_col).cast("string")).alias("_hk"),
+        )
+        .orderBy("_hk")
+        .limit(k)
+        .collect()
+    )
+    cents = sorted((int(r._sid), [float(x) for x in r._sv]) for r in seed_rows)
+    if not cents:
+        raise ValueError("lloyd_kmeans: empty input")
+    dim = len(cents[0][1])
+
+    def _assign(frame: DataFrame, centroids: list) -> DataFrame:
+        structs = ", ".join(
+            "named_struct('cid', CAST({cid} AS BIGINT), 'cv', array({xs}))".format(
+                cid=cid, xs=", ".join(f"CAST({x!r} AS DOUBLE)" for x in cv)
+            )
+            for cid, cv in centroids
+        )
+        arr = F.expr(f"array({structs})")
+
+        def _dist(s):
+            return F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("_v"), s["cv"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
+                )
+            )
+
+        init = F.struct(
+            F.lit(None).cast("double").alias("dist"),
+            F.lit(None).cast("bigint").alias("cid"),
+        )
+        best = F.aggregate(
+            arr,
+            init,
+            lambda acc, s: F.when(
+                acc["dist"].isNull() | (_dist(s) < acc["dist"]),
+                F.struct(_dist(s).alias("dist"), s["cid"].alias("cid")),
+            ).otherwise(acc),
+        )
+        return frame.select(
+            F.col(id_col),
+            F.col("_v"),
+            best["cid"].alias("cluster"),
+            best["dist"].alias("dist"),
+        )
+
+    for _ in range(n_iter - 1):
+        assigned = _assign(emb, cents)
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.col("_v")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cluster"]), [float(r[f"c{i}"]) for i in range(dim)]) for r in rows
+        )
+    return _assign(emb, cents).select(id_col, "cluster", "dist")

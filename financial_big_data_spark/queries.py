@@ -1262,6 +1262,67 @@ FROM ranked r LEFT JOIN removed rm ON r.vec_id = rm.vec_id
 """
 
 
+def q_emb_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational Lloyd k-means (ml/clustering.py lloyd_kmeans): k=8
+    hash-seeded centroids, 3 unrolled assign/update rounds, final
+    per-vector assignment + distance. The ENTIRE trajectory (seed pick,
+    every argmin assignment, every centroid mean) is re-derived in the
+    oracle as unrolled CTEs — the PageRank discipline applied to
+    clustering, turning "iterative ML is rows-only" into a hash-checked
+    claim. MLlib KMeans remains the production M1 path (`emb_kmeans`)."""
+    from .ml.clustering import lloyd_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 2000)
+    out = lloyd_kmeans(emb, k=8, n_iter=3)
+    return out.select("vec_id", "cluster", _r6(F.col("dist")).alias("dist"))
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, bound: int = 2000) -> str:
+    """Unrolled Lloyd CTE chain: assignment via argmin list_distance
+    (ties to the smaller centroid id), centroid update via per-dimension
+    avg reassembled with list(... ORDER BY dim)."""
+    parts = [
+        f"""WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {bound}
+),
+cent0 AS (
+  SELECT vec_id AS cid, v AS cv FROM corpus ORDER BY md5(vec_id::VARCHAR) LIMIT {k}
+)"""
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f""",
+a{i} AS (
+  SELECT vec_id, v, cid AS cluster, dist FROM (
+    SELECT c.vec_id, c.v, t.cid, list_distance(c.v, t.cv) AS dist,
+           row_number() OVER (
+             PARTITION BY c.vec_id ORDER BY list_distance(c.v, t.cv), t.cid
+           ) AS rn
+    FROM corpus c CROSS JOIN cent{i} t
+  ) WHERE rn = 1
+)"""
+        )
+        if i < n_iter - 1:
+            parts.append(
+                f""",
+cent{i + 1} AS (
+  SELECT cluster AS cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT cluster, dim, avg(x) AS m FROM (
+      SELECT cluster, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a{i}
+    ) GROUP BY cluster, dim
+  ) GROUP BY cluster
+)"""
+            )
+    parts.append(
+        f"""
+SELECT vec_id, cluster, round(dist, 6) AS dist FROM a{n_iter - 1}"""
+    )
+    return "".join(parts)
+
+
+_SQL_EMB_LLOYD_KMEANS = _kmeans_oracle_sql()
+
+
 def q_ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward inclusive as-of join: each purchase gets the most recent
     prior-or-equal view's value for the same user (union + ordered-ffill —
@@ -5213,8 +5274,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_quality_model": (q_doc_quality_model, None),
     # round-10 additions (past the driver window; hash-verified by the
     # local gate): SemDeDup cluster-scoped semantic dedup in the
-    # deterministic hash-seeded-centroid mode
+    # deterministic hash-seeded-centroid mode; relational Lloyd k-means
+    # with the full unrolled trajectory re-derived in SQL
     "emb_semdedup": (q_emb_semdedup, _SQL_EMB_SEMDEDUP),
+    "emb_lloyd_kmeans": (q_emb_lloyd_kmeans, _SQL_EMB_LLOYD_KMEANS),
 }
 
 

@@ -331,3 +331,86 @@ def test_correlation_matrix_distributed_parity(spark):
         c_d, n_d = dist[pair]
         assert n_p == n_d == 15
         assert c_p is not None and abs(c_p - c_d) < 1e-9, pair
+
+
+# ---------------------------------------------------------------------------
+# Relational Lloyd k-means (the oracle-checkable twin of MLlib kmeans)
+# ---------------------------------------------------------------------------
+
+
+def _numpy_lloyd(ids, vecs, k, n_iter):
+    """Reference Lloyd with the operator's exact conventions: hash-seeded
+    init (k smallest md5(id)), argmin euclidean with ties to the smaller
+    centroid id, per-dim mean update, empty clusters drop."""
+    import hashlib
+
+    import numpy as np
+
+    order = sorted(range(len(ids)), key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest())
+    cents = sorted((ids[i], np.asarray(vecs[i], dtype=float)) for i in order[:k])
+    X = {ids[i]: np.asarray(vecs[i], dtype=float) for i in range(len(ids))}
+
+    def assign(cents):
+        out = {}
+        for vid, x in X.items():
+            best = None
+            for cid, cv in cents:
+                d = float(np.sqrt(((x - cv) ** 2).sum()))
+                if best is None or d < best[0] or (d == best[0] and cid < best[1]):
+                    best = (d, cid)
+            out[vid] = best
+        return out
+
+    for _ in range(n_iter - 1):
+        a = assign(cents)
+        groups = {}
+        for vid, (_, cid) in a.items():
+            groups.setdefault(cid, []).append(X[vid])
+        cents = sorted((cid, np.mean(np.stack(g), axis=0)) for cid, g in groups.items())
+    return assign(cents)
+
+
+def test_lloyd_kmeans_matches_numpy_reference(spark):
+    import numpy as np
+
+    from financial_big_data_spark.ml.clustering import lloyd_kmeans
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 10, (4, 6))
+    ids, vecs = [], []
+    for i in range(120):
+        ids.append(i)
+        vecs.append([float(x) for x in centers[i % 4] + rng.normal(0, 0.5, 6)])
+    df = spark.createDataFrame(
+        list(zip(ids, vecs)), "vec_id long, embedding array<float>"
+    )
+    got = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in lloyd_kmeans(df, k=4, n_iter=3).collect()
+    }
+    # reference must see the same float32→double values the engine sees
+    cast_vecs = [[float(np.float32(x)) for x in v] for v in vecs]
+    want = _numpy_lloyd(ids, cast_vecs, k=4, n_iter=3)
+    assert set(got) == set(want)
+    for vid, (d, cid) in want.items():
+        assert got[vid][0] == cid, vid
+        assert abs(got[vid][1] - d) < 1e-9, vid
+    # well-separated fixture: 3 rounds converge to the true 4-way partition
+    by_cluster = {}
+    for vid, (cid, _) in got.items():
+        by_cluster.setdefault(cid, set()).add(vid % 4)
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+
+def test_lloyd_kmeans_deterministic_and_drops_empty(spark):
+    from financial_big_data_spark.ml.clustering import lloyd_kmeans
+
+    # 3 identical points far from 1 outlier, k=3: hash seeding may put two
+    # seeds on coincident points → one cluster starves and must DROP (the
+    # documented Lloyd-with-drop contract), never error
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 0.0]), (4, [100.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted((r.vec_id, r.cluster) for r in lloyd_kmeans(df, k=3, n_iter=2).collect())
+    b = sorted((r.vec_id, r.cluster) for r in lloyd_kmeans(df, k=3, n_iter=2).collect())
+    assert a == b  # bit-stable across runs
+    assert len(a) == 4  # every point still assigned after any drop
