@@ -219,3 +219,67 @@ def temperature_mix_weights(
         return scaled
     total = sum(scaled.values())
     return {s: v / total for s, v in scaled.items()}
+
+
+def stratified_split(
+    df: DataFrame,
+    strata: str,
+    id_col: str,
+    cuts: tuple = (0.8, 0.9),
+    labels: tuple = ("train", "val", "test"),
+    salt: str = "v1",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic EXACT-proportion stratified train/val/test split.
+
+    Every stratum is split at exactly ``floor(cut_i · n_stratum)`` rows —
+    the property Bernoulli splitting can't give (a 0.1 validation slice of
+    a 100-row stratum is exactly 10 docs, not 10 ± noise) — with the
+    "random" order supplied by ``md5(salt # id)``, so re-runs and
+    re-splits under a new salt are byte-reproducible with no RNG state.
+
+    ``cuts`` are cumulative upper fractions (last label takes the rest).
+    They are compared as the SAME double literals on every engine — the
+    caller passes cumulative values directly so no float summation of
+    weights can move a floor boundary by one ulp.
+
+    Scale shape: a naive per-stratum rank is one window task per stratum
+    (20 sources at 100 TB = 20 tasks). Instead the md5 key's first two hex
+    chars bucket each stratum into 256 slices whose (bucket, hash) order
+    IS the hash order — per-(stratum, bucket) local row_numbers run at
+    strata × 256 parallelism, and each slice's global offset + the stratum
+    total join back from one bounded collect (strata × 256 count rows,
+    the frozen-prefix-offset discipline of ``global_running_sum``).
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("stratified_split: need len(labels) == len(cuts) + 1")
+    if list(cuts) != sorted(cuts) or not all(0.0 < c < 1.0 for c in cuts):
+        raise ValueError("stratified_split: cuts must be ascending in (0, 1)")
+    h = F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string")))
+    tagged = df.withColumn("_h", h).withColumn(
+        "_b", F.conv(F.substring(F.col("_h"), 1, 2), 16, 10).cast("int")
+    )
+    counts = tagged.groupBy(strata, "_b").agg(F.count(F.lit(1)).alias("c")).collect()
+    per: dict = {}
+    for r in counts:
+        per.setdefault(r[0], {})[r[1]] = r[2]
+    meta_rows = []
+    for s, bm in per.items():
+        off, n_s = 0, sum(bm.values())
+        for b in sorted(bm):
+            meta_rows.append((s, b, off, n_s))
+            off += bm[b]
+    stype = dict(df.dtypes)[strata]
+    meta = df.sparkSession.createDataFrame(
+        meta_rows, f"{strata} {stype}, _b int, _off bigint, _n bigint"
+    )
+    w = Window.partitionBy(strata, "_b").orderBy(F.col("_h"), F.col(id_col))
+    ranked = tagged.join(F.broadcast(meta), on=[strata, "_b"]).withColumn(
+        "_rank", F.row_number().over(w) + F.col("_off")
+    )
+    label = F.lit(labels[-1])
+    for c, lab in zip(reversed(cuts), reversed(labels[:-1])):
+        label = F.when(
+            F.col("_rank") <= F.floor(F.col("_n") * F.lit(float(c))), F.lit(lab)
+        ).otherwise(label)
+    return ranked.withColumn(out, label).drop("_h", "_b", "_off", "_n", "_rank")

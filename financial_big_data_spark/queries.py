@@ -1262,6 +1262,37 @@ FROM ranked r LEFT JOIN removed rm ON r.vec_id = rm.vec_id
 """
 
 
+def q_doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-proportion stratified train/val/test split
+    (operators/sampling.py stratified_split): each source is cut at
+    exactly floor(0.8·n)/floor(0.9·n) in md5(salt#id) order. The oracle
+    re-derives the same ranks with a plain per-stratum window — the Spark
+    side's 256-way bucket ranking must be rank-identical to it."""
+    from .operators.sampling import stratified_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = stratified_split(docs, strata="source", id_col="doc_id")
+    return out.select("doc_id", "source", "split")
+
+
+_SQL_DOC_STRATIFIED_SPLIT = """
+WITH t AS (
+  SELECT doc_id, source,
+         count(*) OVER (PARTITION BY source) AS n_s,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('v1#' || doc_id::VARCHAR), doc_id
+         ) AS r
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN r <= floor(n_s * 0.8) THEN 'train'
+            WHEN r <= floor(n_s * 0.9) THEN 'val'
+            ELSE 'test' END AS split
+FROM t
+"""
+
+
 def q_emb_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational Lloyd k-means (ml/clustering.py lloyd_kmeans): k=8
     hash-seeded centroids, 3 unrolled assign/update rounds, final
@@ -5278,6 +5309,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # with the full unrolled trajectory re-derived in SQL
     "emb_semdedup": (q_emb_semdedup, _SQL_EMB_SEMDEDUP),
     "emb_lloyd_kmeans": (q_emb_lloyd_kmeans, _SQL_EMB_LLOYD_KMEANS),
+    "doc_stratified_split": (q_doc_stratified_split, _SQL_DOC_STRATIFIED_SPLIT),
 }
 
 

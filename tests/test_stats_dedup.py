@@ -283,3 +283,69 @@ def test_span_dedup_null_text_and_duplicate_ids(spark):
     assert 1 not in rows
     assert set(rows) == {2}
     assert rows[2].n_tokens + rows[2].n_removed == 12
+
+
+def test_stratified_split_exact_proportions_and_determinism(spark):
+    """Every stratum is cut at exactly floor(c·n); re-runs are
+    byte-identical; a different salt reshuffles membership but keeps the
+    exact counts; bucketed ranks equal the plain per-stratum window rank."""
+    from financial_big_data_spark.operators.sampling import stratified_split
+
+    rows = [(i, f"s{i % 3}") for i in range(301)]  # strata of 101, 100, 100
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split(df, strata="source", id_col="doc_id").collect()
+    assert len(out) == 301
+    by = {}
+    for r in out:
+        by.setdefault(r.source, []).append(r.split)
+    import math
+
+    for s, splits in by.items():
+        n = len(splits)
+        c = {lab: splits.count(lab) for lab in ("train", "val", "test")}
+        assert c["train"] == math.floor(n * 0.8)
+        assert c["val"] == math.floor(n * 0.9) - math.floor(n * 0.8)
+        assert c["test"] == n - math.floor(n * 0.9)
+
+    again = stratified_split(df, strata="source", id_col="doc_id").collect()
+    assert sorted((r.doc_id, r.split) for r in out) == sorted(
+        (r.doc_id, r.split) for r in again
+    )
+    resalted = stratified_split(df, strata="source", id_col="doc_id", salt="v2").collect()
+    assert sorted((r.doc_id, r.split) for r in out) != sorted(
+        (r.doc_id, r.split) for r in resalted
+    )
+    # counts are salt-invariant
+    assert sorted(r.split for r in out) == sorted(r.split for r in resalted)
+
+    # rank parity with the naive single-window formulation
+    import hashlib
+
+    want = {}
+    for s in ("s0", "s1", "s2"):
+        members = sorted(
+            (hashlib.md5(f"v1#{i}".encode()).hexdigest(), i)
+            for i, src in rows
+            if src == s
+        )
+        n = len(members)
+        for rank, (_, i) in enumerate(members, 1):
+            if rank <= math.floor(n * 0.8):
+                want[i] = "train"
+            elif rank <= math.floor(n * 0.9):
+                want[i] = "val"
+            else:
+                want[i] = "test"
+    assert {r.doc_id: r.split for r in out} == want
+
+
+def test_stratified_split_validates_cuts(spark):
+    from financial_big_data_spark.operators.sampling import stratified_split
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stratified_split(df, "source", "doc_id", cuts=(0.9, 0.8))
+    with _pytest.raises(ValueError):
+        stratified_split(df, "source", "doc_id", cuts=(0.5,), labels=("a", "b", "c"))
