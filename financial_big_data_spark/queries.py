@@ -1262,6 +1262,108 @@ FROM ranked r LEFT JOIN removed rm ON r.vec_id = rm.vec_id
 """
 
 
+def q_emb_dbscan_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN with pinned parameters (eps=1.16, min_pts=4), run through
+    the DISTRIBUTED path (PCA-projected ε-grid candidate pruning + core
+    connected components + min-core-neighbor border attachment) and
+    hash-checked against a full SQL re-derivation — brute-force ε-graph,
+    recursive min-label components, the same border tie rule. Cluster
+    labels are canonicalized to the min member vec_id so arbitrary
+    component ids never reach the hash. The auto-eps (Kneedle) variant
+    stays rows-only (`emb_dbscan`); planted clumps (7× vec 0, 5× vec 1)
+    guarantee real clusters at every SF."""
+    from .ml.clustering import dbscan
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+    c0 = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.explode(F.array(*[F.lit(i) for i in range(6)])).alias("r"), "embedding")
+        .select((F.lit(1000) + F.col("r")).alias("vec_id"), "embedding")
+    )
+    c1 = (
+        emb.where(F.col("vec_id") == 1)
+        .select(F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r"), "embedding")
+        .select((F.lit(1010) + F.col("r")).alias("vec_id"), "embedding")
+    )
+    corpus = emb.unionByName(c0).unionByName(c1)
+    dims = 64
+    flat = corpus.select(
+        F.col("vec_id").cast("string").alias("vid"),
+        *[F.col("embedding")[i].alias(f"e{i}") for i in range(dims)],
+    )
+    res, _params = dbscan(
+        flat, "vid", [f"e{i}" for i in range(dims)], eps=1.16, min_pts=4,
+        mode="distributed",
+    )
+    res = res.withColumn("vec_id", F.col("vid").cast("bigint"))
+    canon = (
+        res.where(~F.col("is_noise"))
+        .groupBy("cluster")
+        .agg(F.min("vec_id").alias("cluster_canon"))
+    )
+    return res.join(canon, on="cluster", how="left").select(
+        "vec_id",
+        F.coalesce(F.col("cluster_canon"), F.lit(-1)).alias("cluster_canon"),
+        "is_noise",
+    )
+
+
+_SQL_EMB_DBSCAN_RELATIONAL = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+),
+corpus AS (
+  SELECT vec_id::VARCHAR AS id, vec_id, v FROM base
+  UNION ALL
+  SELECT (1000 + r)::VARCHAR, 1000 + r, v FROM base, range(6) t(r) WHERE vec_id = 0
+  UNION ALL
+  SELECT (1010 + r)::VARCHAR, 1010 + r, v FROM base, range(4) t(r) WHERE vec_id = 1
+),
+neigh AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM corpus a JOIN corpus b ON a.id <> b.id
+  WHERE list_distance(a.v, b.v) <= 1.16
+),
+core AS (SELECT ia AS node FROM neigh GROUP BY ia HAVING count(*) >= 3),
+core_edges AS (
+  SELECT n.ia AS a, n.ib AS b FROM neigh n
+  JOIN core c1 ON c1.node = n.ia
+  JOIN core c2 ON c2.node = n.ib
+),
+lab(node, comp) AS (
+  SELECT node, node FROM core
+  UNION
+  SELECT e.a, l.comp FROM core_edges e JOIN lab l ON l.node = e.b
+),
+comp AS (SELECT node, min(comp) AS component FROM lab GROUP BY node),
+border AS (
+  SELECT n.ia AS node, min(n.ib) AS via
+  FROM neigh n
+  JOIN core cb ON cb.node = n.ib
+  LEFT JOIN core ca ON ca.node = n.ia
+  WHERE ca.node IS NULL
+  GROUP BY n.ia
+),
+members AS (
+  SELECT node, component FROM comp
+  UNION ALL
+  SELECT b.node, c.component FROM border b JOIN comp c ON c.node = b.via
+),
+canon AS (
+  SELECT m.component, min(c.vec_id) AS canon
+  FROM members m JOIN corpus c ON c.id = m.node
+  GROUP BY m.component
+)
+SELECT c.vec_id, coalesce(k.canon, -1) AS cluster_canon,
+       (m.node IS NULL) AS is_noise
+FROM corpus c
+LEFT JOIN members m ON m.node = c.id
+LEFT JOIN canon k ON k.component = m.component
+"""
+
+
 def q_doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-proportion stratified train/val/test split
     (operators/sampling.py stratified_split): each source is cut at
@@ -5310,6 +5412,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_semdedup": (q_emb_semdedup, _SQL_EMB_SEMDEDUP),
     "emb_lloyd_kmeans": (q_emb_lloyd_kmeans, _SQL_EMB_LLOYD_KMEANS),
     "doc_stratified_split": (q_doc_stratified_split, _SQL_DOC_STRATIFIED_SPLIT),
+    "emb_dbscan_relational": (q_emb_dbscan_relational, _SQL_EMB_DBSCAN_RELATIONAL),
 }
 
 
