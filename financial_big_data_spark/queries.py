@@ -4521,6 +4521,142 @@ def q_ev_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ev_type_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity, per community, of a DETERMINISTIC partition —
+    each user's favorite event type (count desc, type asc) — over the
+    co-occurrence graph. ev_user_modularity reports Q for iterative LPA
+    partitions (rows-only by necessity); this query hash-checks the
+    modularity ARITHMETIC itself cross-engine on a partition both engines
+    can derive: w_in, degree sums, and per-community contributions
+    Q_c = w_in/m − (s_c/2m)² are all re-derived in SQL. Every aggregate
+    is keyed; m rides along as a broadcast 1-row frame."""
+    from .ml.graph import cooccurrence_pairs
+
+    ev = _events(spark, sf_dir)
+    pairs = cooccurrence_pairs(
+        ev.select(
+            "user_id", "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        ),
+        node="user_id",
+        keys=["event_type", "hr"],
+        min_shared=3,
+    )
+    w_fav = Window.partitionBy("user_id").orderBy(
+        F.desc("n"), F.col("event_type")
+    )
+    fav = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_rn", F.row_number().over(w_fav))
+        .where(F.col("_rn") == 1)
+        .select(F.col("user_id"), F.col("event_type").alias("community"))
+    )
+    lab = pairs.join(
+        fav.select(F.col("user_id").alias("src"), F.col("community").alias("_ca")),
+        on="src",
+    ).join(
+        fav.select(F.col("user_id").alias("dst"), F.col("community").alias("_cb")),
+        on="dst",
+    )
+    from .cache import tracked_persist
+
+    lab = tracked_persist(lab)
+    m = lab.agg(F.count(F.lit(1)).cast("double").alias("_m"))
+    deg = (
+        lab.select(F.col("_ca").alias("community"))
+        .unionByName(lab.select(F.col("_cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("degree_sum"))
+    )
+    w_in = (
+        lab.where(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("w_in"))
+    )
+    nodes = (
+        pairs.select(F.col("src").alias("user_id"))
+        .unionByName(pairs.select(F.col("dst").alias("user_id")))
+        .distinct()
+        .join(fav, on="user_id")
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    out = (
+        nodes.join(deg, on="community", how="left")
+        .join(w_in, on="community", how="left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("w_in"), F.lit(0)).alias("w_in"),
+            F.coalesce(F.col("degree_sum"), F.lit(0)).alias("degree_sum"),
+            _r6(
+                F.coalesce(F.col("w_in"), F.lit(0)).cast("double") / F.col("_m")
+                - (
+                    F.coalesce(F.col("degree_sum"), F.lit(0)).cast("double")
+                    / (F.lit(2.0) * F.col("_m"))
+                )
+                * (
+                    F.coalesce(F.col("degree_sum"), F.lit(0)).cast("double")
+                    / (F.lit(2.0) * F.col("_m"))
+                )
+            ).alias("q_contrib"),
+        )
+    )
+    return out
+
+
+_SQL_EV_TYPE_MODULARITY = """
+WITH slots AS (
+  SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+  FROM events
+), pairs AS (
+  SELECT a.user_id AS src, b.user_id AS dst
+  FROM slots a JOIN slots b ON a.event_type = b.event_type AND a.hr = b.hr
+  WHERE a.user_id < b.user_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), fav AS (
+  SELECT user_id, event_type AS community FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY count(*) DESC, event_type
+           ) AS rn
+    FROM events GROUP BY user_id, event_type
+  ) WHERE rn = 1
+), lab AS (
+  SELECT p.src, p.dst, fa.community AS ca, fb.community AS cb
+  FROM pairs p
+  JOIN fav fa ON fa.user_id = p.src
+  JOIN fav fb ON fb.user_id = p.dst
+), m AS (SELECT count(*)::DOUBLE AS m FROM lab),
+deg AS (
+  SELECT community, count(*) AS degree_sum FROM (
+    SELECT ca AS community FROM lab UNION ALL SELECT cb AS community FROM lab
+  ) GROUP BY community
+), w_in AS (
+  SELECT ca AS community, count(*) AS w_in FROM lab WHERE ca = cb GROUP BY ca
+), nodes AS (
+  SELECT f.community, count(*) AS n_nodes FROM (
+    SELECT src AS user_id FROM pairs UNION SELECT dst FROM pairs
+  ) n JOIN fav f ON f.user_id = n.user_id
+  GROUP BY f.community
+)
+SELECT n.community, n.n_nodes,
+       coalesce(w.w_in, 0) AS w_in,
+       coalesce(d.degree_sum, 0) AS degree_sum,
+       round(
+         coalesce(w.w_in, 0)::DOUBLE / (SELECT m FROM m)
+         - (coalesce(d.degree_sum, 0)::DOUBLE / (2.0 * (SELECT m FROM m)))
+           * (coalesce(d.degree_sum, 0)::DOUBLE / (2.0 * (SELECT m FROM m))),
+         6
+       ) AS q_contrib
+FROM nodes n
+LEFT JOIN deg d ON d.community = n.community
+LEFT JOIN w_in w ON w.community = n.community
+"""
+
+
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (correlated-min subquery → keyed min-struct agg):
     for each small part, the cheapest EUROPE supplier by observed unit
@@ -5413,6 +5549,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_lloyd_kmeans": (q_emb_lloyd_kmeans, _SQL_EMB_LLOYD_KMEANS),
     "doc_stratified_split": (q_doc_stratified_split, _SQL_DOC_STRATIFIED_SPLIT),
     "emb_dbscan_relational": (q_emb_dbscan_relational, _SQL_EMB_DBSCAN_RELATIONAL),
+    "ev_type_modularity": (q_ev_type_modularity, _SQL_EV_TYPE_MODULARITY),
 }
 
 

@@ -199,3 +199,41 @@ def test_pagerank_checkpoint_interval_is_bit_identical(spark):
     assert base == strided  # exact float equality, not approx
     with pytest.raises(ValueError):
         pagerank(df, checkpoint_interval=0)
+
+
+def test_type_modularity_query_sums_to_modularity_helper(spark, tmp_path):
+    """The per-community q_contrib rows of ev_type_modularity must sum to
+    exactly what ml.graph.modularity computes for the same partition —
+    tying the oracle-backed relational form to the operator the LPA/
+    Louvain paths report."""
+    import pyspark.sql.functions as F
+
+    from financial_big_data_spark.ml.graph import cooccurrence_pairs, modularity
+    from financial_big_data_spark.queries import _events, q_ev_type_modularity
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = q_ev_type_modularity(spark, sf_dir)
+    q_total = sum(r.q_contrib for r in out.collect())
+
+    ev = _events(spark, sf_dir)
+    pairs = cooccurrence_pairs(
+        ev.select(
+            "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        ),
+        node="user_id",
+        keys=["event_type", "hr"],
+        min_shared=3,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.col("event_type"))
+    fav = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("user_id").alias("node"), F.col("event_type").alias("community"))
+    )
+    q_helper = modularity(pairs, fav)
+    # q_contrib is rounded to 6dp per community; ≤ #communities half-ulps apart
+    assert abs(q_total - q_helper) < 5e-6, (q_total, q_helper)

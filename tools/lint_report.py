@@ -89,6 +89,9 @@ for _q in (
     # round 10: stupid-backoff corpus totals (t_total, v_size) — one
     # broadcast row crossed onto the scored-bigram flow
     "doc_bigram_lm",
+    # round 10: total edge weight m — one broadcast row onto the
+    # per-community aggregate
+    "ev_type_modularity",
 ):
     JUSTIFIED[(_q, "nested-loop-join")] = _GLOBAL_SCALAR
 for _q in ("emb_topk", "emb_near_dup", "emb_knn_dist"):
