@@ -4657,6 +4657,66 @@ LEFT JOIN w_in w ON w.community = n.community
 """
 
 
+def q_ev_user_cc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection end-to-end, hash-checked: correlation graph
+    (pairwise-complete hourly-series Pearson, ≥4 co-present hours,
+    r ≥ 0.35) → connected components → canonical min-id labels, via the
+    same size-routed pair_clusters the dedup paths use. This oracle-backs
+    the GRAPH BUILD + LABELING of the community pipeline; the Louvain /
+    LPA optimizers on top remain rows-only (`ev_user_communities`,
+    `ev_user_modularity`) as genuinely iterative."""
+    from .operators.dedup import pair_clusters
+
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 200)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.avg("value").alias("v"))
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    pairs = (
+        a.join(b, on="hr")
+        .where(F.col("a.user_id") < F.col("b.user_id"))
+        .groupBy(
+            F.col("a.user_id").alias("id_a"), F.col("b.user_id").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a.v").alias("sx"),
+            F.sum("b.v").alias("sy"),
+            F.sum(F.col("a.v") * F.col("a.v")).alias("sxx"),
+            F.sum(F.col("b.v") * F.col("b.v")).alias("syy"),
+            F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"),
+        )
+        # moment-form Pearson with try_divide: a zero-variance series
+        # (constant hourly means) yields NULL and drops, matching DuckDB
+        # corr()'s NULL — F.corr under ANSI throws DIVIDE_BY_ZERO instead
+        .withColumn(
+            "r",
+            F.try_divide(
+                F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+            ),
+        )
+        .where((F.col("n") >= 4) & (F.col("r") >= 0.35))
+        .select("id_a", "id_b")
+    )
+    return pair_clusters(pairs, "user_id")
+
+
+_SQL_EV_USER_CC_PAIRS = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr, avg(value) AS v
+  FROM events WHERE user_id < 200 GROUP BY 1, 2
+)
+SELECT a.user_id AS id_a, b.user_id AS id_b
+FROM hourly a JOIN hourly b USING (hr)
+WHERE a.user_id < b.user_id
+GROUP BY 1, 2
+HAVING count(*) >= 4 AND corr(a.v, b.v) >= 0.35
+"""
+
+
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (correlated-min subquery → keyed min-struct agg):
     for each small part, the cheapest EUROPE supplier by observed unit
@@ -5550,6 +5610,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_stratified_split": (q_doc_stratified_split, _SQL_DOC_STRATIFIED_SPLIT),
     "emb_dbscan_relational": (q_emb_dbscan_relational, _SQL_EMB_DBSCAN_RELATIONAL),
     "ev_type_modularity": (q_ev_type_modularity, _SQL_EV_TYPE_MODULARITY),
+    "ev_user_cc_communities": (
+        q_ev_user_cc_communities, _cluster_sql(_SQL_EV_USER_CC_PAIRS, "user_id")
+    ),
 }
 
 
