@@ -3198,6 +3198,76 @@ def q_doc_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bpe_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning, hash-checked: the SAME distributed merge loop
+    as `doc_bpe` (operators/bpe.py learn_bpe_merges) on an [a-z]-word
+    corpus, with the learned merge SEQUENCE — 10 steps of (pair, count),
+    tie-broken (count desc, lhs, rhs) — re-derived in SQL as unrolled
+    CTEs. Each oracle iteration counts adjacent symbol pairs over the
+    delimited segmentation strings and applies the argmax merge with a
+    plain string replace whose '|sym|' wrapping makes left-to-right
+    non-overlapping replacement EXACTLY the reference _merge_word scan.
+    The per-word segmentation output stays rows-only (`doc_bpe`); the
+    learned vocabulary itself is now cross-engine verified."""
+    from .operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .select(F.col("w").alias("text"))
+    )
+    merges = learn_bpe_merges(words, k=10)
+    rows = [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "step int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def _bpe_oracle_sql(k: int = 10, bound: int = 200) -> str:
+    """Unrolled BPE merge loop: per step, adjacent-pair counts from the
+    '|sym|'-delimited segmentation, argmax via (c DESC, l, r) LIMIT 1,
+    merge applied through scalar-subquery string replace."""
+    parts = [
+        f"""WITH w0 AS (
+  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') || '|</w>|' AS s,
+         count(*) AS freq
+  FROM (
+    SELECT unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < {bound}
+  ) WHERE regexp_full_match(word, '[a-z]+')
+  GROUP BY 1
+)"""
+    ]
+    for i in range(k):
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS c FROM (
+    SELECT unnest(list_zip(syms[1:len(syms) - 1], syms[2:len(syms)])) AS pr,
+           freq
+    FROM (SELECT string_split(trim(s, '|'), '||') AS syms, freq FROM w{i})
+  ) GROUP BY 1, 2
+),
+top{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+w{i + 1} AS (
+  SELECT replace(s,
+    '|' || (SELECT l FROM top{i}) || '||' || (SELECT r FROM top{i}) || '|',
+    '|' || (SELECT l FROM top{i}) || (SELECT r FROM top{i}) || '|') AS s,
+    freq
+  FROM w{i}
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS step, l AS lhs, r AS rhs, c AS pair_count FROM top{i}"
+        for i in range(k)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+_SQL_DOC_BPE_RELATIONAL = _bpe_oracle_sql()
+
+
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: customers with above-average positive balance who
     never placed an order, grouped per nation — the scalar-aggregate
@@ -5613,6 +5683,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_user_cc_communities": (
         q_ev_user_cc_communities, _cluster_sql(_SQL_EV_USER_CC_PAIRS, "user_id")
     ),
+    "doc_bpe_relational": (q_doc_bpe_relational, _SQL_DOC_BPE_RELATIONAL),
 }
 
 

@@ -28,7 +28,49 @@ import sys
 def _load(path: str) -> dict:
     with open(path) as fh:
         d = json.load(fh)
-    return d.get("parsed", d)
+    parsed = d.get("parsed", d)
+    if parsed is None and isinstance(d.get("tail"), str):
+        # driver wrapper with parsed=null: the tail may hold the one-line
+        # JSON intact (progress noise before it) or HEAD-TRUNCATED (the
+        # driver keeps only the last N chars). Try a clean parse first,
+        # then scavenge whatever complete sub-dicts / scalar pairs survive
+        # so cross-round comparison degrades gracefully instead of dying.
+        line = d["tail"].strip().rsplit("\n", 1)[-1]
+        start = line.find("{")
+        if start >= 0:
+            try:
+                parsed = json.loads(line[start:])
+            except json.JSONDecodeError:
+                parsed = _scavenge(line)
+    if parsed is None:
+        raise SystemExit(f"{path}: no parsable bench JSON (parsed=null)")
+    return parsed
+
+
+def _scavenge(frag: str) -> dict:
+    """Rebuild what metrics survive in a head-truncated one-line bench JSON:
+    every complete flat sub-dict ("name": {...}) and every top-level scalar
+    pair. Nested values inside the sub-dicts are scalars or [lo, hi] bands,
+    which json.loads handles once the braces balance."""
+    import re
+
+    out: dict = {}
+    for m in re.finditer(r'"(\w+)":\s*\{', frag):
+        name, depth, i = m.group(1), 0, m.end() - 1
+        for j in range(i, len(frag)):
+            depth += frag[j] == "{"
+            depth -= frag[j] == "}"
+            if depth == 0:
+                try:
+                    out[name] = json.loads(frag[i : j + 1])
+                except json.JSONDecodeError:
+                    pass
+                break
+    for m in re.finditer(r'"(\w[\w.]*)":\s*(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)', frag):
+        pre = frag[: m.start()]
+        if pre.count("{") - pre.count("}") <= 1:  # top level only
+            out.setdefault(m.group(1), float(m.group(2)))
+    return out
 
 
 def _flatten(d: dict, prefix: str = "") -> dict[str, float]:
@@ -43,6 +85,10 @@ def _flatten(d: dict, prefix: str = "") -> dict[str, float]:
 
 def _higher_is_better(name: str) -> bool:
     short = name.rsplit(".", 1)[-1]
+    if short == "ep2_big_ratio":
+        # spark_sec / pandas_sec — LOWER is better, unlike recall-style
+        # ratios; without this carve-out an improvement flags as regressed
+        return False
     return any(
         t in short for t in ("_acc", "recall", "_ratio", "mb_per", "scale_factor")
     )
