@@ -3183,9 +3183,10 @@ def q_doc_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary learning + segmentation (operators/bpe.py): learn
     10 merges on the word-frequency table (bounded sample — vocabulary
     learning is an offline sampled job even at production scale), then
-    segment map-only. Rows-only: the merge loop is iterative and not
-    SQL-expressible; parity is pinned against a pure-python reference in
-    tests/test_bpe.py."""
+    segment map-only. Rows-only for the per-doc SEGMENTATIONS; the learned
+    merge sequence itself is cross-engine hash-checked by
+    `doc_bpe_relational`, and parity is additionally pinned against a
+    pure-python reference in tests/test_bpe.py."""
     from .operators.bpe import apply_bpe, learn_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
@@ -3229,7 +3230,7 @@ def _bpe_oracle_sql(k: int = 10, bound: int = 200) -> str:
     '|sym|'-delimited segmentation, argmax via (c DESC, l, r) LIMIT 1,
     merge applied through scalar-subquery string replace."""
     parts = [
-        f"""WITH w0 AS (
+        f"""WITH w0 AS MATERIALIZED (
   SELECT regexp_replace(word, '(.)', '|\\1|', 'g') || '|</w>|' AS s,
          count(*) AS freq
   FROM (
@@ -3242,15 +3243,15 @@ def _bpe_oracle_sql(k: int = 10, bound: int = 200) -> str:
     for i in range(k):
         parts.append(
             f""",
-p{i} AS (
-  SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS c FROM (
+p{i} AS MATERIALIZED (
+  SELECT pr[1] AS l, pr[2] AS r, sum(freq)::BIGINT AS c FROM (
     SELECT unnest(list_zip(syms[1:len(syms) - 1], syms[2:len(syms)])) AS pr,
            freq
     FROM (SELECT string_split(trim(s, '|'), '||') AS syms, freq FROM w{i})
   ) GROUP BY 1, 2
 ),
-top{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
-w{i + 1} AS (
+top{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+w{i + 1} AS MATERIALIZED (
   SELECT replace(s,
     '|' || (SELECT l FROM top{i}) || '||' || (SELECT r FROM top{i}) || '|',
     '|' || (SELECT l FROM top{i}) || (SELECT r FROM top{i}) || '|') AS s,
