@@ -714,3 +714,75 @@ def lloyd_kmeans(
             (int(r["cluster"]), [float(r[f"c{i}"]) for i in range(dim)]) for r in rows
         )
     return _assign(emb, cents).select(id_col, "cluster", "dist")
+
+
+def power_iteration_pca(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 8,
+) -> DataFrame:
+    """Top principal component by explicit power iteration — the
+    audit-grade twin of MLlib ``pca_project`` (M5), every step
+    re-derivable in SQL (the Lloyd-kmeans discipline applied to PCA).
+
+    Distributed work is two keyed passes over the data: per-dimension
+    means, then the d×d scatter matrix S = Σ (x−μ)(x−μ)ᵀ as one
+    (dim, dim)-keyed aggregate (the self-join is keyed on the row id —
+    64 dims ⇒ 4096 partial products per row, map-side combined). S is
+    bounded metadata (d² doubles — the same driver-eigensolve class as
+    DBSCAN's projection PCA), so the ``n_iter`` matvec+normalize rounds
+    run driver-side in plain sequential Python arithmetic; the final
+    projection is one more distributed keyed aggregate against the
+    broadcast component. Sign is fixed by making component 0
+    non-negative. Returns (id_col, pc1) — unrounded.
+
+    Scale: nothing row-sized ever reaches the driver; the d² scatter
+    collect is the documented bounded-metadata pattern (fine through
+    d ~ 1e3; beyond that you shard the matvec, not this function).
+    """
+    import math
+
+    if n_iter < 1:
+        raise ValueError("power_iteration_pca: n_iter must be >= 1")
+    v = F.col(vec_col).cast("array<double>")
+    dims = df.select(F.col(id_col), F.posexplode(v).alias("d", "x"))
+    mu = dims.groupBy("d").agg(F.avg("x").alias("m"))
+    from ..cache import tracked_persist
+
+    cd = tracked_persist(
+        dims.join(F.broadcast(mu), on="d").select(
+            id_col, "d", (F.col("x") - F.col("m")).alias("xc")
+        )
+    )
+    a = cd.select(F.col(id_col), F.col("d").alias("i"), F.col("xc").alias("xa"))
+    b = cd.select(F.col(id_col), F.col("d").alias("j"), F.col("xc").alias("xb"))
+    crows = (
+        a.join(b, on=id_col)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("c"))
+        .collect()
+    )
+    if not crows:
+        raise ValueError("power_iteration_pca: empty input")
+    dim = max(r.i for r in crows) + 1
+    C = [[0.0] * dim for _ in range(dim)]
+    for r in crows:
+        C[r.i][r.j] = float(r.c)
+    vec = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(n_iter):
+        w = [sum(C[i][j] * vec[j] for j in range(dim)) for i in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in w))
+        if nrm == 0.0:
+            raise ValueError("power_iteration_pca: zero scatter matrix")
+        vec = [x / nrm for x in w]
+    if vec[0] < 0:
+        vec = [-x for x in vec]
+    vdf = df.sparkSession.createDataFrame(
+        [(i, x) for i, x in enumerate(vec)], "d int, vv double"
+    )
+    return (
+        cd.join(F.broadcast(vdf), on="d")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("xc") * F.col("vv")).alias("pc1"))
+    )

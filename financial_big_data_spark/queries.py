@@ -1364,6 +1364,92 @@ LEFT JOIN canon k ON k.component = m.component
 """
 
 
+def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PC projection by explicit power iteration (ml/clustering.py
+    power_iteration_pca), hash-checked against the same 8 matvec+normalize
+    rounds unrolled as SQL CTEs — scatter matrix, every iterate, sign fix,
+    and final projections all re-derived cross-engine. The corpus is
+    salted with 30 ×3-scaled copies of vector 0, planting a dominant
+    direction (λ2/λ1 ≈ 0.054, so 8 rounds converge to ~1e-10); the
+    organic spectrum alone is near-isotropic and would make "the top PC"
+    ill-defined. MLlib PCA remains the production M5 path (`emb_pca`)."""
+    from .ml.clustering import power_iteration_pca
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.array(*[F.lit(i) for i in range(30)])).alias("r"),
+            "embedding",
+        )
+        .select(
+            (F.lit(1000) + F.col("r")).alias("vec_id"),
+            F.transform(F.col("embedding"), lambda x: x * F.lit(3.0)).alias(
+                "embedding"
+            ),
+        )
+    )
+    out = power_iteration_pca(emb.unionByName(planted), n_iter=8)
+    return out.select("vec_id", _r6(F.col("pc1")).alias("pc1"))
+
+
+def _pca_power_oracle_sql(n_iter: int = 8, bound: int = 500) -> str:
+    """Unrolled power iteration: scatter matrix via the dim-pair keyed
+    aggregate, then n_iter matvec+normalize CTE rounds (MATERIALIZED —
+    each iterate is referenced twice), sign fixed on component 0."""
+    parts = [
+        f"""WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {bound}
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT 1000 + r, list_transform(v, x -> x * 3.0)
+  FROM base, range(30) t(r) WHERE vec_id = 0
+),
+dims AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS x FROM corpus
+),
+mu AS MATERIALIZED (SELECT d, avg(x) AS m FROM dims GROUP BY d),
+cd AS MATERIALIZED (
+  SELECT vec_id, dims.d, x - m AS xc FROM dims JOIN mu USING (d)
+),
+cmat AS MATERIALIZED (
+  SELECT a.d AS i, b.d AS j, sum(a.xc * b.xc) AS c
+  FROM cd a JOIN cd b USING (vec_id) GROUP BY 1, 2
+),
+v0 AS MATERIALIZED (SELECT d, 0.125 AS vv FROM mu)"""
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f""",
+w{t + 1} AS MATERIALIZED (
+  SELECT i AS d, sum(c * vv) AS wv FROM cmat JOIN v{t} ON v{t}.d = cmat.j
+  GROUP BY i
+),
+v{t + 1} AS MATERIALIZED (
+  SELECT d, wv / (SELECT sqrt(sum(wv * wv)) FROM w{t + 1}) AS vv FROM w{t + 1}
+)"""
+        )
+    parts.append(
+        f""",
+vs AS MATERIALIZED (
+  SELECT d,
+         CASE WHEN (SELECT vv FROM v{n_iter} WHERE d = 0) < 0 THEN -vv
+              ELSE vv END AS vv
+  FROM v{n_iter}
+)
+SELECT cd.vec_id, round(sum(xc * vv), 6) AS pc1
+FROM cd JOIN vs USING (d) GROUP BY cd.vec_id"""
+    )
+    return "".join(parts)
+
+
+_SQL_EMB_PCA_POWER = _pca_power_oracle_sql()
+
+
 def q_doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-proportion stratified train/val/test split
     (operators/sampling.py stratified_split): each source is cut at
@@ -5685,6 +5771,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         q_ev_user_cc_communities, _cluster_sql(_SQL_EV_USER_CC_PAIRS, "user_id")
     ),
     "doc_bpe_relational": (q_doc_bpe_relational, _SQL_DOC_BPE_RELATIONAL),
+    "emb_pca_power": (q_emb_pca_power, _SQL_EMB_PCA_POWER),
 }
 
 

@@ -414,3 +414,31 @@ def test_lloyd_kmeans_deterministic_and_drops_empty(spark):
     b = sorted((r.vec_id, r.cluster) for r in lloyd_kmeans(df, k=3, n_iter=2).collect())
     assert a == b  # bit-stable across runs
     assert len(a) == 4  # every point still assigned after any drop
+
+
+def test_power_iteration_pca_matches_numpy_top_component(spark):
+    """On a planted-dominant-direction corpus, the 8-round power iteration
+    projection matches numpy's exact top eigenvector projection (up to the
+    component-0-nonnegative sign convention) to 1e-6."""
+    import numpy as np
+
+    from financial_big_data_spark.ml.clustering import power_iteration_pca
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(0, 1, (150, 12))
+    direction = rng.normal(0, 1, 12)
+    direction /= np.linalg.norm(direction)
+    X[:40] += 8.0 * direction * rng.normal(1, 0.1, (40, 1))
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.pc1 for r in power_iteration_pca(df, n_iter=8).collect()}
+
+    Xc = X - X.mean(0)
+    evals, evecs = np.linalg.eigh(Xc.T @ Xc)
+    top = evecs[:, -1]
+    if top[0] < 0:
+        top = -top
+    want = Xc @ top
+    assert len(got) == len(X)
+    for i in range(len(X)):
+        assert abs(got[i] - want[i]) < 1e-6, i
