@@ -1450,6 +1450,114 @@ FROM cd JOIN vs USING (d) GROUP BY cd.vec_id"""
 _SQL_EMB_PCA_POWER = _pca_power_oracle_sql()
 
 
+def q_emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC scan, hash-checked: the real pq_encode / adc_luts /
+    adc_score operators (operators/pq.py) run with DETERMINISTIC seeded
+    codebooks (codeword c of subspace j = the j-th slice of the corpus
+    vector with the c-th smallest md5(id)) so quantization and the
+    asymmetric-distance arithmetic are cross-engine re-derivable. ADC
+    sums are evaluated in subspace order on BOTH engines (Spark's fold;
+    SQL's generate_series gather) so code-collision ties stay exact ties.
+    Codebook TRAINING stays rows-only (`emb_ivfpq` — MLlib per-subspace
+    KMeans); its Lloyd arithmetic is separately pinned by
+    `emb_lloyd_kmeans`."""
+    from .operators.pq import adc_luts, adc_score, pq_encode
+
+    m, dsub, k = 8, 8, 16
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seed_rows = (
+        emb.select("vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("_hk"))
+        .orderBy("_hk")
+        .limit(k)
+        .collect()
+    )
+    cb_rows = [
+        (j, c, [float(x) for x in r.embedding[j * dsub : (j + 1) * dsub]])
+        for c, r in enumerate(seed_rows)
+        for j in range(m)
+    ]
+    codebooks = spark.createDataFrame(cb_rows, "subspace int, code int, ctr array<double>")
+    codes = pq_encode(emb, codebooks)
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    luts = adc_luts(probes, codebooks)
+    scored = codes.crossJoin(
+        F.broadcast(luts.select("query_id", "lut"))
+    ).select(
+        "query_id",
+        "vec_id",
+        adc_score(F.col("codes"), F.col("lut")).alias("adc_ip"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_ip"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", _r6(F.col("adc_ip")).alias("adc_ip"), "rank")
+    )
+
+
+_SQL_EMB_PQ_ADC = """
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+),
+seeds AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS code, v
+  FROM base ORDER BY md5(vec_id::VARCHAR) LIMIT 16
+),
+cb AS MATERIALIZED (
+  SELECT j AS subspace, code, v[j * 8 + 1 : j * 8 + 8] AS ctr
+  FROM seeds, range(8) t(j)
+),
+sub AS MATERIALIZED (
+  SELECT vec_id, j AS subspace, v[j * 8 + 1 : j * 8 + 8] AS sv
+  FROM base, range(8) t(j)
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, subspace, code FROM (
+    SELECT s.vec_id, s.subspace, c.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.subspace
+             ORDER BY list_sum(list_transform(list_zip(s.sv, c.ctr),
+                      x -> (x[1] - x[2]) * (x[1] - x[2]))), c.code
+           ) AS rn
+    FROM sub s JOIN cb c USING (subspace)
+  ) WHERE rn = 1
+),
+enc_arr AS MATERIALIZED (
+  SELECT vec_id, list(code ORDER BY subspace) AS codes FROM enc GROUP BY vec_id
+),
+probes AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 3),
+lutv AS MATERIALIZED (
+  SELECT p.query_id, c.subspace, c.code,
+         list_dot_product(p.qv[c.subspace * 8 + 1 : c.subspace * 8 + 8], c.ctr) AS ip
+  FROM probes p CROSS JOIN cb c
+),
+lut_rows AS MATERIALIZED (
+  SELECT query_id, subspace, list(ip ORDER BY code) AS lrow
+  FROM lutv GROUP BY 1, 2
+),
+lut AS MATERIALIZED (
+  SELECT query_id, list(lrow ORDER BY subspace) AS lut FROM lut_rows GROUP BY 1
+),
+score AS (
+  SELECT l.query_id, e.vec_id,
+         list_sum(list_transform(generate_series(1, 8),
+                  j -> l.lut[j][e.codes[j] + 1])) AS adc_ip
+  FROM enc_arr e CROSS JOIN lut l
+)
+SELECT query_id, vec_id, round(adc_ip, 6) AS adc_ip, rank FROM (
+  SELECT query_id, vec_id, adc_ip,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_ip DESC, vec_id
+         ) AS rank
+  FROM score
+) WHERE rank <= 10
+"""
+
+
 def q_doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-proportion stratified train/val/test split
     (operators/sampling.py stratified_split): each source is cut at
@@ -5772,6 +5880,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "doc_bpe_relational": (q_doc_bpe_relational, _SQL_DOC_BPE_RELATIONAL),
     "emb_pca_power": (q_emb_pca_power, _SQL_EMB_PCA_POWER),
+    "emb_pq_adc": (q_emb_pq_adc, _SQL_EMB_PQ_ADC),
 }
 
 
