@@ -73,3 +73,28 @@ def test_engine_flagship_queries_are_clean(spark):
     )
     mix = interleave_sources(docs, {"a": 2.0, "b": 1.0})
     assert not (_kinds(scale_lint(mix, executed=False)) & bad)
+
+
+def test_round10_operators_lint_clean(spark):
+    """The new oracle-backed operators must not introduce any of the
+    anti-patterns: SemDeDup's literal-fold assignment has no BNLJ and no
+    per-row window; the stratified split's bucketed ranking has no
+    partitionless window; Lloyd assignment is map-only."""
+    from financial_big_data_spark.ml.clustering import lloyd_kmeans
+    from financial_big_data_spark.operators.sampling import stratified_split
+    from financial_big_data_spark.operators.similarity import semdedup
+
+    bad = {"partitionless-window", "cartesian-join", "nested-loop-join", "row-python-udf"}
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    assert not (_kinds(scale_lint(semdedup(emb, n_clusters=4), executed=False)) & bad)
+    assert not (_kinds(scale_lint(lloyd_kmeans(emb, k=3, n_iter=2), executed=False)) & bad)
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    split = stratified_split(docs, strata="source", id_col="doc_id")
+    assert not (_kinds(scale_lint(split, executed=False)) & bad)

@@ -210,6 +210,32 @@ SHOWCASE = {
         "left-anti join on the uniform customer key, and the orders side "
         "is pruned to its join column at the scan (ReadSchema)."
     ),
+    "emb_semdedup": (
+        "SemDeDup: centroid assignment is MAP-ONLY — the seed set folds "
+        "over one in-plan literal (no join, no exchange, no row blowup); "
+        "the first shuffle is the per-cluster rank window, the prune "
+        "join reuses that cluster partitioning, and the quadratic stage "
+        "is confined to one cluster."
+    ),
+    "emb_lloyd_kmeans": (
+        "Relational Lloyd: per round, assignment folds over the in-plan "
+        "centroid literal (map-only) and the update is one k-row hash "
+        "aggregate — the corpus is NEVER reshuffled across iterations, "
+        "mirroring MLlib KMeans' own shape."
+    ),
+    "doc_stratified_split": (
+        "Exact-proportion stratified split: per-stratum ranks come from "
+        "256 hash-prefix buckets (local row_number + broadcast frozen "
+        "prefix offsets) — strata×256 parallel window tasks instead of "
+        "one task per stratum."
+    ),
+    "emb_pq_adc": (
+        "PQ/ADC: encode is a broadcast codebook join + min_by per "
+        "(id, subspace) with one regroup on the uniform id; the ADC scan "
+        "reads 8-byte code arrays (not 3 KB vectors) against broadcast "
+        "per-query LUTs — whole-stage-codegen arithmetic, top-10 per "
+        "probe via a keyed rank window."
+    ),
 }
 
 
