@@ -684,17 +684,16 @@ def lloyd_kmeans(
                 )
             )
 
-        init = F.struct(
-            F.lit(None).cast("double").alias("dist"),
-            F.lit(None).cast("bigint").alias("cid"),
-        )
-        best = F.aggregate(
-            arr,
-            init,
-            lambda acc, s: F.when(
-                acc["dist"].isNull() | (_dist(s) < acc["dist"]),
-                F.struct(_dist(s).alias("dist"), s["cid"].alias("cid")),
-            ).otherwise(acc),
+        # transform computes each centroid's distance ONCE (the fold form
+        # re-evaluated it in both the condition and the result);
+        # array_min's lexicographic (dist, cid) order is argmin with ties
+        # to the smaller centroid id. Distances are never NULL (pure
+        # sum-of-squares, no division).
+        best = F.array_min(
+            F.transform(
+                arr,
+                lambda s: F.struct(_dist(s).alias("dist"), s["cid"].alias("cid")),
+            )
         )
         return frame.select(
             F.col(id_col),

@@ -260,6 +260,14 @@ def stratified_split(
         "_b", F.conv(F.substring(F.col("_h"), 1, 2), 16, 10).cast("int")
     )
     counts = tagged.groupBy(strata, "_b").agg(F.count(F.lit(1)).alias("c")).collect()
+    if any(r[0] is None for r in counts):
+        # the meta join below is null-unsafe equality — a NULL stratum
+        # would silently vanish from the output; refuse loudly instead
+        # (mirroring chi2_independence's null-category guard)
+        raise ValueError(
+            f"stratified_split: NULL values in strata column {strata!r} — "
+            "fill or filter them before splitting"
+        )
     per: dict = {}
     for r in counts:
         per.setdefault(r[0], {})[r[1]] = r[2]

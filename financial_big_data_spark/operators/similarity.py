@@ -314,7 +314,10 @@ def _assign_nearest_seed(emb: DataFrame, seeds: DataFrame, id_col: str) -> DataF
     k · dim routes to a broadcast join + map-side-combining max-struct
     aggregate instead: the partial aggregate collapses the k-fan back to
     one row per id inside the scan partition, so the exchange moves n
-    rows, not k·n. Both paths order ties identically (sim DESC, seed ASC).
+    rows, not k·n. Both paths order ties identically (sim DESC, seed ASC),
+    and both give a zero-norm vector (cosine NULL against every seed) the
+    SMALLEST seed id with seed_sim NULL — cosine ∈ [-1, 1], so the -2.0
+    sentinel below can never collide with a real similarity.
 
     Returns (id_col, _v, cluster, seed_sim).
     """
@@ -323,10 +326,13 @@ def _assign_nearest_seed(emb: DataFrame, seeds: DataFrame, id_col: str) -> DataF
         raise ValueError("semdedup: empty centroid set")
     seed_rows.sort(key=lambda t: t[0])
     n_scalars = sum(len(v) for _, v in seed_rows)
+    _NULL_SIM = F.lit(-2.0)
     if n_scalars <= _SEED_LITERAL_MAX:
         # one parsed literal (single F.expr — never per-element lit() py4j
-        # calls); fold keeps the first-in-order seed on exact sim ties,
-        # which with the id-ascending array IS (sim DESC, seed ASC)
+        # calls); each seed's score is computed ONCE by transform (the
+        # fold form re-evaluated the cosine in both the when() condition
+        # and the result), then array_max's lexicographic (sim, -sid)
+        # order IS (sim DESC, seed ASC)
         structs = ", ".join(
             "named_struct('sid', CAST({sid} AS BIGINT), 'sv', array({xs}))".format(
                 sid=int(sid),
@@ -335,27 +341,22 @@ def _assign_nearest_seed(emb: DataFrame, seeds: DataFrame, id_col: str) -> DataF
             for sid, vec in seed_rows
         )
         seed_arr = F.expr(f"array({structs})")
-        init = F.struct(
-            F.lit(None).cast("double").alias("sim"),
-            F.lit(None).cast("bigint").alias("sid"),
-        )
-        best = F.aggregate(
+        scored_arr = F.transform(
             seed_arr,
-            init,
-            lambda acc, s: F.when(
-                acc["sim"].isNull()
-                | (cosine(F.col("_v"), s["sv"]) > acc["sim"]),
-                F.struct(
-                    cosine(F.col("_v"), s["sv"]).alias("sim"),
-                    s["sid"].alias("sid"),
-                ),
-            ).otherwise(acc),
+            lambda s: F.struct(
+                F.coalesce(cosine(F.col("_v"), s["sv"]), _NULL_SIM).alias("sim"),
+                (-s["sid"]).alias("negsid"),
+                s["sid"].alias("sid"),
+            ),
         )
+        best = F.array_max(scored_arr)
         return emb.select(
             F.col(id_col),
             F.col("_v"),
             best["sid"].alias("cluster"),
-            best["sim"].alias("seed_sim"),
+            F.when(best["sim"] == _NULL_SIM, F.lit(None).cast("double"))
+            .otherwise(best["sim"])
+            .alias("seed_sim"),
         )
     small = emb.sparkSession.createDataFrame(
         seed_rows, "sid bigint, sv array<double>"
@@ -364,7 +365,7 @@ def _assign_nearest_seed(emb: DataFrame, seeds: DataFrame, id_col: str) -> DataF
         F.col(id_col),
         F.col("_v"),
         F.col("sid"),
-        cosine(F.col("_v"), F.col("sv")).alias("_sim"),
+        F.coalesce(cosine(F.col("_v"), F.col("sv")), _NULL_SIM).alias("_sim"),
     )
     # max of (sim, -sid) lexicographic = argmax sim, ties to smaller sid;
     # partial aggregation reduces the k-fan map-side before the exchange
@@ -382,7 +383,9 @@ def _assign_nearest_seed(emb: DataFrame, seeds: DataFrame, id_col: str) -> DataF
         F.col(id_col),
         F.col("_best.v").alias("_v"),
         F.col("_best.sid").alias("cluster"),
-        F.col("_best.sim").alias("seed_sim"),
+        F.when(F.col("_best.sim") == _NULL_SIM, F.lit(None).cast("double"))
+        .otherwise(F.col("_best.sim"))
+        .alias("seed_sim"),
     )
 
 

@@ -3421,8 +3421,11 @@ def q_doc_bpe_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_oracle_sql(k: int = 10, bound: int = 200) -> str:
     """Unrolled BPE merge loop: per step, adjacent-pair counts from the
-    '|sym|'-delimited segmentation, argmax via (c DESC, l, r) LIMIT 1,
-    merge applied through scalar-subquery string replace."""
+    '|sym|'-delimited segmentation, argmax via (c DESC, l, r) LIMIT 1
+    gated on count >= 2 (the reference's early-stop: an empty top makes
+    every later step a no-op and emits no row — same sequence length as
+    learn_bpe_merges on sparse corpora), merge applied through
+    scalar-subquery string replace."""
     parts = [
         f"""WITH w0 AS MATERIALIZED (
   SELECT regexp_replace(word, '(.)', '|\\1|', 'g') || '|</w>|' AS s,
@@ -3444,11 +3447,14 @@ p{i} AS MATERIALIZED (
     FROM (SELECT string_split(trim(s, '|'), '||') AS syms, freq FROM w{i})
   ) GROUP BY 1, 2
 ),
-top{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+top{i} AS MATERIALIZED (
+  SELECT l, r, c FROM p{i} WHERE c >= 2 ORDER BY c DESC, l, r LIMIT 1
+),
 w{i + 1} AS MATERIALIZED (
-  SELECT replace(s,
+  SELECT CASE WHEN (SELECT count(*) FROM top{i}) = 1 THEN replace(s,
     '|' || (SELECT l FROM top{i}) || '||' || (SELECT r FROM top{i}) || '|',
-    '|' || (SELECT l FROM top{i}) || (SELECT r FROM top{i}) || '|') AS s,
+    '|' || (SELECT l FROM top{i}) || (SELECT r FROM top{i}) || '|')
+    ELSE s END AS s,
     freq
   FROM w{i}
 )"""

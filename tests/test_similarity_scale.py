@@ -268,3 +268,24 @@ def test_semdedup_assignment_paths_agree(spark, monkeypatch):
         for r in sim.semdedup(df, n_clusters=6, threshold=0.95).collect()
     )
     assert lit_out == join_out
+
+
+def test_semdedup_zero_vector_assignment_consistent(spark, monkeypatch):
+    """A zero-norm vector (cosine NULL against every seed) gets the
+    SMALLEST centroid id with seed_sim NULL — identically on the literal
+    and broadcast-join paths."""
+    import financial_big_data_spark.operators.similarity as sim
+
+    centroids = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (7, [0.0, 1.0])], "cluster long, vec array<float>"
+    )
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    lit_out = {r.vec_id: (r.cluster, r.seed_sim) for r in sim.semdedup(
+        df, threshold=0.99, centroids=centroids).collect()}
+    monkeypatch.setattr(sim, "_SEED_LITERAL_MAX", 0)
+    join_out = {r.vec_id: (r.cluster, r.seed_sim) for r in sim.semdedup(
+        df, threshold=0.99, centroids=centroids).collect()}
+    assert lit_out == join_out
+    assert lit_out[2] == (3, None)  # smallest seed id, NULL similarity

@@ -349,3 +349,15 @@ def test_stratified_split_validates_cuts(spark):
         stratified_split(df, "source", "doc_id", cuts=(0.9, 0.8))
     with _pytest.raises(ValueError):
         stratified_split(df, "source", "doc_id", cuts=(0.5,), labels=("a", "b", "c"))
+
+
+def test_stratified_split_rejects_null_strata(spark):
+    from financial_big_data_spark.operators.sampling import stratified_split
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "doc_id long, source string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="NULL values in strata"):
+        stratified_split(df, strata="source", id_col="doc_id").collect()

@@ -41,7 +41,9 @@ def _load(path: str) -> dict:
             try:
                 parsed = json.loads(line[start:])
             except json.JSONDecodeError:
-                parsed = _scavenge(line)
+                # empty recovery must NOT silently compare as "no shared
+                # metrics → no regressions" — treat it as unusable
+                parsed = _scavenge(line) or None
     if parsed is None:
         raise SystemExit(f"{path}: no parsable bench JSON (parsed=null)")
     return parsed
@@ -66,9 +68,15 @@ def _scavenge(frag: str) -> dict:
                 except json.JSONDecodeError:
                     pass
                 break
+    # Top-level detection must survive HEAD truncation: the fragment ends
+    # at the root close (absolute depth 0), so depth_abs(pos) =
+    # bal(pos) - bal(end) and root-dict keys sit at depth_abs == 1 —
+    # a prefix-only brace count would promote nested keys when the
+    # truncation ate their opening braces.
+    b_total = frag.count("{") - frag.count("}")
     for m in re.finditer(r'"(\w[\w.]*)":\s*(-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)', frag):
         pre = frag[: m.start()]
-        if pre.count("{") - pre.count("}") <= 1:  # top level only
+        if pre.count("{") - pre.count("}") - b_total == 1:
             out.setdefault(m.group(1), float(m.group(2)))
     return out
 

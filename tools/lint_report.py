@@ -96,6 +96,16 @@ for _q in (
     JUSTIFIED[(_q, "nested-loop-join")] = _GLOBAL_SCALAR
 for _q in ("emb_topk", "emb_near_dup", "emb_knn_dist"):
     JUSTIFIED[(_q, "nested-loop-join")] = _BOUNDED_PROBE
+JUSTIFIED[("emb_dbscan_relational", "nested-loop-join")] = (
+    "ε-grid neighbor-offset expansion: broadcast side is the 3^n_block "
+    "(=9) offset rows each cell replicates to — bounded metadata, O(n·9); "
+    "the candidate pairing itself is the keyed cell equi-join"
+)
+JUSTIFIED[("emb_pq_adc", "nested-loop-join")] = (
+    "broadcast side is the bounded probe set's ADC lookup tables "
+    "(3 probes × m·2^nbits doubles); the corpus-side scan reads 8-byte "
+    "code arrays against them — the PQ design point"
+)
 JUSTIFIED[("emb_ivfpq", "nested-loop-join")] = (
     "query-side centroid ranking: broadcast side is the bounded "
     "n_cells-row centroid table against the bounded probe set; the "
