@@ -94,15 +94,22 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id: str = "query_id",
     seed: int = 42,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans-partition the corpus
     into ``n_cells`` cells, search each query only in its ``n_probe``
     nearest cells.
 
-    The coarse quantizer trains distributed (MLlib KMeans); cell assignment
-    is a map-only transform; the candidate join is keyed by cell id. At
-    corpus scale N and Q queries this reads ~Q·(n_probe/n_cells)·N vectors
-    instead of Q·N — the standard recall/throughput dial.
+    The coarse quantizer trains distributed (MLlib KMeans) by default;
+    pass ``centroids`` (cell_id, vec) to pin the cells instead — e.g. the
+    deterministic hash-seeded exemplars the oracle-backed
+    ``emb_ivf_seeded`` query uses, so the routing itself (assignment,
+    probe ranking, pruned exact rescore) is cross-engine re-derivable.
+    Cell assignment is then a broadcast join + one min-struct aggregate
+    (euclidean, ties to the smaller cell id — the KMeans convention).
+    At corpus scale N and Q queries the scan reads
+    ~Q·(n_probe/n_cells)·N vectors instead of Q·N — the standard
+    recall/throughput dial.
 
     Cell ranking is RELATIONAL: the centroids live in a broadcast DataFrame
     that the query side joins and ranks against — the plan stays flat in
@@ -110,22 +117,47 @@ def ivf_topk(
     constants in the expression tree, which explodes at realistic 4k–65k
     cells; VERDICT r2 wrong #4).
     """
-    import numpy as np
-
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    c = corpus.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_fv", array_to_vector("_v"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell").fit(c)
-    assigned = km.transform(c).select(id_col, "_v", "_cell")
-
     spark = corpus.sparkSession
-    centers_df = spark.createDataFrame(
-        [(i, np.asarray(ctr).tolist()) for i, ctr in enumerate(km.clusterCenters())],
-        "_cell int, _ctr array<double>",
-    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    if centroids is None:
+        import numpy as np
+
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        cf = c.withColumn("_fv", array_to_vector("_v"))
+        km = KMeans(
+            k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell"
+        ).fit(cf)
+        assigned = km.transform(cf).select(id_col, "_v", "_cell")
+        centers_df = spark.createDataFrame(
+            [
+                (i, np.asarray(ctr).tolist())
+                for i, ctr in enumerate(km.clusterCenters())
+            ],
+            "_cell int, _ctr array<double>",
+        )
+    else:
+        cols = centroids.columns
+        centers_df = centroids.select(
+            F.col(cols[0]).cast("int").alias("_cell"),
+            _as_double(F.col(cols[1])).alias("_ctr"),
+        )
+        asqd = F.aggregate(
+            F.zip_with(F.col("_v"), F.col("_ctr"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        assigned = (
+            c.join(F.broadcast(centers_df))
+            .select(id_col, "_v", "_cell", asqd.alias("_ad"))
+            .groupBy(id_col)
+            .agg(
+                F.min(F.struct(F.col("_ad"), F.col("_cell"))).alias("_b"),
+                F.first("_v").alias("_v"),
+            )
+            .select(id_col, "_v", F.col("_b._cell").alias("_cell"))
+        )
     q_rows = queries.select(F.col(query_id), _as_double(F.col(vec_col)).alias("_qv"))
 
     # nearest n_probe cells per query: broadcast the (small) centroid table,

@@ -1558,6 +1558,88 @@ SELECT query_id, vec_id, round(adc_ip, 6) AS adc_ip, rank FROM (
 """
 
 
+def q_emb_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF routing, hash-checked: ivf_topk with pinned hash-seeded cells
+    (the 8 corpus vectors with smallest md5(id)) — cell assignment
+    (euclidean argmin, ties to the smaller cell), n_probe=2 probe ranking
+    per query, and the pruned exact cosine rescore are all re-derived in
+    SQL. This oracle-backs the IVF candidate-routing machinery; the
+    KMeans-trained coarse quantizer stays the production path
+    (`emb_ivfpq` rows-only, its Lloyd arithmetic pinned by
+    `emb_lloyd_kmeans`)."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seed_rows = (
+        emb.select("vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("_hk"))
+        .orderBy("_hk")
+        .limit(8)
+        .collect()
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(x) for x in r.embedding]) for c, r in enumerate(seed_rows)],
+        "cell int, vec array<double>",
+    )
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, probes, n_probe=2, k=10, centroids=cents)
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine_sim")).alias("cosine_sim"), "rank"
+    )
+
+
+_SQL_EMB_IVF_SEEDED = """
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+),
+seeds AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cell, v AS cv
+  FROM base ORDER BY md5(vec_id::VARCHAR) LIMIT 8
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT b.vec_id, b.v, s.cell,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_sum(list_transform(list_zip(b.v, s.cv),
+                      x -> (x[1] - x[2]) * (x[1] - x[2]))), s.cell
+           ) AS rn
+    FROM base b CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT query_id, qv, cell FROM (
+    SELECT b.vec_id AS query_id, b.v AS qv, s.cell,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY list_sum(list_transform(list_zip(b.v, s.cv),
+                      x -> (x[1] - x[2]) * (x[1] - x[2]))), s.cell
+           ) AS crank
+    FROM base b CROSS JOIN seeds s
+    WHERE b.vec_id < 3
+  ) WHERE crank <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(p.qv, a.v)
+           / nullif(sqrt(list_dot_product(p.qv, p.qv))
+                    * sqrt(list_dot_product(a.v, a.v)), 0.0) AS cosine_sim
+  FROM assigned a JOIN probes p USING (cell)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, round(cosine_sim, 6) AS cosine_sim, rank FROM (
+  SELECT query_id, vec_id, cosine_sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+         ) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q_doc_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-proportion stratified train/val/test split
     (operators/sampling.py stratified_split): each source is cut at
@@ -5887,6 +5969,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_bpe_relational": (q_doc_bpe_relational, _SQL_DOC_BPE_RELATIONAL),
     "emb_pca_power": (q_emb_pca_power, _SQL_EMB_PCA_POWER),
     "emb_pq_adc": (q_emb_pq_adc, _SQL_EMB_PQ_ADC),
+    "emb_ivf_seeded": (q_emb_ivf_seeded, _SQL_EMB_IVF_SEEDED),
 }
 
 

@@ -289,3 +289,39 @@ def test_semdedup_zero_vector_assignment_consistent(spark, monkeypatch):
         df, threshold=0.99, centroids=centroids).collect()}
     assert lit_out == join_out
     assert lit_out[2] == (3, None)  # smallest seed id, NULL similarity
+
+
+def test_semdedup_learned_mllib_centroids_end_to_end(spark):
+    """The learned-centroid path accepts MLlib KMeans clusterCenters()
+    verbatim: assignments land in trained clusters and exact duplicates
+    still collapse to one survivor per group."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from financial_big_data_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(0, 6, (3, 8))
+    # noise sized so organic intra-cluster cosines stay well below the
+    # 0.999 threshold (1 - cos ≈ (σ/|c|)²/2 ≈ 7e-3) — only the planted
+    # exact duplicates are near-dups
+    rows = [
+        (i, [float(x) for x in centers[i % 3] + rng.normal(0, 2.0, 8)])
+        for i in range(90)
+    ]
+    rows += [(i + 500, rows[i][1]) for i in range(6)]  # exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    km = KMeans(k=3, seed=7, featuresCol="_fv").fit(
+        df.select(array_to_vector(F.col("embedding").cast("array<double>")).alias("_fv"))
+    )
+    cent = spark.createDataFrame(
+        [(c, [float(x) for x in ctr]) for c, ctr in enumerate(km.clusterCenters())],
+        "cluster long, vec array<double>",
+    )
+    out = semdedup(df, threshold=0.999, centroids=cent).collect()
+    assert len(out) == 96
+    kept = {r.vec_id for r in out if r.kept}
+    for i in range(6):
+        assert len(kept & {i, i + 500}) == 1
+    assert {r.cluster for r in out} <= {0, 1, 2}
