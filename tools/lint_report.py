@@ -106,6 +106,11 @@ JUSTIFIED[("emb_pq_adc", "nested-loop-join")] = (
     "(3 probes × m·2^nbits doubles); the corpus-side scan reads 8-byte "
     "code arrays against them — the PQ design point"
 )
+JUSTIFIED[("emb_ivf_seeded", "nested-loop-join")] = (
+    "broadcast side is the bounded 8-row pinned-cell centroid table "
+    "(assignment + probe ranking score against it); the candidate scan "
+    "itself is the keyed cell equi-join"
+)
 JUSTIFIED[("emb_ivfpq", "nested-loop-join")] = (
     "query-side centroid ranking: broadcast side is the bounded "
     "n_cells-row centroid table against the bounded probe set; the "
