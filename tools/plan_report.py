@@ -236,6 +236,19 @@ SHOWCASE = {
         "per-query LUTs — whole-stage-codegen arithmetic, top-10 per "
         "probe via a keyed rank window."
     ),
+    "emb_ivf_seeded": (
+        "IVF routing: the bounded centroid table broadcasts for both "
+        "cell assignment (min-struct aggregate, map-side combined) and "
+        "probe ranking; the candidate scan is the keyed cell equi-join — "
+        "~(n_probe/n_cells) of the corpus read per query, never all of "
+        "it."
+    ),
+    "emb_pca_power": (
+        "Power-iteration PCA: two keyed distributed passes (per-dim "
+        "means, dim-pair scatter aggregate), driver matvec rounds on the "
+        "bounded d² matrix, one distributed projection pass against the "
+        "broadcast component — nothing row-sized reaches the driver."
+    ),
 }
 
 
