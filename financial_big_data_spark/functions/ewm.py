@@ -45,7 +45,7 @@ def ewm_mean(
     if n_buckets is None:
 
         def fn(pdf):
-            pdf = pdf.sort_values(order)
+            pdf = pdf.sort_values(order, kind="mergesort")
             pdf[out] = pdf[value].ewm(span=span, adjust=False).mean()
             return pdf
 
@@ -54,7 +54,7 @@ def ewm_mean(
     bucketed = df.withColumn("_b", F.pmod(F.hash(F.col(series)), F.lit(n_buckets)))
 
     def fn_bucket(pdf):
-        pdf = pdf.sort_values([series] + order).reset_index(drop=True)
+        pdf = pdf.sort_values([series] + order, kind="mergesort").reset_index(drop=True)
         pdf[out] = (
             pdf.groupby(series, sort=False)[value]
             .ewm(span=span, adjust=False)
@@ -101,7 +101,7 @@ def macd(
         schema = T.StructType(df.schema.fields + out_fields)
 
         def fn(pdf):
-            pdf = pdf.sort_values(order)
+            pdf = pdf.sort_values(order, kind="mergesort")
             ema_fast = pdf[close].ewm(span=fast, adjust=False).mean()
             ema_slow = pdf[close].ewm(span=slow, adjust=False).mean()
             pdf["macd"] = ema_fast - ema_slow
@@ -115,7 +115,7 @@ def macd(
     schema = T.StructType(df.schema.fields + out_fields)
 
     def fn_bucket(pdf):
-        pdf = pdf.sort_values([series] + order).reset_index(drop=True)
+        pdf = pdf.sort_values([series] + order, kind="mergesort").reset_index(drop=True)
         g = pdf.groupby(series, sort=False)[close]
         ema_fast = g.ewm(span=fast, adjust=False).mean().reset_index(level=0, drop=True)
         ema_slow = g.ewm(span=slow, adjust=False).mean().reset_index(level=0, drop=True)

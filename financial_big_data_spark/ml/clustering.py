@@ -667,6 +667,20 @@ def lloyd_kmeans(
     dim = len(cents[0][1])
 
     def _assign(frame: DataFrame, centroids: list) -> DataFrame:
+        # centroids reach the plan as repr()'d SQL literals — a NaN/Inf
+        # component (one NaN input propagates through avg) would render
+        # 'CAST(nan AS DOUBLE)' and die in the SQL parser with an opaque
+        # analysis error; fail loudly at the source instead
+        import math
+
+        for _cid, _cv in centroids:
+            if not all(math.isfinite(float(_x)) for _x in _cv):
+                raise ValueError(
+                    f"lloyd_kmeans: centroid {_cid} has a non-finite "
+                    "component — a NaN/Inf in an input vector propagates "
+                    "through the centroid mean; scrub the vector column "
+                    "(drop or fill non-finite embeddings) before clustering"
+                )
         structs = ", ".join(
             "named_struct('cid', CAST({cid} AS BIGINT), 'cv', array({xs}))".format(
                 cid=cid, xs=", ".join(f"CAST({x!r} AS DOUBLE)" for x in cv)

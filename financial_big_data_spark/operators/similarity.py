@@ -357,6 +357,19 @@ def _assign_nearest_seed(emb: DataFrame, seeds: DataFrame, id_col: str) -> DataF
     if not seed_rows:
         raise ValueError("semdedup: empty centroid set")
     seed_rows.sort(key=lambda t: t[0])
+    # seeds reach the literal path as repr()'d SQL doubles — a NaN/Inf
+    # component would render 'CAST(nan AS DOUBLE)' and fail SQL parsing
+    # with an opaque analysis error (and poison cosine on the broadcast
+    # path just as silently); fail loudly here instead
+    import math
+
+    for _sid, _vec in seed_rows:
+        if not all(math.isfinite(float(_x)) for _x in _vec):
+            raise ValueError(
+                f"semdedup: seed {_sid} has a non-finite component — "
+                "a NaN/Inf embedding propagates through the centroid "
+                "mean; scrub the vector column before deduplication"
+            )
     n_scalars = sum(len(v) for _, v in seed_rows)
     _NULL_SIM = F.lit(-2.0)
     if n_scalars <= _SEED_LITERAL_MAX:

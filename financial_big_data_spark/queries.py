@@ -5034,22 +5034,20 @@ def q_ev_user_cc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("a.v").alias("sx"),
-            F.sum("b.v").alias("sy"),
-            F.sum(F.col("a.v") * F.col("a.v")).alias("sxx"),
-            F.sum(F.col("b.v") * F.col("b.v")).alias("syy"),
-            F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"),
+            F.covar_pop(F.col("a.v"), F.col("b.v")).alias("cxy"),
+            F.stddev_pop(F.col("a.v")).alias("sdx"),
+            F.stddev_pop(F.col("b.v")).alias("sdy"),
         )
-        # moment-form Pearson with try_divide: a zero-variance series
-        # (constant hourly means) yields NULL and drops, matching DuckDB
-        # corr()'s NULL — F.corr under ANSI throws DIVIDE_BY_ZERO instead
+        # CENTERED Pearson (co-moment aggregates keep running means, so
+        # large-mean series don't cancel catastrophically the way the raw
+        # n·Σxy−Σx·Σy moment form does near the r≥0.35 cut) with
+        # try_divide: a zero-variance series yields NULL and drops,
+        # matching DuckDB corr()'s NULL — F.corr under ANSI throws
+        # DIVIDE_BY_ZERO instead. pop-vs-samp scaling cancels in the
+        # ratio, so this equals DuckDB's sample corr().
         .withColumn(
             "r",
-            F.try_divide(
-                F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
-                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
-            ),
+            F.try_divide(F.col("cxy"), F.col("sdx") * F.col("sdy")),
         )
         .where((F.col("n") >= 4) & (F.col("r") >= 0.35))
         .select("id_a", "id_b")

@@ -70,11 +70,19 @@ def streaming_ewm_mean(
     time: str = "ts",
     out: str = "ewm",
     state_ttl_ms: int | None = None,
+    order_tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Streaming ``ewm(span, adjust=False).mean()`` per series — the
     unbounded-series companion of ``functions.ewm.ewm_mean``; identical
-    doubles for any micro-batch split of the same in-order input."""
+    doubles for any micro-batch split of the same in-order input.
+
+    ``order_tiebreak``: extra sort columns after ``time``. Duplicate
+    timestamps within a series otherwise leave the recurrence order (and
+    the carried last-state) at the mercy of Arrow chunk arrival order —
+    pass a unique column (event id) whenever ties are possible. The sort
+    is stable (mergesort) either way, matching functions/ewm.py."""
     cols = [f.name for f in stream.schema.fields]
+    order = [time] + (order_tiebreak or [])
     out_schema = T.StructType(stream.schema.fields + [T.StructField(out, T.DoubleType())])
     state_schema = T.StructType([T.StructField("last_ewm", T.DoubleType())])
 
@@ -93,7 +101,7 @@ def streaming_ewm_mean(
             return
         pdf = (
             pd.concat(chunks, ignore_index=True)
-            .sort_values([time])
+            .sort_values(order, kind="mergesort")
             .reset_index(drop=True)
         )
         prev = state.get[0] if state.exists else None
@@ -126,11 +134,14 @@ def streaming_macd(
     slow: int = 26,
     signal: int = 9,
     state_ttl_ms: int | None = None,
+    order_tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Streaming MACD(fast, slow, signal) — appends macd, macd_signal,
     macd_hist exactly as ``functions.ewm.macd`` does in batch, carrying
-    three doubles of state per series across micro-batches."""
+    three doubles of state per series across micro-batches. See
+    ``streaming_ewm_mean`` for the ``order_tiebreak`` contract."""
     cols = [f.name for f in stream.schema.fields]
+    order = [time] + (order_tiebreak or [])
     out_fields = [
         T.StructField("macd", T.DoubleType()),
         T.StructField("macd_signal", T.DoubleType()),
@@ -157,7 +168,7 @@ def streaming_macd(
             return
         pdf = (
             pd.concat(chunks, ignore_index=True)
-            .sort_values([time])
+            .sort_values(order, kind="mergesort")
             .reset_index(drop=True)
         )
         prev_f, prev_s, prev_sig = state.get if state.exists else (None, None, None)

@@ -102,6 +102,7 @@ def streaming_label_transitions(
     window_size: int = 24,
     thresholds: ShortTermThresholds | None = None,
     state_ttl_ms: int = 24 * 3600 * 1000,
+    order_tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Stateful path: per-series regime labels + transition flags on a stream.
 
@@ -111,6 +112,7 @@ def streaming_label_transitions(
     stream length.
     """
     t = thresholds or ShortTermThresholds()
+    order = [time] + (order_tiebreak or [])
     out_schema = T.StructType(
         [
             T.StructField(series, T.StringType()),
@@ -149,7 +151,10 @@ def streaming_label_transitions(
         # Concatenate the whole group's batch and sort ONCE.
         chunks = list(pdf_iter)
         for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
-            pdf = pdf.sort_values([time])
+            # stable sort + optional tiebreaker: duplicate timestamps must
+            # not leave the labeling order (hence the carried close prefix)
+            # to Arrow chunk arrival order
+            pdf = pdf.sort_values(order, kind="mergesort")
             full = pd.Series(closes_prefix + pdf[close].astype(float).tolist())
             labels = _label_rows(full, window_size, t).iloc[len(closes_prefix):]
             prev = [last_regime] + labels.tolist()[:-1]

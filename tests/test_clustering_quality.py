@@ -442,3 +442,20 @@ def test_power_iteration_pca_matches_numpy_top_component(spark):
     assert len(got) == len(X)
     for i in range(len(X)):
         assert abs(got[i] - want[i]) < 1e-6, i
+
+
+def test_lloyd_kmeans_rejects_non_finite_vectors(spark):
+    """ADVICE r6: a NaN embedding component propagates into a centroid and
+    would render 'CAST(nan AS DOUBLE)' inside the assignment literal —
+    the engine must raise a clear ValueError, not an opaque parse error."""
+    import pytest
+
+    from financial_big_data_spark.ml.clustering import lloyd_kmeans
+    from financial_big_data_spark.operators.similarity import semdedup
+
+    rows = [(1, [0.0, 1.0]), (2, [float("nan"), 2.0]), (3, [4.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-finite"):
+        lloyd_kmeans(df, k=2, n_iter=2).collect()
+    with pytest.raises(ValueError, match="non-finite"):
+        semdedup(df, n_clusters=2, id_col="vec_id", vec_col="embedding").collect()
