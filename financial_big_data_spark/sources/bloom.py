@@ -120,6 +120,29 @@ def write_bloom_sidecars(spark, files: list[str], key: str) -> None:
 
     if not files:
         return
+    # Single small file: build the bitset driver-side from one pyarrow
+    # column read — no Spark job. Only for key types whose Python str()
+    # IS Spark's string cast (ints, strings — the same canonical-rendering
+    # contract probe_values_safe enforces on the probe side); bloom_build
+    # str()s raw values, so int 5 → "5" and None → "None" exactly as the
+    # distributed path's cast column does. Small versioned-view upserts
+    # (matview refreshes) hit this constantly; a 1-file job floor was the
+    # single biggest line in their refresh profile.
+    if len(files) == 1 and os.path.getsize(files[0]) < 8 * 2**20:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.ParquetFile(files[0]).schema_arrow
+        if key in schema.names:
+            t = schema.field(key).type
+            if pa.types.is_integer(t) or pa.types.is_string(t) or pa.types.is_large_string(t):
+                vals = pq.read_table(files[0], columns=[key])[key].to_pylist()
+                b = bloom_build(vals)
+                tmp = sidecar_path(files[0]) + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(b, fh)
+                os.replace(tmp, sidecar_path(files[0]))
+                return
 
     def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
         b = bloom_build(pdf["_k"].tolist())

@@ -10,8 +10,10 @@ DELTA contributed by changed keys:
                 + sum/count over NEW rows of changed keys in group g
                 - sum/count over OLD rows of changed keys in group g
 
-so a refresh scans O(files overlapping the changed-key range) of two base
-snapshots (manifest footer-range pruning, the same contract `upsert_version`
+so a refresh scans O(files the DML actually rewrote): data files are
+immutable, so files shared by both manifests contribute exactly zero net
+to a ±delta and only the manifests' SYMMETRIC DIFFERENCE is read (with
+footer key-range pruning on top — the same contract `upsert_version`
 uses) plus the view — never the full base table. At 100 TB this is the
 difference between "recompute the corpus aggregate" and "touch the day's
 partitions".
@@ -45,11 +47,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .versioned import (
+    _commit,
+    _footer_columns,
+    _key_ranges,
+    _load_manifest,
+    _write_batch,
     changefeed,
     current_version,
     delete_version,
     read_version,
-    read_version_pruned,
     upsert_version,
     write_version,
 )
@@ -71,6 +77,58 @@ def _write_meta(view_path: str, meta: dict) -> None:
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, _meta_path(view_path))  # atomic, like CURRENT
+
+
+def _apply_groups(
+    spark: SparkSession,
+    view_path: str,
+    live_rows: DataFrame,
+    group: str,
+    touched_keys: list,
+    n_files: int,
+) -> int:
+    """Atomic view maintenance for a BOUNDED touched-group set: one new
+    snapshot replaces every touched group's old row with its ``live_rows``
+    row (groups absent from ``live_rows`` — count hit zero — simply drop).
+    A single copy-on-write write + manifest flip where the generic
+    upsert-then-delete pair costs two commits and twice the job floors;
+    readers also never see the half-applied intermediate version."""
+    from .bloom import _EXACT_STR_TYPES, prune_by_keys
+
+    m = _load_manifest(view_path, None)
+    nonnull = [k for k in touched_keys if k is not None]
+    has_null = len(nonnull) < len(touched_keys)
+    if has_null or not nonnull:
+        # footer stats exclude nulls, so a touched NULL group could hide
+        # in any file — no pruning, every file rewrites (a null group
+        # key is a degenerate corner; correctness over economy here)
+        touched, carried = list(m["files"]), []
+    else:
+        lo_k, hi_k = min(nonnull), max(nonnull)
+        ranges = _key_ranges(m["files"], group)
+        touched = [
+            f for f, (lo, hi) in ranges.items()
+            if lo is None or (lo <= hi_k and hi >= lo_k)
+        ]
+        carried = [f for f in m["files"] if f not in set(touched)]
+        if touched and dict(live_rows.dtypes).get(group) in _EXACT_STR_TYPES:
+            still = set(prune_by_keys(touched, nonnull))
+            carried += [f for f in touched if f not in still]
+            touched = [f for f in touched if f in still]
+    cols_src = _footer_columns(m["files"]) or live_rows.columns
+    merged = live_rows.select(*cols_src)
+    if touched:
+        # keep a file row iff its group is NOT in the touched set (a null
+        # group row survives unless null itself is touched)
+        keep = F.col(group).isNull() if not has_null else F.lit(False)
+        if nonnull:
+            keep = keep | (F.col(group).isNotNull() & ~F.col(group).isin(nonnull))
+        survivors = spark.read.parquet(*touched).where(keep)
+        merged = survivors.unionByName(merged)
+    new_files = _write_batch(merged, view_path, group, n_files)
+    v = m["version"] + 1
+    _commit(view_path, carried + new_files, v)
+    return v
 
 
 def _aggregate(rows: DataFrame, group: str, value: str) -> DataFrame:
@@ -140,32 +198,113 @@ def refresh_matview(
         )
     if changed_keys is None:
         changed_keys = changefeed(spark, table_path, v0, v1, key).select(key)
-    chg = changed_keys.select(key).distinct()
-    # bounded metadata: the changed-key RANGE routes the footer pruning,
-    # the semi-join applies the exact set — same discipline as upsert
-    rng = chg.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-    if rng["lo"] is None:
-        _write_meta(view_path, {**meta, "base_version": v1})
-        return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
+    # bounded metadata: ONE capped distinct-keys job (CollectLimit forced
+    # to a single wave — the default incremental 1/4/16-partition scale-up
+    # is pure job-floor waste on a frame this skinny) yields the
+    # changed-key RANGE (routes footer pruning, derived driver-side) AND —
+    # when the delta is small enough — an exact IN-set the pruned scans
+    # apply map-only, with no join and no re-evaluation of the changed-key
+    # lineage per snapshot side. Unbounded deltas fall back to the
+    # 2-value range aggregate + a semi-join on the (persisted) key set —
+    # same discipline as upsert_version.
+    from .bloom import _collect_keys_capped
 
-    def contributions(version: int, sign: int) -> DataFrame:
-        rows = read_version_pruned(
-            spark, table_path, key, rng["lo"], rng["hi"], version=version
-        ).join(chg, on=key, how="left_semi")
-        return rows.groupBy(group).agg(
-            (F.lit(sign) * F.sum(F.col(value))).alias("d_sum"),
-            (F.lit(sign) * F.count(F.lit(1))).alias("d_count"),
+    limit_conf = "spark.sql.limit.initialNumPartitions"
+    aqe_conf = "spark.sql.adaptive.enabled"
+    prev_limit = spark.conf.get(limit_conf, None)
+    prev_aqe = spark.conf.get(aqe_conf, None)
+    spark.conf.set(limit_conf, "1000000")
+    # AQE splits the distinct+limit into shuffle-stage + result jobs for
+    # no optimization gain on a capped collect — one job, not two
+    spark.conf.set(aqe_conf, "false")
+    try:
+        probe = _collect_keys_capped(changed_keys, key, cap=10_000)
+    finally:
+        for conf, prev in ((limit_conf, prev_limit), (aqe_conf, prev_aqe)):
+            if prev is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, prev)
+    persisted_chg = None
+    key_filter = None
+    if probe is not None:
+        nonnull = sorted(k for k in probe if k is not None)
+        if not nonnull:
+            _write_meta(view_path, {**meta, "base_version": v1})
+            return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
+        lo, hi = nonnull[0], nonnull[-1]
+        # ≤ ~2k keys: one In-expression literal (map-only filter); larger
+        # bounded sets keep the semi-join (a 10k-literal expression tree
+        # costs the analyzer more than the broadcast costs the executors)
+        if len(nonnull) <= 2048:
+            key_filter = F.col(key).isin(nonnull)
+    if key_filter is None:
+        chg = changed_keys.select(key).distinct()
+        if probe is None:
+            rng = chg.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+            if rng["lo"] is None:
+                _write_meta(view_path, {**meta, "base_version": v1})
+                return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
+            lo, hi = rng["lo"], rng["hi"]
+        persisted_chg = chg.persist()
+
+    # data files are immutable, so any file PRESENT IN BOTH manifests
+    # holds identical rows on both sides of the ±delta — its
+    # contributions net to exactly zero. The delta therefore scans only
+    # the manifests' SYMMETRIC DIFFERENCE (the files the DML actually
+    # rewrote), with footer key-range pruning applied on top: a refresh
+    # reads O(files touched by the DML), not O(files in the key range) —
+    # and a scattered update that defeats range pruning still only costs
+    # the files its own upsert rewrote.
+    files0 = _load_manifest(table_path, v0)["files"]
+    files1 = _load_manifest(table_path, v1)["files"]
+    only0 = sorted(set(files0) - set(files1))
+    only1 = sorted(set(files1) - set(files0))
+
+    def signed_rows(files: list[str], sign: int) -> DataFrame | None:
+        ranges = _key_ranges(files, key)
+        picked = [
+            f for f, (flo, fhi) in ranges.items()
+            if flo is None or (flo <= hi and fhi >= lo)
+        ]
+        if not picked:
+            return None
+        rows = spark.read.parquet(*picked).where(F.col(key).between(lo, hi))
+        if key_filter is not None:
+            rows = rows.where(key_filter)
+        else:
+            rows = rows.join(persisted_chg, on=key, how="left_semi")
+        return rows.select(
+            F.col(group),
+            (F.lit(float(sign)) * F.col(value)).alias("_sv"),
+            F.lit(sign).alias("_sc"),
         )
 
-    delta = (
-        contributions(v0, -1)
-        .unionByName(contributions(v1, +1))
-        .groupBy(group)
-        .agg(F.sum("d_sum").alias("d_sum"), F.sum("d_count").alias("d_count"))
+    # ONE unioned ±sign aggregate (single shuffle on the group key with
+    # map-side partial combine) — not per-side groupBys unioned into a
+    # third aggregate, which costs three exchanges for the same delta
+    sides = [
+        s
+        for s in (signed_rows(only0, -1), signed_rows(only1, +1))
+        if s is not None
+    ]
+    if not sides:
+        if persisted_chg is not None:
+            persisted_chg.unpersist()
+        _write_meta(view_path, {**meta, "base_version": v1})
+        return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
+    both = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
+    delta = both.groupBy(group).agg(
+        F.sum("_sv").alias("d_sum"), F.sum("_sc").alias("d_count")
     )
+    # only groups the delta touched change — exactly delta ⟕ view (the
+    # old full-outer-merge-then-semi-join form evaluated the whole delta
+    # subtree twice in one plan); untouched view files carry by reference
+    # through the copy-on-write upsert. Persisted ONCE: the count
+    # aggregate materializes it, upsert + delete then read the cache.
     view = read_version(spark, view_path)
-    merged = (
-        view.join(delta, on=group, how="full_outer")
+    touched = (
+        delta.join(view, on=group, how="left")
         .select(
             F.col(group),
             (F.coalesce("agg_sum", F.lit(0.0)) + F.coalesce("d_sum", F.lit(0.0))).alias(
@@ -175,24 +314,86 @@ def refresh_matview(
                 F.coalesce("agg_count", F.lit(0)) + F.coalesce("d_count", F.lit(0))
             ).alias("agg_count"),
         )
+        .persist()
     )
-    # only groups the delta touched change; send exactly those through the
-    # view's copy-on-write upsert (untouched view files carry by reference)
-    # — persisted ONCE: counts + upsert + delete all consume this frame,
-    # and without the pin each would re-run the two pruned base scans and
-    # the full-outer merge (4x the refresh I/O)
-    touched = merged.join(delta.select(group), on=group, how="left_semi").persist()
+    # bounded delta (probe fit the cap): every frame from here on is
+    # delta-sized, and AQE's per-exchange stage materialization turns
+    # this cascade into 2-4 driver jobs per action for zero optimization
+    # win at that size — run the tail of the refresh non-adaptively.
+    # The unbounded fallback keeps AQE (its delta aggregate can be big
+    # enough for coalescing/skew handling to matter).
+    aqe_conf = "spark.sql.adaptive.enabled"
+    shuf_conf = "spark.sql.shuffle.partitions"
+    prev_aqe = spark.conf.get(aqe_conf, None)
+    prev_shuf = spark.conf.get(shuf_conf, None)
+    if probe is not None:
+        spark.conf.set(aqe_conf, "false")
+        # delta-sized exchanges: 8 tasks beat 32 near-empty ones (AQE,
+        # which would coalesce them, is off in this window by choice)
+        spark.conf.set(shuf_conf, "8")
     try:
         dead = touched.where(F.col("agg_count") <= 0).select(group)
         live = touched.where(F.col("agg_count") > 0)
-        n_up = live.count()
-        n_dead = dead.count()
-        if n_up:
-            upsert_version(spark, view_path, live, key=group, dedupe_updates=False)
-        if n_dead:
-            delete_version(spark, view_path, dead, key=group)
+        # ONE job materializes the persisted frame AND — when the touched
+        # group set is bounded — brings the exact live/dead key split to
+        # the driver, so the upsert/delete below skip their own
+        # distinct-collect probe jobs (the refresh is a cascade of small
+        # driver-coordinated jobs whose fixed floors dominate at bench
+        # scale; every job saved matters). Past the cap it degrades to
+        # the two-count aggregate and the DML re-derives its own probes.
+        # CollectLimit scales up incrementally (1, 4, 16... partitions —
+        # several job waves for a frame this wide); launching all
+        # partitions in wave one makes the capped collect a single job
+        limit_conf = "spark.sql.limit.initialNumPartitions"
+        prev_limit = spark.conf.get(limit_conf, None)
+        spark.conf.set(limit_conf, "1000000")
+        try:
+            sample = (
+                touched.select(F.col(group), (F.col("agg_count") > 0).alias("_live"))
+                .limit(10_001)
+                .collect()
+            )
+        finally:
+            if prev_limit is None:
+                spark.conf.unset(limit_conf)
+            else:
+                spark.conf.set(limit_conf, prev_limit)
+        if len(sample) <= 10_000:
+            live_keys = [r[0] for r in sample if r["_live"]]
+            dead_keys = [r[0] for r in sample if not r["_live"]]
+            n_up, n_dead = len(live_keys), len(dead_keys)
+            if n_up or n_dead:
+                # ONE atomic snapshot applies upserts AND drops in a
+                # single write + commit; the skinny (group, sum, count)
+                # view packs ~1M rows/file comfortably
+                _apply_groups(
+                    spark, view_path, live, group,
+                    live_keys + dead_keys,
+                    n_files=max(1, -(-n_up // 1_000_000)),
+                )
+        else:
+            counts = touched.agg(
+                F.count(F.when(F.col("agg_count") > 0, 1)).alias("up"),
+                F.count(F.when(F.col("agg_count") <= 0, 1)).alias("dead"),
+            ).first()
+            n_up, n_dead = int(counts["up"]), int(counts["dead"])
+            if n_up:
+                upsert_version(
+                    spark, view_path, live, key=group, dedupe_updates=False,
+                    n_files=max(1, -(-n_up // 1_000_000)),
+                )
+            if n_dead:
+                delete_version(spark, view_path, dead, key=group)
     finally:
+        if probe is not None:
+            for conf, prev in ((aqe_conf, prev_aqe), (shuf_conf, prev_shuf)):
+                if prev is None:
+                    spark.conf.unset(conf)
+                else:
+                    spark.conf.set(conf, prev)
         touched.unpersist()
+        if persisted_chg is not None:
+            persisted_chg.unpersist()
     _write_meta(view_path, {**meta, "base_version": v1})
     return {
         "base_version": v1,

@@ -103,9 +103,17 @@ def _write_batch(df: DataFrame, path: str, key: str, n_files: int | None) -> lis
     from .zorder import range_clustered
 
     batch = os.path.join(path, "data", f"batch-{uuid.uuid4().hex[:12]}")
-    # frozen-boundary range clustering (not repartitionByRange): snapshot
-    # rewrites of identical data produce an identical file layout
-    range_clustered(df, key, n_files).write.parquet(batch)
+    # the frame is evaluated twice on this path — once by the frozen-
+    # boundary quantile sketch inside range_clustered, once by the write
+    # itself; pin it so a merge lineage (pruned scans + anti-join) runs
+    # ONCE (MEMORY_AND_DISK default: a huge merge spills, never recomputes)
+    df = df.persist()
+    try:
+        # frozen-boundary range clustering (not repartitionByRange): snapshot
+        # rewrites of identical data produce an identical file layout
+        range_clustered(df, key, n_files).write.parquet(batch)
+    finally:
+        df.unpersist()
     files = sorted(glob.glob(os.path.join(batch, "*.parquet")))
     # per-file key Bloom sidecars (sources/bloom.py): immutable like the
     # data files they describe, carried by reference across snapshots
@@ -221,6 +229,17 @@ def _footer_spark_dtype(file: str, col: str) -> str | None:
     return str(t)
 
 
+def _footer_columns(files: list[str]) -> list[str] | None:
+    """Column names from ONE parquet footer — data files are immutable
+    and share a schema, so the DML paths need not pay a Spark datasource
+    resolution (file listing + schema merge) to learn the column list."""
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+
+    return list(pq.ParquetFile(files[0]).schema_arrow.names)
+
+
 def upsert_version(
     spark: SparkSession,
     path: str,
@@ -228,6 +247,7 @@ def upsert_version(
     key: str,
     n_files: int | None = None,
     dedupe_updates: bool = True,
+    probe_keys: list | None = None,
 ) -> int:
     """Copy-on-write MERGE: matched keys take the update row, new keys
     insert, and ONLY files whose footer key-range overlaps the update
@@ -241,7 +261,13 @@ def upsert_version(
     by the canonical JSON rendering of the non-key columns — stable
     across retries, unlike ``dropDuplicates``). Pass False only when
     the caller guarantees key-unique input and wants to skip the
-    aggregate."""
+    aggregate.
+
+    ``probe_keys``: the batch's exact distinct key set, when the caller
+    already holds it driver-side (e.g. a matview refresh that collected
+    the touched groups) — skips the capped distinct-collect job. The
+    caller guarantees it is complete; an incomplete set would silently
+    drop rows from unrewritten files."""
     m = _load_manifest(path, None)
     if dedupe_updates:
         others = sorted(c for c in updates.columns if c != key)
@@ -253,14 +279,30 @@ def upsert_version(
             updates = updates.groupBy(key).agg(rep).select("_row.*")
         else:
             updates = updates.distinct()
-    # bounded metadata only: the update batch's key RANGE (one 2-value
-    # aggregate), never a collected key list — finer per-file pruning
-    # (bloom filters beside the manifest) is the next notch and changes
-    # nothing structural here
-    mm = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-    lo_k, hi_k = mm["lo"], mm["hi"]
-    if lo_k is None:
-        return m["version"]
+    # bounded metadata only: ONE capped distinct-keys job serves BOTH the
+    # key range (min/max derived driver-side) and the Bloom prune; an
+    # unbounded or string-cast-unsafe batch falls back to the 2-value
+    # range aggregate — never a collected key list of fact-data size
+    from .bloom import _EXACT_STR_TYPES, _collect_keys_capped, prune_by_keys
+
+    if probe_keys is not None and dict(updates.dtypes).get(key) not in _EXACT_STR_TYPES:
+        # caller-held keys of a type whose str() can disagree with
+        # Spark's string cast would FALSE-NEGATIVE the bloom probe —
+        # ignore them and re-derive through the guarded path
+        probe_keys = None
+    probe = probe_keys if probe_keys is not None else _collect_keys_capped(
+        updates, key, cap=10_000
+    )
+    if probe is not None:
+        nonnull = [k for k in probe if k is not None]
+        if not nonnull:
+            return m["version"]
+        lo_k, hi_k = min(nonnull), max(nonnull)
+    else:
+        mm = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        lo_k, hi_k = mm["lo"], mm["hi"]
+        if lo_k is None:
+            return m["version"]
     ranges = _key_ranges(m["files"], key)
     touched, carried = [], []
     for f, (lo, hi) in ranges.items():
@@ -273,24 +315,36 @@ def upsert_version(
     # sidecar proves no matched key — an insert of brand-new keys then
     # rewrites NOTHING. Zero false negatives, so correctness is the
     # range path's; this only removes work.
-    from .bloom import _collect_keys_capped, prune_by_keys
-
-    # the distinct+collect is itself a Spark job — only pay it when
-    # range pruning left files to maybe drop (the pure-append path,
-    # keys beyond every file's range, skips it entirely)
-    if touched:
-        probe = _collect_keys_capped(updates, key, cap=10_000)
-        if probe is not None:
-            still = set(prune_by_keys(touched, probe))
-            carried += [f for f in touched if f not in still]
-            touched = [f for f in touched if f in still]
+    if touched and probe is not None:
+        still = set(prune_by_keys(touched, probe))
+        carried += [f for f in touched if f not in still]
+        touched = [f for f in touched if f in still]
     survivors = None
     if touched:
-        survivors = spark.read.parquet(*touched).join(
-            updates.select(key).distinct(), on=key, how="left_anti"
-        )
-    cols_src = read_version(spark, path).columns
+        scan = spark.read.parquet(*touched)
+        if probe is not None and len(probe) <= 2048:
+            # bounded key set: the anti-join IS a map-only NOT-IN filter
+            # (null-safe — a null file key never matches an update key,
+            # so it survives, exactly as the anti-join keeps it)
+            nn = [k for k in probe if k is not None]
+            survivors = scan.where(
+                ~F.col(key).isin(nn) | F.col(key).isNull()
+            )
+        else:
+            survivors = scan.join(
+                updates.select(key).distinct(), on=key, how="left_anti"
+            )
+    # immutable files share one schema: a single footer read replaces the
+    # full datasource resolution read_version would pay
+    cols_src = _footer_columns(m["files"]) or read_version(spark, path).columns
     merged = updates.select(*cols_src)
+    if n_files is None:
+        # copy-on-write preserves layout granularity: the rewrite holds
+        # ~the touched files' data plus the batch, so it goes back into
+        # ~that many files — defaulting to shuffle.partitions would
+        # fragment a 1-file rewrite into 32 and grow the manifest (and
+        # every later footer-pruning pass) on each upsert
+        n_files = max(1, len(touched))
     if survivors is not None:
         merged = survivors.unionByName(merged)
     new_files = _write_batch(merged, path, key, n_files)
@@ -375,17 +429,34 @@ def delete_version(
     keys: DataFrame,
     key: str,
     n_files: int | None = None,
+    probe_keys: list | None = None,
 ) -> int:
     """Keyed DELETE as a new snapshot: files whose footer key-range
     overlaps the delete set are rewritten without the deleted keys
     (LEFT ANTI on the uniform key); everything else carries over by
     reference. Completes the DML triple — upsert covers insert/update,
-    this covers delete — and `changefeed` reports the removals."""
+    this covers delete — and `changefeed` reports the removals.
+    ``probe_keys``: same contract as upsert_version."""
     m = _load_manifest(path, None)
-    mm = keys.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
-    lo_k, hi_k = mm["lo"], mm["hi"]
-    if lo_k is None:
-        return m["version"]
+    # same one-job probe-first discipline as upsert_version: the capped
+    # distinct collect yields the range AND the Bloom probe set
+    from .bloom import _EXACT_STR_TYPES, _collect_keys_capped, prune_by_keys
+
+    if probe_keys is not None and dict(keys.dtypes).get(key) not in _EXACT_STR_TYPES:
+        probe_keys = None
+    probe = probe_keys if probe_keys is not None else _collect_keys_capped(
+        keys, key, cap=10_000
+    )
+    if probe is not None:
+        nonnull = [k for k in probe if k is not None]
+        if not nonnull:
+            return m["version"]
+        lo_k, hi_k = min(nonnull), max(nonnull)
+    else:
+        mm = keys.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        lo_k, hi_k = mm["lo"], mm["hi"]
+        if lo_k is None:
+            return m["version"]
     ranges = _key_ranges(m["files"], key)
     touched = [
         f for f, (lo, hi) in ranges.items()
@@ -393,18 +464,24 @@ def delete_version(
     ]
     # same Bloom notch as upsert_version: a delete of absent keys
     # rewrites nothing
-    from .bloom import _collect_keys_capped, prune_by_keys
-
-    if touched:
-        probe = _collect_keys_capped(keys, key, cap=10_000)
-        if probe is not None:
-            touched = prune_by_keys(touched, probe)
+    if touched and probe is not None:
+        touched = prune_by_keys(touched, probe)
     carried = [f for f in m["files"] if f not in set(touched)]
     new_files: list[str] = []
     if touched:
-        survivors = spark.read.parquet(*touched).join(
-            keys.select(key).distinct(), on=key, how="left_anti"
-        )
+        scan = spark.read.parquet(*touched)
+        if probe is not None and len(probe) <= 2048:
+            nn = [k for k in probe if k is not None]
+            survivors = scan.where(
+                ~F.col(key).isin(nn) | F.col(key).isNull()
+            )
+        else:
+            survivors = scan.join(
+                keys.select(key).distinct(), on=key, how="left_anti"
+            )
+        if n_files is None:
+            # same granularity-preserving default as upsert_version
+            n_files = max(1, len(touched))
         new_files = _write_batch(survivors, path, key, n_files)
     v = m["version"] + 1
     _commit(path, carried + new_files, v)

@@ -82,12 +82,22 @@ def morton_key(
     return key
 
 
+_PREIMAGE_CACHE: dict[int, list[int]] = {}
+
+
 def _hash_preimages(spark, n_parts: int) -> list[int]:
     """The smallest bigints ``p_i`` with ``pmod(murmur3(p_i), n_parts) == i``
     for every partition ``i`` — computed by ONE bounded Spark job so the
     Python side never has to reimplement Spark's Murmur3. Repartitioning on
     a column holding ``p_{fid}`` then routes bucket ``fid`` to partition
-    ``fid`` exactly, deterministically."""
+    ``fid`` exactly, deterministically.
+
+    Pure function of ``n_parts`` (murmur3 with Spark's fixed seed), so the
+    result is memoized process-wide — repeated small writes (versioned
+    view upserts, matview refreshes) must not pay the probe job again."""
+    cached = _PREIMAGE_CACHE.get(n_parts)
+    if cached is not None:
+        return cached
     pre: dict[int, int] = {}
     lo = 0
     while len(pre) < n_parts:
@@ -104,7 +114,9 @@ def _hash_preimages(spark, n_parts: int) -> list[int]:
         lo += 64 * n_parts
         if lo > 10_000 * n_parts:  # murmur3 covers residues fast; belt+braces
             raise RuntimeError(f"no hash preimage found for some of {n_parts} partitions")
-    return [pre[i] for i in range(n_parts)]
+    out = [pre[i] for i in range(n_parts)]
+    _PREIMAGE_CACHE[n_parts] = out
+    return out
 
 
 def zorder_clustered(
@@ -155,6 +167,11 @@ def range_clustered(
 
     spark = df.sparkSession
     n = n_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if n <= 1:
+        # single-file target: no boundaries to freeze — one partition,
+        # sorted, is already the deterministic layout (skips the
+        # quantile-sketch job small versioned-view writes would pay)
+        return df.repartition(1).sortWithinPartitions(order_col)
     base = dict(df.dtypes)[order_col].split("(")[0]
     if base in _NUMERIC_TYPES or base.startswith("decimal"):
         key = F.col(order_col).cast("double")
