@@ -17,6 +17,13 @@ emits [min, max] over its 3 timed runs), the band is the regression
 test: a query regresses only if the bands are DISJOINT with new.min
 above old.max (overlapping bands = the runs are drawn from the same
 machine-load distribution, whatever the min-to-min delta says).
+
+Where BOTH files carry ``canary_local1_sec`` (a fixed single-task Spark
+workload measuring the box's per-core throughput, nothing repo-specific),
+every timing metric's NEW value — and its band — is divided by the canary
+drift ratio before comparison: a 1.3-2x host-throughput swing between
+measurement windows then cancels instead of flagging unchanged code
+(VERDICT r6 adjudicated four such false regressions).
 """
 
 from __future__ import annotations
@@ -130,25 +137,53 @@ def main() -> None:
             "below are reported for context but NOT counted as regressions; "
             "re-run bench.py on a quiet box to compare."
         )
+    # Canary normalization: factor = how much SLOWER the new box ran the
+    # fixed single-task workload. Timing rows divide by it, throughput
+    # (mb_per) rows multiply; accuracy/recall and time-over-time ratios
+    # are load-invariant and stay raw. A factor outside [1/3, 3] means
+    # something other than load changed — refuse to normalize by it.
+    oc, nc = old.get("canary_local1_sec"), new.get("canary_local1_sec")
+    factor = None
+    if oc and nc and 1 / 3 <= nc / oc <= 3.0:
+        factor = nc / oc
+        if abs(factor - 1) > 0.10:
+            print(
+                f"CANARY: single-core drift {oc} -> {nc} "
+                f"(x{factor:.2f}) — timing deltas normalized by it."
+            )
+    # context rows, not metrics: the canary IS the load measurement and
+    # loadavg is ambient — neither can "regress"
+    context_rows = {"canary_local1_sec", "loadavg_1m_start", "loadavg_1m_end"}
     regressed = []
     for name in sorted(set(old) & set(new)):
+        if name in context_rows:
+            continue
         o, n = old[name], new[name]
         if o == 0:
             continue
-        delta_pct = (n - o) / abs(o) * 100
+        short = name.rsplit(".", 1)[-1]
+        n_eff, band_scale = n, 1.0
+        if factor is not None and short != "canary_local1_sec":
+            if not _higher_is_better(name):
+                n_eff, band_scale = n / factor, 1 / factor
+            elif "mb_per" in short:
+                n_eff = n * factor
+        delta_pct = (n_eff - o) / abs(o) * 100
+        raw_pct = (n - o) / abs(o) * 100
         worse = -delta_pct if _higher_is_better(name) else delta_pct
         flagged = worse > threshold
-        note = ""
-        short = name.rsplit(".", 1)[-1]
+        note = "" if n_eff == n else f"  (raw {raw_pct:+.1f}%, canary-normalized)"
         ob, nb = old_bands.get(short), new_bands.get(short)
         if flagged and ob and nb:
             # measured variance beats the fixed threshold: only a band
-            # fully above the old one is a real slowdown
-            if nb[0] <= ob[1]:
+            # fully above the old one is a real slowdown (new band scaled
+            # by the canary drift first)
+            nb_lo = nb[0] * band_scale
+            if nb_lo <= ob[1]:
                 flagged = False
-                note = f"  (bands overlap: old<= {ob[1]}, new>= {nb[0]})"
+                note += f"  (bands overlap: old<= {ob[1]}, new>= {round(nb_lo, 3)})"
             else:
-                note = f"  (bands disjoint: old<= {ob[1]}, new>= {nb[0]})"
+                note += f"  (bands disjoint: old<= {ob[1]}, new>= {round(nb_lo, 3)})"
         marker = " <-- REGRESSED" if flagged else ""
         if marker or abs(delta_pct) > threshold / 2:
             print(
