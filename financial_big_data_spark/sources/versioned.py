@@ -99,6 +99,42 @@ def _commit(path: str, files: list[str], version: int) -> None:
     os.replace(cur_tmp, os.path.join(_vdir(path), "CURRENT"))
 
 
+def repair_current(path: str) -> int | None:
+    """SINGLE-WRITER torn-commit recovery: ``_commit`` publishes the
+    manifest (hard-link, atomic) and THEN flips CURRENT — a crash between
+    the two leaves a fully-published manifest that readers can't see and
+    a version number the next commit would collide on. Under the module's
+    single-writer contract that state can only mean "my own previous
+    attempt died mid-commit", so completing it — pointing CURRENT at the
+    highest published manifest — is always correct. Returns the repaired
+    version, or None if there was nothing to repair (including a table
+    with no versions yet)."""
+    import re
+
+    vdir = _vdir(path)
+    if not os.path.isdir(vdir):
+        return None
+    versions = [
+        int(m.group(1))
+        for f in os.listdir(vdir)
+        if (m := re.fullmatch(r"v(\d+)\.json", f))
+    ]
+    if not versions:
+        return None
+    try:
+        cur = current_version(path)
+    except FileNotFoundError:
+        cur = 0
+    top = max(versions)
+    if top <= cur:
+        return None
+    cur_tmp = os.path.join(vdir, "CURRENT.tmp")
+    with open(cur_tmp, "w") as f:
+        f.write(str(top))
+    os.replace(cur_tmp, os.path.join(vdir, "CURRENT"))
+    return top
+
+
 def _write_batch(df: DataFrame, path: str, key: str, n_files: int | None) -> list[str]:
     from .zorder import range_clustered
 

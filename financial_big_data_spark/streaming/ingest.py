@@ -97,12 +97,66 @@ def streaming_ingest_dedup(
     return writer.start()
 
 
+def _committed_files(table_path: str) -> list[str] | None:
+    """The curated table's COMMITTED file list (manifest-defined), or
+    None when the table has no committed snapshot yet. Completes any
+    torn commit first (single-writer recovery — see
+    ``sources.versioned.repair_current``)."""
+    from ..sources.versioned import _load_manifest, current_version, repair_current
+
+    repair_current(table_path)
+    try:
+        current_version(table_path)
+    except FileNotFoundError:
+        return None
+    return _load_manifest(table_path, None)["files"]
+
+
+def _read_committed(spark, table_path: str, status: str | None = None):
+    """Manifest-scoped read of the curated table: only committed files
+    reach the scan (a half-written batch is structurally invisible).
+    ``_status`` is recovered from each file's partition directory name
+    DRIVER-side and injected as a literal — the file lists are the
+    pruning, so asking for one status never even lists the other
+    partition's files (stronger than planner pruning; basePath-style
+    discovery can't cross the per-batch staging directories anyway)."""
+    files = _committed_files(table_path)
+    if not files:
+        return None
+
+    def _status_of(f: str) -> str | None:
+        for part in f.split(os.sep):
+            if part.startswith("_status="):
+                return part.split("=", 1)[1]
+        return None
+
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        s = _status_of(f)
+        if s is not None:
+            groups.setdefault(s, []).append(f)
+    wanted = [status] if status is not None else sorted(groups)
+    frames = [
+        spark.read.parquet(*groups[s]).withColumn("_status", F.lit(s))
+        for s in wanted
+        if groups.get(s)
+    ]
+    if not frames:
+        return None
+    out = frames[0]
+    for d in frames[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def read_curated_corpus(spark, table_path: str) -> DataFrame:
     """The accepted corpus out of a ``streaming_ingest_curated`` table:
-    a partition-pruned scan (``_status=accepted`` is a partition
-    directory — rejected rows' files are never opened), original
-    columns only."""
-    df = spark.read.parquet(table_path).where(F.col("_status") == "accepted")
+    a manifest-scoped, partition-pruned scan (``_status=accepted`` is a
+    partition directory — rejected rows' files are never listed, let
+    alone opened), original columns only."""
+    df = _read_committed(spark, table_path, status="accepted")
+    if df is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
     drop = [c for c in ("_status", "_fp", "_mh", "_shingles") if c in df.columns]
     return df.drop(*drop)
 
@@ -127,8 +181,10 @@ def streaming_ingest_curated(
     makes near-dups drop AT INGEST instead of waiting for the periodic
     batch pass.
 
-    The table at ``table_path`` is both sink and state, one atomic
-    append per batch, partitioned by ``_status``:
+    The table at ``table_path`` is both sink and state — one ATOMIC
+    MANIFEST COMMIT per batch (sources/versioned.py's O_EXCL protocol:
+    staging files + hard-linked manifest + CURRENT flip, so readers see
+    whole batches or nothing), partitioned by ``_status``:
 
     - ``accepted`` rows are the corpus (``read_curated_corpus`` is a
       partition-pruned scan that never opens rejected files);
@@ -156,11 +212,13 @@ def streaming_ingest_curated(
     membership of the dedup state.
 
     Replay safety: a replayed batch's fingerprints are already in the
-    table (accepted OR rejected rows), so the exact-dedup anti-join
-    empties it and the append is a no-op — convergent under
-    foreachBatch's at-least-once contract, same argument as
-    ``streaming_ingest_dedup`` but with ONE table write per batch (no
-    corpus/state write-ordering window).
+    committed table (accepted OR rejected rows), so the exact-dedup
+    anti-join empties it and nothing commits — convergent under
+    foreachBatch's at-least-once contract. Unlike a plain parquet
+    append, the manifest commit makes the batch boundary STRUCTURAL: a
+    crash mid-write leaves only unreferenced staging files, and a crash
+    between manifest publish and CURRENT flip is completed by
+    ``repair_current`` at the next state read (single-writer contract).
     """
     # the digest / min-slice / banding math comes from dedup.py's shared
     # primitives — the batch-parity claim is load-bearing, so there is
@@ -217,14 +275,12 @@ def streaming_ingest_curated(
             batch = batch.where(cols["pass_quality"] == 1)
         fp = batch.withColumn("_fp", F.md5(normalized_text(text)))
         collapsed = _collapse_per_fingerprint(fp, id_col)
-        have_state = os.path.exists(table_path)
-        if have_state:
-            state = spark.read.parquet(table_path)
+        state = _read_committed(spark, table_path)
+        if state is not None:
             fresh = collapsed.join(
                 state.select("_fp").distinct(), on="_fp", how="left_anti"
             )
         else:
-            state = None
             fresh = collapsed
         fresh = _sigs_and_shingles(fresh).cache()
         try:
@@ -293,21 +349,40 @@ def streaming_ingest_curated(
                     "_status", F.lit("near_dup")
                 )
             )
-            # ONE append covers corpus + dedup state atomically enough for
-            # replay convergence (the _fp anti-join keys off either status).
-            # INVARIANT the convergence argument leans on (ADVICE r5):
-            # each doc contributes exactly ONE row, and a row is visible
-            # iff its task's file committed — plain parquet append is not
-            # an atomic multi-file commit, so a driver crash mid-commit
-            # may leave a PARTIAL batch visible. That is tolerable only
-            # because per-doc state is single-row/single-file: on replay,
-            # docs whose row landed are anti-joined away, docs whose row
-            # didn't are re-evaluated — at-least-once per doc, never a
-            # torn per-doc state. If a change ever makes one doc span
-            # multiple rows (e.g. per-shingle rows), route this append
-            # through sources/versioned.py's O_EXCL manifest commit to
-            # get a real atomic batch boundary.
-            out.write.mode("append").partitionBy("_status").parquet(table_path)
+            # ONE ATOMIC COMMIT per micro-batch (VERDICT r6 #3): the
+            # batch's files land in a fresh staging directory, then the
+            # new manifest (= previous files + batch files) publishes via
+            # the O_EXCL hard-link + CURRENT flip from
+            # sources/versioned.py. Readers see the previous snapshot or
+            # the whole batch, never a torn middle — the replay-
+            # convergence argument is now structural, not an assumption
+            # about parquet append visibility:
+            # - crash during the file write: nothing referenced by any
+            #   manifest, invisible; replay re-evaluates the whole batch
+            #   (orphaned staging files are dead weight, not state);
+            # - crash between manifest publish and CURRENT flip:
+            #   ``repair_current`` (run at every state read, single-writer
+            #   contract) completes the commit; the replayed batch then
+            #   anti-joins itself away and appends nothing.
+            import glob as _glob
+            import uuid as _uuid
+
+            from ..sources.versioned import _commit, current_version
+
+            staging = os.path.join(
+                table_path, "data", f"batch-{_uuid.uuid4().hex[:12]}"
+            )
+            out.write.partitionBy("_status").parquet(staging)
+            new_files = sorted(
+                _glob.glob(os.path.join(staging, "_status=*", "*.parquet"))
+            )
+            if new_files:
+                prev = _committed_files(table_path) or []
+                try:
+                    v = current_version(table_path) + 1
+                except FileNotFoundError:
+                    v = 1
+                _commit(table_path, prev + new_files, v)
         finally:
             fresh.unpersist()
 

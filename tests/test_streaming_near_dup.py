@@ -36,7 +36,7 @@ def _distinct_doc(k: int) -> str:
 @pytest.fixture()
 def dirs():
     root = tempfile.mkdtemp(prefix="stream_neardup_")
-    p = {n: os.path.join(root, n) for n in ("in", "table", "ckpt", "ckpt2")}
+    p = {n: os.path.join(root, n) for n in ("in", "table", "ckpt", "ckpt2", "ckpt3")}
     os.makedirs(p["in"])
     yield p
     shutil.rmtree(root, ignore_errors=True)
@@ -140,3 +140,106 @@ def test_quality_gate_composes(spark, dirs):
     _write_batch(spark, dirs["in"], [(1, BASE), (2, "too short")])
     _run(spark, dirs, quality_gate=True)
     assert _accepted_ids(spark, dirs) == [1]
+
+
+def test_crash_before_manifest_claim_invisible_and_replay_converges(spark, dirs):
+    """VERDICT r6 #3, crash window A: the writer dies AFTER the batch's
+    data files land but BEFORE the manifest claim. The half-written batch
+    must be invisible to every reader (it is referenced by no manifest)
+    and a fresh-checkpoint replay must converge to the clean result."""
+    import glob
+
+    import financial_big_data_spark.sources.versioned as V
+    from financial_big_data_spark.streaming.ingest import (
+        _committed_files,
+        _read_committed,
+    )
+
+    _write_batch(spark, dirs["in"], DOCS[:3])
+    _run(spark, dirs)
+    committed = list(_committed_files(spark_table := dirs["table"]))
+    accepted_before = _accepted_ids(spark, dirs)
+
+    _write_batch(spark, dirs["in"], DOCS[3:5])
+    orig = V._commit
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before manifest claim")
+
+    V._commit = boom
+    try:
+        with pytest.raises(Exception, match="crash before manifest claim"):
+            _run(spark, dirs)
+    finally:
+        V._commit = orig
+
+    # nothing new is committed; readers see exactly the old snapshot
+    assert _committed_files(spark_table) == committed
+    assert _accepted_ids(spark, dirs) == accepted_before
+    # ... while the dead batch's files DO sit on disk, unreferenced
+    on_disk = set(
+        glob.glob(os.path.join(spark_table, "data", "*", "_status=*", "*.parquet"))
+    )
+    assert set(committed) < on_disk
+
+    # fresh-checkpoint replay: batch-1 docs anti-join away, batch-2 docs
+    # commit exactly once -> identical to an uncrashed end-to-end run
+    _run(spark, dirs, ckpt="ckpt2")
+    from financial_big_data_spark.cache import release_tracked
+    from financial_big_data_spark.plans.corpus_curation import curate_corpus
+
+    docs = spark.createDataFrame(DOCS[:5], "doc_id long, text string")
+    want = sorted(
+        r.doc_id
+        for r in curate_corpus(docs, min_tokens=1, near_dup_jaccard=0.5)
+        .corpus.select("doc_id")
+        .collect()
+    )
+    release_tracked()
+    assert _accepted_ids(spark, dirs) == want
+    # per-doc rows committed exactly once
+    n = _read_committed(spark, spark_table).count()
+    _run(spark, dirs, ckpt="ckpt3")
+    assert _read_committed(spark, spark_table).count() == n
+
+
+def test_crash_between_manifest_and_current_is_repaired(spark, dirs):
+    """VERDICT r6 #3, crash window B: the writer dies AFTER publishing the
+    manifest but BEFORE flipping CURRENT. The next state read completes
+    the commit (single-writer repair) and the replay appends nothing."""
+    import financial_big_data_spark.sources.versioned as V
+    from financial_big_data_spark.streaming.ingest import _read_committed
+
+    _write_batch(spark, dirs["in"], DOCS[:3])
+    _run(spark, dirs)
+
+    _write_batch(spark, dirs["in"], DOCS[3:5])
+    orig = V._commit
+
+    def torn(path, files, version):
+        orig(path, files, version)
+        # simulate the crash point: manifest linked, CURRENT flip lost
+        with open(os.path.join(path, "_versions", "CURRENT"), "w") as fh:
+            fh.write(str(version - 1))
+        raise RuntimeError("crash between manifest claim and CURRENT flip")
+
+    V._commit = torn
+    try:
+        with pytest.raises(Exception, match="crash between manifest"):
+            _run(spark, dirs)
+    finally:
+        V._commit = orig
+
+    vdir = os.path.join(dirs["table"], "_versions")
+    assert open(os.path.join(vdir, "CURRENT")).read().strip() == "1"  # torn
+    # the next read repairs: the published manifest becomes visible
+    ids_after = _accepted_ids(spark, dirs)
+    assert open(os.path.join(vdir, "CURRENT")).read().strip() == "2"
+    assert set(ids_after) >= set(_accepted_ids(spark, dirs))  # stable reads
+
+    # replay from a fresh checkpoint: everything already committed ->
+    # no third version, same accepted set
+    n = _read_committed(spark, dirs["table"]).count()
+    _run(spark, dirs, ckpt="ckpt2")
+    assert _read_committed(spark, dirs["table"]).count() == n
+    assert _accepted_ids(spark, dirs) == ids_after
