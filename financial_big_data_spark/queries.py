@@ -4006,7 +4006,11 @@ def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heuristic gates and selection. Rows-only: distributed L-BFGS is
     iterative, not SQL-expressible; held-out separation and the
     layout-invariant negative sample are pinned in
-    tests/test_quality_model.py."""
+    tests/test_quality_model.py. The SCORING arithmetic (hashed-BoW
+    bucket indexing → per-bucket weight dot product → sigmoid) has a
+    hash-checked relational twin: `doc_quality_scores`, which swaps
+    L-BFGS for closed-form Naive-Bayes log-odds weights so a second
+    engine can re-derive every number."""
     from .ml.quality_model import seed_quality_scores
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4017,6 +4021,151 @@ def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.round("quality_score", 6).alias("quality_score")
     )
+
+
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit twin of `doc_quality_model`'s SCORING path (VERDICT r6 #5):
+    the same hashed-bag-of-words → per-bucket weight → dot product →
+    sigmoid pipeline, hash-checked end-to-end, with the one genuinely
+    iterative piece (L-BFGS coefficient fitting) replaced by CLOSED-FORM
+    Naive-Bayes log-odds weights — ln of smoothed per-class bucket
+    frequencies — which a second engine can re-derive exactly. Same
+    seed/negative construction as the production model: positives are
+    the even-id English docs, negatives the n_pos rest-docs with the
+    smallest md5(doc_id) (the bottomk_rows law). Buckets are md5-hashed
+    (cross-engine) mod 1024 rather than murmur3 HashingTF — the bucket
+    INDEXING arithmetic is what this twin pins; `doc_quality_model`
+    keeps murmur3 + L-BFGS as the production path (rows-only, pytest
+    separation-pinned)."""
+    import math
+
+    B, ALPHA = 1024, 0.5
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pos_ids = docs.where(
+        (F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)
+    ).select("doc_id")
+    n_pos = pos_ids.count()
+    rest = docs.join(pos_ids, "doc_id", "left_anti")
+    _h60 = lambda c: F.conv(  # noqa: E731 - the cross-engine 60-bit md5
+        F.substring(F.md5(c), 1, 15), 16, 10
+    ).cast("bigint")
+    neg_ids = (
+        rest.select("doc_id", _h60(F.col("doc_id").cast("string")).alias("_h"))
+        .orderBy("_h", "doc_id")
+        .limit(n_pos)
+        .select("doc_id")
+    )
+    n_neg = neg_ids.count()
+
+    def tok_buckets(ids: DataFrame | None) -> DataFrame:
+        base = docs if ids is None else docs.join(ids, "doc_id", "left_semi")
+        toks = base.select(
+            "doc_id", F.explode(F.split(F.col("text"), "\\s+")).alias("tok")
+        ).where(F.col("tok") != "")
+        return toks.select("doc_id", (_h60(F.col("tok")) % B).alias("b"))
+
+    posb = tok_buckets(pos_ids).groupBy("b").agg(F.count(F.lit(1)).alias("pc"))
+    negb = tok_buckets(neg_ids).groupBy("b").agg(F.count(F.lit(1)).alias("nc"))
+    wtab = (
+        posb.join(negb, on="b", how="full_outer")
+        .select(
+            "b",
+            F.coalesce("pc", F.lit(0)).alias("pc"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+        )
+    )
+    tot = wtab.agg(F.sum("pc").alias("pt"), F.sum("nc").alias("nt"))
+    # 1-row totals broadcast (bounded metadata, same crossJoin discipline
+    # as the percentile thresholds)
+    weights = wtab.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log(F.col("pc") + F.lit(ALPHA))
+            - F.log(F.col("pt") + F.lit(ALPHA * B))
+            - F.log(F.col("nc") + F.lit(ALPHA))
+            + F.log(F.col("nt") + F.lit(ALPHA * B))
+        ).alias("w"),
+    )
+    tf = tok_buckets(None).groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("tf"))
+    # unseen-in-training buckets score the pure-smoothing weight w0
+    w0 = (
+        F.log(F.lit(ALPHA))
+        - F.log(F.col("pt") + F.lit(ALPHA * B))
+        - F.log(F.lit(ALPHA))
+        + F.log(F.col("nt") + F.lit(ALPHA * B))
+    )
+    z = (
+        tf.join(F.broadcast(weights), on="b", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (F.col("tf") * F.coalesce(F.col("w"), w0)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("z"))
+    )
+    prior = math.log(n_pos / n_neg)
+    score = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.coalesce(F.col("z"), F.lit(0.0)) + F.lit(prior)))
+    )
+    return (
+        docs.select("doc_id")
+        .join(z, on="doc_id", how="left")
+        # +5e-13 nudge before round(6): the per-doc float sum and the
+        # ln/exp libm calls differ across engines at ulp scale (same
+        # discipline as doc_weighted_sample's wkey)
+        .select("doc_id", F.round(score + F.lit(5e-13), 6).alias("quality_score"))
+    )
+
+
+_SQL_DOC_QUALITY_SCORES = """
+WITH pos AS MATERIALIZED (
+  SELECT doc_id FROM documents WHERE lang = 'en' AND doc_id % 2 = 0
+),
+rest AS MATERIALIZED (
+  SELECT doc_id FROM documents WHERE NOT (lang = 'en' AND doc_id % 2 = 0)
+),
+neg AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+           ) AS rn
+    FROM rest
+  ) WHERE rn <= (SELECT count(*) FROM pos)
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS b
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+posb AS (SELECT b, count(*)::BIGINT AS pc FROM toks JOIN pos USING (doc_id) GROUP BY b),
+negb AS (SELECT b, count(*)::BIGINT AS nc FROM toks JOIN neg USING (doc_id) GROUP BY b),
+wtab AS MATERIALIZED (
+  SELECT coalesce(p.b, n.b) AS b, coalesce(pc, 0) AS pc, coalesce(nc, 0) AS nc
+  FROM posb p FULL OUTER JOIN negb n ON p.b = n.b
+),
+tot AS MATERIALIZED (SELECT sum(pc)::BIGINT AS pt, sum(nc)::BIGINT AS nt FROM wtab),
+w AS MATERIALIZED (
+  SELECT b, ln(pc + 0.5) - ln(pt + 512.0) - ln(nc + 0.5) + ln(nt + 512.0) AS w
+  FROM wtab, tot
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, b, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+z AS MATERIALIZED (
+  SELECT tf.doc_id,
+         sum(tf * coalesce(w.w,
+             ln(0.5) - ln(tot.pt + 512.0) - ln(0.5) + ln(tot.nt + 512.0))) AS z
+  FROM tf LEFT JOIN w USING (b), tot
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(coalesce(z.z, 0.0)
+             + ln((SELECT count(*) FROM pos)::DOUBLE
+                  / (SELECT count(*) FROM neg)::DOUBLE)))) + 5e-13, 6)
+         AS quality_score
+FROM documents d LEFT JOIN z ON z.doc_id = d.doc_id
+"""
 
 
 def q_brand_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5967,6 +6116,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # tests/test_quality_model.py (held-out separation, deterministic
     # negative sample)
     "doc_quality_model": (q_doc_quality_model, None),
+    "doc_quality_scores": (q_doc_quality_scores, _SQL_DOC_QUALITY_SCORES),
     # round-10 additions (past the driver window; hash-verified by the
     # local gate): SemDeDup cluster-scoped semantic dedup in the
     # deterministic hash-seeded-centroid mode; relational Lloyd k-means

@@ -82,3 +82,35 @@ def test_empty_seed_rejected(spark, planted):
     empty = planted.where(F.lit(False)).select("doc_id")
     with pytest.raises(ValueError):
         seed_quality_scores(planted, empty)
+
+
+def test_nb_twin_separates_seed_from_rest(spark):
+    """The closed-form Naive-Bayes twin (q_doc_quality_scores) must give
+    seed-class documents higher scores than the sampled negatives on the
+    real documents table — the scoring path it hash-checks is only a
+    meaningful twin if it also behaves like a quality model."""
+    from financial_big_data_spark.queries import q_doc_quality_scores
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = q_doc_quality_scores(spark, sf_dir).cache()
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang"
+        )
+        joined = out.join(docs, "doc_id")
+        pos_avg = (
+            joined.where((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+            .agg(F.avg("quality_score"))
+            .first()[0]
+        )
+        rest_avg = (
+            joined.where(~((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)))
+            .agg(F.avg("quality_score"))
+            .first()[0]
+        )
+        assert pos_avg > rest_avg
+        # scores are probabilities
+        lo, hi = out.agg(F.min("quality_score"), F.max("quality_score")).first()
+        assert 0.0 <= lo <= hi <= 1.0
+    finally:
+        out.unpersist()
