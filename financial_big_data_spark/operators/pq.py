@@ -106,6 +106,118 @@ def pq_train(
     )
 
 
+def _lloyd_np(S, k: int, n_iter: int = 10):
+    """Small deterministic numpy Lloyd over a driver-held sample slice:
+    seeds are evenly-spaced rows of the (already hash-ordered) sample,
+    empty clusters keep their previous center. Driver-side by design —
+    OPQ's alternation needs m × n_iter tiny k-means fits over ≤ a few
+    thousand rows; a distributed fit per alternation would be all job
+    floor."""
+    import numpy as np
+
+    n = S.shape[0]
+    idx = np.linspace(0, n - 1, num=min(k, n), dtype=int)
+    C = S[idx].copy()
+    if len(C) < k:  # degenerate tiny sample: pad by repeating rows
+        C = np.vstack([C, C[: k - len(C)]])
+    for _ in range(n_iter):
+        d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for c in range(k):
+            mask = a == c
+            if mask.any():
+                C[c] = S[mask].mean(0)
+    return C
+
+
+def opq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    nbits: int = 8,
+    n_iter: int = 8,
+    sample_cap: int = 2048,
+    kmeans_iter: int = 10,
+):
+    """Optimized Product Quantization rotation (Ge, He, Ke & Sun, CVPR
+    2013 — the non-parametric alternation): learn an orthonormal d×d
+    rotation R minimizing ‖XR − quantize(XR)‖² by alternating
+    per-subspace k-means (quantize the rotated sample) with the
+    orthogonal-Procrustes solve R = UVᵀ of SVD(Xᵀ·X̂). Rotating before
+    splitting decorrelates the subspaces and balances their variances —
+    the failure mode of plain PQ on correlated dimensions.
+
+    The sample is a deterministic layout-invariant bottom-k by md5(id)
+    (bounded driver metadata — the same law every other driver-held
+    sample in this repo uses); the alternation is pure numpy on that
+    sample. Returns ``(R, err_history)``: R as a list of d rows, and the
+    per-iteration mean squared quantization error (err_history[0] is the
+    UNROTATED error, so the history doubles as the evidence the rotation
+    earned its keep).
+
+    At 100 TB: training reads one bounded sample; applying R is a
+    map-only d² multiply-add per row (whole-stage codegen), and since R
+    is orthonormal it preserves inner products exactly — ADC scores on
+    rotated codes approximate the SAME cosine the unrotated path does.
+    """
+    import numpy as np
+
+    from .sketches import bottomk_rows
+
+    rows = bottomk_rows(
+        corpus.select(id_col, vec_col), sample_cap, [id_col], keep=[vec_col]
+    ).collect()
+    X = np.array([[float(x) for x in r[vec_col]] for r in rows])
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"vector dim {d} not divisible by m={m} subspaces")
+    dsub, k = d // m, 2**nbits
+
+    def quantize(Y):
+        Yhat = np.empty_like(Y)
+        err = 0.0
+        for j in range(m):
+            S = Y[:, j * dsub : (j + 1) * dsub]
+            C = _lloyd_np(S, k, n_iter=kmeans_iter)
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            Yhat[:, j * dsub : (j + 1) * dsub] = C[d2.argmin(1)]
+            err += float(((S - Yhat[:, j * dsub : (j + 1) * dsub]) ** 2).sum())
+        return Yhat, err / n
+
+    R = np.eye(d)
+    history = []
+    for t in range(n_iter + 1):
+        Y = X @ R
+        Yhat, err = quantize(Y)
+        history.append(err)
+        if t == n_iter:
+            break
+        U, _, Vt = np.linalg.svd(X.T @ Yhat)
+        R = U @ Vt
+    return [[float(v) for v in row] for row in R], history
+
+
+def rotate_vectors(
+    df: DataFrame, R: list, vec_col: str = "embedding"
+) -> DataFrame:
+    """Map-only ``v ↦ vR`` (row-vector convention): the rotation rides in
+    as a one-row broadcast (never a d² literal expression tree) and each
+    output component is one JVM-side dot — zero shuffles, zero UDFs."""
+    spark = df.sparkSession
+    # columns of R, so out[j] = dot(Rcols[j], v)
+    d = len(R)
+    rcols = [[float(R[i][j]) for i in range(d)] for j in range(d)]
+    rt_df = spark.createDataFrame([(rcols,)], "_rt array<array<double>>")
+    others = [c for c in df.columns if c != vec_col]
+    return df.crossJoin(F.broadcast(rt_df)).select(
+        *others,
+        F.transform(
+            F.col("_rt"), lambda row: dot(row, _as_double(F.col(vec_col)))
+        ).alias(vec_col),
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: DataFrame,
@@ -208,6 +320,7 @@ def ivf_pq_topk(
     seed: int = 42,
     residual: bool = False,
     exclude_self: bool = True,
+    opq: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate cosine top-k: IVF cells prune candidates, PQ
     codes make the candidate scan read bytes instead of vectors, exact
@@ -225,7 +338,16 @@ def ivf_pq_topk(
     Σ_j LUT[j][code_j]): the per-cell term is one scalar the probe
     ranking already computes, not a per-(query, cell) LUT — so the
     relational shape is unchanged (an L2 formulation would need LUTs
-    keyed on (query, cell))."""
+    keyed on (query, cell)).
+
+    ``opq=True`` trains an OPQ rotation (``opq_train``) on the
+    to-be-encoded vectors and applies it before codebook training,
+    encoding AND the query-side lookup tables. R is orthonormal, so
+    ip(Rq, Rx) == ip(q, x) exactly — the ADC estimate approximates the
+    same cosine, only with subspaces decorrelated/variance-balanced
+    under the rotation (recall up at the same code bytes on correlated
+    embeddings; a no-op by construction on isotropic ones). The exact
+    refine still reads the UNROTATED vectors."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -263,6 +385,12 @@ def ivf_pq_topk(
         )
     else:
         to_encode = c_norm.select(id_col, F.col("_nv").alias(vec_col))
+    rot = None
+    if opq:
+        rot, _hist = opq_train(
+            to_encode, vec_col=vec_col, id_col=id_col, m=m, nbits=nbits
+        )
+        to_encode = rotate_vectors(to_encode, rot, vec_col=vec_col)
     to_encode = to_encode.cache()
     books = pq_train(to_encode, vec_col=vec_col, m=m, nbits=nbits, seed=seed)
     codes = pq_encode(to_encode, books, id_col=id_col, vec_col=vec_col)
@@ -286,9 +414,13 @@ def ivf_pq_topk(
         .select(query_id, "_cell", "_qc_ip")
     )
 
-    # --- ADC scan over probed cells (codes only — no vectors read here)
+    # --- ADC scan over probed cells (codes only — no vectors read here);
+    # under OPQ the query side rotates identically (ip preserved exactly)
+    q_for_lut = q_norm.select(query_id, F.col("_nv").alias(vec_col))
+    if rot is not None:
+        q_for_lut = rotate_vectors(q_for_lut, rot, vec_col=vec_col)
     luts = adc_luts(
-        q_norm.select(query_id, F.col("_nv").alias(vec_col)),
+        q_for_lut,
         books,
         query_id=query_id,
         vec_col=vec_col,

@@ -190,3 +190,83 @@ def test_ivf_pq_exclude_self_opt_out(spark, clustered):
     dropped_ids = {r.vec_id for r in dropped.collect()}
     assert 1 in kept_ids        # the colliding corpus vector survives
     assert 1 not in dropped_ids  # default self-exclusion still works
+
+
+# --------------------------------------------------------------------------
+# OPQ rotation (Ge et al. 2013)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def anisotropic(spark):
+    """Correlated, variance-skewed 16-d cloud — plain PQ's failure mode:
+    per-dim scales spanning 20x, then a fixed dense mixing rotation so no
+    axis-aligned subspace split is decorrelated."""
+    rng = np.random.default_rng(11)
+    scales = np.linspace(6.0, 0.3, 16)
+    Z = rng.normal(0, 1, (700, 16)) * scales
+    Q, _ = np.linalg.qr(rng.normal(0, 1, (16, 16)))
+    return _vec_df(spark, Z @ Q)
+
+
+def test_opq_rotation_is_orthonormal_and_reduces_error(spark, anisotropic):
+    from financial_big_data_spark.operators.pq import opq_train
+
+    R, hist = opq_train(anisotropic, m=4, nbits=4, n_iter=6)
+    R = np.array(R)
+    assert np.allclose(R @ R.T, np.eye(16), atol=1e-9)
+    # hist[0] is the UNROTATED quantization error; the alternation must
+    # strictly beat it on a correlated cloud (>=15% here, measured ~40%)
+    assert hist[-1] < 0.85 * hist[0]
+    # and never diverge along the way
+    assert max(hist[1:]) <= hist[0] + 1e-12
+
+
+def test_rotate_vectors_matches_numpy(spark, anisotropic):
+    from financial_big_data_spark.operators.pq import opq_train, rotate_vectors
+
+    R, _ = opq_train(anisotropic, m=4, nbits=4, n_iter=2)
+    got = {
+        r.vec_id: np.array(r.embedding)
+        for r in rotate_vectors(anisotropic, R).collect()
+    }
+    X = np.array(
+        [r.embedding for r in anisotropic.orderBy("vec_id").collect()]
+    )
+    want = X @ np.array(R)
+    for i, row in enumerate(want):
+        assert np.allclose(got[i], row, atol=1e-9), i
+    # orthonormal rotation preserves inner products (the ADC contract)
+    ips_rot = (X @ np.array(R)) @ (X @ np.array(R)).T
+    assert np.allclose(ips_rot, X @ X.T, atol=1e-6)
+
+
+def test_opq_lifts_ivfpq_recall_on_correlated_embeddings(spark, anisotropic):
+    """End to end at the same code budget (m=4, nbits=4, 700 vectors):
+    the OPQ-rotated pipeline must match or beat plain IVF-PQ recall, and
+    on this deliberately correlated cloud it should strictly beat it."""
+    probes = anisotropic.where(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(anisotropic, probes, k=10)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+
+    def recall(opq: bool) -> float:
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_pq_topk(
+                anisotropic, probes, n_cells=4, n_probe=2, m=4, nbits=4,
+                k=10, refine_factor=4, residual=True, opq=opq,
+            )
+            .select("query_id", "vec_id")
+            .collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_plain, r_opq = recall(False), recall(True)
+    assert r_opq >= r_plain
+    assert r_opq > 0.5
