@@ -763,15 +763,17 @@ def main() -> None:
     # 200 communities x 500 nodes, ~1M edges (8 intra + 2 inter
     # pseudo-random edges per node, hash-generated, no driver data) —
     # through the DISTRIBUTED modularity-optimizing Louvain
-    # (local moves + contraction), LPA at the same sweep budget, and the
-    # driver networkx fallback on the same graph. Honest crossover
-    # statement from the measured rows: at 1M edges the driver path is
-    # time-competitive AND recovers the planted partition (Q~0.79, 200
-    # comms) while the distributed path at this sweep budget (2 levels x
-    # 4 sweeps) under-converges (Q~0.31) — its value is CAPACITY (edge
-    # lists beyond driver memory, ~1e8+ edges), not local speed; deeper
-    # level budgets keep converging (level 3 reaches ~305 comms) at
-    # steeply growing per-level cost.
+    # (local moves + contraction, 4 levels x 4 sweeps — affordable since
+    # ml/graph._ckpt stopped iterated checkpoints from compounding plan
+    # statistics into million-bit BigInts; deeper budgets used to blow
+    # past 10 minutes, now each level is roughly linear), LPA at the
+    # same sweep budget, and the driver networkx fallback on the same
+    # graph. Honest crossover statement from the measured rows: at 1M
+    # edges the driver path is time-competitive AND recovers the planted
+    # partition (Q~0.79, 200 comms) while the distributed path's
+    # parity-gated synchronous sweeps under-converge at this budget
+    # (Q~0.57, ~100 comms) — its value is CAPACITY (edge lists beyond
+    # driver memory, ~1e8+ edges), not local speed.
     from financial_big_data_spark.ml.clustering import louvain_communities_df
     from financial_big_data_spark.ml.graph import (
         label_propagation,
@@ -816,7 +818,7 @@ def main() -> None:
     )
     louvain_scale["planted_modularity"] = round(graph_modularity(_ledges, _planted), 4)
     t0 = time.time()
-    _lcom = louvain_distributed(_ledges, max_levels=2, max_sweeps=4)
+    _lcom = louvain_distributed(_ledges, max_levels=4, max_sweeps=4)
     louvain_scale["louvain_modularity"] = round(graph_modularity(_ledges, _lcom), 4)
     louvain_scale["louvain_communities"] = _lcom.select("community").distinct().count()
     louvain_scale["louvain_sec"] = round(time.time() - t0, 3)

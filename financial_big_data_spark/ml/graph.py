@@ -17,14 +17,45 @@ paths implemented as pure DataFrame iterations — no GraphFrames dependency:
   the min component id in its neighborhood) — the DBSCAN ε-graph labeller
   at scale. Converges in O(graph diameter) rounds.
 
-Both checkpoint state per round via localCheckpoint() to cut the growing
-lineage (iterative DataFrame plans otherwise recompute from the source).
+All of them checkpoint state per round via ``_ckpt`` — localCheckpoint to
+cut the growing lineage PLUS a statistics reset (see ``_ckpt``: without
+it, iterated checkpoints compound plan statistics geometrically and the
+driver ends up multiplying million-bit BigInts per job).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager)`` + STATISTICS RESET for iterative state.
+
+    ``Dataset.localCheckpoint`` deliberately carries the origin plan's
+    statistics into the resulting LogicalRDD. In an iterative loop the
+    next round's join estimates MULTIPLY those carried sizeInBytes, and
+    the product is checkpointed again — so the statistic's bit LENGTH
+    doubles every round. After a few dozen checkpointed rounds (e.g.
+    Louvain level 2+ on a 1M-edge graph) the driver spends tens of
+    seconds per job inside BigInteger Toom-Cook multiplication in stats
+    estimation — measured as sweeps degrading 2s → 23s → minutes while
+    the actual data SHRANK. Rebinding the already-materialized RDD
+    through ``internalCreateDataFrame`` drops the origin stats (fresh
+    LogicalRDD, default sizeInBytes): values, schema and partitioning
+    are untouched, lineage stays cut, and join strategies at runtime
+    are AQE's call from real shuffle sizes anyway. Falls back to the
+    plain checkpoint if the internal constructor ever moves."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        sess = jdf.sparkSession()
+        new_jdf = sess.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, df.sparkSession)
+    except Exception:  # noqa: BLE001 - private API drift: keep plain ckpt
+        return ck
 
 
 def _undirected(edges: DataFrame) -> DataFrame:
@@ -61,7 +92,7 @@ def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
             .where(F.col("old.label") != F.col("new.label"))
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = _ckpt(new_labels)
         if changed == 0:
             break
     adj.unpersist()
@@ -188,9 +219,9 @@ def _louvain_phase1(
         .groupBy("a")
         .agg(F.sum("w").alias("k"))
     )
-    labels = deg.select(
+    labels = _ckpt(deg.select(
         F.col("a").alias("node"), F.col("a").alias("comm"), "k"
-    ).localCheckpoint(eager=True)
+    ))
     zero_sweeps = 0
     for sweep in range(max_sweeps):
         sigma = labels.groupBy("comm").agg(F.sum("k").alias("S"))
@@ -255,8 +286,8 @@ def _louvain_phase1(
                 & (F.col("_score") > F.col("_ss") + F.lit(tol))
             )
             .select(F.col("a").alias("node"), F.col("comm").alias("_new"))
-            .localCheckpoint(eager=True)  # ONE evaluation of the sweep DAG
         )
+        moves = _ckpt(moves)  # ONE evaluation of the sweep DAG
         n_moves = moves.count()
         if n_moves == 0:
             zero_sweeps += 1
@@ -264,10 +295,9 @@ def _louvain_phase1(
                 break
             continue
         zero_sweeps = 0
-        labels = (
+        labels = _ckpt(
             labels.join(moves, on="node", how="left")
             .select("node", F.coalesce("_new", "comm").alias("comm"), "k")
-            .localCheckpoint(eager=True)
         )
     pairs.unpersist()
     return labels.select("node", "comm")
@@ -313,16 +343,19 @@ def louvain_distributed(
         mapping = (
             labels
             if mapping is None
-            else mapping.alias("mp")
-            .join(labels.alias("lv"), F.col("mp.comm") == F.col("lv.node"))
-            .select(F.col("mp.node").alias("node"), F.col("lv.comm").alias("comm"))
-            .localCheckpoint(eager=True)
+            else _ckpt(
+                mapping.alias("mp")
+                .join(labels.alias("lv"), F.col("mp.comm") == F.col("lv.node"))
+                .select(
+                    F.col("mp.node").alias("node"), F.col("lv.comm").alias("comm")
+                )
+            )
         )
         if n_comms == n_nodes:
             break
         la = labels.select(F.col("node").alias("a"), F.col("comm").alias("_ca"))
         lb = labels.select(F.col("node").alias("b"), F.col("comm").alias("_cb"))
-        cur = (
+        cur = _ckpt(
             cur.join(la, on="a")
             .join(lb, on="b")
             .select(
@@ -332,7 +365,6 @@ def louvain_distributed(
             )
             .groupBy("a", "b")
             .agg(F.sum("w").alias("w"))
-            .localCheckpoint(eager=True)
         )
     return mapping.select("node", F.col("comm").alias("community"))
 
@@ -368,7 +400,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # checkpoint BEFORE the convergence count: the count then joins two
         # materialized frames instead of re-executing the whole
         # join+groupBy lineage a second time per iteration
-        new_comp = (
+        new_comp = _ckpt(
             comp.join(neigh_min, on="node", how="left")
             .select(
                 "node",
@@ -376,7 +408,6 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("neigh_component"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             comp.alias("old")
@@ -596,7 +627,7 @@ def pagerank(
             )
         prev = ranks
         if (_it + 1) % checkpoint_interval == 0 or _it == n_iter - 1:
-            ranks = new.localCheckpoint(eager=True)
+            ranks = _ckpt(new)
         else:
             ranks = new
         if tol is not None:
