@@ -92,6 +92,10 @@ for _q in (
     # round 10: total edge weight m — one broadcast row onto the
     # per-community aggregate
     "ev_type_modularity",
+    # round 11: the NB quality twin crosses the 1-row token-total frame
+    # (pt, nt) onto the bucket-weight table and onto the per-doc tf flow
+    # (for the unseen-bucket smoothing weight) — both global-scalar shape
+    "doc_quality_scores",
 ):
     JUSTIFIED[(_q, "nested-loop-join")] = _GLOBAL_SCALAR
 for _q in ("emb_topk", "emb_near_dup", "emb_knn_dist"):
