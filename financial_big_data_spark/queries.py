@@ -1558,6 +1558,162 @@ SELECT query_id, vec_id, round(adc_ip, 6) AS adc_ip, rank FROM (
 """
 
 
+def q_emb_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ rotation + PQ encode + ADC scan, hash-checked end-to-end
+    (round 11): the real ``rotate_vectors`` matrix application feeding
+    the real pq_encode/adc_luts/adc_score operators, with the one
+    non-relational piece (the learned Procrustes rotation — iterative
+    SVD, rows-only by nature) replaced by a PINNED closed-form
+    orthonormal rotation both engines can re-derive: the HOUSEHOLDER
+    reflection H = I − 2vvᵀ/‖v‖² about the corpus vector with the
+    smallest md5(id). H is symmetric orthonormal, so this exercises
+    exactly the production OPQ path's arithmetic — rotate (d² fold per
+    row), codebook-slice, argmin encode, LUT build, ADC gather — and
+    every float matches because every fold runs in array order on both
+    engines (the emb_pq_adc discipline). The LEARNED rotation stays in
+    ``opq_train`` (pytest: orthonormality, numpy parity, anisotropic
+    recall lift)."""
+    from .operators.pq import adc_luts, adc_score, pq_encode, rotate_vectors
+
+    m, dsub, k = 8, 8, 16
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    seed = (
+        emb.select(
+            "vec_id", "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("_hk"),
+        )
+        .orderBy("_hk", "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    v = [float(x) for x in seed.embedding]
+    d = len(v)
+    s = 0.0
+    for x in v:  # left fold, mirroring DuckDB list_sum exactly
+        s += x * x
+    H = [
+        [(1.0 if i == j else 0.0) - (2.0 * (v[i] * v[j])) / s for j in range(d)]
+        for i in range(d)
+    ]
+    rot = rotate_vectors(emb, H, vec_col="embedding")
+    seed_rows = (
+        rot.select(
+            "vec_id", "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("_hk"),
+        )
+        .orderBy("_hk")
+        .limit(k)
+        .collect()
+    )
+    cb_rows = [
+        (j, c, [float(x) for x in r.embedding[j * dsub : (j + 1) * dsub]])
+        for c, r in enumerate(seed_rows)
+        for j in range(m)
+    ]
+    codebooks = spark.createDataFrame(cb_rows, "subspace int, code int, ctr array<double>")
+    codes = pq_encode(rot, codebooks)
+    probes = rot.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    luts = adc_luts(probes, codebooks)
+    scored = codes.crossJoin(
+        F.broadcast(luts.select("query_id", "lut"))
+    ).select(
+        "query_id",
+        "vec_id",
+        adc_score(F.col("codes"), F.col("lut")).alias("adc_ip"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_ip"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", _r6(F.col("adc_ip")).alias("adc_ip"), "rank")
+    )
+
+
+_SQL_EMB_OPQ_ADC = """
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+),
+seedv AS MATERIALIZED (
+  SELECT v AS sv, list_sum(list_transform(v, x -> x * x)) AS s
+  FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1
+),
+hrows AS MATERIALIZED (
+  SELECT j,
+         list(
+           (CASE WHEN i = j THEN 1.0 ELSE 0.0 END)
+           - (2.0 * (sv[i + 1] * sv[j + 1])) / s
+           ORDER BY i
+         ) AS hrow
+  FROM range(64) t(i), range(64) u(j), seedv
+  GROUP BY j
+),
+hmat AS MATERIALIZED (SELECT list(hrow ORDER BY j) AS hm FROM hrows),
+rot AS MATERIALIZED (
+  SELECT b.vec_id,
+         list_transform(
+           hm, row -> list_sum(list_transform(list_zip(row, b.v), p -> p[1] * p[2]))
+         ) AS v
+  FROM base b, hmat
+),
+seeds AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS code, v
+  FROM rot ORDER BY md5(vec_id::VARCHAR) LIMIT 16
+),
+cb AS MATERIALIZED (
+  SELECT j AS subspace, code, v[j * 8 + 1 : j * 8 + 8] AS ctr
+  FROM seeds, range(8) t(j)
+),
+sub AS MATERIALIZED (
+  SELECT vec_id, j AS subspace, v[j * 8 + 1 : j * 8 + 8] AS sv
+  FROM rot, range(8) t(j)
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, subspace, code FROM (
+    SELECT s.vec_id, s.subspace, c.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.subspace
+             ORDER BY list_sum(list_transform(list_zip(s.sv, c.ctr),
+                      x -> (x[1] - x[2]) * (x[1] - x[2]))), c.code
+           ) AS rn
+    FROM sub s JOIN cb c USING (subspace)
+  ) WHERE rn = 1
+),
+enc_arr AS MATERIALIZED (
+  SELECT vec_id, list(code ORDER BY subspace) AS codes FROM enc GROUP BY vec_id
+),
+probes AS (SELECT vec_id AS query_id, v AS qv FROM rot WHERE vec_id < 3),
+lutv AS MATERIALIZED (
+  SELECT p.query_id, c.subspace, c.code,
+         list_dot_product(p.qv[c.subspace * 8 + 1 : c.subspace * 8 + 8], c.ctr) AS ip
+  FROM probes p CROSS JOIN cb c
+),
+lut_rows AS MATERIALIZED (
+  SELECT query_id, subspace, list(ip ORDER BY code) AS lrow
+  FROM lutv GROUP BY 1, 2
+),
+lut AS MATERIALIZED (
+  SELECT query_id, list(lrow ORDER BY subspace) AS lut FROM lut_rows GROUP BY 1
+),
+score AS (
+  SELECT l.query_id, e.vec_id,
+         list_sum(list_transform(generate_series(1, 8),
+                  j -> l.lut[j][e.codes[j] + 1])) AS adc_ip
+  FROM enc_arr e CROSS JOIN lut l
+)
+SELECT query_id, vec_id, round(adc_ip, 6) AS adc_ip, rank FROM (
+  SELECT query_id, vec_id, adc_ip,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_ip DESC, vec_id
+         ) AS rank
+  FROM score
+) WHERE rank <= 10
+"""
+
+
 def q_emb_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF routing, hash-checked: ivf_topk with pinned hash-seeded cells
     (the 8 corpus vectors with smallest md5(id)) — cell assignment
@@ -6132,6 +6288,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_bpe_relational": (q_doc_bpe_relational, _SQL_DOC_BPE_RELATIONAL),
     "emb_pca_power": (q_emb_pca_power, _SQL_EMB_PCA_POWER),
     "emb_pq_adc": (q_emb_pq_adc, _SQL_EMB_PQ_ADC),
+    "emb_opq_adc": (q_emb_opq_adc, _SQL_EMB_OPQ_ADC),
     "emb_ivf_seeded": (q_emb_ivf_seeded, _SQL_EMB_IVF_SEEDED),
 }
 

@@ -110,6 +110,12 @@ JUSTIFIED[("emb_pq_adc", "nested-loop-join")] = (
     "(3 probes × m·2^nbits doubles); the corpus-side scan reads 8-byte "
     "code arrays against them — the PQ design point"
 )
+JUSTIFIED[("emb_opq_adc", "nested-loop-join")] = (
+    "same shape as emb_pq_adc plus the rotation: the broadcast sides are "
+    "the 1-row d×d Householder matrix (rotate_vectors' bounded-metadata "
+    "crossJoin, applied map-only to corpus and probe flows) and the "
+    "bounded probe set's ADC lookup tables"
+)
 JUSTIFIED[("emb_ivf_seeded", "nested-loop-join")] = (
     "broadcast side is the bounded 8-row pinned-cell centroid table "
     "(assignment + probe ranking score against it); the candidate scan "
