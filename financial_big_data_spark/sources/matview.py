@@ -118,11 +118,18 @@ def _apply_groups(
     cols_src = _footer_columns(m["files"]) or live_rows.columns
     merged = live_rows.select(*cols_src)
     if touched:
-        # keep a file row iff its group is NOT in the touched set (a null
-        # group row survives unless null itself is touched)
-        keep = F.col(group).isNull() if not has_null else F.lit(False)
-        if nonnull:
-            keep = keep | (F.col(group).isNotNull() & ~F.col(group).isin(nonnull))
+        # keep a file row iff its group is NOT in the touched set: non-null
+        # groups survive unless listed in `nonnull` (unconditionally — even
+        # when ONLY the null group was touched, every untouched non-null
+        # group must carry forward), and a null group row survives unless
+        # null itself is touched
+        keep = (
+            (F.col(group).isNotNull() & ~F.col(group).isin(nonnull))
+            if nonnull
+            else F.col(group).isNotNull()
+        )
+        if not has_null:
+            keep = keep | F.col(group).isNull()
         survivors = spark.read.parquet(*touched).where(keep)
         merged = survivors.unionByName(merged)
     new_files = _write_batch(merged, view_path, group, n_files)
@@ -303,15 +310,21 @@ def refresh_matview(
     # through the copy-on-write upsert. Persisted ONCE: the count
     # aggregate materializes it, upsert + delete then read the cache.
     view = read_version(spark, view_path)
+    # NULL-SAFE join key: a null group is a real group (the view holds a
+    # row for it) — plain `on=group` equality would never match it, so its
+    # old totals would vanish and the updated count could misclassify the
+    # group as dead. EqualNullSafe stays an equi-join key for Catalyst
+    # (hash/sort-merge eligible), so the plan shape is unchanged.
+    d, w = delta.alias("d"), view.alias("w")
     touched = (
-        delta.join(view, on=group, how="left")
+        d.join(w, F.col(f"d.{group}").eqNullSafe(F.col(f"w.{group}")), how="left")
         .select(
-            F.col(group),
-            (F.coalesce("agg_sum", F.lit(0.0)) + F.coalesce("d_sum", F.lit(0.0))).alias(
-                "agg_sum"
-            ),
+            F.col(f"d.{group}").alias(group),
             (
-                F.coalesce("agg_count", F.lit(0)) + F.coalesce("d_count", F.lit(0))
+                F.coalesce("w.agg_sum", F.lit(0.0)) + F.coalesce("d.d_sum", F.lit(0.0))
+            ).alias("agg_sum"),
+            (
+                F.coalesce("w.agg_count", F.lit(0)) + F.coalesce("d.d_count", F.lit(0))
             ).alias("agg_count"),
         )
         .persist()

@@ -93,7 +93,11 @@ def _commit(path: str, files: list[str], version: int) -> None:
             "re-read CURRENT and retry the operation"
         )
     os.remove(tmp)
-    cur_tmp = os.path.join(_vdir(path), "CURRENT.tmp")
+    # uuid-suffixed tmp: repair_current runs on READS, so a reader racing
+    # this writer (or another reader) must never interleave write/replace
+    # on a shared tmp name — each flip owns its own file, os.replace stays
+    # the only shared step and it is atomic
+    cur_tmp = os.path.join(_vdir(path), f"CURRENT.{uuid.uuid4().hex[:12]}.tmp")
     with open(cur_tmp, "w") as f:
         f.write(str(version))
     os.replace(cur_tmp, os.path.join(_vdir(path), "CURRENT"))
@@ -128,7 +132,9 @@ def repair_current(path: str) -> int | None:
     top = max(versions)
     if top <= cur:
         return None
-    cur_tmp = os.path.join(vdir, "CURRENT.tmp")
+    # uuid-suffixed tmp (same as _commit's flip): repair runs on every
+    # read path, so concurrent readers each flip through a private tmp
+    cur_tmp = os.path.join(vdir, f"CURRENT.{uuid.uuid4().hex[:12]}.tmp")
     with open(cur_tmp, "w") as f:
         f.write(str(top))
     os.replace(cur_tmp, os.path.join(vdir, "CURRENT"))
@@ -379,8 +385,13 @@ def upsert_version(
         # ~the touched files' data plus the batch, so it goes back into
         # ~that many files — defaulting to shuffle.partitions would
         # fragment a 1-file rewrite into 32 and grow the manifest (and
-        # every later footer-pruning pass) on each upsert
-        n_files = max(1, len(touched))
+        # every later footer-pruning pass) on each upsert. A PURE APPEND
+        # (no touched files) has no granularity to preserve: a bounded
+        # batch (probe fit the 10k cap) packs into one file, but an
+        # unbounded one keeps the shuffle.partitions default — funneling
+        # an arbitrarily large insert through repartition(1) would make
+        # one task write the whole batch
+        n_files = max(1, len(touched)) if touched else (1 if probe is not None else None)
     if survivors is not None:
         merged = survivors.unionByName(merged)
     new_files = _write_batch(merged, path, key, n_files)

@@ -121,7 +121,7 @@ def _read_committed(spark, table_path: str, status: str | None = None):
     partition's files (stronger than planner pruning; basePath-style
     discovery can't cross the per-batch staging directories anyway)."""
     files = _committed_files(table_path)
-    if not files:
+    if files is None:
         return None
 
     def _status_of(f: str) -> str | None:
@@ -142,7 +142,17 @@ def _read_committed(spark, table_path: str, status: str | None = None):
         if groups.get(s)
     ]
     if not frames:
-        return None
+        # a committed snapshot EXISTS but holds no files of the requested
+        # status (e.g. every document so far was rejected as a near-dup):
+        # that is an empty result, not a missing table — return an empty
+        # frame in the table's schema (one footer read, filter-to-false)
+        # so pollers see zero rows instead of a crash
+        if not files:
+            return None  # committed-but-zero-files: no schema to offer
+        empty = spark.read.parquet(files[0]).limit(0)
+        return empty.withColumn(
+            "_status", F.lit(status if status is not None else "")
+        )
     out = frames[0]
     for d in frames[1:]:
         out = out.unionByName(d)

@@ -200,3 +200,29 @@ def test_streaming_upsert_keeps_view_current(spark, paths):
     got = _view_rows(spark, view)
     assert got == _recompute(spark, base)
     assert got == {(0, 102.0, 2), (1, 6.0, 2)}  # 99+3 / 2+4
+
+
+def test_refresh_touching_only_null_group_keeps_others(spark, paths):
+    """ADVICE r7 (high): when the refresh's delta touches ONLY the null
+    group, every untouched non-null group must carry through the one-shot
+    snapshot rewrite — the old keep-predicate collapsed to lit(False) and
+    silently dropped them all."""
+    base, view = paths
+    df = spark.range(30).select(
+        F.col("id"),
+        F.when(F.col("id") < 5, F.lit(None).cast("long"))
+        .otherwise(F.col("id") % 3)
+        .alias("g"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    write_version(df, base, key="id")
+    create_matview(spark, base, view, group="g", value="v")
+    # update ONLY rows whose group is null
+    updates = spark.range(5).select(
+        F.col("id"), F.lit(None).cast("long").alias("g"), F.lit(100.0).alias("v")
+    )
+    upsert_version(spark, base, updates, key="id")
+    refresh_matview(spark, base, view, key="id")
+    rows = _view_rows(spark, view)
+    assert rows == _recompute(spark, base)
+    assert {g for g, _, _ in rows} == {None, 0, 1, 2}

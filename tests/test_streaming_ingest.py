@@ -96,3 +96,36 @@ def test_ingest_exact_duplicate_rows_collapse(spark, dirs):
     _run(spark, dirs)
     rows = spark.read.parquet(dirs["corpus"]).collect()
     assert len(rows) == 1 and rows[0].doc_id == 1
+
+
+def test_curated_corpus_empty_when_all_rejected(spark, dirs):
+    """A committed snapshot that holds ONLY rejected (_status=near_dup)
+    files is an EMPTY corpus, not a missing table: read_curated_corpus
+    must return zero rows in the table schema instead of raising
+    (ADVICE r7: pollers regressed from empty-result to crash)."""
+    import glob
+
+    from financial_big_data_spark.sources.versioned import _commit
+    from financial_big_data_spark.streaming.ingest import (
+        _read_committed,
+        read_curated_corpus,
+    )
+
+    table = dirs["corpus"]
+    staging = os.path.join(table, "data", "batch-allrejected")
+    spark.createDataFrame(
+        [(1, GOOD, "near_dup")], "doc_id long, text string, _status string"
+    ).coalesce(1).write.partitionBy("_status").parquet(staging)
+    files = sorted(glob.glob(os.path.join(staging, "_status=*", "*.parquet")))
+    assert files
+    _commit(table, files, 1)
+
+    out = read_curated_corpus(spark, table)
+    assert out.count() == 0
+    assert "doc_id" in out.columns and "text" in out.columns
+    # the rejected rows are still readable under their own status
+    nd = _read_committed(spark, table, status="near_dup")
+    assert nd.count() == 1
+    # a table with NO committed snapshot still raises
+    with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        read_curated_corpus(spark, os.path.join(dirs["in"], "nowhere"))

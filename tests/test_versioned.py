@@ -373,3 +373,32 @@ def test_compact_version_zorder_prunes_box_and_preserves_history(spark, vpath):
     assert sorted(
         (r.id, r.x, r.y) for r in read_version(spark, vpath, 1).collect()
     ) == before
+
+
+def test_pure_append_does_not_collapse_to_one_file(spark, vpath):
+    """ADVICE r7 (medium): an append whose keys are all NEW (no touched
+    files) must not funnel an unbounded batch through repartition(1).
+    Bounded batches (capped probe) pack into one file; a batch past the
+    10k-distinct-key cap falls back to the shuffle.partitions layout."""
+    from financial_big_data_spark.sources.versioned import _load_manifest
+
+    write_version(_base(spark, 100), vpath, key="id", n_files=2)
+    # bounded pure append (well under the probe cap): one new file
+    small = spark.range(1_000, 1_050).select(
+        F.col("id"), (F.col("id") * 10).cast("double").alias("v"),
+        F.concat(F.lit("name"), F.col("id")).alias("name"),
+    )
+    upsert_version(spark, vpath, small, key="id")
+    m2 = _load_manifest(vpath, 2)
+    m1_files = set(_load_manifest(vpath, 1)["files"])
+    assert len([f for f in m2["files"] if f not in m1_files]) == 1
+    # unbounded pure append (>10k distinct new keys): many files
+    big = spark.range(100_000, 120_000).select(
+        F.col("id"), (F.col("id") * 10).cast("double").alias("v"),
+        F.concat(F.lit("name"), F.col("id")).alias("name"),
+    )
+    upsert_version(spark, vpath, big, key="id")
+    m3 = _load_manifest(vpath, 3)
+    new3 = [f for f in m3["files"] if f not in set(m2["files"])]
+    assert len(new3) > 1
+    assert read_version(spark, vpath).count() == 100 + 50 + 20_000

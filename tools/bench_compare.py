@@ -167,7 +167,11 @@ def main() -> None:
             if not _higher_is_better(name):
                 n_eff, band_scale = n / factor, 1 / factor
             elif "mb_per" in short:
-                n_eff = n * factor
+                # symmetric with the timing branch: the band-overlap check
+                # below compares the normalized point against nb[0] *
+                # band_scale, so throughput bands must scale by the SAME
+                # drift factor as n_eff or drift mis-flags/mis-clears them
+                n_eff, band_scale = n * factor, factor
         delta_pct = (n_eff - o) / abs(o) * 100
         raw_pct = (n - o) / abs(o) * 100
         worse = -delta_pct if _higher_is_better(name) else delta_pct
