@@ -585,6 +585,29 @@ def main() -> None:
     ivfpq_opq_sec = round(time.time() - t0, 3)
     ivfpq_opq_recall = round(len(exact & approx_opq) / max(len(exact), 1), 3)
 
+    # OPQ with a CACHED rotation (VERDICT r7 #7): repeated searches
+    # against the same corpus pay the alternation once — opq_rotation
+    # trains R through the search path's exact construction, the second
+    # call passes rotation=R and must land ~at the plain ivfpq cost
+    # with recall unchanged (equality pinned by test_pq.py).
+    from financial_big_data_spark.operators.pq import opq_rotation
+
+    _rot, _ = opq_rotation(emb, n_cells=16, m=8, nbits=8, residual=True)
+    t0 = time.time()
+    approx_opq_cached = {
+        (r.query_id, r.vec_id)
+        for r in ivf_pq_topk(
+            emb, probes, n_cells=16, n_probe=10, m=8, nbits=8, k=10,
+            refine_factor=8, residual=True, rotation=_rot,
+        )
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    ivfpq_opq_cached_sec = round(time.time() - t0, 3)
+    ivfpq_opq_cached_recall = round(
+        len(exact & approx_opq_cached) / max(len(exact), 1), 3
+    )
+
     # Dedup recall probe: LSH near-dup pairs vs the EXACT Jaccard ground
     # truth at the same threshold/shingling — approximate-dedup quality as
     # a recorded number. LSH candidates are exact-verified, so the LSH set
@@ -947,6 +970,8 @@ def main() -> None:
         "ann_ivfpq_sec": ivfpq_sec,
         "ann_ivfpq_opq_recall_at_10": ivfpq_opq_recall,
         "ann_ivfpq_opq_sec": ivfpq_opq_sec,
+        "ann_ivfpq_opq_cached_recall_at_10": ivfpq_opq_cached_recall,
+        "ann_ivfpq_opq_cached_sec": ivfpq_opq_cached_sec,
         "ann_ivfpq_opq_code_bytes": 8,
         "dedup_lsh_recall": dedup_lsh_recall,
         "ep3_logistic_sec": ep3_sec,

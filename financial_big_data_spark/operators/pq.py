@@ -305,6 +305,88 @@ def adc_score(codes: F.Column, lut: F.Column) -> F.Column:
     )
 
 
+def _normalized(df: DataFrame, idc: str, vec_col: str) -> DataFrame:
+    """(id, _nv): L2-normalized vectors (unit vectors: IP == cosine)."""
+    v = _as_double(F.col(vec_col))
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return df.select(
+        F.col(idc), F.transform(v, lambda x: x / n).alias("_nv")
+    ).where(n > 0)
+
+
+def _coarse_cells(c_norm: DataFrame, n_cells: int, seed: int, id_col: str):
+    """Seeded coarse KMeans over the normalized corpus: returns
+    (assigned (id, _nv, _cell), centers (_cell, _ctr))."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cfit = c_norm.withColumn("_fv", array_to_vector("_nv"))
+    km = KMeans(
+        k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell"
+    ).fit(cfit)
+    assigned = km.transform(cfit).select(id_col, "_nv", "_cell")
+    centers = c_norm.sparkSession.createDataFrame(
+        [(i, np.asarray(c).tolist()) for i, c in enumerate(km.clusterCenters())],
+        "_cell int, _ctr array<double>",
+    )
+    return assigned, centers
+
+
+def _to_encode(
+    c_norm: DataFrame,
+    assigned: DataFrame,
+    centers: DataFrame,
+    residual: bool,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The vectors PQ codebooks train on and encode: the normalized
+    corpus, or (residual) each vector minus its assigned cell centroid."""
+    if residual:
+        return assigned.join(F.broadcast(centers), "_cell").select(
+            id_col,
+            F.zip_with("_nv", "_ctr", lambda x, y: x - y).alias(vec_col),
+        )
+    return c_norm.select(id_col, F.col("_nv").alias(vec_col))
+
+
+def opq_rotation(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    m: int = 4,
+    nbits: int = 4,
+    seed: int = 42,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 8,
+    sample_cap: int = 2048,
+):
+    """Train ``ivf_pq_topk``'s OPQ rotation ONCE for a corpus (VERDICT r7
+    #7). Reuses the search path's exact construction — same normalization,
+    same seeded coarse KMeans, same residual law, same bottom-k-md5 sample
+    — so passing the returned R as ``ivf_pq_topk(..., rotation=R)``
+    reproduces ``opq=True`` bit-for-bit while repeated searches against
+    the same corpus skip the alternation (it was ~half the opq bench
+    row's wall time). Returns ``(R, err_history)`` like ``opq_train``."""
+    c_norm = _normalized(corpus, id_col, vec_col).cache()
+    try:
+        assigned, centers = _coarse_cells(c_norm, n_cells, seed, id_col)
+        enc = _to_encode(c_norm, assigned, centers, residual, id_col, vec_col)
+        return opq_train(
+            enc,
+            vec_col=vec_col,
+            id_col=id_col,
+            m=m,
+            nbits=nbits,
+            n_iter=n_iter,
+            sample_cap=sample_cap,
+        )
+    finally:
+        c_norm.unpersist()
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -321,6 +403,7 @@ def ivf_pq_topk(
     residual: bool = False,
     exclude_self: bool = True,
     opq: bool = False,
+    rotation: list | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate cosine top-k: IVF cells prune candidates, PQ
     codes make the candidate scan read bytes instead of vectors, exact
@@ -347,49 +430,29 @@ def ivf_pq_topk(
     same cosine, only with subspaces decorrelated/variance-balanced
     under the rotation (recall up at the same code bytes on correlated
     embeddings; a no-op by construction on isotropic ones). The exact
-    refine still reads the UNROTATED vectors."""
-    import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    refine still reads the UNROTATED vectors.
 
-    # normalize corpus & queries (unit vectors: IP == cosine)
-    def normalized(df, idc):
-        v = _as_double(F.col(vec_col))
-        n = F.sqrt(
-            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-        )
-        return df.select(
-            F.col(idc), F.transform(v, lambda x: x / n).alias("_nv")
-        ).where(n > 0)
-
-    c_norm = normalized(corpus, id_col).cache()
-    q_norm = normalized(queries, query_id).cache()
+    ``rotation``: a precomputed OPQ rotation (``opq_train``'s R) to apply
+    instead of retraining — repeated queries against the same corpus pay
+    the alternation once (VERDICT r7 #7: retraining was ~half the opq
+    bench row). Passing it implies the OPQ path; train with the same
+    ``residual`` setting the search uses (the rotation is fit to the
+    to-be-encoded vectors)."""
+    c_norm = _normalized(corpus, id_col, vec_col).cache()
+    q_norm = _normalized(queries, query_id, vec_col).cache()
 
     # --- coarse quantizer (IVF cells) on normalized vectors
-    cfit = c_norm.withColumn("_fv", array_to_vector("_nv"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell").fit(
-        cfit
-    )
-    assigned = km.transform(cfit).select(id_col, "_nv", "_cell")
-    centers = corpus.sparkSession.createDataFrame(
-        [(i, np.asarray(c).tolist()) for i, c in enumerate(km.clusterCenters())],
-        "_cell int, _ctr array<double>",
-    )
+    assigned, centers = _coarse_cells(c_norm, n_cells, seed, id_col)
 
     # --- PQ codebooks + codes (raw normalized vectors, or residuals
     # against the assigned cell centroid)
-    if residual:
-        to_encode = assigned.join(F.broadcast(centers), "_cell").select(
-            id_col,
-            F.zip_with("_nv", "_ctr", lambda x, y: x - y).alias(vec_col),
-        )
-    else:
-        to_encode = c_norm.select(id_col, F.col("_nv").alias(vec_col))
-    rot = None
-    if opq:
+    to_encode = _to_encode(c_norm, assigned, centers, residual, id_col, vec_col)
+    rot = rotation
+    if opq and rot is None:
         rot, _hist = opq_train(
             to_encode, vec_col=vec_col, id_col=id_col, m=m, nbits=nbits
         )
+    if rot is not None:
         to_encode = rotate_vectors(to_encode, rot, vec_col=vec_col)
     to_encode = to_encode.cache()
     books = pq_train(to_encode, vec_col=vec_col, m=m, nbits=nbits, seed=seed)

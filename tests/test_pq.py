@@ -270,3 +270,29 @@ def test_opq_lifts_ivfpq_recall_on_correlated_embeddings(spark, anisotropic):
     r_plain, r_opq = recall(False), recall(True)
     assert r_opq >= r_plain
     assert r_opq > 0.5
+
+
+def test_precomputed_rotation_reproduces_opq_exactly(spark, anisotropic):
+    """VERDICT r7 #7: `opq_rotation` trains R once through the search
+    path's exact construction (same normalization, seeded coarse KMeans,
+    residual law and sample), so `ivf_pq_topk(rotation=R)` must return
+    the IDENTICAL result set as `opq=True` — the reuse path is a pure
+    wall-time optimization, never a quality change."""
+    from financial_big_data_spark.operators.pq import opq_rotation
+
+    probes = anisotropic.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(
+        n_cells=4, n_probe=2, m=4, nbits=4, k=10,
+        refine_factor=4, residual=True,
+    )
+    trained = ivf_pq_topk(anisotropic, probes, opq=True, **kw)
+    R, hist = opq_rotation(
+        anisotropic, n_cells=4, m=4, nbits=4, residual=True
+    )
+    assert hist[-1] <= hist[0]
+    reused = ivf_pq_topk(anisotropic, probes, rotation=R, **kw)
+    a = [(r.query_id, r.vec_id, r.rank) for r in trained.orderBy("query_id", "rank").collect()]
+    b = [(r.query_id, r.vec_id, r.rank) for r in reused.orderBy("query_id", "rank").collect()]
+    assert a == b
