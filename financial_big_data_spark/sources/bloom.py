@@ -51,7 +51,11 @@ def _h2(key) -> tuple[int, int]:
 
 
 def bloom_build(keys, bits_per_key: int = BITS_PER_KEY, k: int = NUM_HASHES) -> dict:
-    """Build a serializable Bloom filter over ``keys`` (any str()-able)."""
+    """Build a serializable Bloom filter over ``keys`` (any str()-able).
+    Cost is md5-bound (~0.2s per 50k keys — measured equal to a numpy
+    bit-set rewrite, so the loop stays simple); the md5 family is FROZEN:
+    sidecars persist across snapshots and a probe hashed differently
+    would false-negative into wrong pruning."""
     n = len(keys)
     m = max(64, ((n * bits_per_key + 7) // 8) * 8)
     bits = bytearray(m // 8)

@@ -49,9 +49,12 @@ from pyspark.sql import functions as F
 from .versioned import (
     _commit,
     _footer_columns,
+    _in_filter,
     _key_ranges,
     _load_manifest,
+    _scan_files,
     _write_batch,
+    table_schema,
     changefeed,
     current_version,
     delete_version,
@@ -123,14 +126,17 @@ def _apply_groups(
         # when ONLY the null group was touched, every untouched non-null
         # group must carry forward), and a null group row survives unless
         # null itself is touched
+        in_set = _in_filter(group, nonnull) if nonnull else None
+        if nonnull and in_set is None:
+            in_set = F.col(group).isin(nonnull)  # unrenderable type: isin
         keep = (
-            (F.col(group).isNotNull() & ~F.col(group).isin(nonnull))
+            (F.col(group).isNotNull() & ~in_set)
             if nonnull
             else F.col(group).isNotNull()
         )
         if not has_null:
             keep = keep | F.col(group).isNull()
-        survivors = spark.read.parquet(*touched).where(keep)
+        survivors = _scan_files(spark, view_path, touched).where(keep)
         merged = survivors.unionByName(merged)
     new_files = _write_batch(merged, view_path, group, n_files)
     v = m["version"] + 1
@@ -182,15 +188,18 @@ def refresh_matview(
     table_path: str,
     view_path: str,
     key: str,
-    changed_keys: DataFrame | None = None,
+    changed_keys: DataFrame | list | None = None,
 ) -> dict:
     """Advance the view to the base table's CURRENT snapshot by delta.
 
-    ``key`` is the base table's row key. ``changed_keys`` (one column,
-    the key) lets a writer that already knows its update batch skip the
-    changefeed diff; when omitted the diff runs between the recorded and
-    current base versions. Returns {"base_version": v, "groups_upserted":
-    n, "groups_deleted": n} — a no-op refresh returns zeros.
+    ``key`` is the base table's row key. ``changed_keys`` (a one-column
+    DataFrame of keys, or a plain python list when the writer holds the
+    batch's keys driver-side already — the list form skips the probe job
+    on top of the changefeed diff) lets a writer that already knows its
+    update batch skip the diff; when omitted the diff runs between the
+    recorded and current base versions. Returns {"base_version": v,
+    "groups_upserted": n, "groups_deleted": n} — a no-op refresh returns
+    zeros.
     """
     meta = _read_meta(view_path)
     group, value = meta["group"], meta["value"]
@@ -203,35 +212,48 @@ def refresh_matview(
             f"is at {v1} — the base table went backwards (vacuum/rollback?); "
             "rebuild with create_matview"
         )
-    if changed_keys is None:
-        changed_keys = changefeed(spark, table_path, v0, v1, key).select(key)
-    # bounded metadata: ONE capped distinct-keys job (CollectLimit forced
-    # to a single wave — the default incremental 1/4/16-partition scale-up
-    # is pure job-floor waste on a frame this skinny) yields the
-    # changed-key RANGE (routes footer pruning, derived driver-side) AND —
-    # when the delta is small enough — an exact IN-set the pruned scans
-    # apply map-only, with no join and no re-evaluation of the changed-key
-    # lineage per snapshot side. Unbounded deltas fall back to the
-    # 2-value range aggregate + a semi-join on the (persisted) key set —
-    # same discipline as upsert_version.
-    from .bloom import _collect_keys_capped
+    if isinstance(changed_keys, list):
+        # writer-held key list: the probe IS the list — zero jobs here
+        probe = sorted(set(changed_keys), key=lambda k: (k is None, k))
+        probe = probe if len(probe) <= 10_000 else None
+        changed_keys_df = None
+        if probe is None or len(probe) > 2048:
+            # the semi-join fallback below needs a frame form of the set
+            changed_keys_df = spark.createDataFrame(
+                [(k,) for k in set(changed_keys)], [key]
+            )
+    else:
+        if changed_keys is None:
+            changed_keys = changefeed(spark, table_path, v0, v1, key).select(key)
+        changed_keys_df = changed_keys
+        # bounded metadata: ONE capped distinct-keys job (CollectLimit
+        # forced to a single wave — the default incremental
+        # 1/4/16-partition scale-up is pure job-floor waste on a frame
+        # this skinny) yields the changed-key RANGE (routes footer
+        # pruning, derived driver-side) AND — when the delta is small
+        # enough — an exact IN-set the pruned scans apply map-only, with
+        # no join and no re-evaluation of the changed-key lineage per
+        # snapshot side. Unbounded deltas fall back to the 2-value range
+        # aggregate + a semi-join on the (persisted) key set — same
+        # discipline as upsert_version.
+        from .bloom import _collect_keys_capped
 
-    limit_conf = "spark.sql.limit.initialNumPartitions"
-    aqe_conf = "spark.sql.adaptive.enabled"
-    prev_limit = spark.conf.get(limit_conf, None)
-    prev_aqe = spark.conf.get(aqe_conf, None)
-    spark.conf.set(limit_conf, "1000000")
-    # AQE splits the distinct+limit into shuffle-stage + result jobs for
-    # no optimization gain on a capped collect — one job, not two
-    spark.conf.set(aqe_conf, "false")
-    try:
-        probe = _collect_keys_capped(changed_keys, key, cap=10_000)
-    finally:
-        for conf, prev in ((limit_conf, prev_limit), (aqe_conf, prev_aqe)):
-            if prev is None:
-                spark.conf.unset(conf)
-            else:
-                spark.conf.set(conf, prev)
+        limit_conf = "spark.sql.limit.initialNumPartitions"
+        aqe_conf = "spark.sql.adaptive.enabled"
+        prev_limit = spark.conf.get(limit_conf, None)
+        prev_aqe = spark.conf.get(aqe_conf, None)
+        spark.conf.set(limit_conf, "1000000")
+        # AQE splits the distinct+limit into shuffle-stage + result jobs
+        # for no optimization gain on a capped collect — one job, not two
+        spark.conf.set(aqe_conf, "false")
+        try:
+            probe = _collect_keys_capped(changed_keys_df, key, cap=10_000)
+        finally:
+            for conf, prev in ((limit_conf, prev_limit), (aqe_conf, prev_aqe)):
+                if prev is None:
+                    spark.conf.unset(conf)
+                else:
+                    spark.conf.set(conf, prev)
     persisted_chg = None
     key_filter = None
     if probe is not None:
@@ -244,9 +266,11 @@ def refresh_matview(
         # bounded sets keep the semi-join (a 10k-literal expression tree
         # costs the analyzer more than the broadcast costs the executors)
         if len(nonnull) <= 2048:
-            key_filter = F.col(key).isin(nonnull)
+            key_filter = _in_filter(key, nonnull)
+            if key_filter is None:
+                key_filter = F.col(key).isin(nonnull)
     if key_filter is None:
-        chg = changed_keys.select(key).distinct()
+        chg = changed_keys_df.select(key).distinct()
         if probe is None:
             rng = chg.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
             if rng["lo"] is None:
@@ -276,7 +300,9 @@ def refresh_matview(
         ]
         if not picked:
             return None
-        rows = spark.read.parquet(*picked).where(F.col(key).between(lo, hi))
+        rows = _scan_files(spark, table_path, picked).where(
+            F.col(key).between(lo, hi)
+        )
         if key_filter is not None:
             rows = rows.where(key_filter)
         else:
@@ -304,87 +330,145 @@ def refresh_matview(
     delta = both.groupBy(group).agg(
         F.sum("_sv").alias("d_sum"), F.sum("_sc").alias("d_count")
     )
-    # only groups the delta touched change — exactly delta ⟕ view (the
-    # old full-outer-merge-then-semi-join form evaluated the whole delta
-    # subtree twice in one plan); untouched view files carry by reference
-    # through the copy-on-write upsert. Persisted ONCE: the count
-    # aggregate materializes it, upsert + delete then read the cache.
-    view = read_version(spark, view_path)
-    # NULL-SAFE join key: a null group is a real group (the view holds a
-    # row for it) — plain `on=group` equality would never match it, so its
-    # old totals would vanish and the updated count could misclassify the
-    # group as dead. EqualNullSafe stays an equi-join key for Catalyst
-    # (hash/sort-merge eligible), so the plan shape is unchanged.
-    d, w = delta.alias("d"), view.alias("w")
-    touched = (
-        d.join(w, F.col(f"d.{group}").eqNullSafe(F.col(f"w.{group}")), how="left")
-        .select(
-            F.col(f"d.{group}").alias(group),
-            (
-                F.coalesce("w.agg_sum", F.lit(0.0)) + F.coalesce("d.d_sum", F.lit(0.0))
-            ).alias("agg_sum"),
-            (
-                F.coalesce("w.agg_count", F.lit(0)) + F.coalesce("d.d_count", F.lit(0))
-            ).alias("agg_count"),
-        )
-        .persist()
-    )
-    # bounded delta (probe fit the cap): every frame from here on is
-    # delta-sized, and AQE's per-exchange stage materialization turns
-    # this cascade into 2-4 driver jobs per action for zero optimization
-    # win at that size — run the tail of the refresh non-adaptively.
-    # The unbounded fallback keeps AQE (its delta aggregate can be big
-    # enough for coalescing/skew handling to matter).
+    # bounded delta (≤10k touched groups): the WHOLE merge is driver-side
+    # bounded metadata and the refresh is exactly three jobs —
+    #   1. delta collect (the ±sign aggregate above, capped),
+    #   2. matched old view rows (footer-pruned, IN-filtered MAP-ONLY
+    #      scan — no join, no broadcast build, no persist),
+    #   3. the one-snapshot copy-on-write write (_apply_groups).
+    # New totals are old + delta in plain python doubles (bit-identical
+    # to the SQL coalesce-add they replace). AQE is off for this window:
+    # its per-exchange stage materialization turns delta-sized frames
+    # into 2-4 driver jobs per action for zero optimization win. The
+    # unbounded fallback below keeps AQE (its delta aggregate can be big
+    # enough for coalescing/skew handling to matter) and the null-safe
+    # join + persisted cascade.
     aqe_conf = "spark.sql.adaptive.enabled"
     shuf_conf = "spark.sql.shuffle.partitions"
-    prev_aqe = spark.conf.get(aqe_conf, None)
-    prev_shuf = spark.conf.get(shuf_conf, None)
+    limit_conf = "spark.sql.limit.initialNumPartitions"
+    prev_confs = {c: spark.conf.get(c, None) for c in (aqe_conf, shuf_conf, limit_conf)}
     if probe is not None:
         spark.conf.set(aqe_conf, "false")
         # delta-sized exchanges: 8 tasks beat 32 near-empty ones (AQE,
         # which would coalesce them, is off in this window by choice)
         spark.conf.set(shuf_conf, "8")
+    # CollectLimit scales up incrementally (1, 4, 16... partitions —
+    # several job waves); launching all partitions in wave one makes
+    # each capped collect a single job
+    spark.conf.set(limit_conf, "1000000")
+    touched = None
     try:
-        dead = touched.where(F.col("agg_count") <= 0).select(group)
-        live = touched.where(F.col("agg_count") > 0)
-        # ONE job materializes the persisted frame AND — when the touched
-        # group set is bounded — brings the exact live/dead key split to
-        # the driver, so the upsert/delete below skip their own
-        # distinct-collect probe jobs (the refresh is a cascade of small
-        # driver-coordinated jobs whose fixed floors dominate at bench
-        # scale; every job saved matters). Past the cap it degrades to
-        # the two-count aggregate and the DML re-derives its own probes.
-        # CollectLimit scales up incrementally (1, 4, 16... partitions —
-        # several job waves for a frame this wide); launching all
-        # partitions in wave one makes the capped collect a single job
-        limit_conf = "spark.sql.limit.initialNumPartitions"
-        prev_limit = spark.conf.get(limit_conf, None)
-        spark.conf.set(limit_conf, "1000000")
-        try:
-            sample = (
-                touched.select(F.col(group), (F.col("agg_count") > 0).alias("_live"))
-                .limit(10_001)
-                .collect()
-            )
-        finally:
-            if prev_limit is None:
-                spark.conf.unset(limit_conf)
-            else:
-                spark.conf.set(limit_conf, prev_limit)
-        if len(sample) <= 10_000:
-            live_keys = [r[0] for r in sample if r["_live"]]
-            dead_keys = [r[0] for r in sample if not r["_live"]]
-            n_up, n_dead = len(live_keys), len(dead_keys)
+        delta_rows = delta.limit(10_001).collect()
+        if len(delta_rows) <= 10_000:
+            groups = [r[group] for r in delta_rows]
+            nonnull_g = [g for g in groups if g is not None]
+            has_null_g = len(nonnull_g) < len(groups)
+            old_rows = []
+            m_view = _load_manifest(view_path, None)
+            if m_view["files"] and groups:
+                if has_null_g:
+                    # footer stats exclude nulls — a null group could
+                    # hide in any file
+                    picked = list(m_view["files"])
+                elif nonnull_g:
+                    glo, ghi = min(nonnull_g), max(nonnull_g)
+                    picked = [
+                        f
+                        for f, (flo, fhi) in _key_ranges(
+                            m_view["files"], group
+                        ).items()
+                        if flo is None or (flo <= ghi and fhi >= glo)
+                    ]
+                else:
+                    picked = []
+                if picked:
+                    cond = None
+                    if nonnull_g:
+                        cond = _in_filter(group, nonnull_g)
+                        if cond is None:
+                            cond = F.col(group).isin(nonnull_g)
+                    if has_null_g:
+                        null_cond = F.col(group).isNull()
+                        cond = null_cond if cond is None else (cond | null_cond)
+                    old_rows = (
+                        _scan_files(spark, view_path, picked).where(cond).collect()
+                    )
+            old = {r[group]: (r["agg_sum"], r["agg_count"]) for r in old_rows}
+            live_rows, dead_keys = [], []
+            for r in delta_rows:
+                g = r[group]
+                o_sum, o_count = old.get(g, (0.0, 0))
+                n_sum = (o_sum if o_sum is not None else 0.0) + (r["d_sum"] or 0.0)
+                n_count = (o_count or 0) + (r["d_count"] or 0)
+                if n_count > 0:
+                    live_rows.append((g, float(n_sum), int(n_count)))
+                else:
+                    dead_keys.append(g)
+            n_up, n_dead = len(live_rows), len(dead_keys)
             if n_up or n_dead:
+                sch = table_schema(view_path)
+                if sch is None:
+                    sch = read_version(spark, view_path).schema
+                # ARROW local relation: a plain createDataFrame pickles
+                # the rows into a parallelized RDD whose execution spawns
+                # a python worker — measured 1.47s for a 2k-row frame vs
+                # 0.19s through Arrow. coalesce(1): the local relation
+                # otherwise contributes near-empty tasks to the write
+                # stage — pure task-floor waste for ≤10k rows.
+                live_local = None
+                arrow_conf = "spark.sql.execution.arrow.pyspark.enabled"
+                prev_arrow = spark.conf.get(arrow_conf, None)
+                try:
+                    import pandas as pd
+
+                    spark.conf.set(arrow_conf, "true")
+                    live_local = spark.createDataFrame(
+                        pd.DataFrame(live_rows, columns=sch.names), sch
+                    )
+                except Exception:  # noqa: BLE001 - arrow/pandas edge: pickled path
+                    live_local = spark.createDataFrame(live_rows, sch)
+                finally:
+                    if prev_arrow is None:
+                        spark.conf.unset(arrow_conf)
+                    else:
+                        spark.conf.set(arrow_conf, prev_arrow)
+                live_local = live_local.coalesce(1)
                 # ONE atomic snapshot applies upserts AND drops in a
                 # single write + commit; the skinny (group, sum, count)
                 # view packs ~1M rows/file comfortably
                 _apply_groups(
-                    spark, view_path, live, group,
-                    live_keys + dead_keys,
+                    spark, view_path, live_local, group,
+                    [r[0] for r in live_rows] + dead_keys,
                     n_files=max(1, -(-n_up // 1_000_000)),
                 )
         else:
+            # unbounded: delta ⟕ view (NULL-SAFE key — a null group is a
+            # real group whose old totals must carry and whose liveness
+            # must classify correctly; EqualNullSafe stays an equi-join
+            # key for Catalyst), persisted ONCE for the count + DML pair.
+            view = read_version(spark, view_path)
+            d, w = delta.alias("d"), view.alias("w")
+            touched = (
+                d.join(
+                    w,
+                    F.col(f"d.{group}").eqNullSafe(F.col(f"w.{group}")),
+                    how="left",
+                )
+                .select(
+                    F.col(f"d.{group}").alias(group),
+                    (
+                        F.coalesce("w.agg_sum", F.lit(0.0))
+                        + F.coalesce("d.d_sum", F.lit(0.0))
+                    ).alias("agg_sum"),
+                    (
+                        F.coalesce("w.agg_count", F.lit(0))
+                        + F.coalesce("d.d_count", F.lit(0))
+                    ).alias("agg_count"),
+                )
+                .persist()
+            )
+            dead = touched.where(F.col("agg_count") <= 0).select(group)
+            live = touched.where(F.col("agg_count") > 0)
             counts = touched.agg(
                 F.count(F.when(F.col("agg_count") > 0, 1)).alias("up"),
                 F.count(F.when(F.col("agg_count") <= 0, 1)).alias("dead"),
@@ -398,13 +482,13 @@ def refresh_matview(
             if n_dead:
                 delete_version(spark, view_path, dead, key=group)
     finally:
-        if probe is not None:
-            for conf, prev in ((aqe_conf, prev_aqe), (shuf_conf, prev_shuf)):
-                if prev is None:
-                    spark.conf.unset(conf)
-                else:
-                    spark.conf.set(conf, prev)
-        touched.unpersist()
+        for conf, prev in prev_confs.items():
+            if prev is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, prev)
+        if touched is not None:
+            touched.unpersist()
         if persisted_chg is not None:
             persisted_chg.unpersist()
     _write_meta(view_path, {**meta, "base_version": v1})

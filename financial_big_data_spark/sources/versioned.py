@@ -141,6 +141,73 @@ def repair_current(path: str) -> int | None:
     return top
 
 
+def _schema_path(path: str) -> str:
+    return os.path.join(path, "_schema.json")
+
+
+def _save_schema(df: DataFrame, path: str) -> None:
+    """Record the table's EXACT Spark schema at write time (atomic JSON
+    sidecar). Readers then scan with an explicit schema: a bare
+    ``spark.read.parquet`` pays a 1-task schema-inference job per call —
+    three to four per matview refresh, each a full job floor — and
+    arrow-footer conversion can mis-map engine types (NTZ vs LTZ), while
+    the recorded StructType round-trips bit-exact."""
+    try:
+        tmp = _schema_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(df.schema.jsonValue(), fh)
+        os.replace(tmp, _schema_path(path))
+    except OSError:
+        pass  # best-effort accel structure; readers fall back to inference
+
+
+def table_schema(path: str):
+    """The schema recorded at the table's last write, or None."""
+    from pyspark.sql.types import StructType
+
+    try:
+        with open(_schema_path(path)) as fh:
+            return StructType.fromJson(json.load(fh))
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _scan_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
+    """Manifest-scoped scan with the recorded schema when it still
+    matches the files' column set (schema evolution or a foreign file
+    falls back to inference — the sidecar is an accelerator, never an
+    authority over the footers)."""
+    sch = table_schema(path)
+    if sch is not None and files:
+        cols = _footer_columns(files[:1])
+        if cols == sch.names:
+            return spark.read.schema(sch).parquet(*files)
+    return spark.read.parquet(*files)
+
+
+def _in_filter(col: str, values: list):
+    """Bounded IN-set predicate as ONE ``F.expr`` — ``Column.isin(*vals)``
+    issues a py4j call per element AND leaves an N-child In node the
+    analyzer re-walks on every later DataFrame op (measured ~1.2s of pure
+    driver time at 2k keys in the matview refresh). Rendering int/string
+    literals into a single SQL string is one py4j call and parses JVM-side
+    straight to the same InSet. Returns None for value types without a
+    safe SQL literal rendering (callers fall back to isin / semi-join)."""
+    rendered = []
+    for v in values:
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, int):
+            rendered.append(str(v))
+        elif isinstance(v, str):
+            escaped = v.replace("\\", "\\\\").replace("'", "\\'")
+            rendered.append(f"'{escaped}'")
+        else:
+            return None
+    quoted = "`" + col.replace("`", "``") + "`"
+    return F.expr(f"{quoted} IN ({', '.join(rendered)})")
+
+
 def _write_batch(df: DataFrame, path: str, key: str, n_files: int | None) -> list[str]:
     from .zorder import range_clustered
 
@@ -148,20 +215,26 @@ def _write_batch(df: DataFrame, path: str, key: str, n_files: int | None) -> lis
     # the frame is evaluated twice on this path — once by the frozen-
     # boundary quantile sketch inside range_clustered, once by the write
     # itself; pin it so a merge lineage (pruned scans + anti-join) runs
-    # ONCE (MEMORY_AND_DISK default: a huge merge spills, never recomputes)
-    df = df.persist()
+    # ONCE (MEMORY_AND_DISK default: a huge merge spills, never recomputes).
+    # The single-file fast path has no quantile sketch — one evaluation,
+    # nothing to pin.
+    pin = n_files is None or n_files > 1
+    if pin:
+        df = df.persist()
     try:
         # frozen-boundary range clustering (not repartitionByRange): snapshot
         # rewrites of identical data produce an identical file layout
         range_clustered(df, key, n_files).write.parquet(batch)
     finally:
-        df.unpersist()
+        if pin:
+            df.unpersist()
     files = sorted(glob.glob(os.path.join(batch, "*.parquet")))
     # per-file key Bloom sidecars (sources/bloom.py): immutable like the
     # data files they describe, carried by reference across snapshots
     from .bloom import write_bloom_sidecars
 
     write_bloom_sidecars(df.sparkSession, files, key)
+    _save_schema(df, path)
     return files
 
 
@@ -189,10 +262,13 @@ def read_version(
     snapshot, not an error."""
     m = _load_manifest(path, version)
     if m["files"]:
-        return spark.read.parquet(*m["files"])
-    # empty snapshot: borrow the schema from the latest prior manifest
-    # that still has files (data files are immutable, so any referenced
-    # file carries the table schema)
+        return _scan_files(spark, path, m["files"])
+    # empty snapshot: the recorded schema, else borrow it from the latest
+    # prior manifest that still has files (data files are immutable, so
+    # any referenced file carries the table schema)
+    sch = table_schema(path)
+    if sch is not None:
+        return spark.createDataFrame([], sch)
     for v in range(m["version"] - 1, 0, -1):
         try:
             prior = _load_manifest(path, v)
@@ -363,15 +439,17 @@ def upsert_version(
         touched = [f for f in touched if f in still]
     survivors = None
     if touched:
-        scan = spark.read.parquet(*touched)
-        if probe is not None and len(probe) <= 2048:
+        scan = _scan_files(spark, path, touched)
+        in_set = (
+            _in_filter(key, [k for k in probe if k is not None])
+            if probe is not None and len(probe) <= 2048
+            else None
+        )
+        if in_set is not None:
             # bounded key set: the anti-join IS a map-only NOT-IN filter
             # (null-safe — a null file key never matches an update key,
             # so it survives, exactly as the anti-join keeps it)
-            nn = [k for k in probe if k is not None]
-            survivors = scan.where(
-                ~F.col(key).isin(nn) | F.col(key).isNull()
-            )
+            survivors = scan.where(~in_set | F.col(key).isNull())
         else:
             survivors = scan.join(
                 updates.select(key).distinct(), on=key, how="left_anti"
@@ -516,12 +594,14 @@ def delete_version(
     carried = [f for f in m["files"] if f not in set(touched)]
     new_files: list[str] = []
     if touched:
-        scan = spark.read.parquet(*touched)
-        if probe is not None and len(probe) <= 2048:
-            nn = [k for k in probe if k is not None]
-            survivors = scan.where(
-                ~F.col(key).isin(nn) | F.col(key).isNull()
-            )
+        scan = _scan_files(spark, path, touched)
+        in_set = (
+            _in_filter(key, [k for k in probe if k is not None])
+            if probe is not None and len(probe) <= 2048
+            else None
+        )
+        if in_set is not None:
+            survivors = scan.where(~in_set | F.col(key).isNull())
         else:
             survivors = scan.join(
                 keys.select(key).distinct(), on=key, how="left_anti"
