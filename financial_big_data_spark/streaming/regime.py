@@ -183,3 +183,114 @@ def streaming_label_transitions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_regime_transitions(
+    stream: DataFrame,
+    series: str = "symbol",
+    time: str = "ts",
+    regime: str = "regime",
+    state_ttl_ms: int | None = None,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """W12 gaps-and-islands ACROSS micro-batch boundaries (VERDICT r7 #8):
+    the streaming continuation of ``operators.transitions.regime_transitions``
+    over an already-labeled stream (series, ts, regime).
+
+    State per series is O(1) — the OPEN run only: (regime, start_time,
+    end_time, n_rows). Each micro-batch (sorted by event time, same
+    in-order contract as streaming/ewm.py) extends or closes it; a row
+    whose label differs from the open run's emits the completed run as a
+    transition — (from_regime, to_regime, start_time, end_time, duration,
+    duration_days, is_volatility_increase, is_trend_change), the exact
+    batch columns with the exact arithmetic (integer-microsecond diff /
+    3.6e9, the same operand order as ``_duration_hours``) — so ANY
+    micro-batch split of the same in-order input yields byte-identical
+    rows to the batch operator on the concatenation. The batch operator
+    drops the final (still-open) run for the same reason this one keeps
+    it in state: its successor hasn't arrived.
+
+    Composition note: labeling and run-tracking are BOTH stateful; chain
+    them across two streaming queries (label → sink → this) rather than
+    stacking two applyInPandasWithState operators in one query."""
+    t_cols = [time] + (order_tiebreak or [])
+    out_schema = T.StructType(
+        [
+            T.StructField(series, T.StringType()),
+            T.StructField("from_regime", T.StringType()),
+            T.StructField("to_regime", T.StringType()),
+            T.StructField("start_time", T.TimestampType()),
+            T.StructField("end_time", T.TimestampType()),
+            T.StructField("duration", T.DoubleType()),
+            T.StructField("duration_days", T.DoubleType()),
+            T.StructField("is_volatility_increase", T.BooleanType()),
+            T.StructField("is_trend_change", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("run_regime", T.StringType()),
+            T.StructField("run_start", T.TimestampType()),
+            T.StructField("run_end", T.TimestampType()),
+            T.StructField("run_n", T.LongType()),
+        ]
+    )
+
+    def fn(
+        key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = list(pdf_iter)
+        if not chunks:
+            return
+        # one group = many unordered Arrow chunks: concat + ONE stable sort
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(t_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if state.exists:
+            cur_reg, cur_start, cur_end, cur_n = state.get
+        else:
+            cur_reg, cur_start, cur_end, cur_n = None, None, None, 0
+        out = []
+        skey = key[0]
+        for ts_, reg in zip(pdf[time], pdf[regime]):
+            if cur_reg is None:
+                cur_reg, cur_start, cur_end, cur_n = reg, ts_, ts_, 1
+            elif reg == cur_reg:
+                cur_end, cur_n = ts_, cur_n + 1
+            else:
+                # exact batch arithmetic: integer-µs diff / 3.6e9
+                us = (pd.Timestamp(cur_end).value - pd.Timestamp(cur_start).value) // 1000
+                duration = us / 3_600_000_000.0
+                vol_up = ("volatile" not in cur_reg) and ("volatile" in reg)
+                trend = ("bull" in cur_reg and "bear" in reg) or (
+                    "bear" in cur_reg and "bull" in reg
+                )
+                out.append(
+                    (
+                        skey, cur_reg, reg, cur_start, cur_end,
+                        duration, duration / 24.0, vol_up, trend,
+                    )
+                )
+                cur_reg, cur_start, cur_end, cur_n = reg, ts_, ts_, 1
+        state.update((cur_reg, cur_start, cur_end, int(cur_n)))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return stream.groupBy(series).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
