@@ -683,9 +683,9 @@ def read_version_pruned(
     ]
     if not picked:
         return (
-            spark.read.parquet(*m["files"]).where(F.lit(False))
+            _scan_files(spark, path, m["files"]).where(F.lit(False))
         )
-    return spark.read.parquet(*picked).where(F.col(key).between(lo, hi))
+    return _scan_files(spark, path, picked).where(F.col(key).between(lo, hi))
 
 
 def read_version_keys(
@@ -729,8 +729,13 @@ def read_version_keys(
         elif b.might_contain_any_hashed(hashes):
             picked.append(f)
     if not picked:
-        return spark.read.parquet(*m["files"]).where(F.lit(False))
-    return spark.read.parquet(*picked).where(F.col(key).isin(list(keys)))
+        return _scan_files(spark, path, m["files"]).where(F.lit(False))
+    # one-expr IN rendering (py4j literal trap — see _in_filter); probe
+    # sets are bounded driver metadata by this API's contract
+    in_set = _in_filter(key, list(keys))
+    if in_set is None:
+        in_set = F.col(key).isin(list(keys))
+    return _scan_files(spark, path, picked).where(in_set)
 
 
 def read_version_box(
@@ -759,8 +764,8 @@ def read_version_box(
         )
     ]
     if not picked:
-        return spark.read.parquet(*m["files"]).where(F.lit(False))
-    out = spark.read.parquet(*picked)
+        return _scan_files(spark, path, m["files"]).where(F.lit(False))
+    out = _scan_files(spark, path, picked)
     for col, (lo, hi) in box.items():
         out = out.where(F.col(col).between(lo, hi))
     return out

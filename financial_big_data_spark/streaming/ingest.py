@@ -136,8 +136,13 @@ def _read_committed(spark, table_path: str, status: str | None = None):
         if s is not None:
             groups.setdefault(s, []).append(f)
     wanted = [status] if status is not None else sorted(groups)
+    # recorded-schema scans (sources/versioned._scan_files): the state
+    # read runs EVERY micro-batch — a schema-inference job per status
+    # group per batch is pure job-floor waste
+    from ..sources.versioned import _scan_files
+
     frames = [
-        spark.read.parquet(*groups[s]).withColumn("_status", F.lit(s))
+        _scan_files(spark, table_path, groups[s]).withColumn("_status", F.lit(s))
         for s in wanted
         if groups.get(s)
     ]
@@ -393,6 +398,11 @@ def streaming_ingest_curated(
                 except FileNotFoundError:
                     v = 1
                 _commit(table_path, prev + new_files, v)
+                # record the FILE schema (sans the _status partition dir)
+                # so every later state read scans schema-free
+                from ..sources.versioned import _save_schema
+
+                _save_schema(out.drop("_status"), table_path)
         finally:
             fresh.unpersist()
 
