@@ -331,7 +331,7 @@ def main() -> None:
     # fixture above is ~100k rows / 32 files, where the refresh's ~4 job
     # floors swamp the 1-vs-32-file scan advantage and the delta refresh
     # could never demonstrate the economics the module exists for. This
-    # fixture is 10M rows / 256 key-clustered files (built directly —
+    # fixture is 30M rows / 256 key-clustered files (built directly —
     # repartitionByRange + sortWithinPartitions + one manifest commit; no
     # bloom sidecars, the clustered scenarios prune on footer ranges), so
     # a full recompute must scan 10M rows while the delta refresh scans
@@ -348,7 +348,7 @@ def main() -> None:
             _save_schema as _mv_save_schema,
         )
 
-        _N, _G, _NF = 20_000_000, 5_000, 256
+        _N, _G, _NF = 30_000_000, 5_000, 256
         _mv_df = spark.range(_N).select(
             F.col("id").alias("event_id"),
             (F.col("id") % _G).alias("user_id"),

@@ -6102,6 +6102,81 @@ GROUP BY user_id
 """
 
 
+_INCREMENTAL_MINMAX_CACHE: dict = {}
+
+
+def q_ev_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX materialized-view maintenance (sources/matview.py, the
+    partial-aggregate sidecar path): min/max are NOT self-maintainable
+    under deletes, so the view rides a per-(file, group) partials table —
+    DML invalidates exactly the partials of the files it rewrote, the
+    refresh recomputes partials for the manifests' symmetric difference
+    and re-merges touched groups from the sidecar, never rescanning the
+    base. Same deterministic DML schedule as ``ev_incremental_agg``
+    (insert the missing third + double every 10th value, then delete
+    every 97th id — deletes that REMOVE group maxima, the case ±delta
+    arithmetic cannot express); the oracle recomputes the final logical
+    state from scratch, so the sidecar merge is hash-checked end to end."""
+    import shutil
+    import tempfile
+
+    cached = _INCREMENTAL_MINMAX_CACHE.get(sf_dir)
+    if cached is not None:
+        return spark.createDataFrame(*cached)
+
+    from .sources.matview import create_matview, read_matview, refresh_matview
+    from .sources.versioned import delete_version, upsert_version, write_version
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="matview_mm_q_")
+    base, view = f"{d}/base", f"{d}/view"
+    write_version(ev.where(F.col("event_id") % 3 != 0), base, key="event_id")
+    create_matview(
+        spark, base, view, group="user_id", value="value",
+        aggs=("sum", "count", "min", "max"),
+    )
+    updates = ev.where(F.col("event_id") % 3 == 0).unionByName(
+        ev.where((F.col("event_id") % 10 == 0) & (F.col("event_id") % 3 != 0))
+    ).select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.col("value") * 2)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    upsert_version(spark, base, updates, key="event_id", dedupe_updates=False)
+    refresh_matview(spark, base, view, key="event_id")
+    dead = ev.where(F.col("event_id") % 97 == 0).select("event_id")
+    delete_version(spark, base, dead, key="event_id")
+    refresh_matview(spark, base, view, key="event_id")
+    out = read_matview(spark, view).select(
+        "user_id",
+        F.round("agg_sum", 2).alias("agg_sum"),
+        F.col("agg_count"),
+        F.round("agg_min", 2).alias("agg_min"),
+        F.round("agg_max", 2).alias("agg_max"),
+    )
+    rows = out.collect()
+    shutil.rmtree(d, ignore_errors=True)
+    _INCREMENTAL_MINMAX_CACHE[sf_dir] = (rows, out.schema)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_SQL_EV_INCREMENTAL_MINMAX = """
+SELECT user_id,
+       round(sum(CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END), 2)
+         AS agg_sum,
+       count(*)::BIGINT AS agg_count,
+       round(min(CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END), 2)
+         AS agg_min,
+       round(max(CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END), 2)
+         AS agg_max
+FROM events
+WHERE event_id % 97 <> 0
+GROUP BY user_id
+"""
+
+
 def q_ev_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping-sets aggregation (the multidimensional complement of
     ``order_rollup``'s ROLLUP): event counts + value sums over every
@@ -6358,6 +6433,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # is hash-checked against a from-scratch SQL aggregate of the final
     # logical state (sources/matview.py; tests/test_matview.py)
     "ev_incremental_agg": (q_ev_incremental_agg, _SQL_EV_INCREMENTAL_AGG),
+    "ev_incremental_minmax": (q_ev_incremental_minmax, _SQL_EV_INCREMENTAL_MINMAX),
     # CUBE grouping sets (one Expand pass) + quality-based canonical
     # selection per dup cluster (min-struct ≡ QUALIFY rank-1, hash-checked)
     "ev_cube": (q_ev_cube, _SQL_EV_CUBE),

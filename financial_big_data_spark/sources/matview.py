@@ -151,6 +151,43 @@ def _aggregate(rows: DataFrame, group: str, value: str) -> DataFrame:
     )
 
 
+def _partials_path(view_path: str) -> str:
+    return os.path.join(view_path, "_partials")
+
+
+def _file_col() -> F.Column:
+    # input_file_name() renders a file URI (file:///p — scheme + empty
+    # authority + absolute path); manifests store plain paths — collapse
+    # the scheme AND the authority slashes so the two key spaces line up
+    return F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias("_file")
+
+
+def _partial_agg(rows: DataFrame, group: str, value: str) -> DataFrame:
+    """Per-(source file, group) partial aggregates — the mergeable unit
+    the MIN/MAX refresh path maintains. Data files are immutable, so a
+    file's partial rows are immutable too: DML invalidates exactly the
+    partials of the files it rewrote."""
+    return (
+        rows.select(_file_col(), F.col(group), F.col(value))
+        .groupBy("_file", group)
+        .agg(
+            F.sum(value).alias("p_sum"),
+            F.count(F.lit(1)).alias("p_count"),
+            F.min(value).alias("p_min"),
+            F.max(value).alias("p_max"),
+        )
+    )
+
+
+def _final_from_partials(partials: DataFrame, group: str) -> DataFrame:
+    return partials.groupBy(group).agg(
+        F.sum("p_sum").alias("agg_sum"),
+        F.sum("p_count").alias("agg_count"),
+        F.min("p_min").alias("agg_min"),
+        F.max("p_max").alias("agg_max"),
+    )
+
+
 def create_matview(
     spark: SparkSession,
     table_path: str,
@@ -159,28 +196,176 @@ def create_matview(
     value: str,
     aggs: tuple[str, ...] = ("sum", "count"),
 ) -> int:
-    """Materialize ``SELECT group, sum(value), count(*) FROM base`` as a
-    versioned table at ``view_path`` (key = the group column) and record
-    which base snapshot it reflects. Returns the view's version (1)."""
+    """Materialize a grouped aggregate of a versioned table as a versioned
+    table at ``view_path`` (key = the group column) and record which base
+    snapshot it reflects. Returns the view's version (1).
+
+    ``aggs`` ⊆ {sum, count} → the self-maintainable ±delta path (view
+    columns agg_sum, agg_count; AVG derives). Adding ``min``/``max``
+    switches to the PARTIAL-AGGREGATE maintenance path: MIN/MAX are not
+    self-maintainable under deletes (removing the current max forces a
+    group rescan), so the view rides a per-(file, group) partials sidecar
+    (``_partials`` — itself a versioned table, group-clustered): DML
+    invalidates exactly the partials of the files it rewrote, a refresh
+    recomputes partials for the manifests' symmetric difference only and
+    re-merges touched groups FROM THE SIDECAR — the base table is never
+    rescanned beyond the DML's own files, at the documented cost of an
+    O(|partials|) sidecar rewrite per refresh (|partials| = Σ per-file
+    distinct groups, typically orders of magnitude below base rows).
+    View columns become (group, agg_sum, agg_count, agg_min, agg_max)."""
+    minmax = "min" in aggs or "max" in aggs
+    allowed = ("sum", "count", "min", "max") if minmax else _SUPPORTED
     for a in aggs:
-        if a not in _SUPPORTED:
+        if a not in allowed:
             raise ValueError(
-                f"aggregate {a!r} is not self-maintainable under deletes; "
-                f"supported: {_SUPPORTED} (avg derives as sum/count)"
+                f"aggregate {a!r} unsupported; supported: sum/count "
+                "(self-maintainable ±delta) or sum/count/min/max "
+                "(partial-aggregate sidecar); avg derives as sum/count"
             )
     base_v = current_version(table_path)
-    agg = _aggregate(read_version(spark, table_path, base_v), group, value)
+    base = read_version(spark, table_path, base_v)
+    if minmax:
+        partials = _partial_agg(base, group, value)
+        write_version(partials, _partials_path(view_path), key=group)
+        agg = _final_from_partials(
+            read_version(spark, _partials_path(view_path)), group
+        )
+    else:
+        agg = _aggregate(base, group, value)
     view_v = write_version(agg, view_path, key=group)
     _write_meta(
         view_path,
-        {"base_version": base_v, "group": group, "value": value},
+        {
+            "base_version": base_v,
+            "group": group,
+            "value": value,
+            "aggs": list(aggs),
+        },
     )
     return view_v
 
 
 def read_matview(spark: SparkSession, view_path: str) -> DataFrame:
-    """Current view contents: (group, agg_sum, agg_count)."""
+    """Current view contents: (group, agg_sum, agg_count[, agg_min,
+    agg_max])."""
     return read_version(spark, view_path)
+
+
+def _refresh_minmax(
+    spark: SparkSession, table_path: str, view_path: str, meta: dict
+) -> dict:
+    """MIN/MAX refresh via the per-(file, group) partials sidecar.
+
+    Base scan cost is EXACTLY the manifests' symmetric difference (the
+    files the DML rewrote) — identical to the ±delta path; the sidecar
+    absorbs what deletes would otherwise force (a group rescan): merge
+    per-group over the surviving partials. Cost bound, stated: one
+    O(|partials|) sidecar rewrite per refresh."""
+    group, value = meta["group"], meta["value"]
+    v0, v1 = meta["base_version"], current_version(table_path)
+    files0 = _load_manifest(table_path, v0)["files"]
+    files1 = _load_manifest(table_path, v1)["files"]
+    only0 = sorted(set(files0) - set(files1))
+    only1 = sorted(set(files1) - set(files0))
+    ppath = _partials_path(view_path)
+    if not only0 and not only1:
+        _write_meta(view_path, {**meta, "base_version": v1})
+        return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
+    P = read_version(spark, ppath)
+    drop = _in_filter("_file", only0) if only0 else None
+    survivors = P.where(~drop) if drop is not None else P
+    parts_new = (
+        _partial_agg(_scan_files(spark, table_path, only1), group, value)
+        if only1
+        else None
+    )
+    p2 = (
+        survivors.unionByName(parts_new) if parts_new is not None else survivors
+    )
+    # touched groups = groups whose partial rows changed on either side
+    touched = (
+        (P.where(drop).select(group) if drop is not None else None),
+        (parts_new.select(group) if parts_new is not None else None),
+    )
+    touched = [t for t in touched if t is not None]
+    touched_df = touched[0] if len(touched) == 1 else touched[0].unionByName(touched[1])
+    touched_df = touched_df.distinct().persist()
+    # the sidecar rewrite is ALSO the materialization barrier: parts_new
+    # (a scan of only1) and the touched probe evaluate once each
+    from .bloom import _collect_keys_capped
+
+    probe = _collect_keys_capped(touched_df, group, cap=10_000)
+    write_version(p2, ppath, key=group)
+    p2r = read_version(spark, ppath)
+    old_view = read_version(spark, view_path)
+    if probe is not None:
+        nonnull = [g for g in probe if g is not None]
+        has_null = len(nonnull) < len(probe)
+        cond = None
+        if nonnull:
+            cond = _in_filter(group, nonnull)
+            if cond is None:
+                cond = F.col(group).isin(nonnull)
+        if has_null:
+            nc = F.col(group).isNull()
+            cond = nc if cond is None else (cond | nc)
+        if cond is None:
+            _write_meta(view_path, {**meta, "base_version": v1})
+            touched_df.unpersist()
+            return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
+        live_rows = _final_from_partials(p2r.where(cond), group).collect()
+        live_set = {r[group] for r in live_rows}
+        dead_keys = [g for g in probe if g not in live_set]
+        n_up, n_dead = len(live_rows), len(dead_keys)
+        if n_up or n_dead:
+            sch = table_schema(view_path)
+            if sch is None:
+                sch = old_view.schema
+            arrow_conf = "spark.sql.execution.arrow.pyspark.enabled"
+            prev_arrow = spark.conf.get(arrow_conf, None)
+            try:
+                import pandas as pd
+
+                spark.conf.set(arrow_conf, "true")
+                live_local = spark.createDataFrame(
+                    pd.DataFrame(
+                        [tuple(r) for r in live_rows], columns=sch.names
+                    ),
+                    sch,
+                )
+            except Exception:  # noqa: BLE001 - arrow/pandas edge: pickled path
+                live_local = spark.createDataFrame(
+                    [tuple(r) for r in live_rows], sch
+                )
+            finally:
+                if prev_arrow is None:
+                    spark.conf.unset(arrow_conf)
+                else:
+                    spark.conf.set(arrow_conf, prev_arrow)
+            _apply_groups(
+                spark, view_path, live_local.coalesce(1), group,
+                [r[group] for r in live_rows] + dead_keys,
+                n_files=max(1, -(-n_up // 1_000_000)),
+            )
+    else:
+        # unbounded touched set: rebuild the view wholesale from the new
+        # sidecar (still never rescans the base) and count the diff
+        new_view = _final_from_partials(p2r, group).persist()
+        n_up = new_view.count()
+        n_dead = (
+            old_view.select(group)
+            .join(new_view.select(group), on=group, how="left_anti")
+            .count()
+        )
+        write_version(new_view, view_path, key=group)
+        new_view.unpersist()
+    touched_df.unpersist()
+    _write_meta(view_path, {**meta, "base_version": v1})
+    return {
+        "base_version": v1,
+        "groups_upserted": int(n_up),
+        "groups_deleted": int(n_dead),
+    }
 
 
 def refresh_matview(
@@ -212,6 +397,10 @@ def refresh_matview(
             f"is at {v1} — the base table went backwards (vacuum/rollback?); "
             "rebuild with create_matview"
         )
+    if "min" in meta.get("aggs", ()) or "max" in meta.get("aggs", ()):
+        # partial-aggregate path: FILE-driven (the symmetric difference
+        # IS the change set) — changed_keys is not needed and not used
+        return _refresh_minmax(spark, table_path, view_path, meta)
     if isinstance(changed_keys, list):
         # writer-held key list: the probe IS the list — zero jobs here
         probe = sorted(set(changed_keys), key=lambda k: (k is None, k))

@@ -150,8 +150,8 @@ def test_view_is_itself_versioned(spark, paths):
 def test_non_maintainable_aggregate_refuses(spark, paths):
     base, view = paths
     write_version(_base(spark), base, key="id")
-    with pytest.raises(ValueError, match="not self-maintainable"):
-        create_matview(spark, base, view, group="g", value="v", aggs=("sum", "max"))
+    with pytest.raises(ValueError, match="unsupported"):
+        create_matview(spark, base, view, group="g", value="v", aggs=("sum", "median"))
 
 
 def test_stale_view_after_rollback_refuses(spark, paths):
@@ -226,3 +226,74 @@ def test_refresh_touching_only_null_group_keeps_others(spark, paths):
     rows = _view_rows(spark, view)
     assert rows == _recompute(spark, base)
     assert {g for g, _, _ in rows} == {None, 0, 1, 2}
+
+
+def _recompute_minmax(spark, base_path):
+    return {
+        (r.g, round(r.s, 6), r.c, round(r.mn, 6), round(r.mx, 6))
+        for r in read_version(spark, base_path)
+        .groupBy("g")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+
+
+def _view_rows_minmax(spark, view_path):
+    return {
+        (r.g, round(r.agg_sum, 6), r.agg_count, round(r.agg_min, 6), round(r.agg_max, 6))
+        for r in read_matview(spark, view_path).collect()
+    }
+
+
+def test_minmax_matview_survives_delete_of_the_max(spark, paths):
+    """MIN/MAX maintenance via the per-(file, group) partials sidecar:
+    deleting a group's current maximum — the case the ±delta path cannot
+    express — must re-merge the group from surviving partials, never
+    rescan the base beyond the DML's own files."""
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=4)
+    create_matview(
+        spark, base, view, group="g", value="v", aggs=("sum", "count", "min", "max")
+    )
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+    # delete the global max rows (ids 193-199 hold each group's max v)
+    delete_version(spark, base, spark.range(190, 200).select("id"), key="id")
+    stats = refresh_matview(spark, base, view, key="id")
+    assert stats["groups_upserted"] > 0
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+    # update: drop some values below the old min; insert new ids
+    updates = spark.range(10, 20).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), (-5.0 * F.col("id")).alias("v")
+    ).unionByName(
+        spark.range(300, 320).select(
+            F.col("id"), (F.col("id") % 7).alias("g"), (F.col("id") * 9.0).alias("v")
+        )
+    )
+    upsert_version(spark, base, updates, key="id", dedupe_updates=False)
+    refresh_matview(spark, base, view, key="id")
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+
+
+def test_minmax_matview_group_wipe_and_noop(spark, paths):
+    base, view = paths
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 2).alias("g"), (F.col("id") * 1.0).alias("v")
+    )
+    write_version(df, base, key="id")
+    create_matview(
+        spark, base, view, group="g", value="v", aggs=("sum", "count", "min", "max")
+    )
+    # no-op refresh
+    assert refresh_matview(spark, base, view, key="id")["groups_upserted"] == 0
+    # wipe group 0 entirely — its view row must disappear
+    delete_version(spark, base, spark.range(0, 40, 2).select("id"), key="id")
+    stats = refresh_matview(spark, base, view, key="id")
+    assert stats["groups_deleted"] == 1
+    rows = _view_rows_minmax(spark, view)
+    assert rows == _recompute_minmax(spark, base)
+    assert all(g == 1 for g, *_ in rows)
