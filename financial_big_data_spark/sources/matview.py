@@ -20,10 +20,14 @@ partitions".
 
 Deliberate limits, stated rather than hidden:
 
-- Only SUM/COUNT (and derived AVG) are maintained. MIN/MAX are NOT
+- SUM/COUNT (and derived AVG) maintain by pure ±delta. MIN/MAX are NOT
   self-maintainable under deletes (removing the current max forces a
-  full-group rescan); asking for them raises instead of silently
-  recomputing.
+  group rescan), so requesting them switches the view to the
+  PARTIAL-AGGREGATE path: a per-(file, group) partials sidecar —
+  invalidated exactly by the files DML rewrites — absorbs the rescan;
+  refreshes re-merge touched groups from the sidecar at the stated cost
+  of one O(|partials|) sidecar rewrite per refresh. Other aggregates
+  (medians, distinct counts) still raise.
 - The changed-key set comes from `changefeed` (a fingerprint diff of the
   two snapshots — one full pass of each) unless the caller passes the
   update batch it already holds via ``changed_keys``; writers that know
