@@ -134,7 +134,28 @@ def _higher_is_better(name: str) -> bool:
         # ratios; without this carve-out an improvement flags as regressed
         return False
     return any(
-        t in short for t in ("_acc", "recall", "_ratio", "mb_per", "scale_factor")
+        t in short
+        for t in ("_acc", "recall", "_ratio", "mb_per", "scale_factor", "modularity")
+    )
+
+
+def _is_context(name: str) -> bool:
+    """Structural/diagnostic rows that are neither better nor worse in a
+    direction: fixture sizes and counts (a Louvain run finding MORE
+    communities flagged as a 117% 'regression' in r7→r8), and ratios of
+    two load-sensitive timings whose direction is ambiguous."""
+    short = name.rsplit(".", 1)[-1]
+    if short in (
+        "nodes", "edges", "rows", "base_rows", "n_eff", "build_sec",
+        "planted_communities", "code_bytes", "ann_ivfpq_opq_code_bytes",
+        "ep2_big_rows", "ep2_scale_factor_8x", "uncapped_over_capped",
+        "sf",
+    ):
+        return True
+    return (
+        short.endswith("_communities")
+        or short.endswith("_files_scanned")
+        or short.endswith("_files")
     )
 
 
@@ -185,7 +206,7 @@ def main() -> None:
     context_rows = {"canary_local1_sec", "loadavg_1m_start", "loadavg_1m_end"}
     regressed = []
     for name in sorted(set(old) & set(new)):
-        if name in context_rows:
+        if name in context_rows or _is_context(name):
             continue
         o, n = old[name], new[name]
         if o == 0:
