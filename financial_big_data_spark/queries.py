@@ -4644,6 +4644,101 @@ FROM est e JOIN ex USING (event_type)
 """
 
 
+_INCREMENTAL_DISTINCT_CACHE: dict = {}
+
+
+def q_ev_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained APPROX-DISTINCT matview (sources/matview.
+    create_distinct_matview): per-event-type HLL registers stored as a
+    versioned view, advanced by an append-only refresh that scans ONLY
+    the appended files and element-wise-maxes their registers in — the
+    Druid-style rollup. DML schedule: v1 = events with event_id % 3 != 0;
+    v2 appends the remaining third under OUT-OF-RANGE ids (+1e9 — ids
+    interleaved with v1's would overlap every file's footer key range and
+    the rewrite-detection would correctly refuse; a real append log gets
+    fresh monotone ids). The (event_type, user_id) content equals the
+    full table, so the maintained estimate must be bit-identical to
+    ``ev_hll_users``' from-scratch math — which the oracle re-derives
+    register-for-register."""
+    import shutil
+    import tempfile
+
+    cached = _INCREMENTAL_DISTINCT_CACHE.get(sf_dir)
+    if cached is not None:
+        return spark.createDataFrame(*cached)
+
+    from .sources.matview import (
+        create_distinct_matview,
+        read_distinct_matview,
+        refresh_distinct_matview,
+    )
+    from .sources.versioned import upsert_version, write_version
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    d = tempfile.mkdtemp(prefix="matview_hll_q_")
+    base, view = f"{d}/base", f"{d}/view"
+    write_version(ev.where(F.col("event_id") % 3 != 0), base, key="event_id")
+    create_distinct_matview(
+        spark, base, view, group="event_type", value="user_id", b=6
+    )
+    upsert_version(
+        spark,
+        base,
+        ev.where(F.col("event_id") % 3 == 0).select(
+            (F.col("event_id") + F.lit(1_000_000_000)).alias("event_id"),
+            "event_type",
+            "user_id",
+        ),
+        key="event_id",
+        dedupe_updates=False,
+    )
+    refresh_distinct_matview(spark, base, view)
+    out = read_distinct_matview(spark, view).select(
+        "event_type",
+        _r6s(F.col("est_distinct")).alias("est_distinct"),
+        "empty_registers",
+    )
+    rows = out.collect()
+    shutil.rmtree(d, ignore_errors=True)
+    _INCREMENTAL_DISTINCT_CACHE[sf_dir] = (rows, out.schema)
+    return spark.createDataFrame(rows, out.schema)
+
+
+# Same register re-derivation as _SQL_EV_HLL_USERS (b=6) over the FULL
+# events table: append-only maintenance must converge register-for-register
+# to the from-scratch sketch, so the incremental merge path is hash-checked
+# by recomputing nothing incremental at all.
+_SQL_EV_INCREMENTAL_DISTINCT = f"""
+WITH hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), regs AS (
+  SELECT event_type, (h >> 54)::INT AS bucket,
+         max(CASE WHEN (h & 18014398509481983) = 0 THEN 55
+                  ELSE 55 - length(bin(h & 18014398509481983)) END) AS rho
+  FROM hashed GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         sum((2.0 ** (55 - rho))::BIGINT)::BIGINT AS inv,
+         count(*) AS n_present
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT event_type,
+         (64 - n_present)::BIGINT AS empty_registers,
+         {_HLL_A64!r} / (inv::DOUBLE / 36028797018963968.0
+                         + (64 - n_present)::DOUBLE) AS raw
+  FROM agg
+)
+SELECT event_type,
+       round((CASE WHEN raw <= 160.0 AND empty_registers > 0
+                   THEN 64.0 * ln(64.0 / empty_registers::DOUBLE)
+                   ELSE raw END) + 5e-13, 6) AS est_distinct,
+       empty_registers
+FROM est
+"""
+
+
 def q_ev_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k quantile sketch (operators/sketches.py): per event type,
     p50/p90 estimated from the k=128 rows whose md5(event_id) hash ranks
@@ -6434,6 +6529,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # logical state (sources/matview.py; tests/test_matview.py)
     "ev_incremental_agg": (q_ev_incremental_agg, _SQL_EV_INCREMENTAL_AGG),
     "ev_incremental_minmax": (q_ev_incremental_minmax, _SQL_EV_INCREMENTAL_MINMAX),
+    "ev_incremental_distinct": (
+        q_ev_incremental_distinct,
+        _SQL_EV_INCREMENTAL_DISTINCT,
+    ),
     # CUBE grouping sets (one Expand pass) + quality-based canonical
     # selection per dup cluster (min-struct ≡ QUALIFY rank-1, hash-checked)
     "ev_cube": (q_ev_cube, _SQL_EV_CUBE),

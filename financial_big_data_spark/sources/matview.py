@@ -401,6 +401,11 @@ def refresh_matview(
             f"is at {v1} — the base table went backwards (vacuum/rollback?); "
             "rebuild with create_matview"
         )
+    if meta.get("kind") == "hll_distinct":
+        raise ValueError(
+            "this is a distinct-count register view — refresh with "
+            "refresh_distinct_matview (append-only merge semantics)"
+        )
     if "min" in meta.get("aggs", ()) or "max" in meta.get("aggs", ()):
         # partial-aggregate path: FILE-driven (the symmetric difference
         # IS the change set) — changed_keys is not needed and not used
@@ -690,3 +695,142 @@ def refresh_matview(
         "groups_upserted": int(n_up),
         "groups_deleted": int(n_dead),
     }
+
+
+def create_distinct_matview(
+    spark: SparkSession,
+    table_path: str,
+    view_path: str,
+    group: str,
+    value: str,
+    b: int = 8,
+) -> int:
+    """Approximate COUNT(DISTINCT value) per group, materialized as HLL
+    REGISTERS (operators/sketches.hll_sketch: (group, bucket, rho) rows,
+    ≤ 2^b per group) — the Druid-style rollup: registers are MONOTONE
+    mergeable state, so an append-only refresh reads ONLY the appended
+    files and element-wise-maxes their registers into the view. The
+    monotonicity is also the stated limit: a file REWRITE (update/delete)
+    can lower a true register and silently over-count, so
+    ``refresh_distinct_matview`` detects removed files and refuses (or
+    rebuilds, opt-in) instead of merging wrong state. Read the estimate
+    with ``read_distinct_matview``."""
+    from ..operators.sketches import hll_sketch
+
+    base_v = current_version(table_path)
+    regs = hll_sketch(
+        read_version(spark, table_path, base_v), value=value, b=b, by=[group]
+    )
+    view_v = write_version(regs, view_path, key=group)
+    _write_meta(
+        view_path,
+        {
+            "base_version": base_v,
+            "group": group,
+            "value": value,
+            "kind": "hll_distinct",
+            "b": b,
+        },
+    )
+    return view_v
+
+
+def read_distinct_matview(spark: SparkSession, view_path: str) -> DataFrame:
+    """(group, est_distinct, empty_registers) from the maintained
+    registers — identical arithmetic to ``hll_estimate`` over a
+    from-scratch sketch of the base (pinned by test and oracle)."""
+    from ..operators.sketches import hll_estimate
+
+    meta = _read_meta(view_path)
+    regs = read_version(spark, view_path)
+    return hll_estimate(regs, b=meta["b"], by=[meta["group"]])
+
+
+def refresh_distinct_matview(
+    spark: SparkSession,
+    table_path: str,
+    view_path: str,
+    on_mutation: str = "error",
+) -> dict:
+    """Advance the register view over APPEND-ONLY DML: scan only the
+    files the manifests' symmetric difference ADDED, sketch them, and
+    merge (element-wise max) into the touched groups' registers as one
+    atomic snapshot. Removed files mean a rewrite happened somewhere —
+    registers are monotone and cannot un-see rows — so the refresh
+    refuses (``on_mutation="error"``) or recomputes from the current
+    snapshot (``on_mutation="rebuild"``, one full pass, stated).
+    Returns {"base_version", "groups_upserted", "rebuilt"}."""
+    from ..operators.sketches import hll_merge, hll_sketch
+
+    if on_mutation not in ("error", "rebuild"):
+        raise ValueError("on_mutation must be 'error' or 'rebuild'")
+    meta = _read_meta(view_path)
+    if meta.get("kind") != "hll_distinct":
+        raise ValueError(f"view at {view_path} is not a distinct matview")
+    group, value, b = meta["group"], meta["value"], meta["b"]
+    v0, v1 = meta["base_version"], current_version(table_path)
+    if v1 == v0:
+        return {"base_version": v1, "groups_upserted": 0, "rebuilt": False}
+    if v1 < v0:
+        raise ValueError(
+            f"view at {view_path} reflects base version {v0} but the table "
+            f"is at {v1} — the base table went backwards; rebuild"
+        )
+    files0 = _load_manifest(table_path, v0)["files"]
+    files1 = _load_manifest(table_path, v1)["files"]
+    only0 = sorted(set(files0) - set(files1))
+    only1 = sorted(set(files1) - set(files0))
+    if only0:
+        if on_mutation == "error":
+            raise ValueError(
+                "non-append DML detected (files were rewritten): HLL "
+                "registers are monotone and cannot subtract rows — pass "
+                "on_mutation='rebuild' or use create_distinct_matview"
+            )
+        regs = hll_sketch(
+            read_version(spark, table_path, v1), value=value, b=b, by=[group]
+        )
+        n_up = write_version(regs, view_path, key=group) and regs.select(
+            group
+        ).distinct().count()
+        _write_meta(view_path, {**meta, "base_version": v1})
+        return {"base_version": v1, "groups_upserted": int(n_up), "rebuilt": True}
+    if not only1:
+        _write_meta(view_path, {**meta, "base_version": v1})
+        return {"base_version": v1, "groups_upserted": 0, "rebuilt": False}
+    regs_new = hll_sketch(
+        _scan_files(spark, table_path, only1), value=value, b=b, by=[group]
+    )
+    from .bloom import _collect_keys_capped
+
+    probe = _collect_keys_capped(regs_new.select(group), group, cap=10_000)
+    if probe is not None:
+        # bounded touched-group set: merge the new registers with exactly
+        # those groups' old rows and commit as ONE atomic snapshot; the
+        # registers themselves stay distributed (≤2^b rows per group is
+        # still too wide to collect at 10k groups)
+        nonnull = [g for g in probe if g is not None]
+        has_null = len(nonnull) < len(probe)
+        cond = None
+        if nonnull:
+            cond = _in_filter(group, nonnull)
+            if cond is None:
+                cond = F.col(group).isin(nonnull)
+        if has_null:
+            nc = F.col(group).isNull()
+            cond = nc if cond is None else (cond | nc)
+        old = read_version(spark, view_path).where(cond)
+        merged = hll_merge(old, regs_new, by=[group])
+        _apply_groups(
+            spark, view_path, merged, group, list(probe),
+            n_files=max(1, -(-len(probe) * (2 ** b) // 1_000_000)),
+        )
+        n_up = len(probe)
+    else:
+        # unbounded: merge wholesale (still reads only the view + the
+        # appended files, never the old base files)
+        merged = hll_merge(read_version(spark, view_path), regs_new, by=[group])
+        n_up = merged.select(group).distinct().count()
+        write_version(merged, view_path, key=group)
+    _write_meta(view_path, {**meta, "base_version": v1})
+    return {"base_version": v1, "groups_upserted": int(n_up), "rebuilt": False}

@@ -297,3 +297,89 @@ def test_minmax_matview_group_wipe_and_noop(spark, paths):
     rows = _view_rows_minmax(spark, view)
     assert rows == _recompute_minmax(spark, base)
     assert all(g == 1 for g, *_ in rows)
+
+
+def test_distinct_matview_append_only_merge(spark, paths):
+    """HLL distinct-count matview: append-only refresh merges ONLY the
+    appended files' registers and must land register-identical to a
+    from-scratch sketch of the full table (monotone mergeable state)."""
+    from financial_big_data_spark.operators.sketches import hll_sketch
+    from financial_big_data_spark.sources.matview import (
+        create_distinct_matview,
+        read_distinct_matview,
+        refresh_distinct_matview,
+    )
+
+    base, view = paths
+
+    def rows(n0, n1):
+        return spark.range(n0, n1).select(
+            F.col("id"),
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") % 37).cast("string").alias("u"),
+        )
+
+    write_version(rows(0, 300), base, key="id")
+    create_distinct_matview(spark, base, view, group="g", value="u", b=6)
+    est0 = {
+        (r.g, round(r.est_distinct, 6))
+        for r in read_distinct_matview(spark, view).collect()
+    }
+    assert len(est0) == 5
+    # pure append of NEW keys (hits upsert's pure-append path)
+    upsert_version(spark, base, rows(300, 500), key="id", dedupe_updates=False)
+    stats = refresh_distinct_matview(spark, base, view)
+    assert stats["rebuilt"] is False and stats["groups_upserted"] == 5
+    got = {
+        (r.g, r.bucket, r.rho)
+        for r in read_version(spark, view).collect()
+    }
+    want = {
+        (r.g, r.bucket, r.rho)
+        for r in hll_sketch(
+            read_version(spark, base), value="u", b=6, by=["g"]
+        ).collect()
+    }
+    assert got == want  # register-identical to from-scratch
+    # no-op refresh
+    assert refresh_distinct_matview(spark, base, view)["groups_upserted"] == 0
+
+
+def test_distinct_matview_refuses_mutation(spark, paths):
+    from financial_big_data_spark.sources.matview import (
+        create_distinct_matview,
+        read_distinct_matview,
+        refresh_distinct_matview,
+    )
+
+    base, view = paths
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).alias("g"),
+        F.col("id").cast("string").alias("u"),
+    )
+    write_version(df, base, key="id")
+    create_distinct_matview(spark, base, view, group="g", value="u", b=6)
+    # a DELETE rewrites files — monotone registers must refuse to merge
+    delete_version(spark, base, spark.range(0, 100, 2).select("id"), key="id")
+    with pytest.raises(ValueError, match="monotone"):
+        refresh_distinct_matview(spark, base, view)
+    # the generic refresh refuses the register view outright
+    with pytest.raises(ValueError, match="register view"):
+        refresh_matview(spark, base, view, key="id")
+    # opt-in rebuild recomputes from the current snapshot
+    stats = refresh_distinct_matview(spark, base, view, on_mutation="rebuild")
+    assert stats["rebuilt"] is True
+    from financial_big_data_spark.operators.sketches import hll_estimate, hll_sketch
+
+    want = {
+        (r.g, round(r.est_distinct, 6))
+        for r in hll_estimate(
+            hll_sketch(read_version(spark, base), value="u", b=6, by=["g"]),
+            b=6, by=["g"],
+        ).collect()
+    }
+    got = {
+        (r.g, round(r.est_distinct, 6))
+        for r in read_distinct_matview(spark, view).collect()
+    }
+    assert got == want
