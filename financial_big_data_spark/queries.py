@@ -6197,6 +6197,77 @@ GROUP BY user_id
 """
 
 
+_INCREMENTAL_FILTERED_CACHE: dict = {}
+
+
+def q_ev_incremental_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED (partial) materialized view (sources/matview.py
+    ``where=``): per-user sum/count over events WHERE value <= 80 — the
+    predicate recorded in the view meta and applied to BOTH sides of
+    every refresh delta. The DML schedule doubles every 10th event's
+    value, pushing rows ACROSS the filter boundary (a doubled row whose
+    old value passed and new value does not must contribute −old and no
+    +new — the leave/enter semantics), then deletes every 97th id. The
+    oracle recomputes the final filtered state from scratch."""
+    import shutil
+    import tempfile
+
+    cached = _INCREMENTAL_FILTERED_CACHE.get(sf_dir)
+    if cached is not None:
+        return spark.createDataFrame(*cached)
+
+    from .sources.matview import create_matview, read_matview, refresh_matview
+    from .sources.versioned import delete_version, upsert_version, write_version
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="matview_flt_q_")
+    base, view = f"{d}/base", f"{d}/view"
+    write_version(ev.where(F.col("event_id") % 3 != 0), base, key="event_id")
+    create_matview(
+        spark, base, view, group="user_id", value="value", where="value <= 80.0"
+    )
+    updates = ev.where(F.col("event_id") % 3 == 0).unionByName(
+        ev.where((F.col("event_id") % 10 == 0) & (F.col("event_id") % 3 != 0))
+    ).select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.col("value") * 2)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    upsert_version(spark, base, updates, key="event_id", dedupe_updates=False)
+    refresh_matview(spark, base, view, key="event_id",
+                    changed_keys=updates.select("event_id"))
+    dead = ev.where(F.col("event_id") % 97 == 0).select("event_id")
+    delete_version(spark, base, dead, key="event_id")
+    refresh_matview(spark, base, view, key="event_id", changed_keys=dead)
+    out = read_matview(spark, view).select(
+        "user_id",
+        F.round("agg_sum", 2).alias("agg_sum"),
+        F.col("agg_count"),
+    )
+    rows = out.collect()
+    shutil.rmtree(d, ignore_errors=True)
+    _INCREMENTAL_FILTERED_CACHE[sf_dir] = (rows, out.schema)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_SQL_EV_INCREMENTAL_FILTERED = """
+WITH final_state AS (
+  SELECT user_id,
+         CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS v
+  FROM events
+  WHERE event_id % 97 <> 0
+)
+SELECT user_id,
+       round(sum(v), 2) AS agg_sum,
+       count(*)::BIGINT AS agg_count
+FROM final_state
+WHERE v <= 80.0
+GROUP BY user_id
+"""
+
+
 _INCREMENTAL_MINMAX_CACHE: dict = {}
 
 
@@ -6529,6 +6600,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # logical state (sources/matview.py; tests/test_matview.py)
     "ev_incremental_agg": (q_ev_incremental_agg, _SQL_EV_INCREMENTAL_AGG),
     "ev_incremental_minmax": (q_ev_incremental_minmax, _SQL_EV_INCREMENTAL_MINMAX),
+    "ev_incremental_filtered": (
+        q_ev_incremental_filtered,
+        _SQL_EV_INCREMENTAL_FILTERED,
+    ),
     "ev_incremental_distinct": (
         q_ev_incremental_distinct,
         _SQL_EV_INCREMENTAL_DISTINCT,

@@ -199,10 +199,19 @@ def create_matview(
     group: str,
     value: str,
     aggs: tuple[str, ...] = ("sum", "count"),
+    where: str | None = None,
 ) -> int:
     """Materialize a grouped aggregate of a versioned table as a versioned
     table at ``view_path`` (key = the group column) and record which base
     snapshot it reflects. Returns the view's version (1).
+
+    ``where``: an optional SQL boolean expression over the base columns —
+    a FILTERED (partial) materialized view. The predicate is recorded in
+    the view's metadata and applied identically to the creation scan and
+    to BOTH sides of every refresh delta (old and new rows of changed
+    keys filter the same way, so the ±delta law is unchanged); it rides
+    the pruned scans as a plain Catalyst filter, pushed down like any
+    other.
 
     ``aggs`` ⊆ {sum, count} → the self-maintainable ±delta path (view
     columns agg_sum, agg_count; AVG derives). Adding ``min``/``max``
@@ -228,6 +237,8 @@ def create_matview(
             )
     base_v = current_version(table_path)
     base = read_version(spark, table_path, base_v)
+    if where:
+        base = base.where(F.expr(where))
     if minmax:
         partials = _partial_agg(base, group, value)
         write_version(partials, _partials_path(view_path), key=group)
@@ -244,6 +255,7 @@ def create_matview(
             "group": group,
             "value": value,
             "aggs": list(aggs),
+            "where": where,
         },
     )
     return view_v
@@ -278,10 +290,11 @@ def _refresh_minmax(
     P = read_version(spark, ppath)
     drop = _in_filter("_file", only0) if only0 else None
     survivors = P.where(~drop) if drop is not None else P
+    src_new = _scan_files(spark, table_path, only1) if only1 else None
+    if src_new is not None and meta.get("where"):
+        src_new = src_new.where(F.expr(meta["where"]))
     parts_new = (
-        _partial_agg(_scan_files(spark, table_path, only1), group, value)
-        if only1
-        else None
+        _partial_agg(src_new, group, value) if src_new is not None else None
     )
     p2 = (
         survivors.unionByName(parts_new) if parts_new is not None else survivors
@@ -505,6 +518,8 @@ def refresh_matview(
             rows = rows.where(key_filter)
         else:
             rows = rows.join(persisted_chg, on=key, how="left_semi")
+        if meta.get("where"):
+            rows = rows.where(F.expr(meta["where"]))
         return rows.select(
             F.col(group),
             (F.lit(float(sign)) * F.col(value)).alias("_sv"),

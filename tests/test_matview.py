@@ -383,3 +383,80 @@ def test_distinct_matview_refuses_mutation(spark, paths):
         for r in read_distinct_matview(spark, view).collect()
     }
     assert got == want
+
+
+def test_filtered_matview_rows_cross_the_predicate(spark, paths):
+    """Partial (WHERE-filtered) matview: the predicate applies to BOTH
+    sides of the refresh delta, so an UPDATE that moves a row across the
+    filter boundary contributes -old (if it passed before) and +new (if
+    it passes now) — the leave/enter semantics a filtered view needs."""
+    base, view = paths
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("g"), (F.col("id") * 1.0).alias("v")
+    )
+    write_version(df, base, key="id")
+    create_matview(spark, base, view, group="g", value="v", where="v >= 50.0")
+
+    def recompute():
+        return {
+            (r.g, round(r.s, 6), r.c)
+            for r in read_version(spark, base)
+            .where("v >= 50.0")
+            .groupBy("g")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    assert _view_rows(spark, view) == recompute()
+    # ids 10-19 ENTER the filter (v jumps +100); ids 60-69 LEAVE (v -100)
+    updates = spark.range(10, 20).select(
+        F.col("id"), (F.col("id") % 4).alias("g"), (F.col("id") + 100.0).alias("v")
+    ).unionByName(
+        spark.range(60, 70).select(
+            F.col("id"), (F.col("id") % 4).alias("g"), (F.col("id") - 100.0).alias("v")
+        )
+    )
+    upsert_version(spark, base, updates, key="id", dedupe_updates=False)
+    refresh_matview(spark, base, view, key="id", changed_keys=updates.select("id"))
+    assert _view_rows(spark, view) == recompute()
+    # deletes of passing + non-passing rows alike
+    delete_version(spark, base, spark.range(0, 100, 9).select("id"), key="id")
+    refresh_matview(spark, base, view, key="id")
+    assert _view_rows(spark, view) == recompute()
+
+
+def test_filtered_minmax_matview(spark, paths):
+    base, view = paths
+    df = spark.range(120).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") * 1.5).alias("v")
+    )
+    write_version(df, base, key="id")
+    create_matview(
+        spark, base, view, group="g", value="v",
+        aggs=("sum", "count", "min", "max"), where="v < 150.0",
+    )
+
+    def recompute():
+        return {
+            (r.g, round(r.s, 6), r.c, round(r.mn, 6), round(r.mx, 6))
+            for r in read_version(spark, base)
+            .where("v < 150.0")
+            .groupBy("g")
+            .agg(
+                F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("mn"), F.max("v").alias("mx"),
+            )
+            .collect()
+        }
+
+    assert _view_rows_minmax(spark, view) == recompute()
+    # delete the filtered set's maxima and push some rows across the bound
+    delete_version(spark, base, spark.range(95, 100).select("id"), key="id")
+    refresh_matview(spark, base, view, key="id")
+    assert _view_rows_minmax(spark, view) == recompute()
+    updates = spark.range(0, 10).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") + 500.0).alias("v")
+    )
+    upsert_version(spark, base, updates, key="id", dedupe_updates=False)
+    refresh_matview(spark, base, view, key="id")
+    assert _view_rows_minmax(spark, view) == recompute()
