@@ -180,3 +180,57 @@ def streaming_versioned_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_append_with_distinct_matview(
+    stream: DataFrame,
+    path: str,
+    key: str,
+    checkpoint: str,
+    view_path: str,
+    group: str,
+    value: str,
+    b: int = 8,
+    available_now: bool = True,
+):
+    """Append-only versioned ingest + an APPROX-DISTINCT register view
+    (sources/matview.create_distinct_matview) kept current per
+    micro-batch — the streaming face of the Druid-style rollup: each
+    batch commits a snapshot, then the view merges ONLY the new files'
+    HLL registers (monotone state, so per-batch maintenance scans the
+    batch, never the table).
+
+    Contract: the stream must carry brand-new keys (an append log).
+    A batch whose keys collide with existing data rewrites files, and
+    ``refresh_distinct_matview`` then fails LOUDLY (monotone registers
+    cannot subtract rows) instead of silently over-counting — the
+    violation surfaces as a stream error, not bad data. Crash between
+    the table commit and the view refresh: the next batch's refresh
+    merges the symmetric difference of BOTH commits (append-only means
+    it is still exactly the appended files) — replay converges."""
+    from ..sources.matview import (
+        create_distinct_matview,
+        refresh_distinct_matview,
+    )
+    from ..sources.versioned import upsert_version, write_version
+
+    def _ingest(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        try:
+            upsert_version(spark, path, batch, key=key, dedupe_updates=False)
+        except FileNotFoundError:
+            write_version(batch, path, key=key)
+            create_distinct_matview(
+                spark, path, view_path, group=group, value=value, b=b
+            )
+            return
+        refresh_distinct_matview(spark, path, view_path)
+
+    writer = stream.writeStream.foreachBatch(_ingest).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -109,3 +109,46 @@ def test_latest_per_key_deterministic_under_layout(spark):
     for parts in (1, 7):
         got = latest_per_key(df.repartition(parts), "id", "seq").collect()
         assert [(r.id, r.seq, r.val) for r in got] == [(1, 49, "v49")]
+
+
+def test_streaming_append_keeps_distinct_matview_current(spark, tmp_path):
+    """Append-only streaming ingest + HLL register view: after the stream
+    drains, the maintained registers equal a from-scratch sketch of the
+    final table (per-batch maintenance scanned only each batch's files)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from financial_big_data_spark.operators.sketches import hll_sketch
+    from financial_big_data_spark.sources.versioned import read_version
+    from financial_big_data_spark.streaming.upsert import (
+        streaming_append_with_distinct_matview,
+    )
+
+    d = str(tmp_path)
+    indir, table, view, ckpt = f"{d}/in", f"{d}/table", f"{d}/view", f"{d}/ckpt"
+    df = spark.range(600).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") % 53).cast("string").alias("u"),
+    )
+    for j, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 600)]):
+        df.where((F.col("id") >= lo) & (F.col("id") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(indir)
+    )
+    q = streaming_append_with_distinct_matview(
+        stream, table, key="id", checkpoint=ckpt,
+        view_path=view, group="g", value="u", b=6,
+    )
+    q.awaitTermination(180)
+    got = {(r.g, r.bucket, r.rho) for r in read_version(spark, view).collect()}
+    want = {
+        (r.g, r.bucket, r.rho)
+        for r in hll_sketch(read_version(spark, table), value="u", b=6, by=["g"]).collect()
+    }
+    assert got == want
+    assert read_version(spark, table).count() == 600
