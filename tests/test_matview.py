@@ -460,3 +460,59 @@ def test_filtered_minmax_matview(spark, paths):
     upsert_version(spark, base, updates, key="id", dedupe_updates=False)
     refresh_matview(spark, base, view, key="id")
     assert _view_rows_minmax(spark, view) == recompute()
+
+
+def test_minmax_matview_unbounded_touched_groups(spark, paths):
+    """>10k touched groups exceeds the driver probe cap: the minmax
+    refresh must take the rebuild-from-sidecar fallback and still equal
+    a from-scratch recompute."""
+    base, view = paths
+    n = 24_000
+    df = spark.range(n).select(
+        F.col("id"), F.col("id").alias("g"), (F.col("id") * 1.0).alias("v")
+    )
+    write_version(df, base, key="id", n_files=4)
+    create_matview(
+        spark, base, view, group="g", value="v", aggs=("sum", "count", "min", "max")
+    )
+    # touch 12k groups (> the 10k cap) in one upsert
+    updates = spark.range(12_000).select(
+        F.col("id"), F.col("id").alias("g"), (F.col("id") + 0.5).alias("v")
+    )
+    upsert_version(spark, base, updates, key="id", dedupe_updates=False)
+    stats = refresh_matview(spark, base, view, key="id")
+    assert stats["groups_upserted"] == 24_000  # full rebuild path
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+
+
+def test_distinct_matview_unbounded_touched_groups(spark, paths):
+    from financial_big_data_spark.operators.sketches import hll_sketch
+    from financial_big_data_spark.sources.matview import (
+        create_distinct_matview,
+        refresh_distinct_matview,
+    )
+
+    base, view = paths
+    df = spark.range(11_000).select(
+        F.col("id"), F.col("id").alias("g"), F.col("id").cast("string").alias("u")
+    )
+    write_version(df, base, key="id")
+    create_distinct_matview(spark, base, view, group="g", value="u", b=4)
+    # append 12k NEW groups (out-of-range ids -> pure append, > probe cap)
+    upsert_version(
+        spark,
+        base,
+        spark.range(100_000, 112_000).select(
+            F.col("id"), F.col("id").alias("g"), F.col("id").cast("string").alias("u")
+        ),
+        key="id",
+        dedupe_updates=False,
+    )
+    stats = refresh_distinct_matview(spark, base, view)
+    assert stats["groups_upserted"] == 23_000 and not stats["rebuilt"]
+    got = {(r.g, r.bucket, r.rho) for r in read_version(spark, view).collect()}
+    want = {
+        (r.g, r.bucket, r.rho)
+        for r in hll_sketch(read_version(spark, base), value="u", b=4, by=["g"]).collect()
+    }
+    assert got == want
