@@ -602,6 +602,14 @@ def main() -> None:
 
     ep3_sec, ep3_acc = run_ep3("logistic")
     ep3_mlp_sec, ep3_mlp_acc = run_ep3("mlp")
+    # volatile parallel row (16.8<->44.1s between identical-code solo runs
+    # in r8): a second sample gives bench_compare a measured band to
+    # adjudicate with instead of a single load-lottery point
+    _mlp2, _ = run_ep3("mlp")
+    bands["ep3_mlp_sec"] = [
+        round(min(ep3_mlp_sec, _mlp2), 3), round(max(ep3_mlp_sec, _mlp2), 3)
+    ]
+    ep3_mlp_sec = min(ep3_mlp_sec, _mlp2)
     # the reference's model INPUT: flattened 30-step windowed sequences
     ep3_seq_mlp_sec, ep3_seq_mlp_acc = run_ep3("seq_mlp", seq_len=30)
     # the reference's model TOPOLOGY: numpy LSTM+attention (6 epochs,
@@ -652,17 +660,23 @@ def main() -> None:
     # (16 KMeans fits), paid once per corpus, not per query.
     from financial_big_data_spark.operators.pq import ivf_pq_topk
 
-    t0 = time.time()
-    approx_pq = {
-        (r.query_id, r.vec_id)
-        for r in ivf_pq_topk(
-            emb, probes, n_cells=16, n_probe=10, m=16, nbits=8, k=10,
-            refine_factor=8, residual=True,
-        )
-        .select("query_id", "vec_id")
-        .collect()
-    }
-    ivfpq_sec = round(time.time() - t0, 3)
+    def _ivfpq_once():
+        _t0 = time.time()
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_pq_topk(
+                emb, probes, n_cells=16, n_probe=10, m=16, nbits=8, k=10,
+                refine_factor=8, residual=True,
+            )
+            .select("query_id", "vec_id")
+            .collect()
+        }
+        return round(time.time() - _t0, 3), got
+
+    _pq_t1, approx_pq = _ivfpq_once()
+    _pq_t2, _ = _ivfpq_once()  # volatile row: min-of-2 + measured band
+    bands["ann_ivfpq_sec"] = [min(_pq_t1, _pq_t2), max(_pq_t1, _pq_t2)]
+    ivfpq_sec = min(_pq_t1, _pq_t2)
     ivfpq_recall = round(len(exact & approx_pq) / max(len(exact), 1), 3)
 
     # OPQ (VERDICT r6 #6): the same pipeline at HALF the code bytes
@@ -693,17 +707,23 @@ def main() -> None:
     from financial_big_data_spark.operators.pq import opq_rotation
 
     _rot, _ = opq_rotation(emb, n_cells=16, m=8, nbits=8, residual=True)
-    t0 = time.time()
-    approx_opq_cached = {
-        (r.query_id, r.vec_id)
-        for r in ivf_pq_topk(
-            emb, probes, n_cells=16, n_probe=10, m=8, nbits=8, k=10,
-            refine_factor=8, residual=True, rotation=_rot,
-        )
-        .select("query_id", "vec_id")
-        .collect()
-    }
-    ivfpq_opq_cached_sec = round(time.time() - t0, 3)
+    def _opq_cached_once():
+        _t0 = time.time()
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_pq_topk(
+                emb, probes, n_cells=16, n_probe=10, m=8, nbits=8, k=10,
+                refine_factor=8, residual=True, rotation=_rot,
+            )
+            .select("query_id", "vec_id")
+            .collect()
+        }
+        return round(time.time() - _t0, 3), got
+
+    _oc_t1, approx_opq_cached = _opq_cached_once()
+    _oc_t2, _ = _opq_cached_once()
+    bands["ann_ivfpq_opq_cached_sec"] = [min(_oc_t1, _oc_t2), max(_oc_t1, _oc_t2)]
+    ivfpq_opq_cached_sec = min(_oc_t1, _oc_t2)
     ivfpq_opq_cached_recall = round(
         len(exact & approx_opq_cached) / max(len(exact), 1), 3
     )
