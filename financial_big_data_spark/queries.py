@@ -4739,6 +4739,112 @@ FROM est
 """
 
 
+_INCREMENTAL_DISTINCT_DML_CACHE: dict = {}
+
+
+def q_ev_incremental_distinct_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-capable distinct matview (sources/matview.
+    create_distinct_matview(maintain="partials")): the per-(file, group)
+    register sidecar makes mutation-bearing DML refreshable — rewritten
+    files invalidate exactly their own partials and touched groups
+    re-merge from the survivors, never rescanning the base. DML
+    schedule: v1 = full events; v2 DELETES event_id % 5 == 0 (the case
+    the monotone register view must refuse); v3 UPSERTS every
+    event_id % 7 == 0 row with user_id+100000 (re-inserting the deleted
+    overlap and updating the rest); ONE refresh then spans both
+    commits. The maintained registers must be bit-identical to a
+    from-scratch b=6 sketch of the final content — which the oracle
+    re-derives register-for-register from the equivalent SQL state."""
+    import shutil
+    import tempfile
+
+    cached = _INCREMENTAL_DISTINCT_DML_CACHE.get(sf_dir)
+    if cached is not None:
+        return spark.createDataFrame(*cached)
+
+    from .sources.matview import (
+        create_distinct_matview,
+        read_distinct_matview,
+        refresh_distinct_matview,
+    )
+    from .sources.versioned import delete_version, upsert_version, write_version
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    d = tempfile.mkdtemp(prefix="matview_hll_dml_q_")
+    base, view = f"{d}/base", f"{d}/view"
+    write_version(ev, base, key="event_id", n_files=8)
+    create_distinct_matview(
+        spark, base, view, group="event_type", value="user_id", b=6,
+        maintain="partials",
+    )
+    delete_version(
+        spark, base,
+        ev.where(F.col("event_id") % 5 == 0).select("event_id"),
+        key="event_id",
+    )
+    upsert_version(
+        spark, base,
+        ev.where(F.col("event_id") % 7 == 0).select(
+            "event_id", "event_type",
+            (F.col("user_id") + F.lit(100_000)).alias("user_id"),
+        ),
+        key="event_id",
+        dedupe_updates=False,
+    )
+    refresh_distinct_matview(spark, base, view)
+    out = read_distinct_matview(spark, view).select(
+        "event_type",
+        _r6s(F.col("est_distinct")).alias("est_distinct"),
+        "empty_registers",
+    )
+    rows = out.collect()
+    shutil.rmtree(d, ignore_errors=True)
+    _INCREMENTAL_DISTINCT_DML_CACHE[sf_dir] = (rows, out.schema)
+    return spark.createDataFrame(rows, out.schema)
+
+
+# Register re-derivation (b=6, same constants as _SQL_EV_HLL_USERS) over
+# the FINAL logical state of the DML schedule: rows kept are
+# (event_id % 5 != 0) ∪ (event_id % 7 == 0), with user_id+100000 on every
+# % 7 row — delete-bearing sidecar maintenance must converge
+# register-for-register to a from-scratch sketch of exactly that state.
+_SQL_EV_INCREMENTAL_DISTINCT_DML = f"""
+WITH final AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN user_id + 100000
+              ELSE user_id END AS user_id
+  FROM events
+  WHERE event_id % 5 != 0 OR event_id % 7 = 0
+), hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM final
+), regs AS (
+  SELECT event_type, (h >> 54)::INT AS bucket,
+         max(CASE WHEN (h & 18014398509481983) = 0 THEN 55
+                  ELSE 55 - length(bin(h & 18014398509481983)) END) AS rho
+  FROM hashed GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         sum((2.0 ** (55 - rho))::BIGINT)::BIGINT AS inv,
+         count(*) AS n_present
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT event_type,
+         (64 - n_present)::BIGINT AS empty_registers,
+         {_HLL_A64!r} / (inv::DOUBLE / 36028797018963968.0
+                         + (64 - n_present)::DOUBLE) AS raw
+  FROM agg
+)
+SELECT event_type,
+       round((CASE WHEN raw <= 160.0 AND empty_registers > 0
+                   THEN 64.0 * ln(64.0 / empty_registers::DOUBLE)
+                   ELSE raw END) + 5e-13, 6) AS est_distinct,
+       empty_registers
+FROM est
+"""
+
+
 def q_ev_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k quantile sketch (operators/sketches.py): per event type,
     p50/p90 estimated from the k=128 rows whose md5(event_id) hash ranks
@@ -6607,6 +6713,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_incremental_distinct": (
         q_ev_incremental_distinct,
         _SQL_EV_INCREMENTAL_DISTINCT,
+    ),
+    "ev_incremental_distinct_dml": (
+        q_ev_incremental_distinct_dml,
+        _SQL_EV_INCREMENTAL_DISTINCT_DML,
     ),
     # CUBE grouping sets (one Expand pass) + quality-based canonical
     # selection per dup cluster (min-struct ≡ QUALIFY rank-1, hash-checked)

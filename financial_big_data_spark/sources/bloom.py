@@ -159,10 +159,18 @@ def write_bloom_sidecars(spark, files: list[str], key: str) -> None:
         .applyInPandas(_build, "_f string, _bloom string")
         .collect()
     )
+    from urllib.parse import unquote
+
     for r in rows:
         p = r["_f"]
         if p.startswith("file:"):
-            p = p[len("file:"):]
+            # input_file_name renders a URI: strip the scheme/authority
+            # AND decode the percent-escapes (space → %20, '%' → %25 ...)
+            # so the sidecar lands next to the actual data file — an
+            # encoded path here either failed the write loudly (missing
+            # encoded directory) or stranded the sidecar where no probe
+            # would ever find it
+            p = unquote(p[len("file:"):])
             while p.startswith("//"):
                 p = p[1:]
             if not p.startswith("/"):

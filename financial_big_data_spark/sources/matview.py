@@ -28,10 +28,12 @@ Deliberate limits, stated rather than hidden:
   refreshes re-merge touched groups from the sidecar at the stated cost
   of one O(|partials|) sidecar rewrite per refresh. Other aggregates
   (medians, distinct counts) still raise.
-- The changed-key set comes from `changefeed` (a fingerprint diff of the
-  two snapshots — one full pass of each) unless the caller passes the
-  update batch it already holds via ``changed_keys``; writers that know
-  their deltas should pass them and skip the diff entirely.
+- The changed-key set is FILE-SCOPED even when the caller cannot name
+  it: when ``changed_keys`` is omitted, candidate keys come from a scan
+  of the manifests' symmetric-difference files only (immutability means
+  a changed key cannot live anywhere else) — never from a two-snapshot
+  diff. Writers that already hold their update batch should still pass
+  ``changed_keys`` and skip the candidate scan too.
 - Groups whose count reaches 0 are DELETED from the view (not left as
   zero rows), so the view's row set always equals `SELECT group FROM base
   GROUP BY group`.
@@ -59,7 +61,6 @@ from .versioned import (
     _scan_files,
     _write_batch,
     table_schema,
-    changefeed,
     current_version,
     delete_version,
     read_version,
@@ -161,9 +162,38 @@ def _partials_path(view_path: str) -> str:
 
 def _file_col() -> F.Column:
     # input_file_name() renders a file URI (file:///p — scheme + empty
-    # authority + absolute path); manifests store plain paths — collapse
-    # the scheme AND the authority slashes so the two key spaces line up
-    return F.regexp_replace(F.input_file_name(), "^file:/+", "/").alias("_file")
+    # authority + absolute path) with URI PERCENT-ENCODING (space → %20,
+    # '%' → %25, ...); manifests store raw paths. Decode the %XX escapes
+    # and collapse the scheme + authority slashes so the two key spaces
+    # line up on every path — a stale partial that escaped the only0 drop
+    # filter because its path encoded differently would silently coexist
+    # with its recomputed twin and corrupt the merge. url_decode is FORM
+    # decoding ('+' → space), but URI path encoding leaves a literal '+'
+    # as '+' — pre-escape it to %2B so the round trip is the identity on
+    # every path byte. `_refresh_minmax` additionally asserts the decoded
+    # values land inside the manifest's file set (fail loudly, never
+    # merge partials that could not be invalidated).
+    uri = F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+    return F.regexp_replace(F.url_decode(uri), "^file:/+", "/").alias("_file")
+
+
+def _base_files(table_path: str, view_path: str, v0: int, v1: int) -> tuple:
+    """The two base manifests a refresh diffs — with a NAMED error when
+    the view's recorded snapshot was vacuumed out from under it (vacuum
+    drops old manifests; without this the refresh dies in _load_manifest
+    with a raw FileNotFoundError that points at neither the view nor the
+    remedy)."""
+    try:
+        files0 = _load_manifest(table_path, v0)["files"]
+    except FileNotFoundError:
+        raise ValueError(
+            f"matview at {view_path} reflects base version {v0}, but that "
+            f"snapshot's manifest is gone from {table_path} (vacuumed past "
+            "the view's base version?) — the refresh delta cannot be "
+            "computed; rebuild with create_matview"
+        ) from None
+    files1 = _load_manifest(table_path, v1)["files"]
+    return files0, files1
 
 
 def _partial_agg(rows: DataFrame, group: str, value: str) -> DataFrame:
@@ -267,35 +297,63 @@ def read_matview(spark: SparkSession, view_path: str) -> DataFrame:
     return read_version(spark, view_path)
 
 
-def _refresh_minmax(
-    spark: SparkSession, table_path: str, view_path: str, meta: dict
-) -> dict:
-    """MIN/MAX refresh via the per-(file, group) partials sidecar.
+def _sidecar_advance(
+    spark: SparkSession,
+    table_path: str,
+    view_path: str,
+    meta: dict,
+    partial_fn,
+) -> dict | None:
+    """The shared skeleton of every partials-sidecar refresh (MIN/MAX,
+    HLL-distinct): diff the manifests, drop the invalidated partials,
+    recompute the rewritten files' partials via ``partial_fn``, and
+    commit the new sidecar snapshot. Returns None when the manifests did
+    not move (meta already advanced), else {"v1", "probe"} where probe
+    is the ≤10k touched-group list or None (unbounded).
 
     Base scan cost is EXACTLY the manifests' symmetric difference (the
-    files the DML rewrote) — identical to the ±delta path; the sidecar
-    absorbs what deletes would otherwise force (a group rescan): merge
-    per-group over the surviving partials. Cost bound, stated: one
-    O(|partials|) sidecar rewrite per refresh."""
-    group, value = meta["group"], meta["value"]
+    files the DML rewrote); the sidecar absorbs what deletes would
+    otherwise force (a group rescan). Cost bound, stated: one
+    O(|partials|) sidecar rewrite per refresh. The drop filter covers
+    BOTH manifest sides: only0's partials are stale, and any only1
+    partials ALREADY in the sidecar can only be a replayed refresh's
+    (crash between the sidecar commit and the meta update) — files are
+    immutable, so the recomputation is value-identical and drop-then-add
+    makes the merge IDEMPOTENT under replay instead of double-counting."""
+    group = meta["group"]
     v0, v1 = meta["base_version"], current_version(table_path)
-    files0 = _load_manifest(table_path, v0)["files"]
-    files1 = _load_manifest(table_path, v1)["files"]
+    files0, files1 = _base_files(table_path, view_path, v0, v1)
     only0 = sorted(set(files0) - set(files1))
     only1 = sorted(set(files1) - set(files0))
     ppath = _partials_path(view_path)
     if not only0 and not only1:
         _write_meta(view_path, {**meta, "base_version": v1})
-        return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
+        return None
     P = read_version(spark, ppath)
-    drop = _in_filter("_file", only0) if only0 else None
+    drop_files = only0 + only1
+    drop = _in_filter("_file", drop_files) if drop_files else None
     survivors = P.where(~drop) if drop is not None else P
     src_new = _scan_files(spark, table_path, only1) if only1 else None
     if src_new is not None and meta.get("where"):
         src_new = src_new.where(F.expr(meta["where"]))
-    parts_new = (
-        _partial_agg(src_new, group, value) if src_new is not None else None
-    )
+    parts_new = partial_fn(src_new) if src_new is not None else None
+    if parts_new is not None:
+        # pin parts_new: the only1 scan+aggregate feeds the _file guard,
+        # the touched probe AND the sidecar write — one evaluation
+        parts_new = parts_new.persist()
+        # loud key-space guard: every decoded _file must be a manifest
+        # path, else a future refresh could not invalidate these partials
+        # (bounded collect — ≤ |only1| values by construction)
+        seen = {r["_file"] for r in parts_new.select("_file").distinct().collect()}
+        stray = sorted(seen - set(only1))
+        if stray:
+            parts_new.unpersist()
+            raise RuntimeError(
+                "partials sidecar key mismatch: input_file_name() "
+                f"normalized to {stray[:3]} which is not in the manifest's "
+                "file set — refusing to merge partials that a later refresh "
+                "could not invalidate"
+            )
     p2 = (
         survivors.unionByName(parts_new) if parts_new is not None else survivors
     )
@@ -306,14 +364,32 @@ def _refresh_minmax(
     )
     touched = [t for t in touched if t is not None]
     touched_df = touched[0] if len(touched) == 1 else touched[0].unionByName(touched[1])
-    touched_df = touched_df.distinct().persist()
-    # the sidecar rewrite is ALSO the materialization barrier: parts_new
-    # (a scan of only1) and the touched probe evaluate once each
     from .bloom import _collect_keys_capped
 
-    probe = _collect_keys_capped(touched_df, group, cap=10_000)
+    probe = _collect_keys_capped(touched_df.distinct(), group, cap=10_000)
     write_version(p2, ppath, key=group)
-    p2r = read_version(spark, ppath)
+    if parts_new is not None:
+        parts_new.unpersist()
+    return {"v1": v1, "probe": probe}
+
+
+def _refresh_minmax(
+    spark: SparkSession, table_path: str, view_path: str, meta: dict
+) -> dict:
+    """MIN/MAX refresh via the per-(file, group) partials sidecar — the
+    ``_sidecar_advance`` skeleton plus the sum/count/min/max merge:
+    touched groups re-merge per-group over the surviving partials, never
+    rescanning the base beyond the DML's own files."""
+    group, value = meta["group"], meta["value"]
+    adv = _sidecar_advance(
+        spark, table_path, view_path, meta,
+        lambda rows: _partial_agg(rows, group, value),
+    )
+    if adv is None:
+        v1 = current_version(table_path)
+        return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
+    v1, probe = adv["v1"], adv["probe"]
+    p2r = read_version(spark, _partials_path(view_path))
     old_view = read_version(spark, view_path)
     if probe is not None:
         nonnull = [g for g in probe if g is not None]
@@ -328,7 +404,6 @@ def _refresh_minmax(
             cond = nc if cond is None else (cond | nc)
         if cond is None:
             _write_meta(view_path, {**meta, "base_version": v1})
-            touched_df.unpersist()
             return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
         live_rows = _final_from_partials(p2r.where(cond), group).collect()
         live_set = {r[group] for r in live_rows}
@@ -376,7 +451,6 @@ def _refresh_minmax(
         )
         write_version(new_view, view_path, key=group)
         new_view.unpersist()
-    touched_df.unpersist()
     _write_meta(view_path, {**meta, "base_version": v1})
     return {
         "base_version": v1,
@@ -396,12 +470,14 @@ def refresh_matview(
 
     ``key`` is the base table's row key. ``changed_keys`` (a one-column
     DataFrame of keys, or a plain python list when the writer holds the
-    batch's keys driver-side already — the list form skips the probe job
-    on top of the changefeed diff) lets a writer that already knows its
-    update batch skip the diff; when omitted the diff runs between the
-    recorded and current base versions. Returns {"base_version": v,
-    "groups_upserted": n, "groups_deleted": n} — a no-op refresh returns
-    zeros.
+    batch's keys driver-side already — the list form skips the probe
+    job too) lets a writer that already knows its update batch skip the
+    candidate scan; when omitted, candidate keys come from a scan of
+    ONLY the manifests' symmetric-difference files (changed keys cannot
+    live anywhere else — see the module docstring), so the default path
+    is O(files the DML rewrote) like every other. Returns
+    {"base_version": v, "groups_upserted": n, "groups_deleted": n} — a
+    no-op refresh returns zeros.
     """
     meta = _read_meta(view_path)
     group, value = meta["group"], meta["value"]
@@ -423,6 +499,17 @@ def refresh_matview(
         # partial-aggregate path: FILE-driven (the symmetric difference
         # IS the change set) — changed_keys is not needed and not used
         return _refresh_minmax(spark, table_path, view_path, meta)
+    # data files are immutable, so any file PRESENT IN BOTH manifests
+    # holds identical rows on both sides of the ±delta — its
+    # contributions net to exactly zero. The delta therefore scans only
+    # the manifests' SYMMETRIC DIFFERENCE (the files the DML actually
+    # rewrote), with footer key-range pruning applied on top: a refresh
+    # reads O(files touched by the DML), not O(files in the key range) —
+    # and a scattered update that defeats range pruning still only costs
+    # the files its own upsert rewrote.
+    files0, files1 = _base_files(table_path, view_path, v0, v1)
+    only0 = sorted(set(files0) - set(files1))
+    only1 = sorted(set(files1) - set(files0))
     if isinstance(changed_keys, list):
         # writer-held key list: the probe IS the list — zero jobs here
         probe = sorted(set(changed_keys), key=lambda k: (k is None, k))
@@ -435,7 +522,25 @@ def refresh_matview(
             )
     else:
         if changed_keys is None:
-            changed_keys = changefeed(spark, table_path, v0, v1, key).select(key)
+            # keys-unknown default: changed keys can only live in the
+            # symmetric-difference files (the same immutability argument
+            # the ±delta itself rests on — a key whose row sits in a
+            # SHARED file is byte-identical on both sides and one-row-
+            # per-key means it holds no other row). Scanning just those
+            # files for candidate keys replaces changefeed's
+            # two-full-snapshot diff: O(files the DML rewrote), not
+            # O(table). The over-approximation (a compaction carries
+            # unchanged keys into new files) is harmless — those keys'
+            # ±delta nets to exactly zero; it only inflates the probe.
+            diff = only0 + only1
+            if not diff:
+                _write_meta(view_path, {**meta, "base_version": v1})
+                return {
+                    "base_version": v1,
+                    "groups_upserted": 0,
+                    "groups_deleted": 0,
+                }
+            changed_keys = _scan_files(spark, table_path, diff).select(key)
         changed_keys_df = changed_keys
         # bounded metadata: ONE capped distinct-keys job (CollectLimit
         # forced to a single wave — the default incremental
@@ -489,19 +594,6 @@ def refresh_matview(
                 return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
             lo, hi = rng["lo"], rng["hi"]
         persisted_chg = chg.persist()
-
-    # data files are immutable, so any file PRESENT IN BOTH manifests
-    # holds identical rows on both sides of the ±delta — its
-    # contributions net to exactly zero. The delta therefore scans only
-    # the manifests' SYMMETRIC DIFFERENCE (the files the DML actually
-    # rewrote), with footer key-range pruning applied on top: a refresh
-    # reads O(files touched by the DML), not O(files in the key range) —
-    # and a scattered update that defeats range pruning still only costs
-    # the files its own upsert rewrote.
-    files0 = _load_manifest(table_path, v0)["files"]
-    files1 = _load_manifest(table_path, v1)["files"]
-    only0 = sorted(set(files0) - set(files1))
-    only1 = sorted(set(files1) - set(files0))
 
     def signed_rows(files: list[str], sign: int) -> DataFrame | None:
         ranges = _key_ranges(files, key)
@@ -660,6 +752,15 @@ def refresh_matview(
             # must classify correctly; EqualNullSafe stays an equi-join
             # key for Catalyst), persisted ONCE for the count + DML pair.
             view = read_version(spark, view_path)
+            # cast back to the view's EXISTING physical types: the
+            # coalesce(0.0) arithmetic widens an integer-valued agg_sum
+            # to double, and an upsert that rewrites only touched files
+            # would then mix physical types within one manifest (and
+            # record the widened type in _schema.json, breaking the
+            # explicit-schema scan of carried files). Exact: a long view
+            # means long inputs, whose sums are integral.
+            sum_t = view.schema["agg_sum"].dataType
+            cnt_t = view.schema["agg_count"].dataType
             d, w = delta.alias("d"), view.alias("w")
             touched = (
                 d.join(
@@ -672,11 +773,11 @@ def refresh_matview(
                     (
                         F.coalesce("w.agg_sum", F.lit(0.0))
                         + F.coalesce("d.d_sum", F.lit(0.0))
-                    ).alias("agg_sum"),
+                    ).cast(sum_t).alias("agg_sum"),
                     (
                         F.coalesce("w.agg_count", F.lit(0))
                         + F.coalesce("d.d_count", F.lit(0))
-                    ).alias("agg_count"),
+                    ).cast(cnt_t).alias("agg_count"),
                 )
                 .persist()
             )
@@ -712,6 +813,28 @@ def refresh_matview(
     }
 
 
+def _hll_partial_agg(rows: DataFrame, group: str, value: str, b: int) -> DataFrame:
+    """Per-(source file, group) HLL register partials — the mergeable
+    unit the delete-capable distinct-matview path maintains. Same
+    immutability contract as ``_partial_agg``: a file's register rows
+    never change, so DML invalidates exactly the rewritten files'
+    partials."""
+    from ..operators.sketches import hll_sketch
+
+    return hll_sketch(
+        rows.select(_file_col(), F.col(group), F.col(value)),
+        value=value,
+        b=b,
+        by=["_file", group],
+    )
+
+
+def _regs_from_partials(partials: DataFrame, group: str) -> DataFrame:
+    # element-wise max over the surviving files' registers IS the HLL
+    # merge — one partial-aggregatable shuffle on (group, bucket)
+    return partials.groupBy(group, "bucket").agg(F.max("rho").alias("rho"))
+
+
 def create_distinct_matview(
     spark: SparkSession,
     table_path: str,
@@ -719,23 +842,44 @@ def create_distinct_matview(
     group: str,
     value: str,
     b: int = 8,
+    maintain: str = "registers",
 ) -> int:
     """Approximate COUNT(DISTINCT value) per group, materialized as HLL
     REGISTERS (operators/sketches.hll_sketch: (group, bucket, rho) rows,
     ≤ 2^b per group) — the Druid-style rollup: registers are MONOTONE
     mergeable state, so an append-only refresh reads ONLY the appended
-    files and element-wise-maxes their registers into the view. The
-    monotonicity is also the stated limit: a file REWRITE (update/delete)
-    can lower a true register and silently over-count, so
-    ``refresh_distinct_matview`` detects removed files and refuses (or
-    rebuilds, opt-in) instead of merging wrong state. Read the estimate
-    with ``read_distinct_matview``."""
+    files and element-wise-maxes their registers into the view.
+
+    ``maintain="registers"`` (default) stores only the merged view; the
+    monotonicity is then also the stated limit — a file REWRITE
+    (update/delete) can lower a true register and silently over-count,
+    so ``refresh_distinct_matview`` detects removed files and refuses
+    (or rebuilds, opt-in) instead of merging wrong state.
+
+    ``maintain="partials"`` additionally keeps a per-(file, group)
+    register sidecar (the ``_partial_agg`` pattern): DML — INCLUDING
+    deletes and updates — invalidates exactly the rewritten files'
+    partials, and a refresh re-merges touched groups from the surviving
+    sidecar rows, never rescanning the base beyond the DML's own files.
+    Stated cost: the sidecar holds Σ per-file distinct groups × ≤2^b
+    rows and is rewritten once per refresh (O(|partials|)); storage and
+    rewrite are 2^b× the MIN/MAX sidecar's — choose b accordingly.
+
+    Read the estimate with ``read_distinct_matview`` either way."""
     from ..operators.sketches import hll_sketch
 
+    if maintain not in ("registers", "partials"):
+        raise ValueError("maintain must be 'registers' or 'partials'")
     base_v = current_version(table_path)
-    regs = hll_sketch(
-        read_version(spark, table_path, base_v), value=value, b=b, by=[group]
-    )
+    base = read_version(spark, table_path, base_v)
+    if maintain == "partials":
+        partials = _hll_partial_agg(base, group, value, b)
+        write_version(partials, _partials_path(view_path), key=group)
+        regs = _regs_from_partials(
+            read_version(spark, _partials_path(view_path)), group
+        )
+    else:
+        regs = hll_sketch(base, value=value, b=b, by=[group])
     view_v = write_version(regs, view_path, key=group)
     _write_meta(
         view_path,
@@ -745,6 +889,7 @@ def create_distinct_matview(
             "value": value,
             "kind": "hll_distinct",
             "b": b,
+            "maintain": maintain,
         },
     )
     return view_v
@@ -761,20 +906,97 @@ def read_distinct_matview(spark: SparkSession, view_path: str) -> DataFrame:
     return hll_estimate(regs, b=meta["b"], by=[meta["group"]])
 
 
+def _refresh_distinct_partials(
+    spark: SparkSession, table_path: str, view_path: str, meta: dict
+) -> dict:
+    """Delete-capable distinct refresh via the per-(file, group) register
+    sidecar: ``_sidecar_advance`` drops the rewritten files' partials and
+    recomputes only1's, then touched groups re-merge (max per (group,
+    bucket)) from the surviving partials — register-identical to a
+    from-scratch sketch of the current snapshot, without rescanning the
+    base beyond the DML's own files."""
+    group, value, b = meta["group"], meta["value"], meta["b"]
+    adv = _sidecar_advance(
+        spark, table_path, view_path, meta,
+        lambda rows: _hll_partial_agg(rows, group, value, b),
+    )
+    if adv is None:
+        v1 = current_version(table_path)
+        return {
+            "base_version": v1, "groups_upserted": 0,
+            "groups_deleted": 0, "rebuilt": False,
+        }
+    v1, probe = adv["v1"], adv["probe"]
+    p2r = read_version(spark, _partials_path(view_path))
+    old_view = read_version(spark, view_path)
+    if probe is not None:
+        nonnull = [g for g in probe if g is not None]
+        has_null = len(nonnull) < len(probe)
+        cond = None
+        if nonnull:
+            cond = _in_filter(group, nonnull)
+            if cond is None:
+                cond = F.col(group).isin(nonnull)
+        if has_null:
+            nc = F.col(group).isNull()
+            cond = nc if cond is None else (cond | nc)
+        if cond is None:
+            _write_meta(view_path, {**meta, "base_version": v1})
+            return {
+                "base_version": v1, "groups_upserted": 0,
+                "groups_deleted": 0, "rebuilt": False,
+            }
+        # registers stay distributed (≤2^b rows per group is too wide to
+        # collect at 10k groups); pinned for the live-group probe + write
+        merged = _regs_from_partials(p2r.where(cond), group).persist()
+        live = {r[group] for r in merged.select(group).distinct().collect()}
+        n_up, n_dead = len(live), len(set(probe) - live)
+        if n_up or n_dead:
+            _apply_groups(
+                spark, view_path, merged, group, list(probe),
+                n_files=max(1, -(-n_up * (2 ** b) // 1_000_000)),
+            )
+        merged.unpersist()
+    else:
+        # unbounded touched set: rebuild the view wholesale from the new
+        # sidecar (still never rescans the base) and count the diff
+        new_view = _regs_from_partials(p2r, group).persist()
+        n_up = new_view.select(group).distinct().count()
+        n_dead = (
+            old_view.select(group).distinct()
+            .join(new_view.select(group).distinct(), on=group, how="left_anti")
+            .count()
+        )
+        write_version(new_view, view_path, key=group)
+        new_view.unpersist()
+    _write_meta(view_path, {**meta, "base_version": v1})
+    return {
+        "base_version": v1,
+        "groups_upserted": int(n_up),
+        "groups_deleted": int(n_dead),
+        "rebuilt": False,
+    }
+
+
 def refresh_distinct_matview(
     spark: SparkSession,
     table_path: str,
     view_path: str,
     on_mutation: str = "error",
 ) -> dict:
-    """Advance the register view over APPEND-ONLY DML: scan only the
-    files the manifests' symmetric difference ADDED, sketch them, and
-    merge (element-wise max) into the touched groups' registers as one
-    atomic snapshot. Removed files mean a rewrite happened somewhere —
-    registers are monotone and cannot un-see rows — so the refresh
-    refuses (``on_mutation="error"``) or recomputes from the current
-    snapshot (``on_mutation="rebuild"``, one full pass, stated).
-    Returns {"base_version", "groups_upserted", "rebuilt"}."""
+    """Advance the register view. ``maintain="partials"`` views route to
+    the sidecar path (``_refresh_distinct_partials``) — ANY DML,
+    including deletes, costs O(symmetric-diff scan + |partials| sidecar
+    rewrite); ``on_mutation`` is ignored there.
+
+    ``maintain="registers"`` views advance over APPEND-ONLY DML: scan
+    only the files the manifests' symmetric difference ADDED, sketch
+    them, and merge (element-wise max) into the touched groups'
+    registers as one atomic snapshot. Removed files mean a rewrite
+    happened somewhere — registers are monotone and cannot un-see rows —
+    so the refresh refuses (``on_mutation="error"``) or recomputes from
+    the current snapshot (``on_mutation="rebuild"``, one full pass,
+    stated). Returns {"base_version", "groups_upserted", "rebuilt"}."""
     from ..operators.sketches import hll_merge, hll_sketch
 
     if on_mutation not in ("error", "rebuild"):
@@ -791,8 +1013,9 @@ def refresh_distinct_matview(
             f"view at {view_path} reflects base version {v0} but the table "
             f"is at {v1} — the base table went backwards; rebuild"
         )
-    files0 = _load_manifest(table_path, v0)["files"]
-    files1 = _load_manifest(table_path, v1)["files"]
+    if meta.get("maintain") == "partials":
+        return _refresh_distinct_partials(spark, table_path, view_path, meta)
+    files0, files1 = _base_files(table_path, view_path, v0, v1)
     only0 = sorted(set(files0) - set(files1))
     only1 = sorted(set(files1) - set(files0))
     if only0:

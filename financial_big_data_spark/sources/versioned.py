@@ -172,16 +172,39 @@ def table_schema(path: str):
         return None
 
 
+def _footer_schema_matches(file: str, sch) -> bool:
+    """True iff the footer's arrow schema maps to EXACTLY the recorded
+    Spark field names and types (nullability ignored — it cannot break
+    the scan). Names alone are not enough: a manifest that somehow mixed
+    physical types (e.g. a long column later rewritten as double in only
+    some files) would feed the vectorized reader an explicit schema the
+    carried files cannot satisfy — type mismatch falls back to inference,
+    which resolves the conflict or fails with the real error."""
+    import pyarrow.parquet as pq
+
+    try:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        conv = from_arrow_schema(pq.ParquetFile(file).schema_arrow)
+    except Exception:  # noqa: BLE001 - unconvertible arrow type: inference decides
+        return False
+    return [(f.name, f.dataType) for f in conv.fields] == [
+        (f.name, f.dataType) for f in sch.fields
+    ]
+
+
 def _scan_files(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
     """Manifest-scoped scan with the recorded schema when it still
-    matches the files' column set (schema evolution or a foreign file
-    falls back to inference — the sidecar is an accelerator, never an
-    authority over the footers)."""
+    matches the first file's column NAMES AND TYPES (schema evolution or
+    a foreign file falls back to inference — the sidecar is an
+    accelerator, never an authority over the footers). One footer is the
+    deliberate sample: manifests are type-homogeneous by construction
+    (full-snapshot writes rewrite every file; the matview refresh casts
+    its delta to the view's existing types before a partial rewrite), so
+    the check guards against a sidecar gone stale, not per-file drift."""
     sch = table_schema(path)
-    if sch is not None and files:
-        cols = _footer_columns(files[:1])
-        if cols == sch.names:
-            return spark.read.schema(sch).parquet(*files)
+    if sch is not None and files and _footer_schema_matches(files[0], sch):
+        return spark.read.schema(sch).parquet(*files)
     return spark.read.parquet(*files)
 
 
@@ -478,18 +501,72 @@ def upsert_version(
     return v
 
 
+def append_version(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    key: str,
+    n_files: int = 1,
+) -> int:
+    """PURE-APPEND commit: write the batch's files and extend the CURRENT
+    manifest by reference — no footer scan, no Bloom probes, no file
+    rewrite, ever. This is the append-LOG commit for ingest streams:
+    unlike ``upsert_version``, a batch whose key range overlaps existing
+    files (non-monotone keys) or whose Bloom probe false-positives can
+    never trigger a rewrite, so downstream monotone consumers (HLL
+    register matviews) always see strictly-appended files. The caller
+    owns the one-row-per-key invariant — appending an existing key
+    creates a DUPLICATE row (use ``upsert_version`` for merge
+    semantics). ``n_files`` defaults to 1: micro-batches are bounded;
+    raise it for bulk appends. Returns the new version."""
+    m = _load_manifest(path, None)
+    files = _write_batch(batch, path, key, n_files)
+    v = m["version"] + 1
+    _commit(path, m["files"] + files, v)
+    return v
+
+
 def changefeed(
     spark: SparkSession,
     path: str,
     from_version: int,
     to_version: int,
     key: str,
+    scope: str = "full",
 ) -> DataFrame:
     """CDC between two snapshots: (key, change_type ∈ insert/update/
     delete) via one keyed full-outer join comparing the full row (md5 of
-    the canonical struct rendering — any non-key column change counts)."""
-    old = read_version(spark, path, from_version)
-    new = read_version(spark, path, to_version)
+    the canonical struct rendering — any non-key column change counts).
+
+    ``scope="touched-files"`` diffs only the manifests' SYMMETRIC
+    DIFFERENCE instead of both full snapshots — O(files the DML rewrote),
+    not O(table). EXACT for keyed snapshots (the one-row-per-key
+    invariant the DML paths maintain): a key whose row lives in a shared
+    file is byte-identical on both sides (files are immutable), so it is
+    never a change; and it cannot ALSO hold a row in a rewritten file
+    without violating one-row-per-key — so every change is visible in
+    the diff scan, and every key visible only in a carried-along
+    compaction rewrite fingerprints equal and filters out. A table
+    holding multiple rows per key breaks that argument — use "full"."""
+    if scope not in ("full", "touched-files"):
+        raise ValueError("scope must be 'full' or 'touched-files'")
+    if scope == "touched-files":
+        f0 = set(_load_manifest(path, from_version)["files"])
+        f1 = set(_load_manifest(path, to_version)["files"])
+        only0, only1 = sorted(f0 - f1), sorted(f1 - f0)
+        old = (
+            _scan_files(spark, path, only0)
+            if only0
+            else read_version(spark, path, from_version).where(F.lit(False))
+        )
+        new = (
+            _scan_files(spark, path, only1)
+            if only1
+            else read_version(spark, path, to_version).where(F.lit(False))
+        )
+    else:
+        old = read_version(spark, path, from_version)
+        new = read_version(spark, path, to_version)
     cols = [c for c in old.columns if c != key]
 
     def fp(df):

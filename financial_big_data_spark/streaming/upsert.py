@@ -200,26 +200,30 @@ def streaming_append_with_distinct_matview(
     HLL registers (monotone state, so per-batch maintenance scans the
     batch, never the table).
 
-    Contract: the stream must carry brand-new keys (an append log).
-    A batch whose keys collide with existing data rewrites files, and
-    ``refresh_distinct_matview`` then fails LOUDLY (monotone registers
-    cannot subtract rows) instead of silently over-counting — the
-    violation surfaces as a stream error, not bad data. Crash between
+    Each batch commits through ``append_version`` — the pure-append
+    manifest extension that can NEVER rewrite a file — so non-monotone
+    (but still new) keys, and even Bloom false positives, cannot trip
+    ``refresh_distinct_matview``'s non-append-DML error: the sink's
+    commit path structurally produces only appended files. The table is
+    an append LOG: the producer owns key uniqueness (a replayed or
+    duplicate key appends a duplicate ROW — the HLL registers are
+    unaffected, sketching is idempotent on values, but keyed merge
+    consumers should read through ``latest_per_key``). Crash between
     the table commit and the view refresh: the next batch's refresh
-    merges the symmetric difference of BOTH commits (append-only means
+    merges the symmetric difference of BOTH commits (pure appends mean
     it is still exactly the appended files) — replay converges."""
     from ..sources.matview import (
         create_distinct_matview,
         refresh_distinct_matview,
     )
-    from ..sources.versioned import upsert_version, write_version
+    from ..sources.versioned import append_version, write_version
 
     def _ingest(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
         try:
-            upsert_version(spark, path, batch, key=key, dedupe_updates=False)
+            append_version(spark, path, batch, key=key)
         except FileNotFoundError:
             write_version(batch, path, key=key)
             create_distinct_matview(

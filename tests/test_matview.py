@@ -516,3 +516,252 @@ def test_distinct_matview_unbounded_touched_groups(spark, paths):
         for r in hll_sketch(read_version(spark, base), value="u", b=4, by=["g"]).collect()
     }
     assert got == want
+
+
+def test_minmax_refresh_replay_idempotent(spark, paths, monkeypatch):
+    """ADVICE r8 (medium): a crash AFTER the partials-sidecar commit but
+    BEFORE the view/meta update must leave a state the re-run converges
+    from — the sidecar already holds the new files' partials, so the
+    replayed merge has to drop-then-readd them, never union a second copy
+    (which double-counted agg_sum/agg_count)."""
+    import financial_big_data_spark.sources.matview as mv
+
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=4)
+    create_matview(
+        spark, base, view, group="g", value="v", aggs=("sum", "count", "min", "max")
+    )
+    delete_version(spark, base, spark.range(190, 200).select("id"), key="id")
+    # crash window: sidecar committed, view not yet touched
+    real_apply = mv._apply_groups
+    calls = {"n": 0}
+
+    def crash_once(*args, **kwargs):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected crash after sidecar commit")
+        return real_apply(*args, **kwargs)
+
+    monkeypatch.setattr(mv, "_apply_groups", crash_once)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        refresh_matview(spark, base, view, key="id")
+    # replay: same refresh again — must converge, not double-count
+    stats = refresh_matview(spark, base, view, key="id")
+    assert stats["groups_upserted"] > 0
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+
+
+def test_minmax_matview_under_uri_encoded_paths(spark):
+    """ADVICE r8: input_file_name() percent-encodes spaces/%/+ that
+    manifest paths store raw; the partials' _file key must decode back to
+    the manifest's byte-exact path or stale partials silently survive the
+    only0 drop filter (the refresh now also fails loudly on any residual
+    mismatch rather than merging uninvalidatable partials)."""
+    d = tempfile.mkdtemp(prefix="mat view+%enc_")
+    try:
+        base, view = os.path.join(d, "base"), os.path.join(d, "view")
+        write_version(_base(spark), base, key="id", n_files=4)
+        create_matview(
+            spark, base, view, group="g", value="v",
+            aggs=("sum", "count", "min", "max"),
+        )
+        assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+        # delete each group's max rows → forces the sidecar re-merge path
+        delete_version(spark, base, spark.range(185, 200).select("id"), key="id")
+        refresh_matview(spark, base, view, key="id")
+        assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_keys_unknown_refresh_scans_only_rewritten_base_files(spark, paths, monkeypatch):
+    """The keys-unknown default path must be file-scoped: candidate keys
+    come from the manifests' symmetric difference, so NO base file shared
+    by both snapshots is ever scanned — the refresh is O(files the DML
+    rewrote) even when the writer cannot name its keys."""
+    import financial_big_data_spark.sources.matview as mv
+    from financial_big_data_spark.sources.versioned import _load_manifest
+
+    base, view = paths
+    write_version(_base(spark, 400), base, key="id", n_files=8)
+    create_matview(spark, base, view, group="g", value="v")
+    updates = spark.range(100, 120).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), (F.col("id") * 4.0).alias("v")
+    )
+    upsert_version(spark, base, updates, key="id", dedupe_updates=False)
+    delete_version(spark, base, spark.range(0, 5).select("id"), key="id")
+    f_old = set(_load_manifest(base, 1)["files"])
+    f_new = set(_load_manifest(base, None)["files"])
+    diff = f_old ^ f_new
+    assert f_old & f_new, "test needs shared files for the assertion to bite"
+    seen: list[str] = []
+    real_scan = mv._scan_files
+
+    def recording_scan(spark_, path, files):
+        if path == base:
+            seen.extend(files)
+        return real_scan(spark_, path, files)
+
+    monkeypatch.setattr(mv, "_scan_files", recording_scan)
+    refresh_matview(spark, base, view, key="id")  # changed_keys omitted
+    assert seen and set(seen) <= diff
+    assert _view_rows(spark, view) == _recompute(spark, base)
+
+
+def test_vacuum_past_view_base_raises_named_error(spark, paths):
+    """vacuum() can retire the manifest a view's base_version points at;
+    the refresh must then name the view and the rebuild remedy instead of
+    dying in _load_manifest with a raw FileNotFoundError."""
+    from financial_big_data_spark.sources.versioned import vacuum
+
+    base, view = paths
+    write_version(_base(spark), base, key="id")
+    create_matview(spark, base, view, group="g", value="v")
+    for lo in (300, 400):
+        upsert_version(
+            spark,
+            base,
+            spark.range(lo, lo + 10).select(
+                F.col("id"), (F.col("id") % 7).alias("g"), F.lit(1.0).alias("v")
+            ),
+            key="id",
+            dedupe_updates=False,
+        )
+    vacuum(base, keep_last=1)  # drops v1 — the view's recorded snapshot
+    with pytest.raises(ValueError, match="vacuumed|rebuild with create_matview"):
+        refresh_matview(spark, base, view, key="id")
+
+
+def test_unbounded_refresh_preserves_view_physical_types(spark, paths):
+    """ADVICE r8: an integer-valued view refreshed through the unbounded
+    (>10k touched groups) path must NOT widen agg_sum to double for only
+    the rewritten files — one manifest, one physical type per column."""
+    base, view = paths
+    df = spark.range(24_000).select(
+        F.col("id"), F.col("id").alias("g"), (F.col("id") % 10).alias("v")
+    )
+    write_version(df, base, key="id", n_files=4)
+    create_matview(spark, base, view, group="g", value="v")
+    from pyspark.sql.types import LongType
+
+    assert read_matview(spark, view).schema["agg_sum"].dataType == LongType()
+    updates = spark.range(12_000).select(
+        F.col("id"), F.col("id").alias("g"), ((F.col("id") % 10) + 3).alias("v")
+    )
+    upsert_version(spark, base, updates, key="id", dedupe_updates=False)
+    refresh_matview(spark, base, view, key="id", changed_keys=updates.select("id"))
+    got = read_matview(spark, view)
+    assert got.schema["agg_sum"].dataType == LongType()
+    want = {
+        (r.g, r.s, r.c)
+        for r in read_version(spark, base)
+        .groupBy("g")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert {(r.g, r.agg_sum, r.agg_count) for r in got.collect()} == want
+
+
+def _from_scratch_regs(spark, base, b):
+    from financial_big_data_spark.operators.sketches import hll_sketch
+
+    return {
+        (r.g, r.bucket, r.rho)
+        for r in hll_sketch(
+            read_version(spark, base), value="u", b=b, by=["g"]
+        ).collect()
+    }
+
+
+def test_distinct_matview_partials_survives_deletes(spark, paths):
+    """maintain='partials': the per-(file, group) register sidecar makes
+    delete-bearing DML refreshable — touched groups re-merge from the
+    surviving partials and must land register-identical to a from-scratch
+    sketch of the current snapshot (the case monotone registers alone
+    must refuse)."""
+    from financial_big_data_spark.sources.matview import (
+        create_distinct_matview,
+        refresh_distinct_matview,
+    )
+
+    base, view = paths
+
+    def rows(n0, n1):
+        return spark.range(n0, n1).select(
+            F.col("id"),
+            (F.col("id") % 5).alias("g"),
+            (F.col("id") % 37).cast("string").alias("u"),
+        )
+
+    write_version(rows(0, 300), base, key="id", n_files=4)
+    create_distinct_matview(
+        spark, base, view, group="g", value="u", b=6, maintain="partials"
+    )
+    got = {(r.g, r.bucket, r.rho) for r in read_version(spark, view).collect()}
+    assert got == _from_scratch_regs(spark, base, 6)
+    # DELETE rewrites files — the partials path absorbs it
+    delete_version(spark, base, spark.range(0, 300, 3).select("id"), key="id")
+    stats = refresh_distinct_matview(spark, base, view)
+    assert stats["rebuilt"] is False and stats["groups_upserted"] > 0
+    got = {(r.g, r.bucket, r.rho) for r in read_version(spark, view).collect()}
+    assert got == _from_scratch_regs(spark, base, 6)
+    # UPDATE (changed values) + APPEND in one schedule
+    updates = spark.range(1, 50, 2).select(
+        F.col("id"), (F.col("id") % 5).alias("g"),
+        ((F.col("id") % 37) + 100).cast("string").alias("u"),
+    ).unionByName(rows(300, 400))
+    upsert_version(spark, base, updates, key="id", dedupe_updates=False)
+    refresh_distinct_matview(spark, base, view)
+    got = {(r.g, r.bucket, r.rho) for r in read_version(spark, view).collect()}
+    assert got == _from_scratch_regs(spark, base, 6)
+    # no-op refresh
+    assert refresh_distinct_matview(spark, base, view)["groups_upserted"] == 0
+
+
+def test_distinct_matview_partials_group_wipe(spark, paths):
+    from financial_big_data_spark.sources.matview import (
+        create_distinct_matview,
+        refresh_distinct_matview,
+    )
+
+    base, view = paths
+    df = spark.range(60).select(
+        F.col("id"), (F.col("id") % 2).alias("g"),
+        (F.col("id") % 9).cast("string").alias("u"),
+    )
+    write_version(df, base, key="id")
+    create_distinct_matview(
+        spark, base, view, group="g", value="u", b=5, maintain="partials"
+    )
+    delete_version(spark, base, spark.range(0, 60, 2).select("id"), key="id")
+    stats = refresh_distinct_matview(spark, base, view)
+    assert stats["groups_deleted"] == 1
+    got_groups = {r.g for r in read_version(spark, view).collect()}
+    assert got_groups == {1}
+    got = {(r.g, r.bucket, r.rho) for r in read_version(spark, view).collect()}
+    assert got == _from_scratch_regs(spark, base, 5)
+
+
+def test_distinct_matview_partials_unbounded_touched_groups(spark, paths):
+    """>10k touched groups exceeds the probe cap: the partials path takes
+    the rebuild-from-sidecar fallback — still never rescans the base —
+    and stays register-identical under a delete-bearing schedule."""
+    from financial_big_data_spark.sources.matview import (
+        create_distinct_matview,
+        refresh_distinct_matview,
+    )
+
+    base, view = paths
+    df = spark.range(11_000).select(
+        F.col("id"), F.col("id").alias("g"),
+        (F.col("id") % 97).cast("string").alias("u"),
+    )
+    write_version(df, base, key="id", n_files=4)
+    create_distinct_matview(
+        spark, base, view, group="g", value="u", b=4, maintain="partials"
+    )
+    delete_version(spark, base, spark.range(0, 10_500).select("id"), key="id")
+    stats = refresh_distinct_matview(spark, base, view)
+    assert stats["groups_upserted"] == 500 and stats["groups_deleted"] == 10_500
+    got = {(r.g, r.bucket, r.rho) for r in read_version(spark, view).collect()}
+    assert got == _from_scratch_regs(spark, base, 4)

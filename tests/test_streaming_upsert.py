@@ -152,3 +152,55 @@ def test_streaming_append_keeps_distinct_matview_current(spark, tmp_path):
     }
     assert got == want
     assert read_version(spark, table).count() == 600
+
+
+def test_streaming_append_sink_tolerates_non_monotone_new_keys(spark, tmp_path):
+    """ADVICE r8: the sink commits through append_version, so a stream
+    honoring the brand-new-keys contract with NON-monotone keys (batch 2
+    interleaves below batch 1's range) must never rewrite a file — and
+    therefore never trip the refresh's non-append-DML error."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from financial_big_data_spark.operators.sketches import hll_sketch
+    from financial_big_data_spark.sources.versioned import (
+        _load_manifest,
+        read_version,
+    )
+    from financial_big_data_spark.streaming.upsert import (
+        streaming_append_with_distinct_matview,
+    )
+
+    d = str(tmp_path)
+    indir, table, view, ckpt = f"{d}/in", f"{d}/table", f"{d}/view", f"{d}/ckpt"
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 29).cast("string").alias("u"),
+    )
+    # batch 1: even ids; batch 2: odd ids — every batch-2 key lands INSIDE
+    # batch 1's footer key range (the case that rewrote files before)
+    for cond in (F.col("id") % 2 == 0, F.col("id") % 2 == 1):
+        df.where(cond).coalesce(1).write.mode("append").parquet(indir)
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(indir)
+    )
+    q = streaming_append_with_distinct_matview(
+        stream, table, key="id", checkpoint=ckpt,
+        view_path=view, group="g", value="u", b=6,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    # strictly-appended manifests: v1's files all survive into v2
+    f1 = set(_load_manifest(table, 1)["files"])
+    f2 = set(_load_manifest(table, 2)["files"])
+    assert f1 < f2
+    got = {(r.g, r.bucket, r.rho) for r in read_version(spark, view).collect()}
+    want = {
+        (r.g, r.bucket, r.rho)
+        for r in hll_sketch(read_version(spark, table), value="u", b=6, by=["g"]).collect()
+    }
+    assert got == want
+    assert read_version(spark, table).count() == 300

@@ -402,3 +402,62 @@ def test_pure_append_does_not_collapse_to_one_file(spark, vpath):
     new3 = [f for f in m3["files"] if f not in set(m2["files"])]
     assert len(new3) > 1
     assert read_version(spark, vpath).count() == 100 + 50 + 20_000
+
+
+def test_changefeed_touched_files_scope_matches_full(spark, vpath):
+    """scope='touched-files' diffs only the manifests' symmetric
+    difference and must classify EXACTLY like the full two-snapshot diff
+    under mixed insert/update/delete DML — including across a multi-file
+    layout where most files are shared between the snapshots."""
+    from financial_big_data_spark.sources.versioned import delete_version
+
+    write_version(_base(spark, 200), vpath, key="id", n_files=8)
+    updates = spark.createDataFrame(
+        [(3, 999.0, "patched3"), (300, 5.0, "new300"), (301, 6.0, "new301")],
+        "id long, v double, name string",
+    )
+    upsert_version(spark, vpath, updates, key="id")
+    delete_version(spark, vpath, spark.range(50, 55).select("id"), key="id")
+    v1 = current_version(vpath)
+
+    def feed(scope):
+        return {
+            (r.id, r.change_type)
+            for r in changefeed(spark, vpath, 1, v1, key="id", scope=scope).collect()
+        }
+
+    full, fast = feed("full"), feed("touched-files")
+    assert fast == full
+    assert {"insert", "update", "delete"} == {c for _, c in full}
+    with pytest.raises(ValueError, match="scope"):
+        changefeed(spark, vpath, 1, v1, key="id", scope="bogus")
+
+
+def test_scan_files_type_mismatch_falls_back_to_inference(spark, vpath):
+    """ADVICE r8: the recorded-schema scan must compare footer TYPES, not
+    just names — a sidecar recording double while a carried file holds
+    long must fall back to inference instead of feeding the vectorized
+    reader a schema the file cannot satisfy."""
+    import json
+
+    from financial_big_data_spark.sources.versioned import (
+        _load_manifest,
+        _schema_path,
+        _scan_files,
+    )
+
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") % 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    write_version(df, vpath, key="id")
+    # forge a stale sidecar: claim v is double while the files hold long
+    sch = json.load(open(_schema_path(vpath)))
+    for f in sch["fields"]:
+        if f["name"] == "v":
+            f["type"] = "double"
+    json.dump(sch, open(_schema_path(vpath), "w"))
+    files = _load_manifest(vpath, None)["files"]
+    got = _scan_files(spark, vpath, files)
+    assert got.schema["v"].dataType.typeName() == "long"  # inference won
+    assert got.count() == 50
