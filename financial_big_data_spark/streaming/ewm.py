@@ -20,9 +20,12 @@ task's memory — out of scope for batch, pointing at "chunked carry-over
   parity test, which asserts ``==`` on floats, not approx);
 - ordering contract: rows are sorted by event time WITHIN a micro-batch;
   across batches the source must deliver per-series in-order (file replay,
-  availableNow) — the same contract streaming/regime.py documents. Late
+  availableNow) — and the contract is ENFORCED (streaming/ordering.py): a
+  row older than the state's last processed event time raises naming the
+  series/timestamps, or is dropped under opt-in ``on_late="drop"``. Late
   rows would need event-time history buffering, which an O(1)-state
-  recurrence cannot express — out of scope, stated loudly;
+  recurrence cannot express — absorbing them is out of scope, stated
+  loudly AND checked;
 - optional ``state_ttl_ms`` evicts idle series (processing-time timeout),
   bounding total state under key churn.
 
@@ -43,6 +46,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .ordering import enforce_series_order, validate_on_late
 
 
 def _continue_ewm(series: pd.Series, span: int, prev: float | None) -> pd.Series:
@@ -71,6 +76,7 @@ def streaming_ewm_mean(
     out: str = "ewm",
     state_ttl_ms: int | None = None,
     order_tiebreak: list[str] | None = None,
+    on_late: str = "error",
 ) -> DataFrame:
     """Streaming ``ewm(span, adjust=False).mean()`` per series — the
     unbounded-series companion of ``functions.ewm.ewm_mean``; identical
@@ -80,11 +86,23 @@ def streaming_ewm_mean(
     timestamps within a series otherwise leave the recurrence order (and
     the carried last-state) at the mercy of Arrow chunk arrival order —
     pass a unique column (event id) whenever ties are possible. The sort
-    is stable (mergesort) either way, matching functions/ewm.py."""
+    is stable (mergesort) either way, matching functions/ewm.py.
+
+    The cross-batch in-order contract is ENFORCED, not just documented
+    (streaming/ordering.py): a row older than the state's last processed
+    event time raises naming the series and timestamps (``on_late=
+    "error"``) or is dropped (``on_late="drop"``) — never silently folded
+    into the recurrence, which would corrupt every later value."""
+    validate_on_late(on_late)
     cols = [f.name for f in stream.schema.fields]
     order = [time] + (order_tiebreak or [])
     out_schema = T.StructType(stream.schema.fields + [T.StructField(out, T.DoubleType())])
-    state_schema = T.StructType([T.StructField("last_ewm", T.DoubleType())])
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ewm", T.DoubleType()),
+            T.StructField("last_ts", T.TimestampType()),
+        ]
+    )
 
     def fn(
         key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -104,10 +122,13 @@ def streaming_ewm_mean(
             .sort_values(order, kind="mergesort")
             .reset_index(drop=True)
         )
-        prev = state.get[0] if state.exists else None
+        prev, last_ts = state.get if state.exists else (None, None)
+        pdf = enforce_series_order(pdf, time, last_ts, key[0], on_late)
+        if pdf.empty:
+            return
         y = _continue_ewm(pdf[value], span, prev)
         pdf[out] = y.to_numpy()
-        state.update((float(y.iloc[-1]),))
+        state.update((float(y.iloc[-1]), pdf[time].iloc[-1]))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
         yield pdf[cols + [out]]
@@ -135,11 +156,14 @@ def streaming_macd(
     signal: int = 9,
     state_ttl_ms: int | None = None,
     order_tiebreak: list[str] | None = None,
+    on_late: str = "error",
 ) -> DataFrame:
     """Streaming MACD(fast, slow, signal) — appends macd, macd_signal,
     macd_hist exactly as ``functions.ewm.macd`` does in batch, carrying
     three doubles of state per series across micro-batches. See
-    ``streaming_ewm_mean`` for the ``order_tiebreak`` contract."""
+    ``streaming_ewm_mean`` for the ``order_tiebreak`` and ``on_late``
+    (enforced in-order) contracts."""
+    validate_on_late(on_late)
     cols = [f.name for f in stream.schema.fields]
     order = [time] + (order_tiebreak or [])
     out_fields = [
@@ -153,6 +177,7 @@ def streaming_macd(
             T.StructField("ema_fast", T.DoubleType()),
             T.StructField("ema_slow", T.DoubleType()),
             T.StructField("ema_signal", T.DoubleType()),
+            T.StructField("last_ts", T.TimestampType()),
         ]
     )
 
@@ -171,7 +196,12 @@ def streaming_macd(
             .sort_values(order, kind="mergesort")
             .reset_index(drop=True)
         )
-        prev_f, prev_s, prev_sig = state.get if state.exists else (None, None, None)
+        prev_f, prev_s, prev_sig, last_ts = (
+            state.get if state.exists else (None, None, None, None)
+        )
+        pdf = enforce_series_order(pdf, time, last_ts, key[0], on_late)
+        if pdf.empty:
+            return
         ef = _continue_ewm(pdf[close], fast, prev_f)
         es = _continue_ewm(pdf[close], slow, prev_s)
         macd_line = ef - es
@@ -180,7 +210,12 @@ def streaming_macd(
         pdf["macd_signal"] = sig.to_numpy()
         pdf["macd_hist"] = (macd_line - sig).to_numpy()
         state.update(
-            (float(ef.iloc[-1]), float(es.iloc[-1]), float(sig.iloc[-1]))
+            (
+                float(ef.iloc[-1]),
+                float(es.iloc[-1]),
+                float(sig.iloc[-1]),
+                pdf[time].iloc[-1],
+            )
         )
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)

@@ -16,9 +16,12 @@ Design constraints Structured Streaming imposes (and how we meet them):
   each micro-batch labels its rows exactly as the batch operator would given
   the same prefix.
 - Late data: the stateless path uses an event-time watermark; the stateful
-  path assumes per-series in-order arrival within a group (exchange-
-  partitioned by series) and sorts each micro-batch — matching the batch
-  semantics for availableNow/file replays.
+  path requires per-series in-order arrival across micro-batches (sorted
+  within each batch) and ENFORCES it (streaming/ordering.py): a row older
+  than the state's last processed event time raises or — opt-in
+  ``on_late="drop"`` — is discarded, never silently folded into the
+  carried prefix. Matches the batch semantics for availableNow/file
+  replays, which satisfy the contract by construction.
 - State TTL: timeout is configurable; idle series are dropped after
   ``state_ttl_ms`` (processing-time) to bound total state.
 """
@@ -35,6 +38,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.regime import ShortTermThresholds
+from .ordering import enforce_series_order, validate_on_late
 
 
 def streaming_bar_stats(
@@ -103,14 +107,19 @@ def streaming_label_transitions(
     thresholds: ShortTermThresholds | None = None,
     state_ttl_ms: int = 24 * 3600 * 1000,
     order_tiebreak: list[str] | None = None,
+    on_late: str = "error",
 ) -> DataFrame:
     """Stateful path: per-series regime labels + transition flags on a stream.
 
     Emits one row per input bar: (series, ts, close, regime, prev_regime,
     is_transition). GroupState per series: the last ``2×window_size`` closes
     (warm-up prefix) + the last emitted regime — bounded regardless of
-    stream length.
+    stream length. The cross-batch in-order contract is ENFORCED
+    (streaming/ordering.py): a row older than the state's last processed
+    event time raises (``on_late="error"``) or is dropped
+    (``on_late="drop"``) instead of silently corrupting the close prefix.
     """
+    validate_on_late(on_late)
     t = thresholds or ShortTermThresholds()
     order = [time] + (order_tiebreak or [])
     out_schema = T.StructType(
@@ -127,6 +136,7 @@ def streaming_label_transitions(
         [
             T.StructField("closes", T.ArrayType(T.DoubleType())),
             T.StructField("last_regime", T.StringType()),
+            T.StructField("last_ts", T.TimestampType()),
         ]
     )
     keep = 2 * window_size
@@ -141,10 +151,10 @@ def streaming_label_transitions(
             state.remove()
             return iter([])
         if state.exists:
-            closes_prefix, last_regime = state.get
+            closes_prefix, last_regime, last_ts = state.get
             closes_prefix = list(closes_prefix)
         else:
-            closes_prefix, last_regime = [], None
+            closes_prefix, last_regime, last_ts = [], None, None
         # One group can arrive as MULTIPLE Arrow chunks (maxRecordsPerBatch)
         # in no guaranteed order; labeling per chunk while carrying the
         # prefix across chunks would process out-of-order closes.
@@ -155,6 +165,10 @@ def streaming_label_transitions(
             # not leave the labeling order (hence the carried close prefix)
             # to Arrow chunk arrival order
             pdf = pdf.sort_values(order, kind="mergesort")
+            pdf = enforce_series_order(pdf, time, last_ts, key[0], on_late)
+            if pdf.empty:
+                continue
+            last_ts = pdf[time].iloc[-1]
             full = pd.Series(closes_prefix + pdf[close].astype(float).tolist())
             labels = _label_rows(full, window_size, t).iloc[len(closes_prefix):]
             prev = [last_regime] + labels.tolist()[:-1]
@@ -173,7 +187,7 @@ def streaming_label_transitions(
             closes_prefix = (closes_prefix + pdf[close].astype(float).tolist())[-keep:]
             last_regime = labels.iloc[-1] if len(labels) else last_regime
             yield out
-        state.update((closes_prefix, last_regime))
+        state.update((closes_prefix, last_regime, last_ts))
         state.setTimeoutDuration(state_ttl_ms)
 
     return stream.groupBy(series).applyInPandasWithState(
@@ -192,6 +206,7 @@ def streaming_regime_transitions(
     regime: str = "regime",
     state_ttl_ms: int | None = None,
     order_tiebreak: list[str] | None = None,
+    on_late: str = "error",
 ) -> DataFrame:
     """W12 gaps-and-islands ACROSS micro-batch boundaries (VERDICT r7 #8):
     the streaming continuation of ``operators.transitions.regime_transitions``
@@ -212,7 +227,14 @@ def streaming_regime_transitions(
 
     Composition note: labeling and run-tracking are BOTH stateful; chain
     them across two streaming queries (label → sink → this) rather than
-    stacking two applyInPandasWithState operators in one query."""
+    stacking two applyInPandasWithState operators in one query.
+
+    The in-order contract is ENFORCED (streaming/ordering.py) against the
+    open run's end time — the last event the state absorbed: a late row
+    raises naming the series/timestamps (``on_late="error"``) or is
+    dropped (``on_late="drop"``) instead of silently extending a run it
+    precedes."""
+    validate_on_late(on_late)
     t_cols = [time] + (order_tiebreak or [])
     out_schema = T.StructType(
         [
@@ -255,6 +277,10 @@ def streaming_regime_transitions(
             cur_reg, cur_start, cur_end, cur_n = state.get
         else:
             cur_reg, cur_start, cur_end, cur_n = None, None, None, 0
+        # the open run's end IS the last event time the state absorbed
+        pdf = enforce_series_order(pdf, time, cur_end, key[0], on_late)
+        if pdf.empty:
+            return
         out = []
         skey = key[0]
         for ts_, reg in zip(pdf[time], pdf[regime]):

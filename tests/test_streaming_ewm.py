@@ -146,3 +146,81 @@ def test_streaming_ewm_multi_chunk_group(spark, ewm_stream):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+@pytest.fixture(scope="module")
+def ooo_stream(spark):
+    """Two micro-batches that VIOLATE the cross-batch order: batch 1 holds
+    the even minutes 0..58, batch 2 the odd minutes 1..59 — every batch-2
+    row except :59 is older than batch 1's last processed event."""
+    rows = [
+        ("AAA", dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         100.0 + ((i * 37) % 13) - (i % 5) * 0.7)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+    d = tempfile.mkdtemp(prefix="ewm_ooo_")
+    for j, cond in enumerate([F.minute("ts") % 2 == 0, F.minute("ts") % 2 == 1]):
+        df.where(cond).coalesce(1).write.mode("overwrite").parquet(f"{d}/f{j}")
+        _time.sleep(1.1)
+    yield df, d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_ewm_out_of_order_raises_named(spark, ooo_stream):
+    """VERDICT r8 #5: a late row must fail the batch LOUDLY, naming the
+    series and timestamps — never silently corrupt the recurrence."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    df, d = ooo_stream
+    schema = df.schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{d}/f*")
+    )
+    q = (
+        streaming_ewm_mean(stream, value="close", span=10)
+        .writeStream.format("memory")
+        .queryName("ewm_ooo_err")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="out-of-order"):
+        q.awaitTermination(180)
+    assert "AAA" in str(q.exception())
+
+
+def test_streaming_ewm_out_of_order_drop_processes_in_order_subset(spark, ooo_stream):
+    """on_late='drop': late rows are discarded and the survivors continue
+    the recurrence byte-identically to the batch operator on the kept
+    (in-order) subset."""
+    df, d = ooo_stream
+    schema = df.schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{d}/f*")
+    )
+    q = (
+        streaming_ewm_mean(stream, value="close", span=10, on_late="drop")
+        .writeStream.format("memory")
+        .queryName("ewm_ooo_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {(r.symbol, r.ts): r.ewm for r in spark.table("ewm_ooo_drop").collect()}
+    # kept subset: all even minutes (batch 1) + :59 (the only odd row not
+    # older than batch 1's last processed :58)
+    kept = df.where((F.minute("ts") % 2 == 0) | (F.minute("ts") == 59))
+    exp = {
+        (r.symbol, r.ts): r.ewm
+        for r in batch_ewm(kept, value="close", span=10).collect()
+    }
+    assert got == exp and len(got) == 31
+
+
+def test_on_late_validated_eagerly(spark, ooo_stream):
+    df, _ = ooo_stream
+    with pytest.raises(ValueError, match="on_late"):
+        streaming_ewm_mean(df, value="close", span=10, on_late="ignore")

@@ -80,3 +80,43 @@ def test_streaming_transitions_byte_match_batch(spark, labeled_stream):
     # at/after it) — the thing single-batch processing cannot produce
     cut = dt.datetime(2024, 3, 1, 0, 20)
     assert any(r[3] < cut <= r[4] for r in got)
+
+
+def test_streaming_transitions_out_of_order_raises_named(spark):
+    """VERDICT r8 #5: a batch-2 row older than the open run's end must
+    fail loudly (naming the series), never silently extend a run it
+    precedes."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    rows = [
+        ("AAA", dt.datetime(2024, 3, 2) + dt.timedelta(minutes=i),
+         REGIMES[(i // 7) % len(REGIMES)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, regime string")
+    d = tempfile.mkdtemp(prefix="trans_ooo_")
+    try:
+        # batch 1 = minutes 20-39, batch 2 = minutes 0-19 (entirely late)
+        for j, (lo, hi) in enumerate([(20, 40), (0, 20)]):
+            df.where((F.minute("ts") >= lo) & (F.minute("ts") < hi)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{d}/f{j}")
+            _time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/f*")
+        )
+        q = (
+            streaming_regime_transitions(stream)
+            .writeStream.format("memory")
+            .queryName("trans_ooo_err")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(StreamingQueryException, match="out-of-order"):
+            q.awaitTermination(180)
+        assert "AAA" in str(q.exception())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
