@@ -6303,6 +6303,71 @@ GROUP BY user_id
 """
 
 
+_INCREMENTAL_COMPOSITE_CACHE: dict = {}
+
+
+def q_ev_incremental_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE-KEY materialized view (VERDICT r8 #6): the view groups
+    on TWO columns — (user_id, event_type), the (symbol, day)-shaped
+    reporting key — passed as ``group=["user_id", "event_type"]``.
+    Internally the view carries a derived ``_gkey`` string
+    (to_json(struct(...)), injective and deterministic) that serves as
+    its versioned key for clustering/footer pruning/Bloom probes, so the
+    composite refresh costs exactly what the single-column path does.
+    Delete-bearing DML schedule: v1 = full events; v2 upserts every 10th
+    id with value*2; v3 deletes every 7th id (keys-unknown refresh). The
+    oracle recomputes the final two-column aggregate from scratch."""
+    import shutil
+    import tempfile
+
+    cached = _INCREMENTAL_COMPOSITE_CACHE.get(sf_dir)
+    if cached is not None:
+        return spark.createDataFrame(*cached)
+
+    from .sources.matview import create_matview, read_matview, refresh_matview
+    from .sources.versioned import delete_version, upsert_version, write_version
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="matview_comp_q_")
+    base, view = f"{d}/base", f"{d}/view"
+    write_version(ev, base, key="event_id", n_files=8)
+    create_matview(
+        spark, base, view, group=["user_id", "event_type"], value="value"
+    )
+    updates = ev.where(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id", "event_type",
+        (F.col("value") * 2).alias("value"),
+    )
+    upsert_version(spark, base, updates, key="event_id", dedupe_updates=False)
+    refresh_matview(
+        spark, base, view, key="event_id", changed_keys=updates.select("event_id")
+    )
+    dead = ev.where(F.col("event_id") % 7 == 0).select("event_id")
+    delete_version(spark, base, dead, key="event_id")
+    refresh_matview(spark, base, view, key="event_id")  # keys-unknown
+    out = read_matview(spark, view).select(
+        "user_id",
+        "event_type",
+        F.round("agg_sum", 2).alias("agg_sum"),
+        F.col("agg_count"),
+    )
+    rows = out.collect()
+    shutil.rmtree(d, ignore_errors=True)
+    _INCREMENTAL_COMPOSITE_CACHE[sf_dir] = (rows, out.schema)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_SQL_EV_INCREMENTAL_COMPOSITE = """
+SELECT user_id, event_type,
+       round(sum(CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END), 2)
+         AS agg_sum,
+       count(*)::BIGINT AS agg_count
+FROM events
+WHERE event_id % 7 <> 0
+GROUP BY user_id, event_type
+"""
+
+
 _INCREMENTAL_FILTERED_CACHE: dict = {}
 
 
@@ -6705,6 +6770,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # is hash-checked against a from-scratch SQL aggregate of the final
     # logical state (sources/matview.py; tests/test_matview.py)
     "ev_incremental_agg": (q_ev_incremental_agg, _SQL_EV_INCREMENTAL_AGG),
+    "ev_incremental_composite": (
+        q_ev_incremental_composite,
+        _SQL_EV_INCREMENTAL_COMPOSITE,
+    ),
     "ev_incremental_minmax": (q_ev_incremental_minmax, _SQL_EV_INCREMENTAL_MINMAX),
     "ev_incremental_filtered": (
         q_ev_incremental_filtered,

@@ -149,10 +149,42 @@ def _apply_groups(
     return v
 
 
-def _aggregate(rows: DataFrame, group: str, value: str) -> DataFrame:
-    return rows.groupBy(group).agg(
-        F.sum(F.col(value)).alias("agg_sum"),
-        F.count(F.lit(1)).alias("agg_count"),
+def _norm_groups(group) -> list[str]:
+    """COMPOSITE group keys: ``group`` may be one column name or a list.
+    Internally every path works on the list plus a single VIEW KEY column
+    — the group column itself when single, else ``_gkey``."""
+    groups = [group] if isinstance(group, str) else list(group)
+    if not groups:
+        raise ValueError("group must name at least one column")
+    return groups
+
+
+def _key_of(groups: list[str]) -> str:
+    return groups[0] if len(groups) == 1 else "_gkey"
+
+
+def _with_gkey(df: DataFrame, groups: list[str]) -> DataFrame:
+    """Append the derived composite key: ``to_json(struct(groups))`` — a
+    STRING, injective per fixed field set (a null field is omitted, so
+    distinct null patterns render distinct json) and deterministic, so it
+    serves as the versioned table's cluster/footer/Bloom key and the
+    driver-side probe value. Group columns should have canonical
+    renderings (strings/ints/dates); a timestamp group column's rendering
+    follows the session timezone — keep it fixed across create/refresh."""
+    if len(groups) == 1:
+        return df
+    return df.withColumn(
+        "_gkey", F.to_json(F.struct(*[F.col(g) for g in groups]))
+    )
+
+
+def _aggregate(rows: DataFrame, groups: list[str], value: str) -> DataFrame:
+    return _with_gkey(
+        rows.groupBy(*groups).agg(
+            F.sum(F.col(value)).alias("agg_sum"),
+            F.count(F.lit(1)).alias("agg_count"),
+        ),
+        groups,
     )
 
 
@@ -196,29 +228,33 @@ def _base_files(table_path: str, view_path: str, v0: int, v1: int) -> tuple:
     return files0, files1
 
 
-def _partial_agg(rows: DataFrame, group: str, value: str) -> DataFrame:
+def _partial_agg(rows: DataFrame, groups: list[str], value: str) -> DataFrame:
     """Per-(source file, group) partial aggregates — the mergeable unit
     the MIN/MAX refresh path maintains. Data files are immutable, so a
     file's partial rows are immutable too: DML invalidates exactly the
     partials of the files it rewrote."""
-    return (
-        rows.select(_file_col(), F.col(group), F.col(value))
-        .groupBy("_file", group)
+    return _with_gkey(
+        rows.select(_file_col(), *[F.col(g) for g in groups], F.col(value))
+        .groupBy("_file", *groups)
         .agg(
             F.sum(value).alias("p_sum"),
             F.count(F.lit(1)).alias("p_count"),
             F.min(value).alias("p_min"),
             F.max(value).alias("p_max"),
-        )
+        ),
+        groups,
     )
 
 
-def _final_from_partials(partials: DataFrame, group: str) -> DataFrame:
-    return partials.groupBy(group).agg(
-        F.sum("p_sum").alias("agg_sum"),
-        F.sum("p_count").alias("agg_count"),
-        F.min("p_min").alias("agg_min"),
-        F.max("p_max").alias("agg_max"),
+def _final_from_partials(partials: DataFrame, groups: list[str]) -> DataFrame:
+    return _with_gkey(
+        partials.groupBy(*groups).agg(
+            F.sum("p_sum").alias("agg_sum"),
+            F.sum("p_count").alias("agg_count"),
+            F.min("p_min").alias("agg_min"),
+            F.max("p_max").alias("agg_max"),
+        ),
+        groups,
     )
 
 
@@ -226,7 +262,7 @@ def create_matview(
     spark: SparkSession,
     table_path: str,
     view_path: str,
-    group: str,
+    group: str | list[str],
     value: str,
     aggs: tuple[str, ...] = ("sum", "count"),
     where: str | None = None,
@@ -234,6 +270,15 @@ def create_matview(
     """Materialize a grouped aggregate of a versioned table as a versioned
     table at ``view_path`` (key = the group column) and record which base
     snapshot it reflects. Returns the view's version (1).
+
+    ``group`` may be ONE column name or a LIST — a composite reporting
+    key like (symbol, day). Composite views carry the group columns plus
+    a derived ``_gkey`` string (``to_json(struct(groups))`` — injective
+    and deterministic, see ``_with_gkey``) that serves as the versioned
+    key: clustering, footer pruning, Bloom sidecars, and every refresh
+    probe/filter run on that single string, so the composite path costs
+    exactly what the single-column path does. ``read_matview`` hides
+    ``_gkey``.
 
     ``where``: an optional SQL boolean expression over the base columns —
     a FILTERED (partial) materialized view. The predicate is recorded in
@@ -265,24 +310,26 @@ def create_matview(
                 "(self-maintainable ±delta) or sum/count/min/max "
                 "(partial-aggregate sidecar); avg derives as sum/count"
             )
+    groups = _norm_groups(group)
+    gcol = _key_of(groups)
     base_v = current_version(table_path)
     base = read_version(spark, table_path, base_v)
     if where:
         base = base.where(F.expr(where))
     if minmax:
-        partials = _partial_agg(base, group, value)
-        write_version(partials, _partials_path(view_path), key=group)
+        partials = _partial_agg(base, groups, value)
+        write_version(partials, _partials_path(view_path), key=gcol)
         agg = _final_from_partials(
-            read_version(spark, _partials_path(view_path)), group
+            read_version(spark, _partials_path(view_path)), groups
         )
     else:
-        agg = _aggregate(base, group, value)
-    view_v = write_version(agg, view_path, key=group)
+        agg = _aggregate(base, groups, value)
+    view_v = write_version(agg, view_path, key=gcol)
     _write_meta(
         view_path,
         {
             "base_version": base_v,
-            "group": group,
+            "group": group if isinstance(group, str) else list(group),
             "value": value,
             "aggs": list(aggs),
             "where": where,
@@ -292,9 +339,10 @@ def create_matview(
 
 
 def read_matview(spark: SparkSession, view_path: str) -> DataFrame:
-    """Current view contents: (group, agg_sum, agg_count[, agg_min,
-    agg_max])."""
-    return read_version(spark, view_path)
+    """Current view contents: (*group cols, agg_sum, agg_count[, agg_min,
+    agg_max]) — the internal ``_gkey`` of a composite view is hidden."""
+    df = read_version(spark, view_path)
+    return df.drop("_gkey") if "_gkey" in df.columns else df
 
 
 def _sidecar_advance(
@@ -320,7 +368,7 @@ def _sidecar_advance(
     (crash between the sidecar commit and the meta update) — files are
     immutable, so the recomputation is value-identical and drop-then-add
     makes the merge IDEMPOTENT under replay instead of double-counting."""
-    group = meta["group"]
+    gcol = _key_of(_norm_groups(meta["group"]))
     v0, v1 = meta["base_version"], current_version(table_path)
     files0, files1 = _base_files(table_path, view_path, v0, v1)
     only0 = sorted(set(files0) - set(files1))
@@ -359,15 +407,15 @@ def _sidecar_advance(
     )
     # touched groups = groups whose partial rows changed on either side
     touched = (
-        (P.where(drop).select(group) if drop is not None else None),
-        (parts_new.select(group) if parts_new is not None else None),
+        (P.where(drop).select(gcol) if drop is not None else None),
+        (parts_new.select(gcol) if parts_new is not None else None),
     )
     touched = [t for t in touched if t is not None]
     touched_df = touched[0] if len(touched) == 1 else touched[0].unionByName(touched[1])
     from .bloom import _collect_keys_capped
 
-    probe = _collect_keys_capped(touched_df.distinct(), group, cap=10_000)
-    write_version(p2, ppath, key=group)
+    probe = _collect_keys_capped(touched_df.distinct(), gcol, cap=10_000)
+    write_version(p2, ppath, key=gcol)
     if parts_new is not None:
         parts_new.unpersist()
     return {"v1": v1, "probe": probe}
@@ -380,10 +428,11 @@ def _refresh_minmax(
     ``_sidecar_advance`` skeleton plus the sum/count/min/max merge:
     touched groups re-merge per-group over the surviving partials, never
     rescanning the base beyond the DML's own files."""
-    group, value = meta["group"], meta["value"]
+    groups, value = _norm_groups(meta["group"]), meta["value"]
+    gcol = _key_of(groups)
     adv = _sidecar_advance(
         spark, table_path, view_path, meta,
-        lambda rows: _partial_agg(rows, group, value),
+        lambda rows: _partial_agg(rows, groups, value),
     )
     if adv is None:
         v1 = current_version(table_path)
@@ -396,17 +445,17 @@ def _refresh_minmax(
         has_null = len(nonnull) < len(probe)
         cond = None
         if nonnull:
-            cond = _in_filter(group, nonnull)
+            cond = _in_filter(gcol, nonnull)
             if cond is None:
-                cond = F.col(group).isin(nonnull)
+                cond = F.col(gcol).isin(nonnull)
         if has_null:
-            nc = F.col(group).isNull()
+            nc = F.col(gcol).isNull()
             cond = nc if cond is None else (cond | nc)
         if cond is None:
             _write_meta(view_path, {**meta, "base_version": v1})
             return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
-        live_rows = _final_from_partials(p2r.where(cond), group).collect()
-        live_set = {r[group] for r in live_rows}
+        live_rows = _final_from_partials(p2r.where(cond), groups).collect()
+        live_set = {r[gcol] for r in live_rows}
         dead_keys = [g for g in probe if g not in live_set]
         n_up, n_dead = len(live_rows), len(dead_keys)
         if n_up or n_dead:
@@ -421,13 +470,14 @@ def _refresh_minmax(
                 spark.conf.set(arrow_conf, "true")
                 live_local = spark.createDataFrame(
                     pd.DataFrame(
-                        [tuple(r) for r in live_rows], columns=sch.names
+                        [tuple(r[n] for n in sch.names) for r in live_rows],
+                        columns=sch.names,
                     ),
                     sch,
                 )
             except Exception:  # noqa: BLE001 - arrow/pandas edge: pickled path
                 live_local = spark.createDataFrame(
-                    [tuple(r) for r in live_rows], sch
+                    [tuple(r[n] for n in sch.names) for r in live_rows], sch
                 )
             finally:
                 if prev_arrow is None:
@@ -435,21 +485,21 @@ def _refresh_minmax(
                 else:
                     spark.conf.set(arrow_conf, prev_arrow)
             _apply_groups(
-                spark, view_path, live_local.coalesce(1), group,
-                [r[group] for r in live_rows] + dead_keys,
+                spark, view_path, live_local.coalesce(1), gcol,
+                [r[gcol] for r in live_rows] + dead_keys,
                 n_files=max(1, -(-n_up // 1_000_000)),
             )
     else:
         # unbounded touched set: rebuild the view wholesale from the new
         # sidecar (still never rescans the base) and count the diff
-        new_view = _final_from_partials(p2r, group).persist()
+        new_view = _final_from_partials(p2r, groups).persist()
         n_up = new_view.count()
         n_dead = (
-            old_view.select(group)
-            .join(new_view.select(group), on=group, how="left_anti")
+            old_view.select(gcol)
+            .join(new_view.select(gcol), on=gcol, how="left_anti")
             .count()
         )
-        write_version(new_view, view_path, key=group)
+        write_version(new_view, view_path, key=gcol)
         new_view.unpersist()
     _write_meta(view_path, {**meta, "base_version": v1})
     return {
@@ -480,7 +530,8 @@ def refresh_matview(
     no-op refresh returns zeros.
     """
     meta = _read_meta(view_path)
-    group, value = meta["group"], meta["value"]
+    groups, value = _norm_groups(meta["group"]), meta["value"]
+    gcol = _key_of(groups)
     v0, v1 = meta["base_version"], current_version(table_path)
     if v1 == v0:
         return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
@@ -613,7 +664,7 @@ def refresh_matview(
         if meta.get("where"):
             rows = rows.where(F.expr(meta["where"]))
         return rows.select(
-            F.col(group),
+            *[F.col(g) for g in groups],
             (F.lit(float(sign)) * F.col(value)).alias("_sv"),
             F.lit(sign).alias("_sc"),
         )
@@ -632,8 +683,11 @@ def refresh_matview(
         _write_meta(view_path, {**meta, "base_version": v1})
         return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
     both = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
-    delta = both.groupBy(group).agg(
-        F.sum("_sv").alias("d_sum"), F.sum("_sc").alias("d_count")
+    delta = _with_gkey(
+        both.groupBy(*groups).agg(
+            F.sum("_sv").alias("d_sum"), F.sum("_sc").alias("d_count")
+        ),
+        groups,
     )
     # bounded delta (≤10k touched groups): the WHOLE merge is driver-side
     # bounded metadata and the refresh is exactly three jobs —
@@ -665,12 +719,12 @@ def refresh_matview(
     try:
         delta_rows = delta.limit(10_001).collect()
         if len(delta_rows) <= 10_000:
-            groups = [r[group] for r in delta_rows]
-            nonnull_g = [g for g in groups if g is not None]
-            has_null_g = len(nonnull_g) < len(groups)
+            gvals = [r[gcol] for r in delta_rows]
+            nonnull_g = [g for g in gvals if g is not None]
+            has_null_g = len(nonnull_g) < len(gvals)
             old_rows = []
             m_view = _load_manifest(view_path, None)
-            if m_view["files"] and groups:
+            if m_view["files"] and gvals:
                 if has_null_g:
                     # footer stats exclude nulls — a null group could
                     # hide in any file
@@ -680,7 +734,7 @@ def refresh_matview(
                     picked = [
                         f
                         for f, (flo, fhi) in _key_ranges(
-                            m_view["files"], group
+                            m_view["files"], gcol
                         ).items()
                         if flo is None or (flo <= ghi and fhi >= glo)
                     ]
@@ -689,31 +743,42 @@ def refresh_matview(
                 if picked:
                     cond = None
                     if nonnull_g:
-                        cond = _in_filter(group, nonnull_g)
+                        cond = _in_filter(gcol, nonnull_g)
                         if cond is None:
-                            cond = F.col(group).isin(nonnull_g)
+                            cond = F.col(gcol).isin(nonnull_g)
                     if has_null_g:
-                        null_cond = F.col(group).isNull()
+                        null_cond = F.col(gcol).isNull()
                         cond = null_cond if cond is None else (cond | null_cond)
                     old_rows = (
                         _scan_files(spark, view_path, picked).where(cond).collect()
                     )
-            old = {r[group]: (r["agg_sum"], r["agg_count"]) for r in old_rows}
-            live_rows, dead_keys = [], []
+            old = {r[gcol]: (r["agg_sum"], r["agg_count"]) for r in old_rows}
+            sch = table_schema(view_path)
+            if sch is None:
+                sch = read_version(spark, view_path).schema
+            live_rows, live_keys, dead_keys = [], [], []
             for r in delta_rows:
-                g = r[group]
+                g = r[gcol]
                 o_sum, o_count = old.get(g, (0.0, 0))
                 n_sum = (o_sum if o_sum is not None else 0.0) + (r["d_sum"] or 0.0)
                 n_count = (o_count or 0) + (r["d_count"] or 0)
                 if n_count > 0:
-                    live_rows.append((g, float(n_sum), int(n_count)))
+                    # build the full view row in recorded-schema order:
+                    # group column values (and _gkey, composite views)
+                    # come straight off the delta row
+                    vals = dict(
+                        agg_sum=float(n_sum), agg_count=int(n_count)
+                    )
+                    live_rows.append(
+                        tuple(
+                            vals[n] if n in vals else r[n] for n in sch.names
+                        )
+                    )
+                    live_keys.append(g)
                 else:
                     dead_keys.append(g)
             n_up, n_dead = len(live_rows), len(dead_keys)
             if n_up or n_dead:
-                sch = table_schema(view_path)
-                if sch is None:
-                    sch = read_version(spark, view_path).schema
                 # ARROW local relation: a plain createDataFrame pickles
                 # the rows into a parallelized RDD whose execution spawns
                 # a python worker — measured 1.47s for a 2k-row frame vs
@@ -742,8 +807,8 @@ def refresh_matview(
                 # single write + commit; the skinny (group, sum, count)
                 # view packs ~1M rows/file comfortably
                 _apply_groups(
-                    spark, view_path, live_local, group,
-                    [r[0] for r in live_rows] + dead_keys,
+                    spark, view_path, live_local, gcol,
+                    live_keys + dead_keys,
                     n_files=max(1, -(-n_up // 1_000_000)),
                 )
         else:
@@ -765,11 +830,16 @@ def refresh_matview(
             touched = (
                 d.join(
                     w,
-                    F.col(f"d.{group}").eqNullSafe(F.col(f"w.{group}")),
+                    F.col(f"d.{gcol}").eqNullSafe(F.col(f"w.{gcol}")),
                     how="left",
                 )
                 .select(
-                    F.col(f"d.{group}").alias(group),
+                    *[F.col(f"d.{g}").alias(g) for g in groups],
+                    *(
+                        [F.col("d._gkey").alias("_gkey")]
+                        if gcol == "_gkey"
+                        else []
+                    ),
                     (
                         F.coalesce("w.agg_sum", F.lit(0.0))
                         + F.coalesce("d.d_sum", F.lit(0.0))
@@ -781,7 +851,7 @@ def refresh_matview(
                 )
                 .persist()
             )
-            dead = touched.where(F.col("agg_count") <= 0).select(group)
+            dead = touched.where(F.col("agg_count") <= 0).select(gcol)
             live = touched.where(F.col("agg_count") > 0)
             counts = touched.agg(
                 F.count(F.when(F.col("agg_count") > 0, 1)).alias("up"),
@@ -790,11 +860,11 @@ def refresh_matview(
             n_up, n_dead = int(counts["up"]), int(counts["dead"])
             if n_up:
                 upsert_version(
-                    spark, view_path, live, key=group, dedupe_updates=False,
+                    spark, view_path, live, key=gcol, dedupe_updates=False,
                     n_files=max(1, -(-n_up // 1_000_000)),
                 )
             if n_dead:
-                delete_version(spark, view_path, dead, key=group)
+                delete_version(spark, view_path, dead, key=gcol)
     finally:
         for conf, prev in prev_confs.items():
             if prev is None:
@@ -813,7 +883,9 @@ def refresh_matview(
     }
 
 
-def _hll_partial_agg(rows: DataFrame, group: str, value: str, b: int) -> DataFrame:
+def _hll_partial_agg(
+    rows: DataFrame, groups: list[str], value: str, b: int
+) -> DataFrame:
     """Per-(source file, group) HLL register partials — the mergeable
     unit the delete-capable distinct-matview path maintains. Same
     immutability contract as ``_partial_agg``: a file's register rows
@@ -821,25 +893,31 @@ def _hll_partial_agg(rows: DataFrame, group: str, value: str, b: int) -> DataFra
     partials."""
     from ..operators.sketches import hll_sketch
 
-    return hll_sketch(
-        rows.select(_file_col(), F.col(group), F.col(value)),
-        value=value,
-        b=b,
-        by=["_file", group],
+    return _with_gkey(
+        hll_sketch(
+            rows.select(_file_col(), *[F.col(g) for g in groups], F.col(value)),
+            value=value,
+            b=b,
+            by=["_file", *groups],
+        ),
+        groups,
     )
 
 
-def _regs_from_partials(partials: DataFrame, group: str) -> DataFrame:
+def _regs_from_partials(partials: DataFrame, groups: list[str]) -> DataFrame:
     # element-wise max over the surviving files' registers IS the HLL
     # merge — one partial-aggregatable shuffle on (group, bucket)
-    return partials.groupBy(group, "bucket").agg(F.max("rho").alias("rho"))
+    return _with_gkey(
+        partials.groupBy(*groups, "bucket").agg(F.max("rho").alias("rho")),
+        groups,
+    )
 
 
 def create_distinct_matview(
     spark: SparkSession,
     table_path: str,
     view_path: str,
-    group: str,
+    group: str | list[str],
     value: str,
     b: int = 8,
     maintain: str = "registers",
@@ -865,27 +943,33 @@ def create_distinct_matview(
     rows and is rewritten once per refresh (O(|partials|)); storage and
     rewrite are 2^b× the MIN/MAX sidecar's — choose b accordingly.
 
+    ``group`` may be one column or a LIST (composite key — see
+    ``create_matview``); composite register views carry the derived
+    ``_gkey`` string as their versioned key.
+
     Read the estimate with ``read_distinct_matview`` either way."""
     from ..operators.sketches import hll_sketch
 
     if maintain not in ("registers", "partials"):
         raise ValueError("maintain must be 'registers' or 'partials'")
+    groups = _norm_groups(group)
+    gcol = _key_of(groups)
     base_v = current_version(table_path)
     base = read_version(spark, table_path, base_v)
     if maintain == "partials":
-        partials = _hll_partial_agg(base, group, value, b)
-        write_version(partials, _partials_path(view_path), key=group)
+        partials = _hll_partial_agg(base, groups, value, b)
+        write_version(partials, _partials_path(view_path), key=gcol)
         regs = _regs_from_partials(
-            read_version(spark, _partials_path(view_path)), group
+            read_version(spark, _partials_path(view_path)), groups
         )
     else:
-        regs = hll_sketch(base, value=value, b=b, by=[group])
-    view_v = write_version(regs, view_path, key=group)
+        regs = _with_gkey(hll_sketch(base, value=value, b=b, by=groups), groups)
+    view_v = write_version(regs, view_path, key=gcol)
     _write_meta(
         view_path,
         {
             "base_version": base_v,
-            "group": group,
+            "group": group if isinstance(group, str) else list(group),
             "value": value,
             "kind": "hll_distinct",
             "b": b,
@@ -903,7 +987,7 @@ def read_distinct_matview(spark: SparkSession, view_path: str) -> DataFrame:
 
     meta = _read_meta(view_path)
     regs = read_version(spark, view_path)
-    return hll_estimate(regs, b=meta["b"], by=[meta["group"]])
+    return hll_estimate(regs, b=meta["b"], by=_norm_groups(meta["group"]))
 
 
 def _refresh_distinct_partials(
@@ -915,10 +999,11 @@ def _refresh_distinct_partials(
     bucket)) from the surviving partials — register-identical to a
     from-scratch sketch of the current snapshot, without rescanning the
     base beyond the DML's own files."""
-    group, value, b = meta["group"], meta["value"], meta["b"]
+    groups, value, b = _norm_groups(meta["group"]), meta["value"], meta["b"]
+    gcol = _key_of(groups)
     adv = _sidecar_advance(
         spark, table_path, view_path, meta,
-        lambda rows: _hll_partial_agg(rows, group, value, b),
+        lambda rows: _hll_partial_agg(rows, groups, value, b),
     )
     if adv is None:
         v1 = current_version(table_path)
@@ -934,11 +1019,11 @@ def _refresh_distinct_partials(
         has_null = len(nonnull) < len(probe)
         cond = None
         if nonnull:
-            cond = _in_filter(group, nonnull)
+            cond = _in_filter(gcol, nonnull)
             if cond is None:
-                cond = F.col(group).isin(nonnull)
+                cond = F.col(gcol).isin(nonnull)
         if has_null:
-            nc = F.col(group).isNull()
+            nc = F.col(gcol).isNull()
             cond = nc if cond is None else (cond | nc)
         if cond is None:
             _write_meta(view_path, {**meta, "base_version": v1})
@@ -948,26 +1033,26 @@ def _refresh_distinct_partials(
             }
         # registers stay distributed (≤2^b rows per group is too wide to
         # collect at 10k groups); pinned for the live-group probe + write
-        merged = _regs_from_partials(p2r.where(cond), group).persist()
-        live = {r[group] for r in merged.select(group).distinct().collect()}
+        merged = _regs_from_partials(p2r.where(cond), groups).persist()
+        live = {r[gcol] for r in merged.select(gcol).distinct().collect()}
         n_up, n_dead = len(live), len(set(probe) - live)
         if n_up or n_dead:
             _apply_groups(
-                spark, view_path, merged, group, list(probe),
+                spark, view_path, merged, gcol, list(probe),
                 n_files=max(1, -(-n_up * (2 ** b) // 1_000_000)),
             )
         merged.unpersist()
     else:
         # unbounded touched set: rebuild the view wholesale from the new
         # sidecar (still never rescans the base) and count the diff
-        new_view = _regs_from_partials(p2r, group).persist()
-        n_up = new_view.select(group).distinct().count()
+        new_view = _regs_from_partials(p2r, groups).persist()
+        n_up = new_view.select(gcol).distinct().count()
         n_dead = (
-            old_view.select(group).distinct()
-            .join(new_view.select(group).distinct(), on=group, how="left_anti")
+            old_view.select(gcol).distinct()
+            .join(new_view.select(gcol).distinct(), on=gcol, how="left_anti")
             .count()
         )
-        write_version(new_view, view_path, key=group)
+        write_version(new_view, view_path, key=gcol)
         new_view.unpersist()
     _write_meta(view_path, {**meta, "base_version": v1})
     return {
@@ -1004,7 +1089,8 @@ def refresh_distinct_matview(
     meta = _read_meta(view_path)
     if meta.get("kind") != "hll_distinct":
         raise ValueError(f"view at {view_path} is not a distinct matview")
-    group, value, b = meta["group"], meta["value"], meta["b"]
+    groups, value, b = _norm_groups(meta["group"]), meta["value"], meta["b"]
+    gcol = _key_of(groups)
     v0, v1 = meta["base_version"], current_version(table_path)
     if v1 == v0:
         return {"base_version": v1, "groups_upserted": 0, "rebuilt": False}
@@ -1025,23 +1111,29 @@ def refresh_distinct_matview(
                 "registers are monotone and cannot subtract rows — pass "
                 "on_mutation='rebuild' or use create_distinct_matview"
             )
-        regs = hll_sketch(
-            read_version(spark, table_path, v1), value=value, b=b, by=[group]
+        regs = _with_gkey(
+            hll_sketch(
+                read_version(spark, table_path, v1), value=value, b=b, by=groups
+            ),
+            groups,
         )
-        n_up = write_version(regs, view_path, key=group) and regs.select(
-            group
+        n_up = write_version(regs, view_path, key=gcol) and regs.select(
+            gcol
         ).distinct().count()
         _write_meta(view_path, {**meta, "base_version": v1})
         return {"base_version": v1, "groups_upserted": int(n_up), "rebuilt": True}
     if not only1:
         _write_meta(view_path, {**meta, "base_version": v1})
         return {"base_version": v1, "groups_upserted": 0, "rebuilt": False}
-    regs_new = hll_sketch(
-        _scan_files(spark, table_path, only1), value=value, b=b, by=[group]
+    regs_new = _with_gkey(
+        hll_sketch(
+            _scan_files(spark, table_path, only1), value=value, b=b, by=groups
+        ),
+        groups,
     )
     from .bloom import _collect_keys_capped
 
-    probe = _collect_keys_capped(regs_new.select(group), group, cap=10_000)
+    probe = _collect_keys_capped(regs_new.select(gcol), gcol, cap=10_000)
     if probe is not None:
         # bounded touched-group set: merge the new registers with exactly
         # those groups' old rows and commit as ONE atomic snapshot; the
@@ -1051,24 +1143,27 @@ def refresh_distinct_matview(
         has_null = len(nonnull) < len(probe)
         cond = None
         if nonnull:
-            cond = _in_filter(group, nonnull)
+            cond = _in_filter(gcol, nonnull)
             if cond is None:
-                cond = F.col(group).isin(nonnull)
+                cond = F.col(gcol).isin(nonnull)
         if has_null:
-            nc = F.col(group).isNull()
+            nc = F.col(gcol).isNull()
             cond = nc if cond is None else (cond | nc)
         old = read_version(spark, view_path).where(cond)
-        merged = hll_merge(old, regs_new, by=[group])
+        merged = _with_gkey(hll_merge(old, regs_new, by=groups), groups)
         _apply_groups(
-            spark, view_path, merged, group, list(probe),
+            spark, view_path, merged, gcol, list(probe),
             n_files=max(1, -(-len(probe) * (2 ** b) // 1_000_000)),
         )
         n_up = len(probe)
     else:
         # unbounded: merge wholesale (still reads only the view + the
         # appended files, never the old base files)
-        merged = hll_merge(read_version(spark, view_path), regs_new, by=[group])
-        n_up = merged.select(group).distinct().count()
-        write_version(merged, view_path, key=group)
+        merged = _with_gkey(
+            hll_merge(read_version(spark, view_path), regs_new, by=groups),
+            groups,
+        )
+        n_up = merged.select(gcol).distinct().count()
+        write_version(merged, view_path, key=gcol)
     _write_meta(view_path, {**meta, "base_version": v1})
     return {"base_version": v1, "groups_upserted": int(n_up), "rebuilt": False}
