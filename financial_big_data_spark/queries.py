@@ -6368,6 +6368,76 @@ GROUP BY user_id, event_type
 """
 
 
+_INCREMENTAL_MULTI_CACHE: dict = {}
+
+
+def q_ev_incremental_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-VALUE materialized view: value=["value", "uval"] maintains
+    agg_sum_value and agg_sum_uval plus ONE shared agg_count through the
+    same single-shuffle ±delta — N value columns cost one delta pass,
+    not N. Delete-bearing schedule (upsert every 10th id mutating BOTH
+    columns, delete every 7th, keys-unknown refresh); the oracle
+    recomputes both sums from the final logical state."""
+    import shutil
+    import tempfile
+
+    cached = _INCREMENTAL_MULTI_CACHE.get(sf_dir)
+    if cached is not None:
+        return spark.createDataFrame(*cached)
+
+    from .sources.matview import create_matview, read_matview, refresh_matview
+    from .sources.versioned import delete_version, upsert_version, write_version
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", "value",
+        (F.col("user_id") * 0.5).alias("uval"),
+    )
+    d = tempfile.mkdtemp(prefix="matview_multi_q_")
+    base, view = f"{d}/base", f"{d}/view"
+    write_version(ev, base, key="event_id", n_files=8)
+    create_matview(
+        spark, base, view, group="event_type", value=["value", "uval"]
+    )
+    updates = ev.where(F.col("event_id") % 10 == 0).select(
+        "event_id", "event_type",
+        (F.col("value") * 2).alias("value"),
+        (F.col("uval") + 5).alias("uval"),
+    )
+    upsert_version(spark, base, updates, key="event_id", dedupe_updates=False)
+    refresh_matview(
+        spark, base, view, key="event_id", changed_keys=updates.select("event_id")
+    )
+    delete_version(
+        spark, base,
+        ev.where(F.col("event_id") % 7 == 0).select("event_id"),
+        key="event_id",
+    )
+    refresh_matview(spark, base, view, key="event_id")  # keys-unknown
+    out = read_matview(spark, view).select(
+        "event_type",
+        F.round("agg_sum_value", 2).alias("agg_sum_value"),
+        F.round("agg_sum_uval", 2).alias("agg_sum_uval"),
+        F.col("agg_count"),
+    )
+    rows = out.collect()
+    shutil.rmtree(d, ignore_errors=True)
+    _INCREMENTAL_MULTI_CACHE[sf_dir] = (rows, out.schema)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_SQL_EV_INCREMENTAL_MULTI = """
+SELECT event_type,
+       round(sum(CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END), 2)
+         AS agg_sum_value,
+       round(sum(CASE WHEN event_id % 10 = 0 THEN user_id * 0.5 + 5
+                      ELSE user_id * 0.5 END), 2) AS agg_sum_uval,
+       count(*)::BIGINT AS agg_count
+FROM events
+WHERE event_id % 7 <> 0
+GROUP BY event_type
+"""
+
+
 _INCREMENTAL_FILTERED_CACHE: dict = {}
 
 
@@ -6773,6 +6843,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_incremental_composite": (
         q_ev_incremental_composite,
         _SQL_EV_INCREMENTAL_COMPOSITE,
+    ),
+    "ev_incremental_multi": (
+        q_ev_incremental_multi,
+        _SQL_EV_INCREMENTAL_MULTI,
     ),
     "ev_incremental_minmax": (q_ev_incremental_minmax, _SQL_EV_INCREMENTAL_MINMAX),
     "ev_incremental_filtered": (

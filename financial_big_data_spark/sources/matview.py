@@ -29,11 +29,13 @@ Deliberate limits, stated rather than hidden:
   of one O(|partials|) sidecar rewrite per refresh. Other aggregates
   (medians, distinct counts) still raise.
 - The changed-key set is FILE-SCOPED even when the caller cannot name
-  it: when ``changed_keys`` is omitted, candidate keys come from a scan
-  of the manifests' symmetric-difference files only (immutability means
-  a changed key cannot live anywhere else) — never from a two-snapshot
-  diff. Writers that already hold their update batch should still pass
-  ``changed_keys`` and skip the candidate scan too.
+  it: when ``changed_keys`` is omitted, it comes from the manifests'
+  symmetric-difference files only (immutability means a changed key
+  cannot live anywhere else) — the touched-files changefeed when both
+  sides rewrote (exact keys, one fingerprint join over the diff), a
+  plain key scan for one-sided DML — never a two-snapshot diff. Writers
+  that already hold their update batch should still pass
+  ``changed_keys`` and skip the candidate derivation too.
 - Groups whose count reaches 0 are DELETED from the view (not left as
   zero rows), so the view's row set always equals `SELECT group FROM base
   GROUP BY group`.
@@ -178,10 +180,29 @@ def _with_gkey(df: DataFrame, groups: list[str]) -> DataFrame:
     )
 
 
-def _aggregate(rows: DataFrame, groups: list[str], value: str) -> DataFrame:
+def _norm_values(value) -> list[str]:
+    """MULTIPLE value columns (sum/count family): ``value`` may be one
+    column name or a list. A single column keeps the historical
+    agg_sum/agg_count names; a list yields agg_sum_<col> per column plus
+    one shared agg_count (the count is per GROUP — identical for every
+    value column)."""
+    values = [value] if isinstance(value, str) else list(value)
+    if not values:
+        raise ValueError("value must name at least one column")
+    return values
+
+
+def _sum_cols(values: list[str]) -> list[str]:
+    return ["agg_sum"] if len(values) == 1 else [f"agg_sum_{c}" for c in values]
+
+
+def _aggregate(rows: DataFrame, groups: list[str], values: list[str]) -> DataFrame:
+    sums = [
+        F.sum(F.col(c)).alias(a) for c, a in zip(values, _sum_cols(values))
+    ]
     return _with_gkey(
         rows.groupBy(*groups).agg(
-            F.sum(F.col(value)).alias("agg_sum"),
+            *sums,
             F.count(F.lit(1)).alias("agg_count"),
         ),
         groups,
@@ -280,6 +301,12 @@ def create_matview(
     exactly what the single-column path does. ``read_matview`` hides
     ``_gkey``.
 
+    ``value`` may likewise be ONE column or a LIST (sum/count path
+    only): the view then carries ``agg_sum_<col>`` per value column plus
+    ONE shared ``agg_count`` (the count is per group), and the refresh's
+    ±delta applies per column inside the same single shuffle — N value
+    columns cost one delta pass, not N.
+
     ``where``: an optional SQL boolean expression over the base columns —
     a FILTERED (partial) materialized view. The predicate is recorded in
     the view's metadata and applied identically to the creation scan and
@@ -312,25 +339,31 @@ def create_matview(
             )
     groups = _norm_groups(group)
     gcol = _key_of(groups)
+    values = _norm_values(value)
+    if minmax and len(values) > 1:
+        raise ValueError(
+            "multiple value columns are supported on the sum/count "
+            "(±delta) path only; create one min/max view per value column"
+        )
     base_v = current_version(table_path)
     base = read_version(spark, table_path, base_v)
     if where:
         base = base.where(F.expr(where))
     if minmax:
-        partials = _partial_agg(base, groups, value)
+        partials = _partial_agg(base, groups, values[0])
         write_version(partials, _partials_path(view_path), key=gcol)
         agg = _final_from_partials(
             read_version(spark, _partials_path(view_path)), groups
         )
     else:
-        agg = _aggregate(base, groups, value)
+        agg = _aggregate(base, groups, values)
     view_v = write_version(agg, view_path, key=gcol)
     _write_meta(
         view_path,
         {
             "base_version": base_v,
             "group": group if isinstance(group, str) else list(group),
-            "value": value,
+            "value": value if isinstance(value, str) else list(value),
             "aggs": list(aggs),
             "where": where,
         },
@@ -530,8 +563,11 @@ def refresh_matview(
     no-op refresh returns zeros.
     """
     meta = _read_meta(view_path)
-    groups, value = _norm_groups(meta["group"]), meta["value"]
+    groups, values = _norm_groups(meta["group"]), _norm_values(meta["value"])
     gcol = _key_of(groups)
+    sum_names = _sum_cols(values)
+    sv_names = [f"_sv_{i}" for i in range(len(values))]
+    d_names = [f"d_sum_{i}" for i in range(len(values))]
     v0, v1 = meta["base_version"], current_version(table_path)
     if v1 == v0:
         return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
@@ -577,12 +613,8 @@ def refresh_matview(
             # symmetric-difference files (the same immutability argument
             # the ±delta itself rests on — a key whose row sits in a
             # SHARED file is byte-identical on both sides and one-row-
-            # per-key means it holds no other row). Scanning just those
-            # files for candidate keys replaces changefeed's
-            # two-full-snapshot diff: O(files the DML rewrote), not
-            # O(table). The over-approximation (a compaction carries
-            # unchanged keys into new files) is harmless — those keys'
-            # ±delta nets to exactly zero; it only inflates the probe.
+            # per-key means it holds no other row), so the candidate
+            # derivation reads O(files the DML rewrote), never the table.
             diff = only0 + only1
             if not diff:
                 _write_meta(view_path, {**meta, "base_version": v1})
@@ -591,7 +623,45 @@ def refresh_matview(
                     "groups_upserted": 0,
                     "groups_deleted": 0,
                 }
-            changed_keys = _scan_files(spark, table_path, diff).select(key)
+            if only0 and only1:
+                # rewrites on both sides: a raw key scan would count every
+                # CARRIED-ALONG key as changed (a 2k-key upsert that
+                # rewrites a 100k-row file would inflate the probe 50x,
+                # blow the bounded-path cap, and fall onto the semi-join
+                # path — measured 3.3x the keys-known refresh at the 30M
+                # bench fixture). Fingerprint EXACTLY the rewritten files
+                # (the touched-files changefeed argument — see
+                # versioned.changefeed(scope=...) for the exactness
+                # proof; one small join over the diff, never the table)
+                # to get the true changed-key set, keeping the 3-job
+                # bounded cascade. xxhash64 over the row, not changefeed's
+                # canonical md5(to_json): this is an internal probe, not
+                # the CDC surface, and the json rendering dominated the
+                # fingerprint cost; equality-by-hash is the same
+                # assumption changefeed makes (a missed change needs a
+                # 64-bit collision on the exact changed key, p≈2^-64).
+                cols = _footer_columns(only1) or []
+                fp_cols = [F.col(c) for c in sorted(c for c in cols if c != key)]
+
+                def fp(files):
+                    return _scan_files(spark, table_path, files).select(
+                        F.col(key), F.xxhash64(*fp_cols).alias("_fp")
+                    )
+
+                o, n = fp(only0).alias("o"), fp(only1).alias("n")
+                changed_keys = (
+                    o.join(n, on=key, how="full_outer")
+                    .where(
+                        F.col("o._fp").isNull()
+                        | F.col("n._fp").isNull()
+                        | (F.col("o._fp") != F.col("n._fp"))
+                    )
+                    .select(key)
+                )
+            else:
+                # one-sided DML (pure append / whole-file delete): every
+                # key in the diff files IS a change — no fingerprint join
+                changed_keys = _scan_files(spark, table_path, diff).select(key)
         changed_keys_df = changed_keys
         # bounded metadata: ONE capped distinct-keys job (CollectLimit
         # forced to a single wave — the default incremental
@@ -665,7 +735,10 @@ def refresh_matview(
             rows = rows.where(F.expr(meta["where"]))
         return rows.select(
             *[F.col(g) for g in groups],
-            (F.lit(float(sign)) * F.col(value)).alias("_sv"),
+            *[
+                (F.lit(float(sign)) * F.col(c)).alias(sv)
+                for c, sv in zip(values, sv_names)
+            ],
             F.lit(sign).alias("_sc"),
         )
 
@@ -685,7 +758,8 @@ def refresh_matview(
     both = sides[0] if len(sides) == 1 else sides[0].unionByName(sides[1])
     delta = _with_gkey(
         both.groupBy(*groups).agg(
-            F.sum("_sv").alias("d_sum"), F.sum("_sc").alias("d_count")
+            *[F.sum(sv).alias(d) for sv, d in zip(sv_names, d_names)],
+            F.sum("_sc").alias("d_count"),
         ),
         groups,
     )
@@ -752,23 +826,27 @@ def refresh_matview(
                     old_rows = (
                         _scan_files(spark, view_path, picked).where(cond).collect()
                     )
-            old = {r[gcol]: (r["agg_sum"], r["agg_count"]) for r in old_rows}
+            old = {
+                r[gcol]: ([r[s] for s in sum_names], r["agg_count"])
+                for r in old_rows
+            }
             sch = table_schema(view_path)
             if sch is None:
                 sch = read_version(spark, view_path).schema
             live_rows, live_keys, dead_keys = [], [], []
             for r in delta_rows:
                 g = r[gcol]
-                o_sum, o_count = old.get(g, (0.0, 0))
-                n_sum = (o_sum if o_sum is not None else 0.0) + (r["d_sum"] or 0.0)
+                o_sums, o_count = old.get(g, ([0.0] * len(values), 0))
                 n_count = (o_count or 0) + (r["d_count"] or 0)
                 if n_count > 0:
                     # build the full view row in recorded-schema order:
                     # group column values (and _gkey, composite views)
                     # come straight off the delta row
-                    vals = dict(
-                        agg_sum=float(n_sum), agg_count=int(n_count)
-                    )
+                    vals = {"agg_count": int(n_count)}
+                    for s, d, o in zip(sum_names, d_names, o_sums):
+                        vals[s] = float(
+                            (o if o is not None else 0.0) + (r[d] or 0.0)
+                        )
                     live_rows.append(
                         tuple(
                             vals[n] if n in vals else r[n] for n in sch.names
@@ -824,7 +902,6 @@ def refresh_matview(
             # record the widened type in _schema.json, breaking the
             # explicit-schema scan of carried files). Exact: a long view
             # means long inputs, whose sums are integral.
-            sum_t = view.schema["agg_sum"].dataType
             cnt_t = view.schema["agg_count"].dataType
             d, w = delta.alias("d"), view.alias("w")
             touched = (
@@ -840,10 +917,13 @@ def refresh_matview(
                         if gcol == "_gkey"
                         else []
                     ),
-                    (
-                        F.coalesce("w.agg_sum", F.lit(0.0))
-                        + F.coalesce("d.d_sum", F.lit(0.0))
-                    ).cast(sum_t).alias("agg_sum"),
+                    *[
+                        (
+                            F.coalesce(f"w.{s}", F.lit(0.0))
+                            + F.coalesce(f"d.{dn}", F.lit(0.0))
+                        ).cast(view.schema[s].dataType).alias(s)
+                        for s, dn in zip(sum_names, d_names)
+                    ],
                     (
                         F.coalesce("w.agg_count", F.lit(0))
                         + F.coalesce("d.d_count", F.lit(0))

@@ -595,14 +595,19 @@ def test_keys_unknown_refresh_scans_only_rewritten_base_files(spark, paths, monk
     diff = f_old ^ f_new
     assert f_old & f_new, "test needs shared files for the assertion to bite"
     seen: list[str] = []
-    real_scan = mv._scan_files
+    import financial_big_data_spark.sources.versioned as vs
+
+    real_scan = vs._scan_files
 
     def recording_scan(spark_, path, files):
         if path == base:
             seen.extend(files)
         return real_scan(spark_, path, files)
 
+    # patch BOTH call sites: matview bound its own reference at import,
+    # and the touched-files changefeed scans through the versioned module
     monkeypatch.setattr(mv, "_scan_files", recording_scan)
+    monkeypatch.setattr(vs, "_scan_files", recording_scan)
     refresh_matview(spark, base, view, key="id")  # changed_keys omitted
     assert seen and set(seen) <= diff
     assert _view_rows(spark, view) == _recompute(spark, base)
@@ -887,3 +892,52 @@ def test_composite_key_distinct_matview_with_deletes(spark, paths):
         ).collect()
     }
     assert got == want
+
+
+def test_multi_value_matview_through_dml(spark, paths):
+    """value= may be a LIST on the sum/count path: the view carries
+    agg_sum_<col> per value column plus one shared agg_count, and the
+    ±delta applies per column in the same single shuffle."""
+    base, view = paths
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 5).alias("g"),
+        (F.col("id") * 1.5).alias("v1"), (F.col("id") % 7).alias("v2"),
+    )
+    write_version(df, base, key="id", n_files=4)
+    create_matview(spark, base, view, group="g", value=["v1", "v2"])
+
+    def recompute():
+        return {
+            (r.g, round(r.s1, 6), r.s2, r.c)
+            for r in read_version(spark, base)
+            .groupBy("g")
+            .agg(
+                F.sum("v1").alias("s1"), F.sum("v2").alias("s2"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()
+        }
+
+    def view_rows():
+        return {
+            (r.g, round(r.agg_sum_v1, 6), r.agg_sum_v2, r.agg_count)
+            for r in read_matview(spark, view).collect()
+        }
+
+    assert view_rows() == recompute()
+    updates = spark.range(10, 40).select(
+        F.col("id"), (F.col("id") % 5).alias("g"),
+        (F.col("id") * 4.0).alias("v1"), ((F.col("id") % 7) + 2).alias("v2"),
+    )
+    upsert_version(spark, base, updates, key="id", dedupe_updates=False)
+    refresh_matview(spark, base, view, key="id", changed_keys=updates.select("id"))
+    assert view_rows() == recompute()
+    delete_version(spark, base, spark.range(0, 200, 6).select("id"), key="id")
+    refresh_matview(spark, base, view, key="id")  # keys-unknown path
+    assert view_rows() == recompute()
+    # stated limit: min/max views take one value column
+    with pytest.raises(ValueError, match="one min/max view per value"):
+        create_matview(
+            spark, base, view + "_mm", group="g", value=["v1", "v2"],
+            aggs=("sum", "count", "min", "max"),
+        )

@@ -139,6 +139,24 @@ def _higher_is_better(name: str) -> bool:
     )
 
 
+_TIMING_DICTS = (
+    # nested dicts whose every row is a wall-clock timing in seconds
+    # (rows are bare query names, no _sec suffix)
+    "queries", "tpch_ops", "sketch_graph_ops", "curation_ops", "alignment_ops",
+)
+
+
+def _is_timing(name: str) -> bool:
+    """Rows with a time dimension — the ONLY rows canary normalization
+    may touch (VERDICT r8 #3: unitless counters got divided by the drift
+    factor and flagged at raw +0.0%)."""
+    short = name.rsplit(".", 1)[-1]
+    if short.endswith("_sec") or name == "value":
+        return True
+    head = name.split(".", 1)[0]
+    return "." in name and head in _TIMING_DICTS
+
+
 def _is_context(name: str) -> bool:
     """Structural/diagnostic rows that are neither better nor worse in a
     direction: fixture sizes and counts (a Louvain run finding MORE
@@ -150,6 +168,9 @@ def _is_context(name: str) -> bool:
         "planted_communities", "code_bytes", "ann_ivfpq_opq_code_bytes",
         "ep2_big_rows", "ep2_scale_factor_8x", "uncapped_over_capped",
         "sf",
+        # time-over-time ratios of two load-sensitive rows — direction
+        # ambiguous under load skew; the _sec rows themselves are scored
+        "delta_vs_recompute_ratio", "keys_unknown_vs_known_ratio",
     ):
         return True
     return (
@@ -187,6 +208,29 @@ def main() -> None:
             "below are reported for context but NOT counted as regressions; "
             "re-run bench.py on a quiet box to compare."
         )
+    # Taint guard (VERDICT r8 #2): bench.py stamps tainted=true when the
+    # run STARTED on a loaded box (loadavg_1m_start > 1) — its timings
+    # are contaminated end to end, so deltas print for context but are
+    # never scored (the r8 driver artifact's 17 flags were exactly this).
+    def _is_tainted(d: dict) -> bool:
+        if "tainted" in d:
+            return bool(d["tainted"])
+        # pre-r9 artifacts lack the stamp — derive it from the recorded
+        # start load so the r8 driver run (loadavg 3.02) scores as what
+        # it was: a loaded box, not 17 regressions
+        ls = d.get("loadavg_1m_start")
+        return isinstance(ls, (int, float)) and ls > 1.0
+
+    tainted_sides = [
+        side for side, d in (("old", old_raw), ("new", new_raw)) if _is_tainted(d)
+    ]
+    if tainted_sides:
+        print(
+            f"TAINTED ARTIFACT ({', '.join(tainted_sides)}): run started on a "
+            "loaded box — deltas below are context only, NOT scored as "
+            "regressions; re-run bench.py on a quiet box."
+        )
+        load_skewed = True
     # Canary normalization: factor = how much SLOWER the new box ran the
     # fixed single-task workload. Timing rows divide by it, throughput
     # (mb_per) rows multiply; accuracy/recall and time-over-time ratios
@@ -213,8 +257,14 @@ def main() -> None:
             continue
         short = name.rsplit(".", 1)[-1]
         n_eff, band_scale = n, 1.0
+        # Canary-normalize ONLY rows with a time dimension (VERDICT r8
+        # #3: unitless counters like hot_slot_members / hll_rel_err were
+        # flagged "+26% REGRESSED" at raw +0.0% because the divisor
+        # applied to everything lower-is-better). `*_sec` divides by the
+        # drift; `mb_per*` throughput multiplies; everything else —
+        # counts, error rates, accuracies, ratios — compares raw.
         if factor is not None and short != "canary_local1_sec":
-            if not _higher_is_better(name):
+            if _is_timing(name):
                 n_eff, band_scale = n / factor, 1 / factor
             elif "mb_per" in short:
                 # symmetric with the timing branch: the band-overlap check
@@ -238,7 +288,11 @@ def main() -> None:
                 note += f"  (bands overlap: old<= {ob[1]}, new>= {round(nb_lo, 3)})"
             else:
                 note += f"  (bands disjoint: old<= {ob[1]}, new>= {round(nb_lo, 3)})"
-        marker = " <-- REGRESSED" if flagged else ""
+        marker = (
+            ""
+            if not flagged
+            else (" <-- tainted, not scored" if load_skewed else " <-- REGRESSED")
+        )
         if marker or abs(delta_pct) > threshold / 2:
             print(
                 f"{name:45s} {o:>12.3f} -> {n:>12.3f}  {delta_pct:+7.1f}%{marker}{note}"
