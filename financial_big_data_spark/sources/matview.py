@@ -642,10 +642,17 @@ def refresh_matview(
                 # 64-bit collision on the exact changed key, p≈2^-64).
                 cols = _footer_columns(only1) or []
                 fp_cols = [F.col(c) for c in sorted(c for c in cols if c != key)]
+                # key-only table: a "change" can only be presence
+                # (insert/delete) — the one-side-null test below catches
+                # it, so a constant fingerprint is exact (xxhash64
+                # requires ≥1 argument)
+                fp_expr = (
+                    F.xxhash64(*fp_cols) if fp_cols else F.lit(0).cast("long")
+                )
 
                 def fp(files):
                     return _scan_files(spark, table_path, files).select(
-                        F.col(key), F.xxhash64(*fp_cols).alias("_fp")
+                        F.col(key), fp_expr.alias("_fp")
                     )
 
                 o, n = fp(only0).alias("o"), fp(only1).alias("n")

@@ -146,6 +146,137 @@ def streaming_ewm_mean(
     )
 
 
+def streaming_ewm_mean_buffered(
+    stream: DataFrame,
+    value: str,
+    span: int,
+    delay_seconds: float,
+    series: str = "symbol",
+    time: str = "ts",
+    out: str = "ewm",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming EWM that ABSORBS bounded disorder instead of rejecting
+    it: a per-series reorder buffer holds rows until the series'
+    event-time watermark (max event time seen − ``delay_seconds``)
+    passes them, then emits them through the recurrence in event-time
+    order — the watermark-bounded alternative to ``streaming_ewm_mean``'s
+    enforced in-order contract (VERDICT r8 #5 option (a)).
+
+    Semantics and costs, stated:
+
+    - State per series is O(buffer): the held (ts, value) pairs — typed
+      arrays, no row serialization — plus the carried EWM, the last
+      EMITTED event time, and the monotone max event time seen. A series
+      emitting ~r rows/second holds ~r × delay_seconds pairs.
+    - Emission: each micro-batch emits exactly the buffered rows at or
+      below the advanced watermark, sorted by event time (ties: value
+      ascending — a deterministic total order so replays are
+      byte-stable), continuing the recurrence bit-exactly. Rows inside
+      the final ``delay_seconds`` of a finite stream stay buffered —
+      standard watermark semantics.
+    - A row arriving LATER than the bound (older than the last emitted
+      event time) still cannot be folded into an O(1) recurrence — it
+      raises naming the series and timestamps, exactly like
+      ``streaming_ewm_mean(on_late="error")``. The buffer bounds the
+      disorder it absorbs; it does not remove the contract.
+    - Output columns are (series, time, value, out) — the buffer holds
+      the typed pair, not the whole input row; project what you need
+      downstream or carry extra columns through a join on (series, time).
+    """
+    if delay_seconds < 0:
+        raise ValueError("delay_seconds must be >= 0")
+    delay_us = int(delay_seconds * 1_000_000)
+    out_schema = T.StructType(
+        [
+            T.StructField(series, T.StringType()),
+            T.StructField(time, T.TimestampType()),
+            T.StructField(value, T.DoubleType()),
+            T.StructField(out, T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ewm", T.DoubleType()),
+            T.StructField("last_emitted_us", T.LongType()),
+            T.StructField("max_seen_us", T.LongType()),
+            T.StructField("buf_ts", T.ArrayType(T.LongType())),
+            T.StructField("buf_v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def fn(
+        key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = list(pdf_iter)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if state.exists:
+            prev, last_emit, max_seen, buf_ts, buf_v = state.get
+            buf_ts, buf_v = list(buf_ts), list(buf_v)
+        else:
+            prev, last_emit, max_seen, buf_ts, buf_v = None, None, None, [], []
+        new_ts = (pdf[time].astype("datetime64[us]").astype("int64")).tolist()
+        new_v = pdf[value].astype("float64").tolist()
+        if last_emit is not None and new_ts and min(new_ts) < last_emit:
+            bad = pd.Timestamp(min(new_ts), unit="us")
+            raise ValueError(
+                f"out-of-order beyond the reorder bound for series "
+                f"{key[0]!r}: event time {bad} is older than the last "
+                f"EMITTED {pd.Timestamp(last_emit, unit='us')} — raise "
+                "delay_seconds to cover the source's actual disorder"
+            )
+        buf_ts += new_ts
+        buf_v += new_v
+        if new_ts:
+            batch_max = max(new_ts)
+            max_seen = batch_max if max_seen is None else max(max_seen, batch_max)
+        emitted = None
+        if buf_ts and max_seen is not None:
+            watermark = max_seen - delay_us
+            pairs = sorted(zip(buf_ts, buf_v))
+            ready = [(t, v) for t, v in pairs if t <= watermark]
+            hold = [(t, v) for t, v in pairs if t > watermark]
+            if ready:
+                s = pd.Series([v for _, v in ready])
+                y = _continue_ewm(s, span, prev)
+                prev = float(y.iloc[-1])
+                last_emit = ready[-1][0]
+                emitted = pd.DataFrame(
+                    {
+                        series: str(key[0]),
+                        time: pd.to_datetime(
+                            [t for t, _ in ready], unit="us"
+                        ),
+                        value: [v for _, v in ready],
+                        out: y.to_numpy(),
+                    }
+                )
+            buf_ts = [t for t, _ in hold]
+            buf_v = [v for _, v in hold]
+        state.update((prev, last_emit, max_seen, buf_ts, buf_v))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if emitted is not None:
+            yield emitted
+
+    return stream.groupBy(series).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def streaming_macd(
     stream: DataFrame,
     close: str = "close",

@@ -224,3 +224,85 @@ def test_on_late_validated_eagerly(spark, ooo_stream):
     df, _ = ooo_stream
     with pytest.raises(ValueError, match="on_late"):
         streaming_ewm_mean(df, value="close", span=10, on_late="ignore")
+
+
+@pytest.fixture(scope="module")
+def buffered_stream(spark):
+    """Bounded disorder: batch 1 = minutes 0-24 and 26-29; batch 2 leads
+    with the late minute 25 (4 min behind batch 1's max) then 30-59."""
+    rows = [
+        ("AAA", dt.datetime(2024, 2, 1) + dt.timedelta(minutes=i),
+         100.0 + ((i * 37) % 13) - (i % 5) * 0.7)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+    d = tempfile.mkdtemp(prefix="ewm_buf_")
+    b1 = (F.minute("ts") <= 24) | ((F.minute("ts") >= 26) & (F.minute("ts") <= 29))
+    b2 = (F.minute("ts") == 25) | (F.minute("ts") >= 30)
+    for j, cond in enumerate([b1, b2]):
+        df.where(cond).coalesce(1).write.mode("overwrite").parquet(f"{d}/f{j}")
+        _time.sleep(1.1)
+    yield df, d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_ewm_buffered_absorbs_bounded_disorder(spark, buffered_stream):
+    """The reorder-buffer variant: a 10-minute watermark absorbs the
+    4-minute-late row; emitted rows are byte-identical to the batch
+    operator on the SORTED full input (prefix up to the final
+    watermark); the last delay's worth of rows stays buffered."""
+    from financial_big_data_spark.streaming.ewm import streaming_ewm_mean_buffered
+
+    df, d = buffered_stream
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(f"{d}/f*")
+    )
+    q = (
+        streaming_ewm_mean_buffered(
+            stream, value="close", span=10, delay_seconds=600
+        )
+        .writeStream.format("memory")
+        .queryName("ewm_buf")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    got = {(r.symbol, r.ts): r.ewm for r in spark.table("ewm_buf").collect()}
+    # final watermark = minute 59 - 10 => rows up to minute 49 emitted,
+    # INCLUDING the late minute 25 folded back into event-time order
+    exp = {
+        (r.symbol, r.ts): r.ewm
+        for r in batch_ewm(df, value="close", span=10)
+        .where(F.minute("ts") <= 49)
+        .collect()
+    }
+    assert len(got) == 50 and got == exp
+
+
+def test_streaming_ewm_buffered_beyond_bound_raises(spark, buffered_stream):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from financial_big_data_spark.streaming.ewm import streaming_ewm_mean_buffered
+
+    df, d = buffered_stream
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(f"{d}/f*")
+    )
+    # 60s bound: after batch 1 the watermark sits at minute 28, so the
+    # 4-minute-late minute 25 in batch 2 is older than the last EMITTED
+    # event — beyond the bound, must fail naming the series
+    q = (
+        streaming_ewm_mean_buffered(
+            stream, value="close", span=10, delay_seconds=60
+        )
+        .writeStream.format("memory")
+        .queryName("ewm_buf_err")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="beyond the reorder bound"):
+        q.awaitTermination(180)
+    assert "AAA" in str(q.exception())
