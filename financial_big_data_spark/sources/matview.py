@@ -527,10 +527,13 @@ def _refresh_minmax(
         # sidecar (still never rescans the base) and count the diff
         new_view = _final_from_partials(p2r, groups).persist()
         n_up = new_view.count()
+        # NULL-SAFE anti (a plain left_anti never matches null keys, so a
+        # live null group would always count dead — stats only, but wrong)
+        ov, nv = old_view.select(gcol).alias("o"), new_view.select(gcol).alias("n")
         n_dead = (
-            old_view.select(gcol)
-            .join(new_view.select(gcol), on=gcol, how="left_anti")
-            .count()
+            ov.join(
+                nv, F.col(f"o.{gcol}").eqNullSafe(F.col(f"n.{gcol}")), "left_anti"
+            ).count()
         )
         write_version(new_view, view_path, key=gcol)
         new_view.unpersist()
@@ -1134,10 +1137,13 @@ def _refresh_distinct_partials(
         # sidecar (still never rescans the base) and count the diff
         new_view = _regs_from_partials(p2r, groups).persist()
         n_up = new_view.select(gcol).distinct().count()
+        # NULL-SAFE anti — same stats-only null-group argument as minmax
+        ov = old_view.select(gcol).distinct().alias("o")
+        nv = new_view.select(gcol).distinct().alias("n")
         n_dead = (
-            old_view.select(gcol).distinct()
-            .join(new_view.select(gcol).distinct(), on=gcol, how="left_anti")
-            .count()
+            ov.join(
+                nv, F.col(f"o.{gcol}").eqNullSafe(F.col(f"n.{gcol}")), "left_anti"
+            ).count()
         )
         write_version(new_view, view_path, key=gcol)
         new_view.unpersist()
