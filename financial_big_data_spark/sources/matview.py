@@ -461,7 +461,9 @@ def _refresh_minmax(
     ``_sidecar_advance`` skeleton plus the sum/count/min/max merge:
     touched groups re-merge per-group over the surviving partials, never
     rescanning the base beyond the DML's own files."""
-    groups, value = _norm_groups(meta["group"]), meta["value"]
+    # value may be recorded as a 1-element list (create accepts value=["v"]
+    # on this path) — normalize, matching create's values[0]
+    groups, value = _norm_groups(meta["group"]), _norm_values(meta["value"])[0]
     gcol = _key_of(groups)
     adv = _sidecar_advance(
         spark, table_path, view_path, meta,
@@ -611,6 +613,7 @@ def refresh_matview(
                 [(k,) for k in set(changed_keys)], [key]
             )
     else:
+        derived_small = False
         if changed_keys is None:
             # keys-unknown default: changed keys can only live in the
             # symmetric-difference files (the same immutability argument
@@ -626,6 +629,7 @@ def refresh_matview(
                     "groups_upserted": 0,
                     "groups_deleted": 0,
                 }
+            derived_small = len(diff) <= 64
             if only0 and only1:
                 # rewrites on both sides: a raw key scan would count every
                 # CARRIED-ALONG key as changed (a 2k-key upsert that
@@ -646,28 +650,48 @@ def refresh_matview(
                 cols = _footer_columns(only1) or []
                 fp_cols = [F.col(c) for c in sorted(c for c in cols if c != key)]
                 # key-only table: a "change" can only be presence
-                # (insert/delete) — the one-side-null test below catches
-                # it, so a constant fingerprint is exact (xxhash64
-                # requires ≥1 argument)
+                # (insert/delete) — the digest's count term catches it,
+                # so a constant fingerprint is exact (xxhash64 requires
+                # ≥1 argument)
                 fp_expr = (
                     F.xxhash64(*fp_cols) if fp_cols else F.lit(0).cast("long")
                 )
 
-                def fp(files):
+                # MULTISET digest per (key, side) in ONE shuffle — count
+                # + bit_xor + bounded mod-sum of the row fingerprints,
+                # side-split by conditional aggregates over the tagged
+                # union (no join). A plain row-pairing join assumes one
+                # row per key (the DML invariant) and would miss
+                # count-only changes on duplicate-key tables
+                # (append_version logs): count catches cardinality, xor
+                # catches any single-row change, and the mod-2^31 sum
+                # covers xor's paired-identical-rows blind spot
+                # ({a,a} → {b,b}) without long overflow below 2^32 rows
+                # per key. One side absent → counts 0 vs >0 → changed.
+                def side(files, tag):
                     return _scan_files(spark, table_path, files).select(
-                        F.col(key), fp_expr.alias("_fp")
+                        F.col(key), fp_expr.alias("_fp"), F.lit(tag).alias("_s")
                     )
 
-                o, n = fp(only0).alias("o"), fp(only1).alias("n")
-                changed_keys = (
-                    o.join(n, on=key, how="full_outer")
-                    .where(
-                        F.col("o._fp").isNull()
-                        | F.col("n._fp").isNull()
-                        | (F.col("o._fp") != F.col("n._fp"))
+                is0, is1 = F.col("_s") == 0, F.col("_s") == 1
+                mod = F.pmod(F.col("_fp"), F.lit(2 ** 31))
+                dig = (
+                    side(only0, 0).unionByName(side(only1, 1))
+                    .groupBy(key)
+                    .agg(
+                        F.count(F.when(is0, 1)).alias("_c0"),
+                        F.count(F.when(is1, 1)).alias("_c1"),
+                        F.bit_xor(F.when(is0, F.col("_fp"))).alias("_x0"),
+                        F.bit_xor(F.when(is1, F.col("_fp"))).alias("_x1"),
+                        F.sum(F.when(is0, mod)).alias("_m0"),
+                        F.sum(F.when(is1, mod)).alias("_m1"),
                     )
-                    .select(key)
                 )
+                changed_keys = dig.where(
+                    (F.col("_c0") != F.col("_c1"))
+                    | ~F.col("_x0").eqNullSafe(F.col("_x1"))
+                    | ~F.col("_m0").eqNullSafe(F.col("_m1"))
+                ).select(key)
             else:
                 # one-sided DML (pure append / whole-file delete): every
                 # key in the diff files IS a change — no fingerprint join
@@ -687,16 +711,31 @@ def refresh_matview(
 
         limit_conf = "spark.sql.limit.initialNumPartitions"
         aqe_conf = "spark.sql.adaptive.enabled"
+        shuf_conf = "spark.sql.shuffle.partitions"
         prev_limit = spark.conf.get(limit_conf, None)
         prev_aqe = spark.conf.get(aqe_conf, None)
+        prev_shuf = spark.conf.get(shuf_conf, None)
         spark.conf.set(limit_conf, "1000000")
         # AQE splits the distinct+limit into shuffle-stage + result jobs
         # for no optimization gain on a capped collect — one job, not two
         spark.conf.set(aqe_conf, "false")
+        if derived_small:
+            # we built changed_keys ourselves from a SMALL diff (≤64
+            # files): the digest groupBy is a skinny shuffle where 8
+            # tasks beat 32 near-empty ones (AQE, which would coalesce
+            # them, is off in this window). A large diff — compaction —
+            # keeps the session default.
+            spark.conf.set(shuf_conf, "8")
         try:
             probe = _collect_keys_capped(changed_keys_df, key, cap=10_000)
         finally:
-            for conf, prev in ((limit_conf, prev_limit), (aqe_conf, prev_aqe)):
+            for conf, prev in (
+                (limit_conf, prev_limit),
+                (aqe_conf, prev_aqe),
+                (shuf_conf, prev_shuf) if derived_small else (None, None),
+            ):
+                if conf is None:
+                    continue
                 if prev is None:
                     spark.conf.unset(conf)
                 else:

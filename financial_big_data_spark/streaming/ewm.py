@@ -29,6 +29,12 @@ task's memory — out of scope for batch, pointing at "chunked carry-over
 - optional ``state_ttl_ms`` evicts idle series (processing-time timeout),
   bounding total state under key churn.
 
+Checkpoint compatibility: the in-order enforcement added a ``last_ts``
+field to every operator's state schema. applyInPandasWithState state rows
+are positional, so a stream restarted from a checkpoint written by a
+build WITHOUT that field must start from a fresh checkpoint (replay the
+source) — there is no in-place state migration.
+
 API note: built on ``applyInPandasWithState``. Spark 4 also ships the
 richer ``transformWithStateInPandas``; its Python state server requires
 ``google.protobuf`` at runtime, which this environment does not provide,
@@ -174,7 +180,10 @@ def streaming_ewm_mean_buffered(
       ascending — a deterministic total order so replays are
       byte-stable), continuing the recurrence bit-exactly. Rows inside
       the final ``delay_seconds`` of a finite stream stay buffered —
-      standard watermark semantics.
+      standard watermark semantics — UNLESS ``state_ttl_ms`` fires:
+      TTL expiry FLUSHES the buffer (emits the held rows through the
+      recurrence in order) before dropping state, so an idle series
+      loses no input rows.
     - A row arriving LATER than the bound (older than the last emitted
       event time) still cannot be folded into an O(1) recurrence — it
       raises naming the series and timestamps, exactly like
@@ -205,11 +214,33 @@ def streaming_ewm_mean_buffered(
         ]
     )
 
+    def _emit(prev, pairs):
+        s = pd.Series([v for _, v in pairs])
+        y = _continue_ewm(s, span, prev)
+        return float(y.iloc[-1]), pd.DataFrame(
+            {
+                series: None,  # filled by caller (needs the group key)
+                time: pd.to_datetime([t for t, _ in pairs], unit="us"),
+                value: [v for _, v in pairs],
+                out: y.to_numpy(),
+            }
+        )
+
     def fn(
         key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
+            # TTL FLUSH: the series went idle past the TTL, so its
+            # watermark will never advance — emit the held rows through
+            # the recurrence before dropping state. Unlike the O(1)-state
+            # operators (where TTL forgets only carry values), silently
+            # removing a reorder buffer would lose INPUT rows.
+            prev, _le, _ms, buf_ts, buf_v = state.get
             state.remove()
+            if buf_ts:
+                _, flushed = _emit(prev, sorted(zip(buf_ts, buf_v)))
+                flushed[series] = str(key[0])
+                yield flushed
             return
         chunks = list(pdf_iter)
         if not chunks:
@@ -242,20 +273,9 @@ def streaming_ewm_mean_buffered(
             ready = [(t, v) for t, v in pairs if t <= watermark]
             hold = [(t, v) for t, v in pairs if t > watermark]
             if ready:
-                s = pd.Series([v for _, v in ready])
-                y = _continue_ewm(s, span, prev)
-                prev = float(y.iloc[-1])
+                prev, emitted = _emit(prev, ready)
+                emitted[series] = str(key[0])
                 last_emit = ready[-1][0]
-                emitted = pd.DataFrame(
-                    {
-                        series: str(key[0]),
-                        time: pd.to_datetime(
-                            [t for t, _ in ready], unit="us"
-                        ),
-                        value: [v for _, v in ready],
-                        out: y.to_numpy(),
-                    }
-                )
             buf_ts = [t for t, _ in hold]
             buf_v = [v for _, v in hold]
         state.update((prev, last_emit, max_seen, buf_ts, buf_v))

@@ -941,3 +941,40 @@ def test_multi_value_matview_through_dml(spark, paths):
             spark, base, view + "_mm", group="g", value=["v1", "v2"],
             aggs=("sum", "count", "min", "max"),
         )
+
+
+def test_minmax_matview_accepts_one_element_value_list(spark, paths):
+    """value=['v'] on the min/max path: create already used values[0];
+    the refresh must normalize the recorded list the same way instead of
+    passing it into F.col (crashed before)."""
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=4)
+    create_matview(
+        spark, base, view, group="g", value=["v"],
+        aggs=("sum", "count", "min", "max"),
+    )
+    delete_version(spark, base, spark.range(190, 200).select("id"), key="id")
+    refresh_matview(spark, base, view, key="id")
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+
+
+def test_keys_unknown_refresh_on_duplicate_key_table(spark, paths):
+    """The multiset changed-key digest: a table holding DUPLICATE rows
+    per key (write_version/append_version make that legal) must still
+    refresh correctly through the keys-unknown fingerprint path — an
+    upsert collapsing a duplicated key changes its row COUNT, which a
+    one-row-per-key pairing join would classify by content alone."""
+    base, view = paths
+    df = _base(spark, 100)
+    # key 7 appears TWICE with identical rows
+    dup = df.where(F.col("id") == 7)
+    write_version(df.unionByName(dup), base, key="id", n_files=4)
+    create_matview(spark, base, view, group="g", value="v")
+    assert _view_rows(spark, view) == _recompute(spark, base)
+    # upsert key 7 (collapses both rows to one) + key 11 unchanged-value
+    updates = spark.createDataFrame(
+        [(7, 0, 123.0), (11, 4, 11 * 1.5)], "id long, g long, v double"
+    )
+    upsert_version(spark, base, updates, key="id", dedupe_updates=False)
+    refresh_matview(spark, base, view, key="id")  # keys unknown
+    assert _view_rows(spark, view) == _recompute(spark, base)

@@ -227,8 +227,9 @@ def main() -> None:
     if tainted_sides:
         print(
             f"TAINTED ARTIFACT ({', '.join(tainted_sides)}): run started on a "
-            "loaded box — deltas below are context only, NOT scored as "
-            "regressions; re-run bench.py on a quiet box."
+            "loaded box — TIMING deltas below are context only, not scored as "
+            "regressions (accuracy/recall/error rows are load-invariant and "
+            "stay scored); re-run bench.py on a quiet box."
         )
         load_skewed = True
     # Canary normalization: factor = how much SLOWER the new box ran the
@@ -288,16 +289,24 @@ def main() -> None:
                 note += f"  (bands overlap: old<= {ob[1]}, new>= {round(nb_lo, 3)})"
             else:
                 note += f"  (bands disjoint: old<= {ob[1]}, new>= {round(nb_lo, 3)})"
+        # load/taint suppression applies only to LOAD-SENSITIVE rows:
+        # timings, throughput, and timing-over-timing ratios. Accuracy /
+        # recall / error-rate rows cannot be load artifacts — a tainted
+        # run's quality drop is still a regression.
+        load_sensitive = (
+            _is_timing(name) or "mb_per" in short or short.endswith("_ratio")
+        )
+        suppressed = flagged and load_skewed and load_sensitive
         marker = (
             ""
             if not flagged
-            else (" <-- tainted, not scored" if load_skewed else " <-- REGRESSED")
+            else (" <-- tainted, not scored" if suppressed else " <-- REGRESSED")
         )
         if marker or abs(delta_pct) > threshold / 2:
             print(
                 f"{name:45s} {o:>12.3f} -> {n:>12.3f}  {delta_pct:+7.1f}%{marker}{note}"
             )
-        if flagged and not load_skewed:
+        if flagged and not suppressed:
             regressed.append(name)
     if regressed:
         print(f"\n{len(regressed)} metrics regressed past {threshold}%")
