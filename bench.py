@@ -124,6 +124,23 @@ def main() -> None:
     _canary()  # warm
     canary_sec = round(min(_canary() for _ in range(3)), 3)
 
+    # Canary-calibrated degraded-window taint (VERDICT r9 #3): the
+    # loadavg gate misses a DEGRADED MACHINE WINDOW — a quiet-loadavg run
+    # where every row (canary included) lands ~2x slow (observed once in
+    # r9's close: canary 0.38 at loadavg 0.11). The canary's clean range
+    # on this box class is measured across r6-r9 solo runs at 0.11-0.20;
+    # a run whose min-of-3 canary exceeds the band is stamped
+    # tainted="canary" so bench_compare refuses to score it, same as a
+    # loaded start.
+    CANARY_REF = [0.10, 0.25]
+    if not (CANARY_REF[0] <= canary_sec <= CANARY_REF[1]):
+        print(
+            f"WARNING: canary_local1_sec={canary_sec} outside the clean "
+            f"reference band {CANARY_REF} — degraded machine window; the "
+            "artifact will be stamped tainted='canary'.",
+            file=sys.stderr,
+        )
+
     # Steady-state timing: min of THREE runs per query (VERDICT r4 #7 —
     # run-to-run spread on this shared box reaches ±35%, so min-of-2 was
     # too thin for cross-round regression detection), with the cache
@@ -468,6 +485,49 @@ def main() -> None:
             / max(matview_scale["full_recompute_sec"], 1e-9),
             2,
         )
+
+        # Sidecar-commit flatness (VERDICT r9 #1 done-bar): a MIN/MAX
+        # view on the same 30M/256-file base, then 10 successive
+        # one-file DMLs — each refresh's sidecar commit must rewrite
+        # only the sidecar files holding the diff files' partials
+        # (incremental delete+append), so refresh time stays FLAT as
+        # refreshes accumulate instead of growing with sidecar history.
+        from financial_big_data_spark.sources.matview import (
+            _partials_path as _mv_ppath,
+        )
+
+        _mm_view = f"{_mv_dir}/view_mm"
+        t0 = time.time()
+        create_matview(
+            spark, _mv_base, _mm_view, group="user_id", value="value",
+            aggs=("sum", "count", "min", "max"),
+        )
+        matview_scale["sidecar_create_sec"] = round(time.time() - t0, 3)
+        _sc_times = []
+        _sc_before = None
+        for i in range(10):
+            lo = 1_000_000 + i * 2000
+            upd = _scale_delta(5.0 + i, lo)
+            upsert_version(
+                spark, _mv_base, upd, key="event_id", dedupe_updates=False
+            )
+            _sc_before = set(
+                _load_manifest(_mv_ppath(_mm_view), None)["files"]
+            )
+            _t0 = time.time()
+            refresh_matview(spark, _mv_base, _mm_view, key="event_id")
+            _sc_times.append(round(time.time() - _t0, 3))
+        _sc_after = set(_load_manifest(_mv_ppath(_mm_view), None)["files"])
+        matview_scale["sidecar_refresh_secs"] = _sc_times
+        matview_scale["sidecar_refresh_first_sec"] = _sc_times[0]
+        matview_scale["sidecar_refresh_last_sec"] = _sc_times[-1]
+        matview_scale["sidecar_flat_ratio"] = round(
+            _sc_times[-1] / max(_sc_times[0], 1e-9), 2
+        )
+        # evidence the last commit carried untouched sidecar files by
+        # reference instead of rewriting the whole sidecar
+        matview_scale["sidecar_carried_files"] = len(_sc_before & _sc_after)
+        matview_scale["sidecar_total_files"] = len(_sc_after)
     finally:
         _shutil.rmtree(_mv_dir, ignore_errors=True)
     _rel()
@@ -674,8 +734,16 @@ def main() -> None:
     # the same topology trained DATA-PARALLEL (train split never leaves
     # the executors; synchronous treeReduce gradient aggregation) — the
     # M6/M7 scale path as a measured number, not just a parity test
-    # (VERDICT r4 #2)
+    # (VERDICT r4 #2). Two samples + band (VERDICT r9 #5: flagged +58%
+    # in r9's compare before taint suppression — the last band-less
+    # parallel-training row).
     ep3_lstm_dist_sec, ep3_lstm_dist_acc = run_ep3("lstm_dist", seq_len=30)
+    _ld2, _ = run_ep3("lstm_dist", seq_len=30)
+    bands["ep3_lstm_dist_sec"] = [
+        round(min(ep3_lstm_dist_sec, _ld2), 3),
+        round(max(ep3_lstm_dist_sec, _ld2), 3),
+    ]
+    ep3_lstm_dist_sec = min(ep3_lstm_dist_sec, _ld2)
     _, ep3_baseline_acc = run_ep3("baseline")
     release_tracked()
     spark.catalog.clearCache()
@@ -830,7 +898,11 @@ def main() -> None:
         return time.time() - t0
 
     run_media()  # warm the python workers
-    media_decode_sec = round(min(run_media() for _ in range(3)), 3)
+    _media_samples = [run_media() for _ in range(3)]
+    bands["media_decode_sec"] = [
+        round(min(_media_samples), 3), round(max(_media_samples), 3)
+    ]
+    media_decode_sec = round(min(_media_samples), 3)
     media_mb_per_sec = round(media_mb / max(media_decode_sec, 1e-9), 1)
     media.unpersist()
 
@@ -1106,28 +1178,32 @@ def main() -> None:
     # drops ev_big too, so each iteration re-materializes it before t0);
     # 3 runs because this composite's run-to-run spread (GC state) exceeds
     # the other rows'
-    ep2_big_spark, n_big = None, 0
+    _big_samples, n_big = [], 0
     for _ in range(3):
         spark.catalog.clearCache()
         ev_big_c = ev_big.cache()
         n_big = ev_big_c.count()  # materialize outside the timed window
-        dt = run_ep2(ev_big_c)
+        _big_samples.append(run_ep2(ev_big_c))
         ev_big_c.unpersist()
-        ep2_big_spark = dt if ep2_big_spark is None else min(ep2_big_spark, dt)
-    ep2_big_spark = round(ep2_big_spark, 3)
+    bands["ep2_big_spark_sec"] = [
+        round(min(_big_samples), 3), round(max(_big_samples), 3)
+    ]
+    ep2_big_spark = round(min(_big_samples), 3)
 
     pdf = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
     pdf_big = pd.concat(
         [pdf.assign(user_id=pdf["user_id"] + (max_id + 1) * i) for i in range(mult)],
         ignore_index=True,
     )
-    ep2_big_pandas = None
+    _pd_samples = []
     for _ in range(3):
         t0 = time.time()
         _pb.ep2_pandas(pdf_big)
-        dt = time.time() - t0
-        ep2_big_pandas = dt if ep2_big_pandas is None else min(ep2_big_pandas, dt)
-    ep2_big_pandas = round(ep2_big_pandas, 3)
+        _pd_samples.append(time.time() - t0)
+    bands["ep2_big_pandas_sec"] = [
+        round(min(_pd_samples), 3), round(max(_pd_samples), 3)
+    ]
+    ep2_big_pandas = round(min(_pd_samples), 3)
 
     # Key ORDER is load-bearing (VERDICT r6 #8): the driver's BENCH wrapper
     # has HEAD-truncated this one-line JSON two rounds straight, keeping
@@ -1184,12 +1260,22 @@ def main() -> None:
         "canary_local1_sec": canary_sec,
         "loadavg_1m_start": load_start,
         "loadavg_1m_end": round(os.getloadavg()[0], 2),
-        # Environment guard (VERDICT r8 #2): the r8 driver artifact
-        # started at loadavg 3.02 and its 17 cross-round regression flags
-        # were all load artifacts. A run that starts on a busy box is
-        # stamped TAINTED so tools/bench_compare reports its deltas for
-        # context but refuses to score them as regressions.
-        "tainted": load_start > 1.0,
+        # Environment guard (VERDICT r8 #2 + r9 #3): a run that starts on
+        # a busy box (loadavg) OR inside a degraded machine window (the
+        # canary outside its clean reference band) is stamped TAINTED so
+        # tools/bench_compare reports its deltas for context but refuses
+        # to score them as regressions. The value stays truthy-compatible:
+        # True (load) or the string "canary".
+        "canary_ref": CANARY_REF,
+        "tainted": (
+            True
+            if load_start > 1.0
+            else (
+                "canary"
+                if not (CANARY_REF[0] <= canary_sec <= CANARY_REF[1])
+                else False
+            )
+        ),
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -1200,11 +1286,25 @@ def main() -> None:
     # rounds running — write the complete JSON next to the script so
     # cross-round per-query comparison never depends on /tmp files.
     # bench_compare prefers this file when handed a truncated wrapper.
+    # A TAINTED run routes to BENCH_TAINTED.json (VERDICT r9 #2): the r9
+    # driver's loaded run overwrote the committed clean BENCH_LOCAL.json
+    # in the working tree — the taint guard protected scoring but not
+    # the artifact file. The clean artifact is only ever replaced by a
+    # clean run.
+    artifact = "BENCH_TAINTED.json" if out["tainted"] else "BENCH_LOCAL.json"
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json"), "w") as fh:
+        apath = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), artifact
+        )
+        with open(apath, "w") as fh:
             json.dump(out, fh)
             fh.write("\n")
+        if out["tainted"]:
+            print(
+                f"NOTE: tainted run — artifact written to {artifact}; "
+                "BENCH_LOCAL.json left untouched.",
+                file=sys.stderr,
+            )
     except OSError:
         pass  # read-only checkout: stdout line remains the artifact
     print(json.dumps(out))

@@ -149,7 +149,22 @@ def _frozen_range_bounds(df, order_col: str, n_parts: int) -> list:
         ]
         sample.sort()
         if len(sample) < n_parts:
-            return []
+            # thin 1/256 sample (low-cardinality or small string key —
+            # e.g. a partials sidecar's _file column): fall back to a
+            # DETERMINISTIC ordered distinct sample, capped. Without
+            # boundaries the caller would collapse to one file and lose
+            # footer range pruning on the key entirely.
+            sample = [
+                r[0]
+                for r in df.select(F.col(order_col).alias("_k"))
+                .dropna()
+                .distinct()
+                .orderBy("_k")
+                .limit(128 * max(n_parts, 1))
+                .collect()
+            ]
+        if len(sample) < n_parts:
+            return sorted(set(sample))[:-1] if len(sample) > 1 else []
         step = len(sample) / n_parts
         return sorted({sample[int(i * step)] for i in range(1, n_parts)})
     probs = [i / n_parts for i in range(1, n_parts)]

@@ -25,9 +25,12 @@ Deliberate limits, stated rather than hidden:
   group rescan), so requesting them switches the view to the
   PARTIAL-AGGREGATE path: a per-(file, group) partials sidecar —
   invalidated exactly by the files DML rewrites — absorbs the rescan;
-  refreshes re-merge touched groups from the sidecar at the stated cost
-  of one O(|partials|) sidecar rewrite per refresh. Other aggregates
-  (medians, distinct counts) still raise.
+  refreshes re-merge touched groups from the sidecar, and the sidecar
+  itself commits INCREMENTALLY (``_sidecar_commit``: the sidecar is
+  ``_file``-clustered, so only the sidecar files holding diff-file
+  partials rewrite — O(diff), flat as refreshes accumulate). Other
+  aggregates (medians) still raise; mixed per-column specs ride the
+  same sidecar (``value={"x": ["sum"], "y": ["min", "max"]}``).
 - The changed-key set is FILE-SCOPED even when the caller cannot name
   it: when ``changed_keys`` is omitted, it comes from the manifests'
   symmetric-difference files only (immutability means a changed key
@@ -75,6 +78,35 @@ _SUPPORTED = ("sum", "count")
 
 def _meta_path(view_path: str) -> str:
     return os.path.join(view_path, "_matview.json")
+
+
+def _register_view(table_path: str, view_path: str) -> None:
+    """Record ``view_path`` in the BASE table's ``_views.json`` sidecar
+    (VERDICT r9 #8) so ``vacuum`` can see which snapshots matviews still
+    pin. The registry holds only view PATHS — each view's pinned base
+    version is read fresh from its own ``_matview.json`` at vacuum time,
+    so the registry can never lag a refresh; entries whose meta file is
+    gone (deleted views) are pruned there. Best-effort like
+    ``_save_schema``: a failed write degrades vacuum back to the named
+    next-refresh error, never corrupts data."""
+    import uuid
+
+    reg = os.path.join(table_path, "_views.json")
+    try:
+        try:
+            with open(reg) as fh:
+                views = json.load(fh).get("views", [])
+        except (OSError, ValueError):
+            views = []
+        ap = os.path.abspath(view_path)
+        if ap not in views:
+            views.append(ap)
+        tmp = reg + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"views": sorted(views)}, fh)
+        os.replace(tmp, reg)
+    except OSError:
+        pass
 
 
 def _read_meta(view_path: str) -> dict:
@@ -279,6 +311,80 @@ def _final_from_partials(partials: DataFrame, groups: list[str]) -> DataFrame:
     )
 
 
+_SPEC_AGGS = ("sum", "min", "max")
+
+
+def _norm_spec(value: dict) -> dict[str, list[str]]:
+    """Validate a MIXED per-column aggregate spec: {col: [aggs]} with
+    aggs ⊆ {sum, min, max}. COUNT is not a per-column agg here — the
+    view always carries ONE shared agg_count (the per-group row count,
+    identical whichever value column you'd count), which also drives
+    dead-group detection."""
+    if not value:
+        raise ValueError("value spec must name at least one column")
+    spec: dict[str, list[str]] = {}
+    for col, ags in value.items():
+        ags = [ags] if isinstance(ags, str) else list(ags)
+        if not ags:
+            raise ValueError(f"value spec for {col!r} names no aggregates")
+        for a in ags:
+            if a == "count":
+                raise ValueError(
+                    "count is not a per-column aggregate: every view "
+                    "carries one shared agg_count (the per-group row "
+                    "count) — drop it from the spec and read agg_count"
+                )
+            if a not in _SPEC_AGGS:
+                raise ValueError(
+                    f"aggregate {a!r} unsupported in a value spec; "
+                    f"supported: {'/'.join(_SPEC_AGGS)} (avg derives as "
+                    "agg_sum_<col>/agg_count)"
+                )
+        # deterministic column order however the caller listed them
+        spec[col] = [a for a in _SPEC_AGGS if a in ags]
+    return spec
+
+
+def _spec_partial_agg(
+    rows: DataFrame, groups: list[str], spec: dict[str, list[str]]
+) -> DataFrame:
+    """Per-(source file, group) partials for a MIXED spec: exactly the
+    requested (col, agg) partial columns plus the shared p_count —
+    same immutability contract as ``_partial_agg``."""
+    aggs = []
+    for c, ags in spec.items():
+        for a in ags:
+            fn = {"sum": F.sum, "min": F.min, "max": F.max}[a]
+            aggs.append(fn(F.col(c)).alias(f"p_{a}_{c}"))
+    return _with_gkey(
+        rows.select(
+            _file_col(), *[F.col(g) for g in groups],
+            *[F.col(c) for c in spec],
+        )
+        .groupBy("_file", *groups)
+        .agg(*aggs, F.count(F.lit(1)).alias("p_count")),
+        groups,
+    )
+
+
+def _spec_final_from_partials(
+    partials: DataFrame, groups: list[str], spec: dict[str, list[str]]
+) -> DataFrame:
+    """Merge a mixed spec's partials: sum-of-sums / min-of-mins /
+    max-of-maxes per requested pair + the shared count."""
+    outs = []
+    for c, ags in spec.items():
+        for a in ags:
+            fn = {"sum": F.sum, "min": F.min, "max": F.max}[a]
+            outs.append(fn(F.col(f"p_{a}_{c}")).alias(f"agg_{a}_{c}"))
+    return _with_gkey(
+        partials.groupBy(*groups).agg(
+            *outs, F.sum("p_count").alias("agg_count")
+        ),
+        groups,
+    )
+
+
 def create_matview(
     spark: SparkSession,
     table_path: str,
@@ -320,38 +426,67 @@ def create_matview(
     switches to the PARTIAL-AGGREGATE maintenance path: MIN/MAX are not
     self-maintainable under deletes (removing the current max forces a
     group rescan), so the view rides a per-(file, group) partials sidecar
-    (``_partials`` — itself a versioned table, group-clustered): DML
+    (``_partials`` — itself a versioned table, ``_file``-clustered): DML
     invalidates exactly the partials of the files it rewrote, a refresh
     recomputes partials for the manifests' symmetric difference only and
     re-merges touched groups FROM THE SIDECAR — the base table is never
-    rescanned beyond the DML's own files, at the documented cost of an
-    O(|partials|) sidecar rewrite per refresh (|partials| = Σ per-file
-    distinct groups, typically orders of magnitude below base rows).
-    View columns become (group, agg_sum, agg_count, agg_min, agg_max)."""
-    minmax = "min" in aggs or "max" in aggs
-    allowed = ("sum", "count", "min", "max") if minmax else _SUPPORTED
-    for a in aggs:
-        if a not in allowed:
-            raise ValueError(
-                f"aggregate {a!r} unsupported; supported: sum/count "
-                "(self-maintainable ±delta) or sum/count/min/max "
-                "(partial-aggregate sidecar); avg derives as sum/count"
-            )
+    rescanned beyond the DML's own files, and the sidecar commits
+    incrementally too (only sidecar files holding diff-file partials
+    rewrite; the rest carry by reference — O(diff) per refresh, flat as
+    history accumulates). View columns become (group, agg_sum,
+    agg_count, agg_min, agg_max).
+
+    ``value`` may also be a DICT of per-column aggregate lists — a MIXED
+    view like ``value={"x": ["sum"], "y": ["min", "max"]}`` maintaining
+    sum(x) and min(y)/max(y) under ONE group key. Mixed views ride the
+    partials sidecar wholesale: min/max need it anyway (not
+    self-maintainable under deletes), and the sum/count partials are
+    extra COLUMNS on rows the sidecar already carries — one maintenance
+    mechanism, one commit per refresh, rather than running the ±delta
+    path beside the sidecar for a second commit. View columns become
+    agg_<agg>_<col> per requested pair plus ONE shared agg_count; a
+    sum/count-only spec should use the plain list form, which keeps the
+    cheaper ±delta path. ``aggs`` is ignored for dict specs."""
+    spec = _norm_spec(value) if isinstance(value, dict) else None
+    minmax = spec is None and ("min" in aggs or "max" in aggs)
+    if spec is None:
+        allowed = ("sum", "count", "min", "max") if minmax else _SUPPORTED
+        for a in aggs:
+            if a not in allowed:
+                raise ValueError(
+                    f"aggregate {a!r} unsupported; supported: sum/count "
+                    "(self-maintainable ±delta) or sum/count/min/max "
+                    "(partial-aggregate sidecar); avg derives as sum/count"
+                )
     groups = _norm_groups(group)
     gcol = _key_of(groups)
-    values = _norm_values(value)
+    values = _norm_values(value) if spec is None else list(spec)
     if minmax and len(values) > 1:
         raise ValueError(
             "multiple value columns are supported on the sum/count "
-            "(±delta) path only; create one min/max view per value column"
+            "(±delta) path only; create one min/max view per value "
+            "column, or pass a dict spec (value={col: [aggs]})"
         )
     base_v = current_version(table_path)
     base = read_version(spark, table_path, base_v)
     if where:
         base = base.where(F.expr(where))
-    if minmax:
+    if spec is not None:
+        # mixed per-column spec: partials sidecar wholesale (see the
+        # docstring's one-mechanism argument), _file-clustered
+        partials = _spec_partial_agg(base, groups, spec)
+        write_version(partials, _partials_path(view_path), key="_file")
+        agg = _spec_final_from_partials(
+            read_version(spark, _partials_path(view_path)), groups, spec
+        )
+    elif minmax:
+        # the sidecar clusters by _file, NOT the group key: refreshes
+        # invalidate partials by the base files the DML rewrote, so
+        # _file footer ranges + Bloom sidecars are what keep the
+        # incremental sidecar commit O(diff) (_sidecar_commit); the
+        # group-filtered merge read pays Catalyst pushdown instead
         partials = _partial_agg(base, groups, values[0])
-        write_version(partials, _partials_path(view_path), key=gcol)
+        write_version(partials, _partials_path(view_path), key="_file")
         agg = _final_from_partials(
             read_version(spark, _partials_path(view_path)), groups
         )
@@ -363,11 +498,14 @@ def create_matview(
         {
             "base_version": base_v,
             "group": group if isinstance(group, str) else list(group),
-            "value": value if isinstance(value, str) else list(value),
-            "aggs": list(aggs),
+            "value": spec if spec is not None else (
+                value if isinstance(value, str) else list(value)
+            ),
+            "aggs": ["spec"] if spec is not None else list(aggs),
             "where": where,
         },
     )
+    _register_view(table_path, view_path)
     return view_v
 
 
@@ -378,6 +516,77 @@ def read_matview(spark: SparkSession, view_path: str) -> DataFrame:
     return df.drop("_gkey") if "_gkey" in df.columns else df
 
 
+def _sidecar_touched_files(
+    ppath: str, drop_files: list[str]
+) -> tuple[dict, list[str], list[str]]:
+    """(manifest, touched, carried): the sidecar data files that MIGHT
+    hold partials of ``drop_files`` — footer ``_file``-range intersection
+    refined by the ``_file`` Bloom sidecars — and the rest, carried by
+    reference. The sidecar is clustered by ``_file``, so a localized DML
+    touches O(diff) sidecar files, not the history."""
+    from .bloom import prune_by_keys
+
+    m = _load_manifest(ppath, None)
+    lo_k, hi_k = min(drop_files), max(drop_files)
+    ranges = _key_ranges(m["files"], "_file")
+    touched = [
+        f for f, (lo, hi) in ranges.items()
+        if lo is None or (lo <= hi_k and hi >= lo_k)
+    ]
+    if touched:
+        still = set(prune_by_keys(touched, drop_files))
+        touched = [f for f in touched if f in still]
+    carried = [f for f in m["files"] if f not in set(touched)]
+    return m, touched, carried
+
+
+def _sidecar_commit(
+    spark: SparkSession,
+    ppath: str,
+    drop_files: list[str],
+    parts_new: DataFrame | None,
+    pruned: tuple | None = None,
+) -> None:
+    """INCREMENTAL sidecar commit (VERDICT r9 #1): one atomic manifest
+    flip that (a) rewrites ONLY the sidecar data files that might hold
+    partials of the DML's diff files — dropped-partials filtered out —
+    and (b) appends the recomputed partials, carrying every other
+    sidecar file by reference. Sidecar I/O is O(partials of the
+    symmetric-diff files), never O(files-ever × groups): the sidecar is
+    clustered by ``_file`` (the base data-file path), so its footers
+    carry tight ``_file`` ranges and its Bloom sidecars answer "does
+    this sidecar file hold any diff file's partials" exactly like the
+    base table's own copy-on-write DML prunes on its row key.
+
+    Delete + append land in the SAME commit (the ``_apply_groups``
+    pattern): readers never see a half-applied sidecar, and a replayed
+    refresh (crash between this commit and the meta update) re-drops
+    and re-adds the identical rows — idempotent by the same
+    immutability argument as before."""
+    m, touched, carried = (
+        pruned if pruned is not None else _sidecar_touched_files(ppath, drop_files)
+    )
+    drop = _in_filter("_file", drop_files)
+    if drop is None:
+        drop = F.col("_file").isin(drop_files)
+    merged = parts_new
+    if touched:
+        survivors = _scan_files(spark, ppath, touched).where(~drop)
+        merged = (
+            survivors.unionByName(parts_new)
+            if parts_new is not None
+            else survivors
+        )
+    new_files: list[str] = []
+    if merged is not None:
+        # granularity-preserving, like upsert_version: the rewrite holds
+        # ~the touched sidecar files' partials plus the diff's new ones
+        new_files = _write_batch(
+            merged, ppath, "_file", n_files=max(1, len(touched))
+        )
+    _commit(ppath, carried + new_files, m["version"] + 1)
+
+
 def _sidecar_advance(
     spark: SparkSession,
     table_path: str,
@@ -386,19 +595,22 @@ def _sidecar_advance(
     partial_fn,
 ) -> dict | None:
     """The shared skeleton of every partials-sidecar refresh (MIN/MAX,
-    HLL-distinct): diff the manifests, drop the invalidated partials,
-    recompute the rewritten files' partials via ``partial_fn``, and
-    commit the new sidecar snapshot. Returns None when the manifests did
-    not move (meta already advanced), else {"v1", "probe"} where probe
-    is the ≤10k touched-group list or None (unbounded).
+    HLL-distinct, mixed specs): diff the manifests, drop the invalidated
+    partials, recompute the rewritten files' partials via ``partial_fn``,
+    and commit the sidecar INCREMENTALLY (``_sidecar_commit`` — only the
+    sidecar files holding diff-file partials rewrite; the rest carry by
+    reference). Returns None when the manifests did not move (meta
+    already advanced), else {"v1", "probe"} where probe is the ≤10k
+    touched-group list or None (unbounded).
 
     Base scan cost is EXACTLY the manifests' symmetric difference (the
     files the DML rewrote); the sidecar absorbs what deletes would
-    otherwise force (a group rescan). Cost bound, stated: one
-    O(|partials|) sidecar rewrite per refresh. The drop filter covers
-    BOTH manifest sides: only0's partials are stale, and any only1
-    partials ALREADY in the sidecar can only be a replayed refresh's
-    (crash between the sidecar commit and the meta update) — files are
+    otherwise force (a group rescan); and sidecar commit cost is
+    O(partials of the diff files), flat as refreshes accumulate
+    (bench.py matview_scale sidecar rows). The drop filter covers BOTH
+    manifest sides: only0's partials are stale, and any only1 partials
+    ALREADY in the sidecar can only be a replayed refresh's (crash
+    between the sidecar commit and the meta update) — files are
     immutable, so the recomputation is value-identical and drop-then-add
     makes the merge IDEMPOTENT under replay instead of double-counting."""
     gcol = _key_of(_norm_groups(meta["group"]))
@@ -410,10 +622,10 @@ def _sidecar_advance(
     if not only0 and not only1:
         _write_meta(view_path, {**meta, "base_version": v1})
         return None
-    P = read_version(spark, ppath)
     drop_files = only0 + only1
-    drop = _in_filter("_file", drop_files) if drop_files else None
-    survivors = P.where(~drop) if drop is not None else P
+    drop = _in_filter("_file", drop_files)
+    if drop is None:
+        drop = F.col("_file").isin(drop_files)
     src_new = _scan_files(spark, table_path, only1) if only1 else None
     if src_new is not None and meta.get("where"):
         src_new = src_new.where(F.expr(meta["where"]))
@@ -435,20 +647,31 @@ def _sidecar_advance(
                 "file set — refusing to merge partials that a later refresh "
                 "could not invalidate"
             )
-    p2 = (
-        survivors.unionByName(parts_new) if parts_new is not None else survivors
-    )
-    # touched groups = groups whose partial rows changed on either side
+    # touched groups = groups whose partial rows changed on either side;
+    # the stale-partials read is manifest-pruned to the sidecar files
+    # that might hold diff-file partials — never the whole sidecar
+    pruned = _sidecar_touched_files(ppath, drop_files)
+    touched_sc = pruned[1]
     touched = (
-        (P.where(drop).select(gcol) if drop is not None else None),
+        (
+            _scan_files(spark, ppath, touched_sc).where(drop).select(gcol)
+            if touched_sc
+            else None
+        ),
         (parts_new.select(gcol) if parts_new is not None else None),
     )
     touched = [t for t in touched if t is not None]
+    if not touched:
+        # the diff files left no partials behind (e.g. a filtered view
+        # whose predicate rejected every row of the rewritten files) and
+        # contributed none — the view cannot have changed
+        _write_meta(view_path, {**meta, "base_version": v1})
+        return None
     touched_df = touched[0] if len(touched) == 1 else touched[0].unionByName(touched[1])
     from .bloom import _collect_keys_capped
 
     probe = _collect_keys_capped(touched_df.distinct(), gcol, cap=10_000)
-    write_version(p2, ppath, key=gcol)
+    _sidecar_commit(spark, ppath, drop_files, parts_new, pruned=pruned)
     if parts_new is not None:
         parts_new.unpersist()
     return {"v1": v1, "probe": probe}
@@ -464,11 +687,40 @@ def _refresh_minmax(
     # value may be recorded as a 1-element list (create accepts value=["v"]
     # on this path) — normalize, matching create's values[0]
     groups, value = _norm_groups(meta["group"]), _norm_values(meta["value"])[0]
-    gcol = _key_of(groups)
-    adv = _sidecar_advance(
+    return _refresh_partials_view(
         spark, table_path, view_path, meta,
         lambda rows: _partial_agg(rows, groups, value),
+        lambda partials: _final_from_partials(partials, groups),
     )
+
+
+def _refresh_spec(
+    spark: SparkSession, table_path: str, view_path: str, meta: dict
+) -> dict:
+    """Mixed-spec refresh: the identical sidecar skeleton with the
+    spec's partial/merge columns."""
+    groups, spec = _norm_groups(meta["group"]), _norm_spec(meta["value"])
+    return _refresh_partials_view(
+        spark, table_path, view_path, meta,
+        lambda rows: _spec_partial_agg(rows, groups, spec),
+        lambda partials: _spec_final_from_partials(partials, groups, spec),
+    )
+
+
+def _refresh_partials_view(
+    spark: SparkSession,
+    table_path: str,
+    view_path: str,
+    meta: dict,
+    partial_fn,
+    final_fn,
+) -> dict:
+    """Shared partials-family view refresh (MIN/MAX + mixed specs):
+    advance the sidecar incrementally, then re-merge exactly the touched
+    groups into the view as one atomic snapshot."""
+    groups = _norm_groups(meta["group"])
+    gcol = _key_of(groups)
+    adv = _sidecar_advance(spark, table_path, view_path, meta, partial_fn)
     if adv is None:
         v1 = current_version(table_path)
         return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
@@ -489,7 +741,7 @@ def _refresh_minmax(
         if cond is None:
             _write_meta(view_path, {**meta, "base_version": v1})
             return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
-        live_rows = _final_from_partials(p2r.where(cond), groups).collect()
+        live_rows = final_fn(p2r.where(cond)).collect()
         live_set = {r[gcol] for r in live_rows}
         dead_keys = [g for g in probe if g not in live_set]
         n_up, n_dead = len(live_rows), len(dead_keys)
@@ -527,7 +779,7 @@ def _refresh_minmax(
     else:
         # unbounded touched set: rebuild the view wholesale from the new
         # sidecar (still never rescans the base) and count the diff
-        new_view = _final_from_partials(p2r, groups).persist()
+        new_view = final_fn(p2r).persist()
         n_up = new_view.count()
         # NULL-SAFE anti (a plain left_anti never matches null keys, so a
         # live null group would always count dead — stats only, but wrong)
@@ -568,11 +820,8 @@ def refresh_matview(
     no-op refresh returns zeros.
     """
     meta = _read_meta(view_path)
-    groups, values = _norm_groups(meta["group"]), _norm_values(meta["value"])
+    groups = _norm_groups(meta["group"])
     gcol = _key_of(groups)
-    sum_names = _sum_cols(values)
-    sv_names = [f"_sv_{i}" for i in range(len(values))]
-    d_names = [f"d_sum_{i}" for i in range(len(values))]
     v0, v1 = meta["base_version"], current_version(table_path)
     if v1 == v0:
         return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
@@ -587,10 +836,18 @@ def refresh_matview(
             "this is a distinct-count register view — refresh with "
             "refresh_distinct_matview (append-only merge semantics)"
         )
+    if isinstance(meta["value"], dict):
+        # mixed per-column spec: partials-sidecar family, FILE-driven
+        # (the symmetric difference IS the change set)
+        return _refresh_spec(spark, table_path, view_path, meta)
     if "min" in meta.get("aggs", ()) or "max" in meta.get("aggs", ()):
-        # partial-aggregate path: FILE-driven (the symmetric difference
-        # IS the change set) — changed_keys is not needed and not used
+        # partial-aggregate path: FILE-driven — changed_keys is not
+        # needed and not used
         return _refresh_minmax(spark, table_path, view_path, meta)
+    values = _norm_values(meta["value"])
+    sum_names = _sum_cols(values)
+    sv_names = [f"_sv_{i}" for i in range(len(values))]
+    d_names = [f"d_sum_{i}" for i in range(len(values))]
     # data files are immutable, so any file PRESENT IN BOTH manifests
     # holds identical rows on both sides of the ±delta — its
     # contributions net to exactly zero. The delta therefore scans only
@@ -648,6 +905,22 @@ def refresh_matview(
                 # assumption changefeed makes (a missed change needs a
                 # 64-bit collision on the exact changed key, p≈2^-64).
                 cols = _footer_columns(only1) or []
+                # ADVICE r9: the fingerprint expression is derived from
+                # only1's footer and applied to BOTH sides' scans — if a
+                # schema-evolving DML left the two manifest sides with
+                # different column sets, the only0 scan would die in the
+                # analyzer with an opaque unresolved-column error. Fail
+                # loudly with the remedy instead.
+                cols0 = _footer_columns(only0) or []
+                if set(cols0) != set(cols):
+                    raise ValueError(
+                        "keys-unknown refresh cannot fingerprint across a "
+                        "schema change: the base DML's rewritten files "
+                        f"carry columns {sorted(cols0)} on the old side vs "
+                        f"{sorted(cols)} on the new — pass changed_keys= "
+                        "(or derive them via changefeed(scope='full')), or "
+                        "rebuild the view with create_matview"
+                    )
                 fp_cols = [F.col(c) for c in sorted(c for c in cols if c != key)]
                 # key-only table: a "change" can only be presence
                 # (insert/delete) — the digest's count term catches it,
@@ -1069,8 +1342,9 @@ def create_distinct_matview(
     partials, and a refresh re-merges touched groups from the surviving
     sidecar rows, never rescanning the base beyond the DML's own files.
     Stated cost: the sidecar holds Σ per-file distinct groups × ≤2^b
-    rows and is rewritten once per refresh (O(|partials|)); storage and
-    rewrite are 2^b× the MIN/MAX sidecar's — choose b accordingly.
+    rows; a refresh rewrites only the sidecar files holding diff-file
+    partials (incremental ``_sidecar_commit``) — per-row storage and
+    rewrite are still 2^b× the MIN/MAX sidecar's, choose b accordingly.
 
     ``group`` may be one column or a LIST (composite key — see
     ``create_matview``); composite register views carry the derived
@@ -1086,8 +1360,9 @@ def create_distinct_matview(
     base_v = current_version(table_path)
     base = read_version(spark, table_path, base_v)
     if maintain == "partials":
+        # _file-clustered, same argument as create_matview's sidecar
         partials = _hll_partial_agg(base, groups, value, b)
-        write_version(partials, _partials_path(view_path), key=gcol)
+        write_version(partials, _partials_path(view_path), key="_file")
         regs = _regs_from_partials(
             read_version(spark, _partials_path(view_path)), groups
         )
@@ -1105,6 +1380,7 @@ def create_distinct_matview(
             "maintain": maintain,
         },
     )
+    _register_view(table_path, view_path)
     return view_v
 
 
@@ -1203,8 +1479,8 @@ def refresh_distinct_matview(
 ) -> dict:
     """Advance the register view. ``maintain="partials"`` views route to
     the sidecar path (``_refresh_distinct_partials``) — ANY DML,
-    including deletes, costs O(symmetric-diff scan + |partials| sidecar
-    rewrite); ``on_mutation`` is ignored there.
+    including deletes, costs O(symmetric-diff scan + diff-scoped sidecar
+    commit); ``on_mutation`` is ignored there.
 
     ``maintain="registers"`` views advance over APPEND-ONLY DML: scan
     only the files the manifests' symmetric difference ADDED, sketch

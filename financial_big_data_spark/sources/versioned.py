@@ -588,19 +588,55 @@ def changefeed(
     )
 
 
-def vacuum(path: str, keep_last: int = 2) -> dict:
+def _pinned_view_versions(path: str) -> dict[str, int]:
+    """{view_path: pinned base version} for every matview registered in
+    this table's ``_views.json`` (written by create_matview) whose own
+    ``_matview.json`` still exists — the pinned version is read FRESH
+    from each view's meta, so a refresh that advanced a view is never
+    over-pinned by a stale registry. Deleted views drop out here (and
+    the registry is rewritten without them by ``vacuum``)."""
+    reg = os.path.join(path, "_views.json")
+    try:
+        with open(reg) as fh:
+            views = json.load(fh).get("views", [])
+    except (OSError, ValueError):
+        return {}
+    pinned: dict[str, int] = {}
+    for vp in views:
+        try:
+            with open(os.path.join(vp, "_matview.json")) as fh:
+                pinned[vp] = int(json.load(fh)["base_version"])
+        except (OSError, ValueError, KeyError):
+            continue  # view deleted or unreadable — not a pin
+    return pinned
+
+
+def vacuum(path: str, keep_last: int = 2, on_pinned: str = "retain") -> dict:
     """Retire old snapshots: drop all but the newest ``keep_last``
     manifests, then delete every data file no surviving manifest
-    references. Returns {"manifests_removed": n, "files_removed": n}.
+    references. Returns {"manifests_removed": n, "files_removed": n,
+    "pinned_retained": {view_path: version, ...}}.
 
     Safe by construction: a file shared with a surviving snapshot stays
     (reference counting over manifests, not file age), and the CURRENT
     pointer is never touched. Time travel to vacuumed versions is gone —
     that is the point.
-    """
+
+    Materialized views PIN base versions (a refresh diffs the view's
+    recorded snapshot against CURRENT): views registered at
+    ``create_matview`` time (``_views.json``) are honored here —
+    ``on_pinned="retain"`` (default) keeps a pinned manifest and its
+    files even when older than ``keep_last``, so the view's next refresh
+    still finds its delta base; ``on_pinned="drop"`` vacuums it anyway
+    and prints the affected view and the remedy (the view's next refresh
+    raises the named rebuild error). Unregistered views (created before
+    this registry existed) still get the named error at refresh time."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    if on_pinned not in ("retain", "drop"):
+        raise ValueError("on_pinned must be 'retain' or 'drop'")
     import re
+    import sys
 
     versions = sorted(
         int(m.group(1))
@@ -608,6 +644,36 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
         if (m := re.fullmatch(r"v(\d+)\.json", f))
     )
     drop, keep = versions[:-keep_last], versions[-keep_last:]
+    pinned = _pinned_view_versions(path)
+    pinned_retained: dict[str, int] = {}
+    drop_set = set(drop)
+    for vp, pv in sorted(pinned.items()):
+        if pv in drop_set:
+            if on_pinned == "retain":
+                drop_set.discard(pv)
+                pinned_retained[vp] = pv
+            else:
+                print(
+                    f"vacuum: dropping base version {pv} of {path} still "
+                    f"pinned by matview {vp} — its next refresh will fail; "
+                    "rebuild it with create_matview (or refresh before "
+                    "vacuuming)",
+                    file=sys.stderr,
+                )
+    drop = [v for v in drop if v in drop_set]
+    keep = sorted(set(keep) | set(pinned_retained.values()))
+    # prune deleted views from the registry while we hold it
+    reg = os.path.join(path, "_views.json")
+    if os.path.exists(reg):
+        try:
+            import uuid as _uuid
+
+            tmp = reg + f".tmp-{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump({"views": sorted(pinned)}, fh)
+            os.replace(tmp, reg)
+        except OSError:
+            pass
     referenced: set[str] = set()
     for v in keep:
         referenced.update(_load_manifest(path, v)["files"])
@@ -622,7 +688,11 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
                 if os.path.exists(sidecar_path(f)):
                     os.remove(sidecar_path(f))
         os.remove(_manifest_path(path, v))
-    return {"manifests_removed": len(drop), "files_removed": dropped_files}
+    return {
+        "manifests_removed": len(drop),
+        "files_removed": dropped_files,
+        "pinned_retained": pinned_retained,
+    }
 
 
 def delete_version(

@@ -29,11 +29,14 @@ task's memory — out of scope for batch, pointing at "chunked carry-over
 - optional ``state_ttl_ms`` evicts idle series (processing-time timeout),
   bounding total state under key churn.
 
-Checkpoint compatibility: the in-order enforcement added a ``last_ts``
-field to every operator's state schema. applyInPandasWithState state rows
-are positional, so a stream restarted from a checkpoint written by a
-build WITHOUT that field must start from a fresh checkpoint (replay the
-source) — there is no in-place state migration.
+Checkpoint compatibility: applyInPandasWithState state rows are
+positional, so a stream restarted from a checkpoint written by a build
+with a DIFFERENT state layout must start from a fresh checkpoint (replay
+the source) — there is no in-place state migration. Every state tuple
+now leads with a layout-version tag (streaming/ordering.py STATE_VERSION)
+and ``read_state`` verifies it: an old-layout checkpoint fails with a
+NAMED error carrying that remedy instead of a raw tuple-unpack deep in
+the worker (VERDICT r9 #7 / ADVICE r9).
 
 API note: built on ``applyInPandasWithState``. Spark 4 also ships the
 richer ``transformWithStateInPandas``; its Python state server requires
@@ -53,7 +56,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .ordering import enforce_series_order, validate_on_late
+from .ordering import (
+    STATE_VERSION,
+    enforce_series_order,
+    raise_beyond_bound,
+    read_state,
+    split_ready,
+    validate_on_late,
+)
 
 
 def _continue_ewm(series: pd.Series, span: int, prev: float | None) -> pd.Series:
@@ -105,6 +115,7 @@ def streaming_ewm_mean(
     out_schema = T.StructType(stream.schema.fields + [T.StructField(out, T.DoubleType())])
     state_schema = T.StructType(
         [
+            T.StructField("state_v", T.IntegerType()),
             T.StructField("last_ewm", T.DoubleType()),
             T.StructField("last_ts", T.TimestampType()),
         ]
@@ -128,13 +139,17 @@ def streaming_ewm_mean(
             .sort_values(order, kind="mergesort")
             .reset_index(drop=True)
         )
-        prev, last_ts = state.get if state.exists else (None, None)
+        prev, last_ts = (
+            read_state(state, 3, "streaming_ewm_mean")
+            if state.exists
+            else (None, None)
+        )
         pdf = enforce_series_order(pdf, time, last_ts, key[0], on_late)
         if pdf.empty:
             return
         y = _continue_ewm(pdf[value], span, prev)
         pdf[out] = y.to_numpy()
-        state.update((float(y.iloc[-1]), pdf[time].iloc[-1]))
+        state.update((STATE_VERSION, float(y.iloc[-1]), pdf[time].iloc[-1]))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
         yield pdf[cols + [out]]
@@ -152,6 +167,28 @@ def streaming_ewm_mean(
     )
 
 
+def _buffer_fields(schema: T.StructType) -> list[T.StructField]:
+    """One typed-array state field per input column — the reorder buffer
+    holds WHOLE ROWS as parallel arrays (no struct nesting, no row
+    serialization), so the buffered operators carry every input column
+    through to the output (VERDICT r9 #4)."""
+    return [
+        T.StructField(f"_buf_{f.name}", T.ArrayType(f.dataType))
+        for f in schema.fields
+    ]
+
+
+def _rebuild_buffer(cols: list[str], bufs: tuple, time: str) -> pd.DataFrame:
+    """Buffered state arrays → a pandas frame with the input columns.
+    The event-time column round-trips through datetime objects —
+    normalized back to datetime64[us] (Spark timestamps ARE µs)."""
+    data = {c: list(b) if b is not None else [] for c, b in zip(cols, bufs)}
+    pdf = pd.DataFrame(data, columns=cols)
+    if len(pdf):
+        pdf[time] = pd.to_datetime(pdf[time]).astype("datetime64[us]")
+    return pdf
+
+
 def streaming_ewm_mean_buffered(
     stream: DataFrame,
     value: str,
@@ -161,24 +198,29 @@ def streaming_ewm_mean_buffered(
     time: str = "ts",
     out: str = "ewm",
     state_ttl_ms: int | None = None,
+    order_tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Streaming EWM that ABSORBS bounded disorder instead of rejecting
     it: a per-series reorder buffer holds rows until the series'
     event-time watermark (max event time seen − ``delay_seconds``)
     passes them, then emits them through the recurrence in event-time
     order — the watermark-bounded alternative to ``streaming_ewm_mean``'s
-    enforced in-order contract (VERDICT r8 #5 option (a)).
+    enforced in-order contract.
 
     Semantics and costs, stated:
 
-    - State per series is O(buffer): the held (ts, value) pairs — typed
-      arrays, no row serialization — plus the carried EWM, the last
-      EMITTED event time, and the monotone max event time seen. A series
-      emitting ~r rows/second holds ~r × delay_seconds pairs.
+    - State per series is O(buffer): the held input ROWS as parallel
+      typed arrays (every input column — the output carries the full
+      input schema + ``out``, VERDICT r9 #4), plus the carried EWM, the
+      last EMITTED event time, and the monotone max event time seen. A
+      series emitting ~r rows/second holds ~r × delay_seconds rows.
+      Input columns must be scalar types (a column of arrays would need
+      nested-array state).
     - Emission: each micro-batch emits exactly the buffered rows at or
-      below the advanced watermark, sorted by event time (ties: value
-      ascending — a deterministic total order so replays are
-      byte-stable), continuing the recurrence bit-exactly. Rows inside
+      below the advanced watermark, sorted by event time with the
+      ``order_tiebreak`` contract of the unbuffered operators (stable
+      mergesort — pass a unique column when duplicate timestamps are
+      possible), continuing the recurrence bit-exactly. Rows inside
       the final ``delay_seconds`` of a finite stream stay buffered —
       standard watermark semantics — UNLESS ``state_ttl_ms`` fires:
       TTL expiry FLUSHES the buffer (emits the held rows through the
@@ -189,42 +231,32 @@ def streaming_ewm_mean_buffered(
       raises naming the series and timestamps, exactly like
       ``streaming_ewm_mean(on_late="error")``. The buffer bounds the
       disorder it absorbs; it does not remove the contract.
-    - Output columns are (series, time, value, out) — the buffer holds
-      the typed pair, not the whole input row; project what you need
-      downstream or carry extra columns through a join on (series, time).
     """
     if delay_seconds < 0:
         raise ValueError("delay_seconds must be >= 0")
     delay_us = int(delay_seconds * 1_000_000)
+    cols = [f.name for f in stream.schema.fields]
+    order = [time] + (order_tiebreak or [])
     out_schema = T.StructType(
-        [
-            T.StructField(series, T.StringType()),
-            T.StructField(time, T.TimestampType()),
-            T.StructField(value, T.DoubleType()),
-            T.StructField(out, T.DoubleType()),
-        ]
+        stream.schema.fields + [T.StructField(out, T.DoubleType())]
     )
     state_schema = T.StructType(
         [
+            T.StructField("state_v", T.IntegerType()),
             T.StructField("last_ewm", T.DoubleType()),
             T.StructField("last_emitted_us", T.LongType()),
             T.StructField("max_seen_us", T.LongType()),
-            T.StructField("buf_ts", T.ArrayType(T.LongType())),
-            T.StructField("buf_v", T.ArrayType(T.DoubleType())),
         ]
+        + _buffer_fields(stream.schema)
     )
+    n_state = len(state_schema.fields)
+    _OP = "streaming_ewm_mean_buffered"
 
-    def _emit(prev, pairs):
-        s = pd.Series([v for _, v in pairs])
-        y = _continue_ewm(s, span, prev)
-        return float(y.iloc[-1]), pd.DataFrame(
-            {
-                series: None,  # filled by caller (needs the group key)
-                time: pd.to_datetime([t for t, _ in pairs], unit="us"),
-                value: [v for _, v in pairs],
-                out: y.to_numpy(),
-            }
-        )
+    def _emit(prev, ready: pd.DataFrame) -> tuple[float, pd.DataFrame]:
+        y = _continue_ewm(ready[value], span, prev)
+        ready = ready.copy()
+        ready[out] = y.to_numpy()
+        return float(y.iloc[-1]), ready[cols + [out]]
 
     def fn(
         key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -235,11 +267,14 @@ def streaming_ewm_mean_buffered(
             # the recurrence before dropping state. Unlike the O(1)-state
             # operators (where TTL forgets only carry values), silently
             # removing a reorder buffer would lose INPUT rows.
-            prev, _le, _ms, buf_ts, buf_v = state.get
+            prev, _le, _ms, *bufs = read_state(state, n_state, _OP)
             state.remove()
-            if buf_ts:
-                _, flushed = _emit(prev, sorted(zip(buf_ts, buf_v)))
-                flushed[series] = str(key[0])
+            held = _rebuild_buffer(cols, tuple(bufs), time)
+            if len(held):
+                held = held.sort_values(order, kind="mergesort").reset_index(
+                    drop=True
+                )
+                _, flushed = _emit(prev, held)
                 yield flushed
             return
         chunks = list(pdf_iter)
@@ -247,38 +282,35 @@ def streaming_ewm_mean_buffered(
             return
         pdf = pd.concat(chunks, ignore_index=True)
         if state.exists:
-            prev, last_emit, max_seen, buf_ts, buf_v = state.get
-            buf_ts, buf_v = list(buf_ts), list(buf_v)
+            prev, last_emit, max_seen, *bufs = read_state(state, n_state, _OP)
+            held = _rebuild_buffer(cols, tuple(bufs), time)
         else:
-            prev, last_emit, max_seen, buf_ts, buf_v = None, None, None, [], []
-        new_ts = (pdf[time].astype("datetime64[us]").astype("int64")).tolist()
-        new_v = pdf[value].astype("float64").tolist()
-        if last_emit is not None and new_ts and min(new_ts) < last_emit:
-            bad = pd.Timestamp(min(new_ts), unit="us")
-            raise ValueError(
-                f"out-of-order beyond the reorder bound for series "
-                f"{key[0]!r}: event time {bad} is older than the last "
-                f"EMITTED {pd.Timestamp(last_emit, unit='us')} — raise "
-                "delay_seconds to cover the source's actual disorder"
-            )
-        buf_ts += new_ts
-        buf_v += new_v
-        if new_ts:
-            batch_max = max(new_ts)
+            prev, last_emit, max_seen = None, None, None
+            held = pdf.iloc[0:0]
+        pdf[time] = pdf[time].astype("datetime64[us]")
+        new_ts = pdf[time].astype("int64")
+        if last_emit is not None and len(new_ts) and int(new_ts.min()) < last_emit:
+            raise_beyond_bound(key[0], int(new_ts.min()), last_emit, _OP)
+        if len(new_ts):
+            batch_max = int(new_ts.max())
             max_seen = batch_max if max_seen is None else max(max_seen, batch_max)
+        combined = (
+            pd.concat([held, pdf], ignore_index=True)
+            .sort_values(order, kind="mergesort")
+            .reset_index(drop=True)
+        )
         emitted = None
-        if buf_ts and max_seen is not None:
-            watermark = max_seen - delay_us
-            pairs = sorted(zip(buf_ts, buf_v))
-            ready = [(t, v) for t, v in pairs if t <= watermark]
-            hold = [(t, v) for t, v in pairs if t > watermark]
-            if ready:
+        if len(combined) and max_seen is not None:
+            ts_us = combined[time].astype("datetime64[us]").astype("int64")
+            ready, hold = split_ready(combined, ts_us, max_seen - delay_us)
+            if len(ready):
                 prev, emitted = _emit(prev, ready)
-                emitted[series] = str(key[0])
-                last_emit = ready[-1][0]
-            buf_ts = [t for t, _ in hold]
-            buf_v = [v for _, v in hold]
-        state.update((prev, last_emit, max_seen, buf_ts, buf_v))
+                last_emit = int(
+                    ready[time].astype("datetime64[us]").astype("int64").iloc[-1]
+                )
+            combined = hold
+        bufs = tuple(combined[c].tolist() for c in cols)
+        state.update((STATE_VERSION, prev, last_emit, max_seen) + bufs)
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
         if emitted is not None:
@@ -325,6 +357,7 @@ def streaming_macd(
     out_schema = T.StructType(stream.schema.fields + out_fields)
     state_schema = T.StructType(
         [
+            T.StructField("state_v", T.IntegerType()),
             T.StructField("ema_fast", T.DoubleType()),
             T.StructField("ema_slow", T.DoubleType()),
             T.StructField("ema_signal", T.DoubleType()),
@@ -348,7 +381,9 @@ def streaming_macd(
             .reset_index(drop=True)
         )
         prev_f, prev_s, prev_sig, last_ts = (
-            state.get if state.exists else (None, None, None, None)
+            read_state(state, 5, "streaming_macd")
+            if state.exists
+            else (None, None, None, None)
         )
         pdf = enforce_series_order(pdf, time, last_ts, key[0], on_late)
         if pdf.empty:
@@ -362,6 +397,7 @@ def streaming_macd(
         pdf["macd_hist"] = (macd_line - sig).to_numpy()
         state.update(
             (
+                STATE_VERSION,
                 float(ef.iloc[-1]),
                 float(es.iloc[-1]),
                 float(sig.iloc[-1]),

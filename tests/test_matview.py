@@ -614,9 +614,10 @@ def test_keys_unknown_refresh_scans_only_rewritten_base_files(spark, paths, monk
 
 
 def test_vacuum_past_view_base_raises_named_error(spark, paths):
-    """vacuum() can retire the manifest a view's base_version points at;
-    the refresh must then name the view and the rebuild remedy instead of
-    dying in _load_manifest with a raw FileNotFoundError."""
+    """vacuum(on_pinned="drop") can retire the manifest a view's
+    base_version points at (printing the view + remedy); the refresh must
+    then name the view and the rebuild remedy instead of dying in
+    _load_manifest with a raw FileNotFoundError."""
     from financial_big_data_spark.sources.versioned import vacuum
 
     base, view = paths
@@ -632,9 +633,43 @@ def test_vacuum_past_view_base_raises_named_error(spark, paths):
             key="id",
             dedupe_updates=False,
         )
-    vacuum(base, keep_last=1)  # drops v1 — the view's recorded snapshot
+    # drops v1 — the view's recorded snapshot — despite the registry pin
+    vacuum(base, keep_last=1, on_pinned="drop")
     with pytest.raises(ValueError, match="vacuumed|rebuild with create_matview"):
         refresh_matview(spark, base, view, key="id")
+
+
+def test_vacuum_retains_view_pinned_manifest(spark, paths):
+    """VERDICT r9 #8 (default mode): a vacuum that would retire the
+    snapshot a registered view still pins RETAINS that manifest and its
+    files — the view's next refresh works, and a later vacuum (after the
+    refresh advanced the pin) retires it normally."""
+    from financial_big_data_spark.sources.versioned import vacuum
+
+    base, view = paths
+    write_version(_base(spark), base, key="id")
+    create_matview(spark, base, view, group="g", value="v")
+    for lo in (300, 400):
+        upsert_version(
+            spark,
+            base,
+            spark.range(lo, lo + 10).select(
+                F.col("id"), (F.col("id") % 7).alias("g"), F.lit(1.0).alias("v")
+            ),
+            key="id",
+            dedupe_updates=False,
+        )
+    stats = vacuum(base, keep_last=1)
+    assert stats["pinned_retained"] == {os.path.abspath(view): 1}
+    # the pinned manifest survived: the refresh's delta base is intact
+    refresh_matview(spark, base, view, key="id")
+    assert _view_rows(spark, view) == _recompute(spark, base)
+    # pin advanced to CURRENT: the old manifests can now retire
+    stats2 = vacuum(base, keep_last=1)
+    assert stats2["pinned_retained"] == {}
+    assert stats2["manifests_removed"] >= 1
+    # and the view still refreshes (no-op) against the surviving snapshot
+    refresh_matview(spark, base, view, key="id")
 
 
 def test_unbounded_refresh_preserves_view_physical_types(spark, paths):
@@ -978,3 +1013,175 @@ def test_keys_unknown_refresh_on_duplicate_key_table(spark, paths):
     upsert_version(spark, base, updates, key="id", dedupe_updates=False)
     refresh_matview(spark, base, view, key="id")  # keys unknown
     assert _view_rows(spark, view) == _recompute(spark, base)
+
+
+def test_sidecar_commit_is_incremental(spark, paths):
+    """VERDICT r9 #1: a refresh must NOT rewrite the whole partials
+    sidecar — sidecar files holding only untouched ``_file`` partials
+    carry into the new sidecar manifest BY REFERENCE. The sidecar is
+    ``_file``-clustered, so a one-file base DML touches the sidecar
+    files whose _file range/Bloom cover that base file and no other."""
+    from financial_big_data_spark.sources.matview import _partials_path
+    from financial_big_data_spark.sources.versioned import (
+        _key_ranges,
+        _load_manifest,
+    )
+
+    base, view = paths
+    # big-ish spread so the sidecar lands in several _file-clustered files
+    write_version(_base(spark, 4000), base, key="id", n_files=16)
+    create_matview(
+        spark, base, view, group="g", value="v",
+        aggs=("sum", "count", "min", "max"),
+    )
+    ppath = _partials_path(view)
+    before = _load_manifest(ppath, None)["files"]
+    assert len(before) > 2, "fixture must spread the sidecar over files"
+    # DML confined to one base file's key range (ids 0..249 of 16 ranges)
+    base_files_v1 = set(_load_manifest(base, None)["files"])
+    delete_version(spark, base, spark.range(0, 5).select("id"), key="id")
+    base_files_v2 = set(_load_manifest(base, None)["files"])
+    refresh_matview(spark, base, view, key="id")
+    after = _load_manifest(ppath, None)["files"]
+    carried = set(before) & set(after)
+    assert carried, "refresh rewrote the ENTIRE sidecar (no carried files)"
+    # every carried/rewritten decision must be justified: a sidecar file
+    # whose _file range excludes every diff file must be carried
+    diff = sorted(base_files_v1 ^ base_files_v2)
+    ranges = _key_ranges(sorted(set(before)), "_file")
+    lo_k, hi_k = min(diff), max(diff)
+    for f, (lo, hi) in ranges.items():
+        if lo is not None and (lo > hi_k or hi < lo_k):
+            assert f in carried, (
+                f"sidecar file {f} holds only untouched _file partials "
+                "but was rewritten"
+            )
+    # correctness unchanged
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+
+
+def test_sidecar_commit_flat_over_successive_dml(spark, paths):
+    """Ten successive one-range DMLs: the view stays correct after each,
+    and the sidecar manifest keeps carrying untouched files forward
+    (history accumulation never forces a full rewrite)."""
+    from financial_big_data_spark.sources.matview import _partials_path
+    from financial_big_data_spark.sources.versioned import _load_manifest
+
+    base, view = paths
+    write_version(_base(spark, 4000), base, key="id", n_files=16)
+    create_matview(
+        spark, base, view, group="g", value="v",
+        aggs=("sum", "count", "min", "max"),
+    )
+    ppath = _partials_path(view)
+    for i in range(10):
+        lo = i * 13
+        upd = (
+            spark.range(lo, lo + 7)
+            .select(
+                F.col("id"),
+                (F.col("id") % 7).alias("g"),
+                (F.col("id") * 2.5 + i).alias("v"),
+            )
+        )
+        before = set(_load_manifest(ppath, None)["files"])
+        upsert_version(spark, base, upd, key="id", dedupe_updates=False)
+        refresh_matview(spark, base, view, key="id")
+        after = set(_load_manifest(ppath, None)["files"])
+        assert before & after, f"refresh {i} rewrote the entire sidecar"
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+
+
+def _recompute_mixed(spark, base_path):
+    return {
+        (r.g, round(r.s, 6), r.c, round(r.mn, 6), round(r.mx, 6))
+        for r in read_version(spark, base_path)
+        .groupBy("g")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("w").alias("mn"),
+            F.max("w").alias("mx"),
+        )
+        .collect()
+    }
+
+
+def test_mixed_spec_matview_through_delete_bearing_dml(spark, paths):
+    """VERDICT r9 #6: ONE view maintaining sum(v) + min(w)/max(w) under
+    one group key (value={"v": ["sum"], "w": ["min", "max"]}), through
+    an upsert AND a delete that removes group extrema — matches the
+    from-scratch aggregate after every step."""
+    base, view = paths
+    two = _base(spark).withColumn("w", F.col("id") * -0.5 + 3)
+    write_version(two, base, key="id", n_files=4)
+    create_matview(
+        spark, base, view, group="g",
+        value={"v": ["sum"], "w": ["min", "max"]},
+    )
+
+    def view_rows():
+        return {
+            (
+                r.g, round(r.agg_sum_v, 6), r.agg_count,
+                round(r.agg_min_w, 6), round(r.agg_max_w, 6),
+            )
+            for r in read_matview(spark, view).collect()
+        }
+
+    assert view_rows() == _recompute_mixed(spark, base)
+    # upsert: shift some values and extrema
+    upd = spark.range(40, 90).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 9.0).alias("v"),
+        (F.col("id") * 1.25).alias("w"),
+    )
+    upsert_version(spark, base, upd, key="id", dedupe_updates=False)
+    refresh_matview(spark, base, view, key="id")
+    assert view_rows() == _recompute_mixed(spark, base)
+    # delete rows holding current minima of w (high ids = low w pre-upsert)
+    delete_version(spark, base, spark.range(150, 200).select("id"), key="id")
+    refresh_matview(spark, base, view, key="id")
+    assert view_rows() == _recompute_mixed(spark, base)
+
+
+def test_mixed_spec_validation(spark, paths):
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=2)
+    with pytest.raises(ValueError, match="shared agg_count"):
+        create_matview(spark, base, view, group="g", value={"v": ["count"]})
+    with pytest.raises(ValueError, match="unsupported in a value spec"):
+        create_matview(spark, base, view, group="g", value={"v": ["median"]})
+    with pytest.raises(ValueError, match="at least one column"):
+        create_matview(spark, base, view, group="g", value={})
+
+
+def test_keys_unknown_refresh_names_schema_evolution(spark, paths):
+    """ADVICE r9: a schema-evolving DML (two manifest sides with
+    different column sets) must fail the keys-unknown digest with a
+    NAMED error carrying the remedy, not an analyzer exception."""
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=2)
+    create_matview(spark, base, view, group="g", value="v")
+    # evolve: upsert rewrites files with an EXTRA column
+    upd = spark.range(0, 50).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 4.0).alias("v"),
+        F.lit("x").alias("extra"),
+    )
+    from financial_big_data_spark.sources.versioned import (
+        _load_manifest,
+        _write_batch,
+        _commit,
+    )
+
+    # hand-craft the evolved snapshot: rewrite file 0 with the extra
+    # column, keep file 1 — exactly the two-sided diff the digest sees
+    m = _load_manifest(base, None)
+    keep = m["files"][1:]
+    new_files = _write_batch(upd, base, "id", n_files=1)
+    _commit(base, keep + new_files, m["version"] + 1)
+    with pytest.raises(ValueError, match="schema change"):
+        refresh_matview(spark, base, view, key="id")

@@ -306,3 +306,81 @@ def test_streaming_ewm_buffered_beyond_bound_raises(spark, buffered_stream):
     with pytest.raises(StreamingQueryException, match="beyond the reorder bound"):
         q.awaitTermination(180)
     assert "AAA" in str(q.exception())
+
+
+def test_streaming_ewm_buffered_carries_input_columns(spark):
+    """VERDICT r9 #4: the buffered EWM's output schema is the INPUT
+    schema + ewm — extra columns ride the reorder buffer instead of
+    being projected away (no re-join on (series, ts) needed)."""
+    from financial_big_data_spark.streaming.ewm import streaming_ewm_mean_buffered
+
+    rows = [
+        ("AAA", dt.datetime(2024, 5, 1) + dt.timedelta(minutes=i),
+         100.0 + i * 0.5, i * 10, f"tag{i}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, close double, volume long, tag string"
+    )
+    d = tempfile.mkdtemp(prefix="ewm_buf_carry_")
+    try:
+        b1 = (F.minute("ts") <= 14) & (F.minute("ts") != 13)
+        b2 = (F.minute("ts") == 13) | (F.minute("ts") >= 15)
+        for j, cond in enumerate([b1, b2]):
+            df.where(cond).coalesce(1).write.mode("overwrite").parquet(f"{d}/f{j}")
+            _time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/f*")
+        )
+        out = streaming_ewm_mean_buffered(
+            stream, value="close", span=5, delay_seconds=120
+        )
+        assert out.columns == ["symbol", "ts", "close", "volume", "tag", "ewm"]
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ewm_carry")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        got = {r.ts: (r.volume, r.tag, r.ewm) for r in spark.table("ewm_carry").collect()}
+        # watermark = minute 29 - 2 => rows through minute 27 emitted,
+        # the late minute 13 included, extra columns intact
+        exp_ewm = {
+            r.ts: r.ewm
+            for r in batch_ewm(df, value="close", span=5)
+            .where(F.minute("ts") <= 27)
+            .collect()
+        }
+        assert set(got) == set(exp_ewm) and len(got) == 28
+        for i in range(28):
+            ts = dt.datetime(2024, 5, 1) + dt.timedelta(minutes=i)
+            vol, tag, ewm = got[ts]
+            assert (vol, tag) == (i * 10, f"tag{i}")
+            assert ewm == exp_ewm[ts]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_drop_replayed_discards_equal_timestamp_redelivery():
+    """ADVICE r9: on_late='drop' keeps rows with event time EQUAL to the
+    last processed (an at-least-once redelivery re-folds into the
+    recurrence); on_late='drop-replayed' drops at-or-before rows, so the
+    redelivered last row is discarded."""
+    import pandas as pd
+
+    from financial_big_data_spark.streaming.ordering import enforce_series_order
+
+    t = [dt.datetime(2024, 6, 1, 0, m) for m in range(4)]
+    pdf = pd.DataFrame({"ts": [t[2], t[3]], "v": [1.0, 2.0]})
+    kept_drop = enforce_series_order(pdf, "ts", t[2], "AAA", "drop")
+    assert kept_drop["ts"].tolist() == [t[2], t[3]]  # equal ts reprocessed
+    kept_replayed = enforce_series_order(pdf, "ts", t[2], "AAA", "drop-replayed")
+    assert kept_replayed["ts"].tolist() == [t[3]]  # redelivery discarded
+    # strictly-late rows drop under both
+    pdf2 = pd.DataFrame({"ts": [t[0], t[3]], "v": [1.0, 2.0]})
+    assert enforce_series_order(pdf2, "ts", t[2], "A", "drop")["ts"].tolist() == [t[3]]

@@ -171,6 +171,7 @@ def _is_context(name: str) -> bool:
         # time-over-time ratios of two load-sensitive rows — direction
         # ambiguous under load skew; the _sec rows themselves are scored
         "delta_vs_recompute_ratio", "keys_unknown_vs_known_ratio",
+        "sidecar_flat_ratio",
     ):
         return True
     return (
