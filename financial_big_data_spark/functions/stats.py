@@ -148,12 +148,15 @@ def _frozen_range_bounds(df, order_col: str, n_parts: int) -> list:
             .collect()
         ]
         sample.sort()
-        if len(sample) < n_parts:
-            # thin 1/256 sample (low-cardinality or small string key —
-            # e.g. a partials sidecar's _file column): fall back to a
+        if len(sample) < n_parts or len(set(sample)) < n_parts:
+            # thin or duplicate-flooded 1/256 sample: the hash gate
+            # samples by VALUE, so a low-cardinality string key (e.g. a
+            # partials sidecar's _file column — every row of a sampled
+            # value passes) can yield a large sample of 2-3 distinct
+            # values and collapse the boundaries. Fall back to a
             # DETERMINISTIC ordered distinct sample, capped. Without
-            # boundaries the caller would collapse to one file and lose
-            # footer range pruning on the key entirely.
+            # real boundaries the caller would collapse to one or two
+            # files and lose footer range pruning on the key entirely.
             sample = [
                 r[0]
                 for r in df.select(F.col(order_col).alias("_k"))

@@ -475,7 +475,10 @@ def create_matview(
         # mixed per-column spec: partials sidecar wholesale (see the
         # docstring's one-mechanism argument), _file-clustered
         partials = _spec_partial_agg(base, groups, spec)
-        write_version(partials, _partials_path(view_path), key="_file")
+        write_version(
+            partials, _partials_path(view_path), key="_file",
+            sort_extra=[gcol],
+        )
         agg = _spec_final_from_partials(
             read_version(spark, _partials_path(view_path)), groups, spec
         )
@@ -484,9 +487,13 @@ def create_matview(
         # invalidate partials by the base files the DML rewrote, so
         # _file footer ranges + Bloom sidecars are what keep the
         # incremental sidecar commit O(diff) (_sidecar_commit); the
-        # group-filtered merge read pays Catalyst pushdown instead
+        # group-filtered merge read prunes ROW GROUPS via the secondary
+        # (_file, group) within-file sort
         partials = _partial_agg(base, groups, values[0])
-        write_version(partials, _partials_path(view_path), key="_file")
+        write_version(
+            partials, _partials_path(view_path), key="_file",
+            sort_extra=[gcol],
+        )
         agg = _final_from_partials(
             read_version(spark, _partials_path(view_path)), groups
         )
@@ -545,6 +552,7 @@ def _sidecar_commit(
     ppath: str,
     drop_files: list[str],
     parts_new: DataFrame | None,
+    gcol: str,
     pruned: tuple | None = None,
 ) -> None:
     """INCREMENTAL sidecar commit (VERDICT r9 #1): one atomic manifest
@@ -580,9 +588,13 @@ def _sidecar_commit(
     new_files: list[str] = []
     if merged is not None:
         # granularity-preserving, like upsert_version: the rewrite holds
-        # ~the touched sidecar files' partials plus the diff's new ones
+        # ~the touched sidecar files' partials plus the diff's new ones.
+        # (_file, group) within-file sort: the group-scoped merge read
+        # still skips row groups on the group key (range_clustered's
+        # secondary-sort contract)
         new_files = _write_batch(
-            merged, ppath, "_file", n_files=max(1, len(touched))
+            merged, ppath, "_file", n_files=max(1, len(touched)),
+            sort_extra=[gcol],
         )
     _commit(ppath, carried + new_files, m["version"] + 1)
 
@@ -671,7 +683,7 @@ def _sidecar_advance(
     from .bloom import _collect_keys_capped
 
     probe = _collect_keys_capped(touched_df.distinct(), gcol, cap=10_000)
-    _sidecar_commit(spark, ppath, drop_files, parts_new, pruned=pruned)
+    _sidecar_commit(spark, ppath, drop_files, parts_new, gcol, pruned=pruned)
     if parts_new is not None:
         parts_new.unpersist()
     return {"v1": v1, "probe": probe}
@@ -1362,7 +1374,10 @@ def create_distinct_matview(
     if maintain == "partials":
         # _file-clustered, same argument as create_matview's sidecar
         partials = _hll_partial_agg(base, groups, value, b)
-        write_version(partials, _partials_path(view_path), key="_file")
+        write_version(
+            partials, _partials_path(view_path), key="_file",
+            sort_extra=[gcol],
+        )
         regs = _regs_from_partials(
             read_version(spark, _partials_path(view_path)), groups
         )

@@ -231,7 +231,10 @@ def _in_filter(col: str, values: list):
     return F.expr(f"{quoted} IN ({', '.join(rendered)})")
 
 
-def _write_batch(df: DataFrame, path: str, key: str, n_files: int | None) -> list[str]:
+def _write_batch(
+    df: DataFrame, path: str, key: str, n_files: int | None,
+    sort_extra: list[str] | None = None,
+) -> list[str]:
     from .zorder import range_clustered
 
     batch = os.path.join(path, "data", f"batch-{uuid.uuid4().hex[:12]}")
@@ -246,8 +249,10 @@ def _write_batch(df: DataFrame, path: str, key: str, n_files: int | None) -> lis
         df = df.persist()
     try:
         # frozen-boundary range clustering (not repartitionByRange): snapshot
-        # rewrites of identical data produce an identical file layout
-        range_clustered(df, key, n_files).write.parquet(batch)
+        # rewrites of identical data produce an identical file layout;
+        # sort_extra = secondary within-file sort columns (row-group
+        # stats stay tight on them — see range_clustered)
+        range_clustered(df, key, n_files, secondary=sort_extra).write.parquet(batch)
     finally:
         if pin:
             df.unpersist()
@@ -262,16 +267,18 @@ def _write_batch(df: DataFrame, path: str, key: str, n_files: int | None) -> lis
 
 
 def write_version(
-    df: DataFrame, path: str, key: str, n_files: int | None = None
+    df: DataFrame, path: str, key: str, n_files: int | None = None,
+    sort_extra: list[str] | None = None,
 ) -> int:
     """Create snapshot v1 (or a full replacement snapshot): key-clustered
     immutable files + manifest + atomic CURRENT flip. Returns the
-    committed version number."""
+    committed version number. ``sort_extra``: secondary within-file sort
+    columns (see ``_write_batch``)."""
     try:
         v = current_version(path) + 1
     except FileNotFoundError:
         v = 1
-    files = _write_batch(df, path, key, n_files)
+    files = _write_batch(df, path, key, n_files, sort_extra=sort_extra)
     _commit(path, files, v)
     return v
 

@@ -156,22 +156,32 @@ def zorder_clustered(
 
 
 def range_clustered(
-    df: DataFrame, order_col: str, n_files: int | None = None
+    df: DataFrame, order_col: str, n_files: int | None = None,
+    secondary: list[str] | None = None,
 ) -> DataFrame:
     """``df`` repartitioned into ≤ ``n_files`` contiguous ``order_col``
     ranges, sorted within each — the single-key analogue of
     ``zorder_clustered``, replacing ``repartitionByRange``'s sampled
     boundaries with frozen quantiles + preimage routing so versioned
-    snapshot rewrites lay out identically run-to-run."""
+    snapshot rewrites lay out identically run-to-run.
+
+    ``secondary``: extra within-partition sort columns AFTER
+    ``order_col`` — parquet row-group statistics then stay tight on
+    them inside each ``order_col`` segment, so a reader filtering on a
+    secondary column still skips row groups (the matview partials
+    sidecar sorts (_file, group) this way: DML invalidation prunes
+    files on _file, the group-scoped merge read prunes row groups on
+    the group key). Deterministic like the primary sort."""
     from ..functions.stats import _NUMERIC_TYPES, _TEMPORAL_TYPES
 
+    sec = list(secondary or [])
     spark = df.sparkSession
     n = n_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if n <= 1:
         # single-file target: no boundaries to freeze — one partition,
         # sorted, is already the deterministic layout (skips the
         # quantile-sketch job small versioned-view writes would pay)
-        return df.repartition(1).sortWithinPartitions(order_col)
+        return df.repartition(1).sortWithinPartitions(order_col, *sec)
     base = dict(df.dtypes)[order_col].split("(")[0]
     if base in _NUMERIC_TYPES or base.startswith("decimal"):
         key = F.col(order_col).cast("double")
@@ -189,7 +199,7 @@ def range_clustered(
     return (
         df.withColumn("_slot", slot.cast("bigint"))
         .repartition(n_slots, "_slot")
-        .sortWithinPartitions(order_col)
+        .sortWithinPartitions(order_col, *sec)
         .drop("_slot")
     )
 

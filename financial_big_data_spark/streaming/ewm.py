@@ -340,13 +340,24 @@ def streaming_macd(
     state_ttl_ms: int | None = None,
     order_tiebreak: list[str] | None = None,
     on_late: str = "error",
+    delay_seconds: float | None = None,
 ) -> DataFrame:
     """Streaming MACD(fast, slow, signal) — appends macd, macd_signal,
     macd_hist exactly as ``functions.ewm.macd`` does in batch, carrying
     three doubles of state per series across micro-batches. See
     ``streaming_ewm_mean`` for the ``order_tiebreak`` and ``on_late``
-    (enforced in-order) contracts."""
+    (enforced in-order) contracts.
+
+    ``delay_seconds``: the watermark-bounded reorder-buffer variant —
+    same semantics, costs and full-input-schema carry-through as
+    ``streaming_ewm_mean_buffered`` (held rows as parallel typed arrays,
+    TTL flush, beyond-bound raises); the buffered state layout differs
+    from the unbuffered one (fresh checkpoint required to switch)."""
     validate_on_late(on_late)
+    buffered = delay_seconds is not None
+    if buffered and delay_seconds < 0:
+        raise ValueError("delay_seconds must be >= 0")
+    delay_us = int((delay_seconds or 0) * 1_000_000)
     cols = [f.name for f in stream.schema.fields]
     order = [time] + (order_tiebreak or [])
     out_fields = [
@@ -355,21 +366,52 @@ def streaming_macd(
         T.StructField("macd_hist", T.DoubleType()),
     ]
     out_schema = T.StructType(stream.schema.fields + out_fields)
-    state_schema = T.StructType(
-        [
-            T.StructField("state_v", T.IntegerType()),
-            T.StructField("ema_fast", T.DoubleType()),
-            T.StructField("ema_slow", T.DoubleType()),
-            T.StructField("ema_signal", T.DoubleType()),
-            T.StructField("last_ts", T.TimestampType()),
-        ]
-    )
+    state_fields = [
+        T.StructField("state_v", T.IntegerType()),
+        T.StructField("ema_fast", T.DoubleType()),
+        T.StructField("ema_slow", T.DoubleType()),
+        T.StructField("ema_signal", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+    if buffered:
+        state_fields += [
+            T.StructField("max_seen_us", T.LongType()),
+        ] + _buffer_fields(stream.schema)
+    state_schema = T.StructType(state_fields)
+    n_state = len(state_fields)
+    _OP = "streaming_macd"
+
+    def _apply(pdf, carry):
+        """Run the three-EMA recurrence over in-order rows; returns the
+        output frame and the new carry triple."""
+        prev_f, prev_s, prev_sig = carry
+        ef = _continue_ewm(pdf[close], fast, prev_f)
+        es = _continue_ewm(pdf[close], slow, prev_s)
+        macd_line = ef - es
+        sig = _continue_ewm(macd_line, signal, prev_sig)
+        pdf = pdf.copy()
+        pdf["macd"] = macd_line.to_numpy()
+        pdf["macd_signal"] = sig.to_numpy()
+        pdf["macd_hist"] = (macd_line - sig).to_numpy()
+        return (
+            pdf[cols + ["macd", "macd_signal", "macd_hist"]],
+            (float(ef.iloc[-1]), float(es.iloc[-1]), float(sig.iloc[-1])),
+        )
 
     def fn(
         key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
+            payload = read_state(state, n_state, _OP)
             state.remove()
+            if buffered:
+                held = _rebuild_buffer(cols, tuple(payload[5:]), time)
+                if len(held):
+                    held = held.sort_values(order, kind="mergesort").reset_index(
+                        drop=True
+                    )
+                    flushed, _ = _apply(held, payload[:3])
+                    yield flushed
             return
         # See streaming_ewm_mean: chunks are unordered — concat, sort once.
         chunks = list(pdf_iter)
@@ -380,33 +422,54 @@ def streaming_macd(
             .sort_values(order, kind="mergesort")
             .reset_index(drop=True)
         )
-        prev_f, prev_s, prev_sig, last_ts = (
-            read_state(state, 5, "streaming_macd")
-            if state.exists
-            else (None, None, None, None)
-        )
+        if state.exists:
+            payload = read_state(state, n_state, _OP)
+            carry, last_ts = payload[:3], payload[3]
+            if buffered:
+                max_seen = payload[4]
+                held = _rebuild_buffer(cols, tuple(payload[5:]), time)
+        else:
+            carry, last_ts = (None, None, None), None
+            max_seen, held = None, pdf.iloc[0:0]
+        if buffered:
+            pdf[time] = pdf[time].astype("datetime64[us]")
+            new_us = pdf[time].astype("int64")
+            if last_ts is not None and len(new_us) and pdf[time].iloc[0] < last_ts:
+                raise_beyond_bound(
+                    key[0],
+                    int(new_us.min()),
+                    int(pd.Timestamp(last_ts).value // 1000),
+                    _OP,
+                )
+            if len(new_us):
+                bmax = int(new_us.max())
+                max_seen = bmax if max_seen is None else max(max_seen, bmax)
+            combined = (
+                pd.concat([held, pdf], ignore_index=True)
+                .sort_values(order, kind="mergesort")
+                .reset_index(drop=True)
+            )
+            ts_us = combined[time].astype("datetime64[us]").astype("int64")
+            ready, hold = split_ready(combined, ts_us, (max_seen or 0) - delay_us)
+            bufs = tuple(hold[c].tolist() for c in cols)
+            emitted = None
+            if len(ready):
+                emitted, carry = _apply(ready, carry)
+                last_ts = ready[time].iloc[-1]
+            state.update((STATE_VERSION,) + carry + (last_ts, max_seen) + bufs)
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
+            if emitted is not None:
+                yield emitted
+            return
         pdf = enforce_series_order(pdf, time, last_ts, key[0], on_late)
         if pdf.empty:
             return
-        ef = _continue_ewm(pdf[close], fast, prev_f)
-        es = _continue_ewm(pdf[close], slow, prev_s)
-        macd_line = ef - es
-        sig = _continue_ewm(macd_line, signal, prev_sig)
-        pdf["macd"] = macd_line.to_numpy()
-        pdf["macd_signal"] = sig.to_numpy()
-        pdf["macd_hist"] = (macd_line - sig).to_numpy()
-        state.update(
-            (
-                STATE_VERSION,
-                float(ef.iloc[-1]),
-                float(es.iloc[-1]),
-                float(sig.iloc[-1]),
-                pdf[time].iloc[-1],
-            )
-        )
+        emitted, carry = _apply(pdf, carry)
+        state.update((STATE_VERSION,) + carry + (pdf[time].iloc[-1],))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
-        yield pdf[cols + ["macd", "macd_signal", "macd_hist"]]
+        yield emitted
 
     return stream.groupBy(series).applyInPandasWithState(
         fn,

@@ -1185,3 +1185,27 @@ def test_keys_unknown_refresh_names_schema_evolution(spark, paths):
     _commit(base, keep + new_files, m["version"] + 1)
     with pytest.raises(ValueError, match="schema change"):
         refresh_matview(spark, base, view, key="id")
+
+
+def test_sidecar_files_sorted_by_file_then_group(spark, paths):
+    """The sidecar's within-file sort is (_file, group): _file clustering
+    serves DML invalidation (footer ranges + Blooms), the secondary group
+    sort keeps parquet row-group statistics tight on the group key so the
+    group-scoped merge read still skips row groups at scale."""
+    import pyarrow.parquet as pq
+
+    from financial_big_data_spark.sources.matview import _partials_path
+    from financial_big_data_spark.sources.versioned import _load_manifest
+
+    base, view = paths
+    write_version(_base(spark, 2000), base, key="id", n_files=8)
+    create_matview(
+        spark, base, view, group="g", value="v",
+        aggs=("sum", "count", "min", "max"),
+    )
+    files = _load_manifest(_partials_path(view), None)["files"]
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["_file", "g"])
+        rows = list(zip(t["_file"].to_pylist(), t["g"].to_pylist()))
+        assert rows == sorted(rows), f"{f} not sorted by (_file, g)"

@@ -384,3 +384,61 @@ def test_drop_replayed_discards_equal_timestamp_redelivery():
     # strictly-late rows drop under both
     pdf2 = pd.DataFrame({"ts": [t[0], t[3]], "v": [1.0, 2.0]})
     assert enforce_series_order(pdf2, "ts", t[2], "A", "drop")["ts"].tolist() == [t[3]]
+
+
+def test_streaming_macd_buffered_absorbs_disorder_and_carries_columns(spark):
+    """delay_seconds= on MACD (the last O(1)-state op without a buffered
+    variant): a disordered-within-bound replay byte-matches the batch
+    MACD on the emitted watermark prefix, with input columns carried."""
+    from financial_big_data_spark.streaming.ewm import streaming_macd
+
+    rows = [
+        ("AAA", dt.datetime(2024, 5, 2) + dt.timedelta(minutes=i),
+         100.0 + ((i * 37) % 13) - (i % 5) * 0.7, i)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, close double, seq long"
+    )
+    d = tempfile.mkdtemp(prefix="macd_buf_")
+    try:
+        b1 = (F.minute("ts") <= 19) & (F.minute("ts") != 18)
+        b2 = (F.minute("ts") == 18) | (F.minute("ts") >= 20)
+        for j, cond in enumerate([b1, b2]):
+            df.where(cond).coalesce(1).write.mode("overwrite").parquet(f"{d}/f{j}")
+            _time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/f*")
+        )
+        out = streaming_macd(stream, close="close", delay_seconds=120)
+        assert out.columns == [
+            "symbol", "ts", "close", "seq", "macd", "macd_signal", "macd_hist"
+        ]
+        q = (
+            out.writeStream.format("memory")
+            .queryName("macd_buf")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.exception() is None
+        got = {
+            r.ts: (r.seq, r.macd, r.macd_signal, r.macd_hist)
+            for r in spark.table("macd_buf").collect()
+        }
+        # watermark = minute 39 - 2 => rows through minute 37 emitted
+        exp = {
+            r.ts: (r.macd, r.macd_signal, r.macd_hist)
+            for r in batch_macd(df, close="close")
+            .where(F.minute("ts") <= 37)
+            .collect()
+        }
+        assert set(got) == set(exp) and len(got) == 38
+        for ts, (seq, m, s, h) in got.items():
+            assert (m, s, h) == exp[ts]  # byte-exact doubles
+            assert seq == ts.minute  # carried column intact
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
