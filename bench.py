@@ -1205,6 +1205,15 @@ def main() -> None:
     ]
     ep2_big_pandas = round(min(_pd_samples), 3)
 
+    # END-OF-RUN canary (round 10): the start canary cannot catch a
+    # machine window that degrades MID-RUN — observed in this round's
+    # first solo run (start canary 0.124, then the single-threaded
+    # pandas row ran +44% slower and sketch_ops 2-3x in the run's second
+    # half). Re-measure the same fixed workload at the end; a drifted
+    # end canary stamps the run tainted so the degraded back half can't
+    # pass as clean numbers.
+    canary_end_sec = round(min(_canary() for _ in range(3)), 3)
+
     # Key ORDER is load-bearing (VERDICT r6 #8): the driver's BENCH wrapper
     # has HEAD-truncated this one-line JSON two rounds straight, keeping
     # only the tail. Emit the big nested dicts FIRST (losing part of one
@@ -1267,12 +1276,14 @@ def main() -> None:
         # to score them as regressions. The value stays truthy-compatible:
         # True (load) or the string "canary".
         "canary_ref": CANARY_REF,
+        "canary_end_sec": canary_end_sec,
         "tainted": (
             True
             if load_start > 1.0
             else (
                 "canary"
                 if not (CANARY_REF[0] <= canary_sec <= CANARY_REF[1])
+                or canary_end_sec > CANARY_REF[1]
                 else False
             )
         ),

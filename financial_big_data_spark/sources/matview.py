@@ -518,7 +518,9 @@ def create_matview(
 
 def read_matview(spark: SparkSession, view_path: str) -> DataFrame:
     """Current view contents: (*group cols, agg_sum, agg_count[, agg_min,
-    agg_max]) — the internal ``_gkey`` of a composite view is hidden."""
+    agg_max]) — or, for a mixed dict spec, (*group cols, agg_<agg>_<col>
+    per requested pair, agg_count). The internal ``_gkey`` of a composite
+    view is hidden."""
     df = read_version(spark, view_path)
     return df.drop("_gkey") if "_gkey" in df.columns else df
 
