@@ -70,6 +70,7 @@ from .versioned import (
     delete_version,
     read_version,
     upsert_version,
+    vacuum,
     write_version,
 )
 
@@ -523,6 +524,23 @@ def read_matview(spark: SparkSession, view_path: str) -> DataFrame:
     view is hidden."""
     df = read_version(spark, view_path)
     return df.drop("_gkey") if "_gkey" in df.columns else df
+
+
+def vacuum_matview(view_path: str, keep_last: int = 2) -> dict:
+    """Retire old snapshots of the VIEW and of its partials sidecar:
+    every refresh commits a new snapshot of each (the view by
+    copy-on-write, the sidecar by the incremental delete+append), so
+    their manifest/file history grows with REFRESH COUNT until vacuumed
+    — the maintenance companion a long-lived view needs, same
+    reference-counting safety as ``versioned.vacuum``. The BASE table is
+    deliberately not touched here: vacuum it separately, where this
+    view's pin (``_views.json``) is honored. Returns
+    {"view": stats, "partials": stats?}."""
+    out = {"view": vacuum(view_path, keep_last)}
+    ppath = _partials_path(view_path)
+    if os.path.isdir(os.path.join(ppath, "_versions")):
+        out["partials"] = vacuum(ppath, keep_last)
+    return out
 
 
 def _sidecar_touched_files(

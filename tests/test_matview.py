@@ -1209,3 +1209,77 @@ def test_sidecar_files_sorted_by_file_then_group(spark, paths):
         t = pq.read_table(f, columns=["_file", "g"])
         rows = list(zip(t["_file"].to_pylist(), t["g"].to_pylist()))
         assert rows == sorted(rows), f"{f} not sorted by (_file, g)"
+
+
+def test_vacuum_matview_retires_view_and_sidecar_history(spark, paths):
+    """vacuum_matview: view + partials-sidecar snapshots accumulate one
+    per refresh — vacuum retires the old ones (reference-counted, like
+    the base table's vacuum) and the NEXT refresh still works."""
+    import glob
+
+    from financial_big_data_spark.sources.matview import (
+        _partials_path,
+        vacuum_matview,
+    )
+    from financial_big_data_spark.sources.versioned import current_version
+
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=4)
+    create_matview(
+        spark, base, view, group="g", value="v",
+        aggs=("sum", "count", "min", "max"),
+    )
+    for i in range(4):
+        upd = spark.range(i * 20, i * 20 + 10).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            (F.col("id") * (2.0 + i)).alias("v"),
+        )
+        upsert_version(spark, base, upd, key="id", dedupe_updates=False)
+        refresh_matview(spark, base, view, key="id")
+    ppath = _partials_path(view)
+    assert current_version(view) >= 4 and current_version(ppath) >= 4
+    files_before = len(glob.glob(os.path.join(ppath, "data", "*", "*.parquet")))
+    stats = vacuum_matview(view, keep_last=1)
+    assert stats["view"]["manifests_removed"] >= 3
+    assert stats["partials"]["manifests_removed"] >= 3
+    assert stats["partials"]["files_removed"] > 0
+    files_after = len(glob.glob(os.path.join(ppath, "data", "*", "*.parquet")))
+    assert files_after < files_before
+    # the view still reads and still refreshes after the history is gone
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+    delete_version(spark, base, spark.range(0, 5).select("id"), key="id")
+    refresh_matview(spark, base, view, key="id")
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+
+
+def test_sidecar_compaction_then_refresh(spark, paths):
+    """Incremental sidecar commits append small files over time; the
+    generic compact_version(ppath, key='_file') defragments the sidecar
+    as a normal snapshot commit — and the next DML+refresh still
+    invalidates/merges correctly against the compacted layout."""
+    from financial_big_data_spark.sources.matview import _partials_path
+    from financial_big_data_spark.sources.versioned import (
+        _load_manifest,
+        compact_version,
+    )
+
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=4)
+    create_matview(
+        spark, base, view, group="g", value="v",
+        aggs=("sum", "count", "min", "max"),
+    )
+    for i in range(3):
+        upd = spark.range(i * 15, i * 15 + 8).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            (F.col("id") * (3.0 + i)).alias("v"),
+        )
+        upsert_version(spark, base, upd, key="id", dedupe_updates=False)
+        refresh_matview(spark, base, view, key="id")
+    ppath = _partials_path(view)
+    compact_version(spark, ppath, key="_file")
+    assert len(_load_manifest(ppath, None)["files"]) >= 1
+    # post-compaction DML: delete group maxima -> sidecar re-merge path
+    delete_version(spark, base, spark.range(190, 200).select("id"), key="id")
+    refresh_matview(spark, base, view, key="id")
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
