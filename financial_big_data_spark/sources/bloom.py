@@ -100,20 +100,26 @@ class Bloom:
         return any(self.might_contain_hashed(h1, h2) for h1, h2 in hashes)
 
 
-def sidecar_path(data_file: str) -> str:
-    return data_file + ".bloom"
+def sidecar_path(data_file: str, col: str | None = None) -> str:
+    """``<file>.bloom`` for the table's cluster key; ``<file>.bloom-<col>``
+    for an EXTRA probed column (e.g. the partials sidecar's group key —
+    clustered by _file for DML invalidation, group-bloomed so the
+    group-scoped merge read can skip whole files)."""
+    return data_file + (".bloom" if col is None else f".bloom-{col}")
 
 
-def load_sidecar(data_file: str) -> Bloom | None:
+def load_sidecar(data_file: str, col: str | None = None) -> Bloom | None:
     """None = no sidecar (pre-bloom file): caller must treat as 'might'."""
     try:
-        with open(sidecar_path(data_file)) as fh:
+        with open(sidecar_path(data_file, col)) as fh:
             return Bloom(json.load(fh))
     except FileNotFoundError:
         return None
 
 
-def write_bloom_sidecars(spark, files: list[str], key: str) -> None:
+def write_bloom_sidecars(
+    spark, files: list[str], key: str, col_suffix: str | None = None
+) -> None:
     """One sidecar per data file, built DISTRIBUTED: the key column is
     read once, grouped by source file (``input_file_name``), and each
     group — exactly one file's keys, already task-sized by construction —
@@ -142,10 +148,11 @@ def write_bloom_sidecars(spark, files: list[str], key: str) -> None:
             if pa.types.is_integer(t) or pa.types.is_string(t) or pa.types.is_large_string(t):
                 vals = pq.read_table(files[0], columns=[key])[key].to_pylist()
                 b = bloom_build(vals)
-                tmp = sidecar_path(files[0]) + ".tmp"
+                sp = sidecar_path(files[0], col_suffix)
+                tmp = sp + ".tmp"
                 with open(tmp, "w") as fh:
                     json.dump(b, fh)
-                os.replace(tmp, sidecar_path(files[0]))
+                os.replace(tmp, sp)
                 return
 
     def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -175,20 +182,22 @@ def write_bloom_sidecars(spark, files: list[str], key: str) -> None:
                 p = p[1:]
             if not p.startswith("/"):
                 p = "/" + p
-        tmp = sidecar_path(p) + ".tmp"
+        sp = sidecar_path(p, col_suffix)
+        tmp = sp + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(r["_bloom"])
-        os.replace(tmp, sidecar_path(p))
+        os.replace(tmp, sp)
 
 
-def prune_by_keys(files: list[str], keys) -> list[str]:
+def prune_by_keys(files: list[str], keys, col: str | None = None) -> list[str]:
     """Files that MIGHT contain at least one of ``keys`` (bounded probe
-    set — the caller enforces the cap). Missing sidecar → kept. Keys
+    set — the caller enforces the cap) in the cluster key (default) or
+    in an extra-bloomed column ``col``. Missing sidecar → kept. Keys
     hash ONCE up front (O(keys) md5), only the bit probes are per-file."""
     hashes = [_h2(k) for k in keys]
     out = []
     for f in files:
-        b = load_sidecar(f)
+        b = load_sidecar(f, col)
         if b is None or b.might_contain_any_hashed(hashes):
             out.append(f)
     return out

@@ -63,6 +63,7 @@ from .versioned import (
     _in_filter,
     _key_ranges,
     _load_manifest,
+    _footer_spark_dtype,
     _scan_files,
     _write_batch,
     table_schema,
@@ -478,7 +479,7 @@ def create_matview(
         partials = _spec_partial_agg(base, groups, spec)
         write_version(
             partials, _partials_path(view_path), key="_file",
-            sort_extra=[gcol],
+            sort_extra=[gcol], bloom_extra=[gcol],
         )
         agg = _spec_final_from_partials(
             read_version(spark, _partials_path(view_path)), groups, spec
@@ -493,7 +494,7 @@ def create_matview(
         partials = _partial_agg(base, groups, values[0])
         write_version(
             partials, _partials_path(view_path), key="_file",
-            sort_extra=[gcol],
+            sort_extra=[gcol], bloom_extra=[gcol],
         )
         agg = _final_from_partials(
             read_version(spark, _partials_path(view_path)), groups
@@ -541,6 +542,30 @@ def vacuum_matview(view_path: str, keep_last: int = 2) -> dict:
     if os.path.isdir(os.path.join(ppath, "_versions")):
         out["partials"] = vacuum(ppath, keep_last)
     return out
+
+
+def _merge_scan(spark: SparkSession, ppath: str, gcol: str, probe) -> DataFrame:
+    """Manifest-scoped sidecar scan for a BOUNDED touched-group merge:
+    files are pruned by the GROUP-KEY Bloom extras (``<file>.bloom-<gcol>``
+    — zero false negatives; a missing/foreign sidecar keeps the file), so
+    when groups correlate with the base table's clustering (symbol/day
+    reporting keys over time-ordered facts — each base file holds few
+    groups), the merge opens O(touched files), not the sidecar's history.
+    Worst case (every file holds every group) degrades to the full
+    manifest scan with (_file, group) row-group pruning on top."""
+    from .bloom import _EXACT_STR_TYPES, prune_by_keys
+
+    m = _load_manifest(ppath, None)
+    files = m["files"]
+    if files and probe:
+        # probe values canonicalize through str() on both sides; only
+        # exact-string-cast column types may prune (same guard as the
+        # write side, which skipped the extra blooms otherwise)
+        if _footer_spark_dtype(files[0], gcol) in _EXACT_STR_TYPES:
+            files = prune_by_keys(files, list(probe), col=gcol)
+    if not files:
+        return read_version(spark, ppath).where(F.lit(False))
+    return _scan_files(spark, ppath, files)
 
 
 def _sidecar_touched_files(
@@ -614,7 +639,7 @@ def _sidecar_commit(
         # secondary-sort contract)
         new_files = _write_batch(
             merged, ppath, "_file", n_files=max(1, len(touched)),
-            sort_extra=[gcol],
+            sort_extra=[gcol], bloom_extra=[gcol],
         )
     _commit(ppath, carried + new_files, m["version"] + 1)
 
@@ -773,7 +798,9 @@ def _refresh_partials_view(
         if cond is None:
             _write_meta(view_path, {**meta, "base_version": v1})
             return {"base_version": v1, "groups_upserted": 0, "groups_deleted": 0}
-        live_rows = final_fn(p2r.where(cond)).collect()
+        # group-Bloom file pruning + the IN filter on top (_merge_scan)
+        pruned = _merge_scan(spark, _partials_path(view_path), gcol, probe)
+        live_rows = final_fn(pruned.where(cond)).collect()
         live_set = {r[gcol] for r in live_rows}
         dead_keys = [g for g in probe if g not in live_set]
         n_up, n_dead = len(live_rows), len(dead_keys)
@@ -1396,7 +1423,7 @@ def create_distinct_matview(
         partials = _hll_partial_agg(base, groups, value, b)
         write_version(
             partials, _partials_path(view_path), key="_file",
-            sort_extra=[gcol],
+            sort_extra=[gcol], bloom_extra=[gcol],
         )
         regs = _regs_from_partials(
             read_version(spark, _partials_path(view_path)), groups
@@ -1472,8 +1499,10 @@ def _refresh_distinct_partials(
                 "groups_deleted": 0, "rebuilt": False,
             }
         # registers stay distributed (≤2^b rows per group is too wide to
-        # collect at 10k groups); pinned for the live-group probe + write
-        merged = _regs_from_partials(p2r.where(cond), groups).persist()
+        # collect at 10k groups); pinned for the live-group probe + write;
+        # the scan is group-Bloom file-pruned (_merge_scan)
+        pruned = _merge_scan(spark, _partials_path(view_path), gcol, probe)
+        merged = _regs_from_partials(pruned.where(cond), groups).persist()
         live = {r[gcol] for r in merged.select(gcol).distinct().collect()}
         n_up, n_dead = len(live), len(set(probe) - live)
         if n_up or n_dead:

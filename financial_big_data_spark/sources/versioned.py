@@ -234,6 +234,7 @@ def _in_filter(col: str, values: list):
 def _write_batch(
     df: DataFrame, path: str, key: str, n_files: int | None,
     sort_extra: list[str] | None = None,
+    bloom_extra: list[str] | None = None,
 ) -> list[str]:
     from .zorder import range_clustered
 
@@ -258,10 +259,19 @@ def _write_batch(
             df.unpersist()
     files = sorted(glob.glob(os.path.join(batch, "*.parquet")))
     # per-file key Bloom sidecars (sources/bloom.py): immutable like the
-    # data files they describe, carried by reference across snapshots
-    from .bloom import write_bloom_sidecars
+    # data files they describe, carried by reference across snapshots.
+    # bloom_extra: additional probed columns get <file>.bloom-<col>
+    # sidecars (written only for exact-string-cast types — the probe
+    # side canonicalizes through str(), which must equal Spark's string
+    # cast); the matview partials sidecar blooms its group key this way
+    # so the group-scoped merge read skips whole files.
+    from .bloom import _EXACT_STR_TYPES, write_bloom_sidecars
 
     write_bloom_sidecars(df.sparkSession, files, key)
+    dtypes = dict(df.dtypes)
+    for c in bloom_extra or []:
+        if dtypes.get(c) in _EXACT_STR_TYPES:
+            write_bloom_sidecars(df.sparkSession, files, c, col_suffix=c)
     _save_schema(df, path)
     return files
 
@@ -269,16 +279,20 @@ def _write_batch(
 def write_version(
     df: DataFrame, path: str, key: str, n_files: int | None = None,
     sort_extra: list[str] | None = None,
+    bloom_extra: list[str] | None = None,
 ) -> int:
     """Create snapshot v1 (or a full replacement snapshot): key-clustered
     immutable files + manifest + atomic CURRENT flip. Returns the
     committed version number. ``sort_extra``: secondary within-file sort
-    columns (see ``_write_batch``)."""
+    columns; ``bloom_extra``: additional Bloom-sidecar columns (see
+    ``_write_batch``)."""
     try:
         v = current_version(path) + 1
     except FileNotFoundError:
         v = 1
-    files = _write_batch(df, path, key, n_files, sort_extra=sort_extra)
+    files = _write_batch(
+        df, path, key, n_files, sort_extra=sort_extra, bloom_extra=bloom_extra
+    )
     _commit(path, files, v)
     return v
 
@@ -692,8 +706,11 @@ def vacuum(path: str, keep_last: int = 2, on_pinned: str = "retain") -> dict:
                 dropped_files += 1
                 from .bloom import sidecar_path
 
-                if os.path.exists(sidecar_path(f)):
-                    os.remove(sidecar_path(f))
+                # primary .bloom plus any .bloom-<col> extras share the
+                # data file's lifecycle
+                for sp in [sidecar_path(f)] + glob.glob(sidecar_path(f) + "-*"):
+                    if os.path.exists(sp):
+                        os.remove(sp)
         os.remove(_manifest_path(path, v))
     return {
         "manifests_removed": len(drop),

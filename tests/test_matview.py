@@ -1283,3 +1283,84 @@ def test_sidecar_compaction_then_refresh(spark, paths):
     delete_version(spark, base, spark.range(190, 200).select("id"), key="id")
     refresh_matview(spark, base, view, key="id")
     assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+
+
+def test_vacuum_prunes_deleted_views_from_registry(spark, paths):
+    """A view directory deleted out-of-band must stop pinning base
+    snapshots: vacuum treats a registry entry without a readable
+    _matview.json as no pin and rewrites _views.json without it."""
+    import json
+
+    from financial_big_data_spark.sources.versioned import vacuum
+
+    base, view = paths
+    write_version(_base(spark), base, key="id")
+    create_matview(spark, base, view, group="g", value="v")
+    upsert_version(
+        spark, base,
+        spark.range(300, 310).select(
+            F.col("id"), (F.col("id") % 7).alias("g"), F.lit(1.0).alias("v")
+        ),
+        key="id", dedupe_updates=False,
+    )
+    shutil.rmtree(view)  # the view is gone; its pin must not survive
+    stats = vacuum(base, keep_last=1)
+    assert stats["pinned_retained"] == {}
+    assert stats["manifests_removed"] == 1
+    reg = json.load(open(os.path.join(base, "_views.json")))
+    assert reg["views"] == []
+
+
+def test_merge_scan_prunes_files_by_group_bloom(spark, paths):
+    """Group-key Bloom extras on the _file-clustered sidecar: when
+    groups correlate with the base clustering (g = id // 50 — each base
+    file holds ~2 groups), the bounded merge read opens a strict subset
+    of sidecar files; correctness is unchanged."""
+    import os as _os
+
+    from financial_big_data_spark.sources.bloom import prune_by_keys, sidecar_path
+    from financial_big_data_spark.sources.matview import (
+        _merge_scan,
+        _partials_path,
+    )
+    from financial_big_data_spark.sources.versioned import _load_manifest
+
+    base, view = paths
+    df = spark.range(800).select(
+        F.col("id"),
+        (F.col("id") / 50).cast("bigint").alias("g"),  # file-correlated groups
+        (F.col("id") * 1.5).alias("v"),
+    )
+    write_version(df, base, key="id", n_files=8)
+    create_matview(
+        spark, base, view, group="g", value="v",
+        aggs=("sum", "count", "min", "max"),
+    )
+    ppath = _partials_path(view)
+    m = _load_manifest(ppath, None)
+    assert len(m["files"]) > 2
+    # every sidecar data file carries the bloom-g extra
+    for f in m["files"]:
+        assert _os.path.exists(sidecar_path(f, "g")), f
+    # a 2-group probe must open fewer files than the whole sidecar
+    pruned = prune_by_keys(m["files"], [0, 1], col="g")
+    assert 0 < len(pruned) < len(m["files"])
+    got = {
+        (r.g, round(r.agg_sum, 6))
+        for r in _merge_scan(spark, ppath, "g", [0, 1])
+        .groupBy("g").agg(F.sum("p_sum").alias("agg_sum"))
+        .where(F.col("g").isin([0, 1]))
+        .collect()
+    }
+    exp = {
+        (r.g, round(r.s, 6))
+        for r in read_version(spark, base)
+        .where(F.col("g").isin([0, 1]))
+        .groupBy("g").agg(F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == exp
+    # end-to-end: a delete hitting one group's extrema stays correct
+    delete_version(spark, base, spark.range(95, 100).select("id"), key="id")
+    refresh_matview(spark, base, view, key="id")
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
