@@ -557,7 +557,11 @@ def _merge_scan(spark: SparkSession, ppath: str, gcol: str, probe) -> DataFrame:
 
     m = _load_manifest(ppath, None)
     files = m["files"]
-    if files and probe:
+    # ≤2048 probe values (the same bound the IN-literal path uses): a
+    # near-cap probe set (10k groups) touches essentially every file and
+    # the no-hit bit probes would cost O(|probe| × files) driver time for
+    # no pruning — skip straight to the scan there
+    if files and probe and len(probe) <= 2048:
         # probe values canonicalize through str() on both sides; only
         # exact-string-cast column types may prune (same guard as the
         # write side, which skipped the extra blooms otherwise)
