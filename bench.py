@@ -126,13 +126,15 @@ def main() -> None:
 
     # Canary-calibrated degraded-window taint (VERDICT r9 #3): the
     # loadavg gate misses a DEGRADED MACHINE WINDOW — a quiet-loadavg run
-    # where every row (canary included) lands ~2x slow (observed once in
-    # r9's close: canary 0.38 at loadavg 0.11). The canary's clean range
-    # on this box class is measured across r6-r9 solo runs at 0.11-0.20;
-    # a run whose min-of-3 canary exceeds the band is stamped
-    # tainted="canary" so bench_compare refuses to score it, same as a
-    # loaded start.
-    CANARY_REF = [0.10, 0.25]
+    # where every row (canary included) lands 1.5-2.5x slow (observed in
+    # r9's close at canary 0.38/loadavg 0.11, and again in r10 where an
+    # idle box held 0.217-0.31 for over an hour while single-threaded
+    # pandas ran +44% slow). The canary's clean range across r6-r10 solo
+    # runs is 0.11-0.20; measured degraded windows sit at ≥0.217, so the
+    # band edge is 0.21 — a run whose min-of-3 canary falls outside is
+    # stamped tainted="canary" and bench_compare refuses to score it,
+    # same as a loaded start.
+    CANARY_REF = [0.10, 0.21]
     if not (CANARY_REF[0] <= canary_sec <= CANARY_REF[1]):
         print(
             f"WARNING: canary_local1_sec={canary_sec} outside the clean "

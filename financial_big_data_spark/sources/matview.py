@@ -518,12 +518,16 @@ def create_matview(
     return view_v
 
 
-def read_matview(spark: SparkSession, view_path: str) -> DataFrame:
-    """Current view contents: (*group cols, agg_sum, agg_count[, agg_min,
-    agg_max]) — or, for a mixed dict spec, (*group cols, agg_<agg>_<col>
-    per requested pair, agg_count). The internal ``_gkey`` of a composite
-    view is hidden."""
-    df = read_version(spark, view_path)
+def read_matview(
+    spark: SparkSession, view_path: str, version: int | None = None
+) -> DataFrame:
+    """View contents at ``version`` (default CURRENT): (*group cols,
+    agg_sum, agg_count[, agg_min, agg_max]) — or, for a mixed dict spec,
+    (*group cols, agg_<agg>_<col> per requested pair, agg_count). The
+    view is itself a versioned table, so time travel works: version N =
+    the aggregate as of the Nth create/refresh (until vacuumed). The
+    internal ``_gkey`` of a composite view is hidden."""
+    df = read_version(spark, view_path, version)
     return df.drop("_gkey") if "_gkey" in df.columns else df
 
 
