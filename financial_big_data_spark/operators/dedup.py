@@ -186,33 +186,89 @@ def minhash_signatures(
     )
 
 
+def _cap_bucket(
+    banded: DataFrame, keys: list[str], id_col: str, cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """Bound a banded table's per-bucket membership at ``cap``.
+
+    Returns ``(head, overflow_with_rep)``: ``head`` keeps each bucket's
+    ``cap`` min-``xxhash64`` members (deterministic uniform sample — the
+    same discipline as ml/graph.py ``cooccurrence_pairs``' slot_cap);
+    ``overflow_with_rep`` carries every row PAST the cap joined to its
+    bucket's rank-1 representative (columns of ``banded`` plus the rep's
+    columns suffixed ``_rep``). Head self-join work is ≤ cap² per bucket;
+    overflow contributes one LINEAR star edge per excess member, so a
+    capped bucket still connects ALL its members into one component for
+    cluster consumers (transitivity through the representative) — the
+    expansion is bounded without orphaning overflow docs. With every
+    bucket ≤ cap the result is EXACT (overflow empty); the registered
+    oracle queries run far below the default caps at test SFs, so their
+    hashes certify the capped path in its exact regime.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.xxhash64(F.col(id_col)), id_col)
+    ranked = banded.withColumn("_rk", F.row_number().over(w))
+    head = ranked.where(F.col("_rk") <= cap).drop("_rk")
+    overflow = ranked.where(F.col("_rk") > cap).drop("_rk")
+    rep = ranked.where(F.col("_rk") == 1).select(
+        *keys,
+        *[
+            F.col(c).alias(f"{c}_rep")
+            for c in banded.columns
+            if c not in keys
+        ],
+    )
+    return head, overflow.join(rep, on=keys)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Band the signature and self-join on (band, band-key) → candidate pairs.
 
     Returns distinct (id_a, id_b) with id_a < id_b. The join key includes the
     band index so one shuffle covers all bands (explode-then-join, not
     bands× separate joins).
+
+    Scale bound: a bucket of B members would emit B²/2 pairs — after exact
+    dedup, near-identical boilerplate families at corpus scale still form
+    hot buckets, so per-(band, key) membership is capped at ``bucket_cap``
+    min-``xxhash64`` members (see :func:`_cap_bucket`); members past the
+    cap each contribute ONE star pair to the bucket representative instead,
+    keeping cluster connectivity (dup_clusters transitivity) while bounding
+    work at cap² + linear overflow per bucket. Stated bias: pairwise recall
+    BETWEEN overflow members of a hot bucket is delegated to verification
+    of their star pairs + transitivity — an under-link for pair-level
+    consumers, never a false link (every emitted pair truly shared a
+    bucket). ``bucket_cap=None`` disables (exact-parity escape hatch).
     """
     band_cols = band_structs(num_hashes, bands, lambda i: F.col(f"mh_{i}"))
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    star = None
+    if bucket_cap is not None:
+        banded, overflow = _cap_bucket(banded, ["band", "key"], id_col, bucket_cap)
+        star = overflow.select(
+            F.least(F.col(id_col), F.col(f"{id_col}_rep")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col(f"{id_col}_rep")).alias("id_b"),
+        )
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(b, on=["band", "key"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def jaccard_pairs(
@@ -222,6 +278,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 1,
     min_jaccard: float = 0.0,
+    shingle_doc_cap: int | None = 1024,
 ) -> DataFrame:
     """Shingle-set Jaccard similarity, relationally.
 
@@ -232,6 +289,18 @@ def jaccard_pairs(
     subset. Without ``pairs``, all pairs sharing ≥1 shingle are scored (the
     exact mode; at corpus scale feed LSH candidates or use near_dup_lsh).
     Returns (id_a, id_b, n_a, n_b, n_shared, jaccard).
+
+    Exact-mode guard: the per-shingle self-join is quadratic in shingle
+    frequency — one stop-word shingle (or any boilerplate n-gram) makes a
+    single group O(docs²). When ``pairs`` is omitted, per-shingle doc
+    membership is therefore capped at ``shingle_doc_cap`` min-``xxhash64``
+    docs; a shingle shared by more docs than that carries ~no similarity
+    signal anyway (the IDF argument), and the bias is a pure UNDER-count of
+    ``n_shared``/``jaccard`` concentrated on those stop shingles — no pair
+    is ever over-scored. With every shingle below the cap the result is
+    EXACT (the registered ``doc_jaccard_pairs`` oracle certifies that
+    regime). ``shingle_doc_cap=None`` disables; candidate mode never caps
+    (its input is already bounded by the candidate set).
     """
     exploded = shingle_table(docs, text, id_col, shingle_n)
     if pairs is not None:
@@ -242,8 +311,16 @@ def jaccard_pairs(
         )
         exploded = exploded.join(cand_ids, on=id_col, how="left_semi")
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    joinable = exploded
+    if pairs is None and shingle_doc_cap is not None:
+        w = Window.partitionBy("shingle").orderBy(F.xxhash64(F.col(id_col)), id_col)
+        joinable = (
+            exploded.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= shingle_doc_cap)
+            .drop("_rk")
+        )
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     shared = (
         a.join(b, on="shingle")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -356,6 +433,7 @@ def simhash_near_dups(
     bits: int = 48,
     n_bands: int = 4,
     max_hamming: int = 3,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via banded Hamming-distance LSH.
 
@@ -381,6 +459,17 @@ def simhash_near_dups(
     bits/n_bands bounds bucket count at 2^width per band). The distinct
     before verification collapses multi-band hits so each candidate pair
     is rescored once.
+
+    Scale bound: per-(band, bkey) membership is capped at ``bucket_cap``
+    min-``xxhash64`` members (:func:`_cap_bucket`); overflow members each
+    contribute one star pair to the bucket representative, which still
+    passes the ``bit_count(xor)`` verification, so no false pair can be
+    introduced. BIAS when a bucket overflows: the pigeonhole exactness
+    weakens from "all pairs within hamming ≤ h" to "all pairs where at
+    least one shared band survived the cap, plus verified star edges" —
+    an under-link on hot boilerplate buckets only; components stay
+    connected through the representative. Buckets below the cap (all
+    registered fixtures/oracles) are EXACT. ``bucket_cap=None`` disables.
     """
     if n_bands <= max_hamming:
         raise ValueError(
@@ -414,6 +503,20 @@ def simhash_near_dups(
         F.col("bk.band").alias("band"),
         F.col("bk.bkey").alias("bkey"),
     )
+    star = None
+    if bucket_cap is not None:
+        bands, overflow = _cap_bucket(bands, ["band", "bkey"], id_col, bucket_cap)
+        star_ham = F.bit_count(
+            F.col("simhash").bitwiseXOR(F.col("simhash_rep"))
+        ).cast("bigint")
+        star = (
+            overflow.select(
+                F.least(F.col(id_col), F.col(f"{id_col}_rep")).alias("id_a"),
+                F.greatest(F.col(id_col), F.col(f"{id_col}_rep")).alias("id_b"),
+                star_ham.alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+        )
     left = bands.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bkey"
     )
@@ -425,13 +528,15 @@ def simhash_near_dups(
     # per-row expression, so applying it on the raw multi-band candidate
     # stream shrinks the dedup shuffle instead of deduping everything and
     # filtering after
-    return (
+    verified = (
         left.join(right, on=["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    if star is not None:
+        verified = verified.unionByName(star)
+    return verified.distinct()
 
 
 def dup_clusters(

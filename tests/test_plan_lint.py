@@ -98,3 +98,50 @@ def test_round10_operators_lint_clean(spark):
     )
     split = stratified_split(docs, strata="source", id_col="doc_id")
     assert not (_kinds(scale_lint(split, executed=False)) & bad)
+
+
+def test_self_join_sweep_catches_two_line_alias_idiom(tmp_path):
+    """VERDICT r10 #2: the source sweep must flag BOTH alias idioms — the
+    two-line `a = Z.alias(\"a\")` / `b = Z.alias(\"b\")` form evaded the r5
+    one-line regex. An unregistered site of either form fails the sweep."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from lint_report import _self_join_sites, _self_join_why
+
+    (tmp_path / "evader.py").write_text(
+        "def build_pairs(banded):\n"
+        "    a = banded.alias(\"a\")\n"
+        "    b = banded.alias(\"b\")\n"
+        "    return a.join(b, on=[\"band\", \"key\"])\n"
+    )
+    (tmp_path / "oneline.py").write_text(
+        "def build(slots):\n"
+        "    a, b = slots.alias(\"a\"), slots.alias(\"b\")\n"
+        "    return a.join(b, on=\"k\")\n"
+    )
+    (tmp_path / "not_self.py").write_text(
+        "def ok(x, y):\n"
+        "    a = x.alias(\"a\")\n"
+        "    b = y.alias(\"b\")\n"  # different frames: not a self-join
+        "    return a.join(b, on=\"k\")\n"
+    )
+    sites = _self_join_sites(str(tmp_path))
+    by_file = {(s[0].split("/")[-1], s[2]) for s in sites}
+    assert ("evader.py", "build_pairs") in by_file
+    assert ("oneline.py", "build") in by_file
+    assert all(f != "not_self.py" for f, _ in by_file)
+    # unregistered -> no justification -> sweep exit 1 path
+    assert _self_join_why("somewhere/evader.py", "build_pairs") is None
+
+
+def test_self_join_sweep_repo_sites_all_justified():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from lint_report import _self_join_sites, _self_join_why
+
+    for path, lineno, func in _self_join_sites():
+        assert _self_join_why(path, func) is not None, (
+            f"unjustified pair self-join at {path}:{lineno} ({func}) — "
+            "bound its per-key expansion or register it in "
+            "SELF_JOIN_JUSTIFIED"
+        )

@@ -128,13 +128,16 @@ JUSTIFIED[("emb_ivfpq", "nested-loop-join")] = (
 )
 
 
-# Source-level rule (VERDICT r5 #2): unbounded SELF-JOIN pair generation.
-# The `x, y = Z.alias("a"), Z.alias("b")` idiom marks a pair-expansion
-# self-join — quadratic in the join-key group size, the skew blowup that
-# made the co-occurrence graph build the r5 scale-killer. Every such
-# site must either bound its per-key expansion or carry a justification
-# here; a NEW site with no entry fails the sweep. Co-occurrence builds
-# must go through ml/graph.py cooccurrence_pairs (slot_cap-bounded).
+# Source-level rule (VERDICT r5 #2, widened r11 per VERDICT r10 #2):
+# unbounded SELF-JOIN pair generation. BOTH alias idioms mark a
+# pair-expansion self-join — the one-line
+# `x, y = Z.alias("a"), Z.alias("b")` AND the two-line
+# `a = Z.alias("a")` / `b = Z.alias("b")` form that evaded the r5 regex —
+# quadratic in the join-key group size, the skew blowup that made the
+# co-occurrence graph build the r5 scale-killer. Every such site must
+# either bound its per-key expansion or carry a justification here; a NEW
+# site with no entry fails the sweep. Co-occurrence builds must go
+# through ml/graph.py cooccurrence_pairs (slot_cap-bounded).
 SELF_JOIN_JUSTIFIED: dict[str, str] = {
     "financial_big_data_spark/ml/graph.py": (
         "cooccurrence_pairs: per-slot expansion capped at slot_cap "
@@ -149,27 +152,77 @@ SELF_JOIN_JUSTIFIED: dict[str, str] = {
         "of the micro-batch — group size bounded by band collisions of "
         "one batch, verified pairs only"
     ),
+    "financial_big_data_spark/operators/dedup.py": (
+        "lsh_candidate_pairs / jaccard_pairs exact mode: per-bucket "
+        "membership capped (bucket_cap / shingle_doc_cap min-xxhash "
+        "members, _cap_bucket) — ≤ cap² head pairs + linear star "
+        "overflow to the bucket representative per (band,key)/shingle"
+    ),
+    # queries.py entries are keyed per enclosing FUNCTION — a new
+    # self-join anywhere else in the 7k-line registry file fails the
+    # sweep instead of inheriting a file-wide pass.
+    "financial_big_data_spark/queries.py::q_ev_type_corr_pairs": (
+        "per-hr group = event types (dictionary-bounded, 5): k² pairs "
+        "per hour by construction"
+    ),
+    "financial_big_data_spark/queries.py::q_ev_user_cc_communities": (
+        "per-hr group bounded by the user_id < 200 slice the query "
+        "takes; the unbounded build belongs to cooccurrence_pairs"
+    ),
 }
 
+# One-line idiom: `x, y = Z.alias("a"), Z.alias("b")`.
+_SJ_ONE = r"=\s*(\w+)\.alias\(\"a\"\),\s*(\w+)\.alias\(\"b\"\)"
+# Two-line idiom: `a = Z.alias("a")` then (within the next few lines,
+# possibly with comments between) `b = Z.alias("b")` on the SAME frame.
+_SJ_TWO = (
+    r"(\w+)\s*=\s*(\w+)\.alias\(\"a\"\)[^\n]*\n"
+    r"(?:[^\n]*\n){0,3}?"
+    r"\s*(\w+)\s*=\s*(\w+)\.alias\(\"b\"\)"
+)
 
-def _self_join_sites() -> list[tuple[str, int]]:
+
+def _enclosing_def(src: str, pos: int) -> str:
+    """Name of the last top-level-or-nested `def` above ``pos`` ('' if none)."""
+    import re as _re
+
+    defs = list(_re.finditer(r"^[ \t]*def\s+(\w+)", src[:pos], _re.M))
+    return defs[-1].group(1) if defs else ""
+
+
+def _self_join_sites(pkg: str | None = None) -> list[tuple[str, int, str]]:
+    """Every `Z.alias(\"a\") … Z.alias(\"b\")` self-join site in the
+    package, one-line or two-line form, as
+    (repo-relative path, line, enclosing function)."""
     import re as _re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    pkg = os.path.join(root, "financial_big_data_spark")
-    pat = _re.compile(r"=\s*(\w+)\.alias\(\"a\"\),\s*(\w+)\.alias\(\"b\"\)")
+    if pkg is None:
+        pkg = os.path.join(root, "financial_big_data_spark")
+    one = _re.compile(_SJ_ONE)
+    two = _re.compile(_SJ_TWO)
     sites = []
     for dirpath, _dirs, files in os.walk(pkg):
-        for f in files:
+        for f in sorted(files):
             if not f.endswith(".py"):
                 continue
             path = os.path.join(dirpath, f)
             with open(path) as fh:
-                for i, line in enumerate(fh, 1):
-                    m = pat.search(line)
-                    if m and m.group(1) == m.group(2):
-                        sites.append((os.path.relpath(path, root), i))
+                src = fh.read()
+            rel = os.path.relpath(path, root)
+            found = {}
+            for m in one.finditer(src):
+                if m.group(1) == m.group(2):
+                    found[src.count("\n", 0, m.start()) + 1] = _enclosing_def(src, m.start())
+            for m in two.finditer(src):
+                if m.group(2) == m.group(4):
+                    found[src.count("\n", 0, m.start()) + 1] = _enclosing_def(src, m.start())
+            sites.extend((rel, lineno, fn) for lineno, fn in sorted(found.items()))
     return sites
+
+
+def _self_join_why(rel: str, func: str) -> str | None:
+    return SELF_JOIN_JUSTIFIED.get(f"{rel}::{func}") or SELF_JOIN_JUSTIFIED.get(rel)
 
 
 def main() -> None:
@@ -218,13 +271,14 @@ def main() -> None:
     lines.append("")
     lines.append("| site | status |")
     lines.append("|---|---|")
-    for path, lineno in _self_join_sites():
-        why = SELF_JOIN_JUSTIFIED.get(path)
+    for path, lineno, func in _self_join_sites():
+        why = _self_join_why(path, func)
+        site = f"{path}:{lineno} ({func})" if func else f"{path}:{lineno}"
         if why:
-            lines.append(f"| {path}:{lineno} | justified: {why} |")
+            lines.append(f"| {site} | justified: {why} |")
         else:
             lines.append(
-                f"| {path}:{lineno} | **UNJUSTIFIED unbounded pair self-join** |"
+                f"| {site} | **UNJUSTIFIED unbounded pair self-join** |"
             )
             unjustified += 1
     lines.append("")
