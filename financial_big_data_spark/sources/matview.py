@@ -77,6 +77,39 @@ from .versioned import (
 
 _SUPPORTED = ("sum", "count")
 
+# Partials-sidecar LAYOUT version, stamped into _matview.json at create
+# time and checked by every sidecar refresh (_sidecar_advance) — the
+# mirror of streaming/ordering.py's STATE_VERSION guard for on-disk
+# checkpoint layouts. History: layout ≤1 (unstamped) clustered the
+# sidecar by the GROUP key with group-key Bloom sidecars; layout 2
+# clusters by ``_file`` (base data-file path) with (_file, group)
+# secondary sort and Bloom extras on BOTH. A layout-2 refresh probing a
+# layout-1 sidecar's Blooms with file paths false-prunes every sidecar
+# file, silently never dropping stale partials — wrong aggregates that
+# report success — so a missing/old marker must raise the named rebuild
+# error below instead of refreshing.
+SIDECAR_LAYOUT = 2
+
+
+class SidecarLayoutError(RuntimeError):
+    """The view's partials sidecar was written under a different on-disk
+    layout than this build reads — refresh would silently corrupt the
+    aggregate. Rebuild the view (create_matview /
+    create_distinct_matview); its base table is untouched."""
+
+
+def _check_sidecar_layout(view_path: str, meta: dict) -> None:
+    found = meta.get("sidecar_layout")
+    if found != SIDECAR_LAYOUT:
+        raise SidecarLayoutError(
+            f"partials sidecar at {_partials_path(view_path)} has layout "
+            f"{found if found is not None else '≤1 (unstamped, group-key-clustered)'} "
+            f"but this build reads layout {SIDECAR_LAYOUT} (_file-clustered); "
+            "refreshing across layouts silently keeps stale partials — "
+            "rebuild the view with create_matview/create_distinct_matview "
+            "(the base table is unaffected)"
+        )
+
 
 def _meta_path(view_path: str) -> str:
     return os.path.join(view_path, "_matview.json")
@@ -502,18 +535,20 @@ def create_matview(
     else:
         agg = _aggregate(base, groups, values)
     view_v = write_version(agg, view_path, key=gcol)
-    _write_meta(
-        view_path,
-        {
-            "base_version": base_v,
-            "group": group if isinstance(group, str) else list(group),
-            "value": spec if spec is not None else (
-                value if isinstance(value, str) else list(value)
-            ),
-            "aggs": ["spec"] if spec is not None else list(aggs),
-            "where": where,
-        },
-    )
+    meta = {
+        "base_version": base_v,
+        "group": group if isinstance(group, str) else list(group),
+        "value": spec if spec is not None else (
+            value if isinstance(value, str) else list(value)
+        ),
+        "aggs": ["spec"] if spec is not None else list(aggs),
+        "where": where,
+    }
+    if spec is not None or minmax:
+        # only sidecar-backed views carry the marker: ±delta views have
+        # no partials layout to version
+        meta["sidecar_layout"] = SIDECAR_LAYOUT
+    _write_meta(view_path, meta)
     _register_view(table_path, view_path)
     return view_v
 
@@ -546,6 +581,32 @@ def vacuum_matview(view_path: str, keep_last: int = 2) -> dict:
     if os.path.isdir(os.path.join(ppath, "_versions")):
         out["partials"] = vacuum(ppath, keep_last)
     return out
+
+
+def compact_matview_sidecar(
+    spark: SparkSession,
+    view_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Defragment the view's partials sidecar (incremental commits
+    accumulate small files) WITHOUT shedding its layout extras: the
+    sidecar is ``_file``-clustered with a (_file, group) secondary sort
+    and ``.bloom-<gcol>`` Bloom extras — a bare
+    ``compact_version(ppath, key='_file')`` silently drops both (ADVICE
+    r10: correctness survives, the documented pruning doesn't). This
+    helper re-derives the extras from ``_matview.json`` and passes them
+    through, so the compacted sidecar prunes exactly like a fresh one.
+    Returns the sidecar's new version."""
+    meta = _read_meta(view_path)
+    _check_sidecar_layout(view_path, meta)
+    gcol = _key_of(_norm_groups(meta["group"]))
+    from .versioned import compact_version
+
+    return compact_version(
+        spark, _partials_path(view_path), key="_file",
+        target_file_bytes=target_file_bytes,
+        sort_extra=[gcol], bloom_extra=[gcol],
+    )
 
 
 def _merge_scan(spark: SparkSession, ppath: str, gcol: str, probe) -> DataFrame:
@@ -678,6 +739,9 @@ def _sidecar_advance(
     between the sidecar commit and the meta update) — files are
     immutable, so the recomputation is value-identical and drop-then-add
     makes the merge IDEMPOTENT under replay instead of double-counting."""
+    # a sidecar persisted under an older layout must refuse loudly, not
+    # false-prune its way to silently-stale partials (ADVICE r10 high)
+    _check_sidecar_layout(view_path, meta)
     gcol = _key_of(_norm_groups(meta["group"]))
     v0, v1 = meta["base_version"], current_version(table_path)
     files0, files1 = _base_files(table_path, view_path, v0, v1)
@@ -1439,17 +1503,17 @@ def create_distinct_matview(
     else:
         regs = _with_gkey(hll_sketch(base, value=value, b=b, by=groups), groups)
     view_v = write_version(regs, view_path, key=gcol)
-    _write_meta(
-        view_path,
-        {
-            "base_version": base_v,
-            "group": group if isinstance(group, str) else list(group),
-            "value": value,
-            "kind": "hll_distinct",
-            "b": b,
-            "maintain": maintain,
-        },
-    )
+    meta = {
+        "base_version": base_v,
+        "group": group if isinstance(group, str) else list(group),
+        "value": value,
+        "kind": "hll_distinct",
+        "b": b,
+        "maintain": maintain,
+    }
+    if maintain == "partials":
+        meta["sidecar_layout"] = SIDECAR_LAYOUT
+    _write_meta(view_path, meta)
     _register_view(table_path, view_path)
     return view_v
 

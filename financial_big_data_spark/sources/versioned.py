@@ -683,17 +683,27 @@ def vacuum(path: str, keep_last: int = 2, on_pinned: str = "retain") -> dict:
                 )
     drop = [v for v in drop if v in drop_set]
     keep = sorted(set(keep) | set(pinned_retained.values()))
-    # prune deleted views from the registry while we hold it
+    # prune DELETED views from the registry while we hold it — and only
+    # confirmed-deleted ones (ADVICE r10): an entry whose _matview.json
+    # failed to read may be racing a concurrent refresh's meta rewrite;
+    # deregistering it would silently lose its pin for every future
+    # vacuum. A present-but-unreadable view stays registered and is
+    # merely unpinned FOR THIS RUN (pinned excludes it above).
     reg = os.path.join(path, "_views.json")
     if os.path.exists(reg):
         try:
             import uuid as _uuid
 
+            with open(reg) as fh:
+                registered = json.load(fh).get("views", [])
+            kept_views = sorted(
+                set(pinned) | {vp for vp in registered if os.path.isdir(vp)}
+            )
             tmp = reg + f".tmp-{_uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as fh:
-                json.dump({"views": sorted(pinned)}, fh)
+                json.dump({"views": kept_views}, fh)
             os.replace(tmp, reg)
-        except OSError:
+        except (OSError, ValueError):
             pass
     referenced: set[str] = set()
     for v in keep:
@@ -793,6 +803,8 @@ def compact_version(
     target_file_bytes: int = 128 * 1024 * 1024,
     zorder_cols: list[str] | None = None,
     zorder_bits: int = 8,
+    sort_extra: list[str] | None = None,
+    bloom_extra: list[str] | None = None,
 ) -> int:
     """Manifest-aware small-file compaction: rewrite the CURRENT
     snapshot's data into ceil(bytes/target) clustered files and commit
@@ -810,9 +822,23 @@ def compact_version(
     table): the primary ``key``'s per-file ranges widen, so subsequent
     footer-scoped upserts/deletes on ``key`` may touch more files —
     include ``key`` in ``zorder_cols`` to keep it a pruning dimension.
+
+    ``sort_extra``/``bloom_extra`` (ADVICE r10): tables written with a
+    secondary within-file sort or extra ``.bloom-<col>`` Bloom sidecars
+    (e.g. a matview's partials sidecar: key=``_file`` plus group-key
+    extras) must compact with the SAME extras or the rewrite silently
+    sheds them — correctness survives (a missing Bloom means "might
+    contain") but the documented pruning is lost. Matview sidecars
+    should use ``matview.compact_matview_sidecar``, which re-derives
+    these from the view's own metadata.
     """
     import math
 
+    if zorder_cols and (sort_extra or bloom_extra):
+        raise ValueError(
+            "sort_extra/bloom_extra apply to the key-clustered rewrite; "
+            "zorder_cols replaces that clustering — pass one or the other"
+        )
     m = _load_manifest(path, None)
     total = sum(os.path.getsize(f) for f in m["files"])
     n_after = max(1, math.ceil(total / target_file_bytes))
@@ -824,7 +850,10 @@ def compact_version(
         zorder_clustered(df, zorder_cols, zorder_bits, n_after).write.parquet(batch)
         new_files = sorted(glob.glob(os.path.join(batch, "*.parquet")))
     else:
-        new_files = _write_batch(df, path, key, n_after)
+        new_files = _write_batch(
+            df, path, key, n_after,
+            sort_extra=sort_extra, bloom_extra=bloom_extra,
+        )
     v = m["version"] + 1
     _commit(path, new_files, v)
     return v

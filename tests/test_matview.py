@@ -1364,3 +1364,174 @@ def test_merge_scan_prunes_files_by_group_bloom(spark, paths):
     delete_version(spark, base, spark.range(95, 100).select("id"), key="id")
     refresh_matview(spark, base, view, key="id")
     assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+
+
+def test_sidecar_layout_guard_refuses_old_layout(spark, paths):
+    """ADVICE r10 (high): a partials sidecar persisted by a previous build
+    (group-key-clustered, no layout marker) must make refresh raise the
+    named SidecarLayoutError instead of false-pruning every sidecar file
+    and silently keeping stale partials."""
+    import json
+
+    from financial_big_data_spark.sources.matview import (
+        SIDECAR_LAYOUT,
+        SidecarLayoutError,
+        _meta_path,
+    )
+
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=4)
+    create_matview(
+        spark, base, view, group="g", value="v",
+        aggs=("sum", "count", "min", "max"),
+    )
+    with open(_meta_path(view)) as fh:
+        meta = json.load(fh)
+    assert meta["sidecar_layout"] == SIDECAR_LAYOUT
+    # simulate a view created by the pre-marker build
+    del meta["sidecar_layout"]
+    with open(_meta_path(view), "w") as fh:
+        json.dump(meta, fh)
+    delete_version(spark, base, spark.range(10).select("id"), key="id")
+    with pytest.raises(SidecarLayoutError, match="layout"):
+        refresh_matview(spark, base, view, key="id")
+    # a wrong (future/old numbered) marker refuses too
+    meta["sidecar_layout"] = 1
+    with open(_meta_path(view), "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(SidecarLayoutError, match="rebuild"):
+        refresh_matview(spark, base, view, key="id")
+    # rebuild (the named remedy) restamps and refreshes cleanly
+    create_matview(
+        spark, base, view, group="g", value="v",
+        aggs=("sum", "count", "min", "max"),
+    )
+    delete_version(spark, base, spark.range(10, 20).select("id"), key="id")
+    refresh_matview(spark, base, view, key="id")
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+
+
+def test_sidecar_layout_guard_covers_distinct_partials(spark, paths):
+    import json
+
+    from financial_big_data_spark.sources.matview import (
+        SidecarLayoutError,
+        _meta_path,
+        create_distinct_matview,
+        refresh_distinct_matview,
+    )
+
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=4)
+    create_distinct_matview(
+        spark, base, view, group="g", value="id", maintain="partials"
+    )
+    with open(_meta_path(view)) as fh:
+        meta = json.load(fh)
+    del meta["sidecar_layout"]
+    with open(_meta_path(view), "w") as fh:
+        json.dump(meta, fh)
+    delete_version(spark, base, spark.range(10).select("id"), key="id")
+    with pytest.raises(SidecarLayoutError):
+        refresh_distinct_matview(spark, base, view)
+
+
+def test_delta_views_carry_no_layout_marker(spark, paths):
+    """±delta (sum/count) views have no partials sidecar — no marker, and
+    refresh must not demand one."""
+    import json
+
+    from financial_big_data_spark.sources.matview import _meta_path
+
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=4)
+    create_matview(spark, base, view, group="g", value="v")
+    with open(_meta_path(view)) as fh:
+        meta = json.load(fh)
+    assert "sidecar_layout" not in meta
+    delete_version(spark, base, spark.range(10).select("id"), key="id")
+    refresh_matview(spark, base, view, key="id")
+    assert _view_rows(spark, view) == _recompute(spark, base)
+
+
+def test_compact_matview_sidecar_keeps_bloom_extras_and_sort(spark, paths):
+    """ADVICE r10: bare compact_version sheds the sidecar's .bloom-<gcol>
+    extras and (_file, group) secondary sort; compact_matview_sidecar
+    re-derives both from _matview.json — every compacted sidecar file
+    carries its group-key Bloom again and the group-scoped merge read
+    still prunes."""
+    from financial_big_data_spark.sources.bloom import sidecar_path
+    from financial_big_data_spark.sources.matview import (
+        _partials_path,
+        compact_matview_sidecar,
+    )
+    from financial_big_data_spark.sources.versioned import _load_manifest
+
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=4)
+    create_matview(
+        spark, base, view, group="g", value="v",
+        aggs=("sum", "count", "min", "max"),
+    )
+    for i in range(3):
+        upd = spark.range(i * 15, i * 15 + 8).select(
+            F.col("id"), (F.col("id") % 7).alias("g"),
+            (F.col("id") * (3.0 + i)).alias("v"),
+        )
+        upsert_version(spark, base, upd, key="id", dedupe_updates=False)
+        refresh_matview(spark, base, view, key="id")
+    ppath = _partials_path(view)
+    compact_matview_sidecar(spark, view, target_file_bytes=64 * 1024)
+    files = _load_manifest(ppath, None)["files"]
+    assert files
+    for f in files:
+        assert os.path.exists(sidecar_path(f) + "-g"), (
+            f"compacted sidecar file {f} lost its group-key Bloom extra"
+        )
+    # and the refresh path still works against the compacted layout
+    delete_version(spark, base, spark.range(190, 200).select("id"), key="id")
+    refresh_matview(spark, base, view, key="id")
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+
+
+def test_compact_version_rejects_zorder_plus_extras(spark, paths):
+    from financial_big_data_spark.sources.versioned import compact_version
+
+    base, _ = paths
+    write_version(_base(spark), base, key="id", n_files=4)
+    with pytest.raises(ValueError, match="zorder"):
+        compact_version(
+            spark, base, key="id", zorder_cols=["id", "g"], bloom_extra=["g"]
+        )
+
+
+def test_vacuum_keeps_unreadable_but_present_view_registered(spark, paths):
+    """ADVICE r10: a transiently unreadable _matview.json (racing a
+    concurrent refresh's meta rewrite) must NOT deregister the view —
+    only a confirmed-absent view directory prunes. The unreadable view is
+    merely unpinned for this run."""
+    import json as _json
+
+    from financial_big_data_spark.sources.matview import _meta_path
+    from financial_big_data_spark.sources.versioned import vacuum
+
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=4)
+    create_matview(spark, base, view, group="g", value="v")
+    # simulate the torn-read window: meta momentarily unreadable
+    mp = _meta_path(view)
+    with open(mp) as fh:
+        saved = fh.read()
+    with open(mp, "w") as fh:
+        fh.write("{not json")
+    vacuum(base, keep_last=1)
+    with open(os.path.join(base, "_views.json")) as fh:
+        views = _json.load(fh)["views"]
+    assert os.path.abspath(view) in views, (
+        "present-but-unreadable view was permanently deregistered"
+    )
+    # restore; the pin works again on the next vacuum
+    with open(mp, "w") as fh:
+        fh.write(saved)
+    out = vacuum(base, keep_last=1)
+    assert isinstance(out, dict)
