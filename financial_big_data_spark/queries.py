@@ -2588,6 +2588,101 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_ev_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 STREAMING twin in the oracle gate (VERDICT r10 #7): the
+    regime-labeled events replay through ``streaming_regime_transitions``
+    (O(1)-state applyInPandasWithState, streaming/regime.py) as a real
+    file-source stream cut into ≥3 event-time-ordered micro-batches, the
+    append output materializes via a memory sink, and the rows must
+    hash-match the SAME batch gaps-and-islands SQL that oracle-backs
+    ``ev_transitions`` — the replay-equals-batch contract, previously
+    pytest-only, now hash-checked at every SF the gate runs."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from .streaming.regime import streaming_regime_transitions
+
+    labeled = _ev_regime5(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"),
+        "ts",
+        "event_id",
+        "regime",
+    )
+    d = _tempfile.mkdtemp(prefix="ev_stream_trans_")
+    name = f"ev_stream_trans_{_uuid.uuid4().hex[:8]}"
+    try:
+        # cut into 3 micro-batches on GLOBAL event-time thirds (linear
+        # interpolation of [min, max] — TIMESTAMP_NTZ-safe, computed
+        # driver-side from one 2-value aggregate): equal timestamps land
+        # in one cut, so every series' rows arrive across batches in
+        # event-time order (the operator's enforced contract); a skewed
+        # or empty cut only changes batch sizes, never the order
+        mm = labeled.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        span = mm["hi"] - mm["lo"]
+        c1 = mm["lo"] + span / 3
+        c2 = mm["lo"] + 2 * span / 3
+        cuts = [
+            F.col("ts") < F.lit(c1),
+            (F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2)),
+            F.col("ts") >= F.lit(c2),
+        ]
+        t0 = 1_700_000_000
+        for j, cond in enumerate(cuts):
+            fdir = f"{d}/f{j}"
+            labeled.where(cond).coalesce(1).write.mode("overwrite").parquet(fdir)
+            # explicit ascending mtimes: the file source orders batches by
+            # modification time, which IS the event-time order of the cuts
+            for p in _os.listdir(fdir):
+                _os.utime(_os.path.join(fdir, p), (t0 + 60 * j, t0 + 60 * j))
+        schema = spark.read.parquet(f"{d}/f0").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/f*")
+        )
+        q = (
+            streaming_regime_transitions(
+                stream, series="user_id", time="ts", regime="regime",
+                order_tiebreak=["event_id"],
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        q.stop()
+        out = spark.table(name)
+        # memory-sink rows live in the session; the parquet replay dir can
+        # go. Round durations exactly as the batch query/oracle do.
+        return out.select(
+            "user_id",
+            "from_regime",
+            "to_regime",
+            "start_time",
+            "end_time",
+            _r6(F.col("duration")).alias("duration"),
+            _r6(F.col("duration_days")).alias("duration_days"),
+            "is_volatility_increase",
+            "is_trend_change",
+        )
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+# identical islands arithmetic to ev_transitions; only the series key is
+# rendered as VARCHAR (the streaming operator's output schema keys series
+# as string)
+_SQL_EV_STREAMING_TRANSITIONS = _SQL_EV_TRANSITIONS.replace(
+    "SELECT user_id, from_regime, to_regime, start_time, end_time,",
+    "SELECT user_id::VARCHAR AS user_id, from_regime, to_regime, start_time, end_time,",
+)
+
+
 def q_emb_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3/M4: DBSCAN over a sample of embeddings (eps from kNN percentile)."""
     from .ml.clustering import dbscan
@@ -6765,28 +6860,30 @@ QUALIFY row_number() OVER (
 # doc_signatures, regime mapping → ev_coarse_distribution, accuracy →
 # pred_summary, top-transitions → (transition_matrix + ordered-limit queries).
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # ── Driver window (first 50 entries — the external driver hash-checks
+    # exactly these against their DuckDB oracles each round). Round 11
+    # rotation (VERDICT r10 #5): ten §2-core entries whose op families
+    # stay represented in-window moved just PAST the boundary (still
+    # oracle-backed via the local gate), and ten showcase queries —
+    # matview incremental families, SemDeDup, PageRank, span-dedup,
+    # SimHash pairs, dup clusters, end-to-end curation — moved IN so the
+    # engine's hardest evidence lands in CORRECTNESS_r{N}.json. ──
     # relational
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "top_revenue_orders": (q_top_revenue_orders, _SQL_TOP_REVENUE),
     "nation_revenue": (q_nation_revenue, _SQL_NATION_REVENUE),
-    "order_priority_pivot": (q_order_priority_pivot, _SQL_ORDER_PIVOT),
-    "top_parts_by_price": (q_top_parts_by_price, _SQL_TOP_PARTS),
     "customer_segment_stats": (q_customer_segment_stats, _SQL_SEGMENT_STATS),
     # windows
     "ev_returns": (q_ev_returns, _SQL_EV_RETURNS),
     "ev_rolling": (q_ev_rolling, _SQL_EV_ROLLING),
     "ev_rsi": (q_ev_rsi, _SQL_EV_RSI),
-    "ev_bollinger": (q_ev_bollinger, _SQL_EV_BOLLINGER),
-    "ev_ffill": (q_ev_ffill, _SQL_EV_FFILL),
     "ev_zscore": (q_ev_zscore, _SQL_EV_ZSCORE),
     "ev_macd": (q_ev_macd, _SQL_EV_MACD),
     # regimes
     "ev_coarse_regime": (q_ev_coarse_regime, _SQL_EV_COARSE),
-    "ev_coarse_distribution": (q_ev_coarse_distribution, _SQL_EV_COARSE_DIST),
     "ev_regime5": (q_ev_regime5, _SQL_EV_REGIME5),
     "ev_regime_distribution": (q_ev_regime_distribution, _SQL_EV_REGIME_DIST),
     "ev_transitions": (q_ev_transitions, _SQL_EV_TRANSITIONS),
-    "ev_transition_matrix": (q_ev_transition_matrix, _SQL_EV_TRANSITION_MATRIX),
     "ev_daily_regime": (q_ev_daily_regime, _SQL_EV_DAILY_REGIME),
     # aggregates / matrices
     "ev_type_share": (q_ev_type_share, _SQL_EV_TYPE_SHARE),
@@ -6817,16 +6914,41 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pred_confusion": (q_pred_confusion, _SQL_PRED_CONFUSION),
     "pred_summary": (q_pred_summary, _SQL_PRED_SUMMARY),
     "pred_f1": (q_pred_f1, _SQL_PRED_F1),
-    # scrubs / exclusions / summaries
+    # scrubs / exclusions / scalar / datetime / rollup
     "ev_excluded_users": (q_ev_excluded_users, _SQL_EV_EXCLUDED),
+    "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCS),
+    "ev_parse_datetime": (q_ev_parse_datetime, _SQL_EV_PARSE),
+    "order_rollup": (q_order_rollup, _SQL_ORDER_ROLLUP),
+    # showcase rotation (round 11): CDC-maintained matviews across all
+    # four maintenance families, LSH/SimHash near-dup with the r11
+    # bucket caps, connected-component dup clusters, span dedup,
+    # SemDeDup, iterative PageRank, and the end-to-end curation DAG
+    "ev_incremental_agg": (q_ev_incremental_agg, _SQL_EV_INCREMENTAL_AGG),
+    "ev_incremental_minmax": (q_ev_incremental_minmax, _SQL_EV_INCREMENTAL_MINMAX),
+    "ev_incremental_mixed": (q_ev_incremental_mixed, _SQL_EV_INCREMENTAL_MIXED),
+    "ev_incremental_distinct_dml": (
+        q_ev_incremental_distinct_dml,
+        _SQL_EV_INCREMENTAL_DISTINCT_DML,
+    ),
+    "doc_simhash_pairs": (q_doc_simhash_pairs, _SQL_DOC_SIMHASH_PAIRS),
+    "doc_dup_clusters": (q_doc_dup_clusters, _SQL_DOC_DUP_CLUSTERS),
+    "doc_span_dedup": (q_doc_span_dedup, _SQL_DOC_SPAN_DEDUP),
+    "emb_semdedup": (q_emb_semdedup, _SQL_EMB_SEMDEDUP),
+    "ev_pagerank": (q_ev_pagerank, _SQL_EV_PAGERANK),
+    "doc_curation": (q_doc_curation, _SQL_DOC_CURATION),
+    # ── end of driver window (50 entries) ──
+    # rotated out round 11 (op families still represented in-window;
+    # hash-verified every round by the local gate):
+    "order_priority_pivot": (q_order_priority_pivot, _SQL_ORDER_PIVOT),
+    "top_parts_by_price": (q_top_parts_by_price, _SQL_TOP_PARTS),
+    "ev_bollinger": (q_ev_bollinger, _SQL_EV_BOLLINGER),
+    "ev_ffill": (q_ev_ffill, _SQL_EV_FFILL),
+    "ev_coarse_distribution": (q_ev_coarse_distribution, _SQL_EV_COARSE_DIST),
+    "ev_transition_matrix": (q_ev_transition_matrix, _SQL_EV_TRANSITION_MATRIX),
     "ev_scrub_fill": (q_ev_scrub_fill, _SQL_EV_SCRUB),
     "ev_describe": (q_ev_describe, _SQL_EV_DESCRIBE),
     "ev_argmax_type": (q_ev_argmax_type, _SQL_EV_ARGMAX),
-    # scalar / datetime / set ops / rollup
-    "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCS),
-    "ev_parse_datetime": (q_ev_parse_datetime, _SQL_EV_PARSE),
     "nation_coverage": (q_nation_coverage, _SQL_NATION_COVERAGE),
-    "order_rollup": (q_order_rollup, _SQL_ORDER_ROLLUP),
     # ML (rows-only: non-SQL-expressible; past the driver's 50-entry window,
     # pinned by tests/test_clustering_quality.py + test_features_ml.py)
     "emb_kmeans": (q_emb_kmeans, None),
@@ -6834,8 +6956,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_user_communities": (q_ev_user_communities, None),
     "emb_dbscan": (q_emb_dbscan, None),
     # composite / operator-mirror entries (components oracle-checked above)
-    "doc_curation": (q_doc_curation, _SQL_DOC_CURATION),
     "ev_session_windows": (q_ev_session_windows, _SQL_EV_SESSION_WINDOWS),
+    # round 11: the STREAMING W12 twin, hash-checked against the batch
+    # islands SQL (replay-equals-batch, previously pytest-only)
+    "ev_streaming_transitions": (
+        q_ev_streaming_transitions,
+        _SQL_EV_STREAMING_TRANSITIONS,
+    ),
     # round-3 capability mirrors (rows-only; pinned by test_graph_skew.py
     # and test_sources_multimodal.py)
     "ev_user_modularity": (q_ev_user_modularity, None),
@@ -6850,15 +6977,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_unigram_lm": (q_doc_unigram_lm, _SQL_DOC_UNIGRAM_LM),
     "doc_bigram_lm": (q_doc_bigram_lm, _SQL_DOC_BIGRAM_LM),
     "doc_pii_redact": (q_doc_pii_redact, _SQL_DOC_PII),
-    "doc_dup_clusters": (q_doc_dup_clusters, _SQL_DOC_DUP_CLUSTERS),
     "emb_dup_clusters": (q_emb_dup_clusters, _SQL_EMB_DUP_CLUSTERS),
     "doc_incremental_dedup": (q_doc_incremental_dedup, _SQL_DOC_INCREMENTAL),
     "doc_budget_selection": (q_doc_budget_selection, _SQL_DOC_BUDGET),
     "doc_source_mix": (q_doc_source_mix, _SQL_DOC_SOURCE_MIX),
     # round-6 additions (past the driver window; oracle SQL hash-verified
-    # by the local gate): SimHash hamming near-dup join, sliding-window
-    # chunking, corpus boilerplate n-grams, language-ID evaluation
-    "doc_simhash_pairs": (q_doc_simhash_pairs, _SQL_DOC_SIMHASH_PAIRS),
+    # by the local gate): sliding-window chunking, corpus boilerplate
+    # n-grams, language-ID evaluation
     "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
     "doc_top_ngrams": (q_doc_top_ngrams, _SQL_DOC_TOP_NGRAMS),
     "doc_lang_confusion": (q_doc_lang_confusion, _SQL_DOC_LANG_CONFUSION),
@@ -6877,7 +7002,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_kmv_users": (q_ev_kmv_users, _SQL_EV_KMV_USERS),
     "ev_hll_users": (q_ev_hll_users, _SQL_EV_HLL_USERS),
     "ev_quantile_sketch": (q_ev_quantile_sketch, _SQL_EV_QUANTILE_SKETCH),
-    "ev_pagerank": (q_ev_pagerank, _SQL_EV_PAGERANK),
     "ev_ppr": (q_ev_ppr, _SQL_EV_PPR),
     "doc_normalized": (q_doc_normalized, _SQL_DOC_NORMALIZED),
     "ev_cms_counts": (q_ev_cms_counts, _SQL_EV_CMS_COUNTS),
@@ -6891,7 +7015,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "promo_revenue_share": (q_promo_revenue_share, _SQL_PROMO_REVENUE_SHARE),
     "top_supplier_revenue": (q_top_supplier_revenue, _SQL_TOP_SUPPLIER_REVENUE),
     "sole_blame_suppliers": (q_sole_blame_suppliers, _SQL_SOLE_BLAME_SUPPLIERS),
-    "doc_span_dedup": (q_doc_span_dedup, _SQL_DOC_SPAN_DEDUP),
     "doc_weighted_sample": (q_doc_weighted_sample, _SQL_DOC_WEIGHTED_SAMPLE),
     "ev_ab_ttest": (q_ev_ab_ttest, _SQL_EV_AB_TTEST),
     "ev_type_hour_chi2": (q_ev_type_hour_chi2, _SQL_EV_TYPE_HOUR_CHI2),
@@ -6918,10 +7041,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         q_disjunctive_band_revenue, _SQL_DISJUNCTIVE_BAND_REVENUE
     ),
     "excess_shippers": (q_excess_shippers, _SQL_EXCESS_SHIPPERS),
-    # CDC-maintained materialized aggregate: the delta-refresh arithmetic
-    # is hash-checked against a from-scratch SQL aggregate of the final
-    # logical state (sources/matview.py; tests/test_matview.py)
-    "ev_incremental_agg": (q_ev_incremental_agg, _SQL_EV_INCREMENTAL_AGG),
+    # CDC-maintained materialized aggregates (the four headline families
+    # moved into the driver window round 11; these remaining variants are
+    # hash-checked by the local gate against a from-scratch SQL aggregate
+    # of the final logical state — sources/matview.py, tests/test_matview.py)
     "ev_incremental_composite": (
         q_ev_incremental_composite,
         _SQL_EV_INCREMENTAL_COMPOSITE,
@@ -6930,8 +7053,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         q_ev_incremental_multi,
         _SQL_EV_INCREMENTAL_MULTI,
     ),
-    "ev_incremental_minmax": (q_ev_incremental_minmax, _SQL_EV_INCREMENTAL_MINMAX),
-    "ev_incremental_mixed": (q_ev_incremental_mixed, _SQL_EV_INCREMENTAL_MIXED),
     "ev_incremental_filtered": (
         q_ev_incremental_filtered,
         _SQL_EV_INCREMENTAL_FILTERED,
@@ -6939,10 +7060,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_incremental_distinct": (
         q_ev_incremental_distinct,
         _SQL_EV_INCREMENTAL_DISTINCT,
-    ),
-    "ev_incremental_distinct_dml": (
-        q_ev_incremental_distinct_dml,
-        _SQL_EV_INCREMENTAL_DISTINCT_DML,
     ),
     # CUBE grouping sets (one Expand pass) + quality-based canonical
     # selection per dup cluster (min-struct ≡ QUALIFY rank-1, hash-checked)
@@ -6957,10 +7074,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_quality_model": (q_doc_quality_model, None),
     "doc_quality_scores": (q_doc_quality_scores, _SQL_DOC_QUALITY_SCORES),
     # round-10 additions (past the driver window; hash-verified by the
-    # local gate): SemDeDup cluster-scoped semantic dedup in the
-    # deterministic hash-seeded-centroid mode; relational Lloyd k-means
-    # with the full unrolled trajectory re-derived in SQL
-    "emb_semdedup": (q_emb_semdedup, _SQL_EMB_SEMDEDUP),
+    # local gate): relational Lloyd k-means with the full unrolled
+    # trajectory re-derived in SQL (SemDeDup moved into the window r11)
     "emb_lloyd_kmeans": (q_emb_lloyd_kmeans, _SQL_EMB_LLOYD_KMEANS),
     "doc_stratified_split": (q_doc_stratified_split, _SQL_DOC_STRATIFIED_SPLIT),
     "emb_dbscan_relational": (q_emb_dbscan_relational, _SQL_EMB_DBSCAN_RELATIONAL),
