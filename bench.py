@@ -73,9 +73,8 @@ def main() -> None:
     load_start = round(os.getloadavg()[0], 2)
     if load_start > 1.0:
         print(
-            f"WARNING: loadavg_1m={load_start} at start — this run's timings "
-            "are load-contaminated; the artifact will be stamped tainted and "
-            "bench_compare will not score it for regressions.",
+            f"NOTE: loadavg_1m={load_start} at launch — will wait for a "
+            "quiet window before the timed section (VERDICT r10 #4).",
             file=sys.stderr,
         )
 
@@ -122,24 +121,75 @@ def main() -> None:
         return time.time() - t0
 
     _canary()  # warm
-    canary_sec = round(min(_canary() for _ in range(3)), 3)
 
     # Canary-calibrated degraded-window taint (VERDICT r9 #3): the
     # loadavg gate misses a DEGRADED MACHINE WINDOW — a quiet-loadavg run
     # where every row (canary included) lands 1.5-2.5x slow (observed in
     # r9's close at canary 0.38/loadavg 0.11, and again in r10 where an
     # idle box held 0.217-0.31 for over an hour while single-threaded
-    # pandas ran +44% slow). The canary's clean range across r6-r10 solo
-    # runs is 0.11-0.20; measured degraded windows sit at ≥0.217, so the
-    # band edge is 0.21 — a run whose min-of-3 canary falls outside is
-    # stamped tainted="canary" and bench_compare refuses to score it,
-    # same as a loaded start.
-    CANARY_REF = [0.10, 0.21]
+    # pandas ran +44% slow). A run whose min-of-3 canary falls outside
+    # the clean band is stamped tainted="canary" and bench_compare
+    # refuses to score it, same as a loaded start.
+    #
+    # The band is PER-HOST CALIBRATED (ADVICE r10): derived from the
+    # committed clean BENCH_LOCAL.json's own canary (lo = 0.8×, hi =
+    # 1.7× — reproduces the measured r6-r10 clean range 0.11-0.20 with
+    # degraded windows at ≥0.217 for this host's 0.124 clean canary),
+    # so a faster/slower host recalibrates itself from its first clean
+    # run instead of inheriting this machine's absolute seconds. The
+    # literal fallback only seeds a host that has never produced a
+    # clean artifact.
+    def _canary_band() -> list[float]:
+        try:
+            p = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+            )
+            with open(p) as fh:
+                clean = json.load(fh).get("canary_local1_sec")
+            if clean:
+                return [round(0.8 * clean, 3), round(1.7 * clean, 3)]
+        except (OSError, ValueError):
+            pass
+        return [0.10, 0.21]
+
+    CANARY_REF = _canary_band()
+
+    # Quiet-window wait (VERDICT r10 #4): both r9 and r10 driver runs were
+    # loadavg-tainted end to end, leaving round-over-round performance
+    # unscorable from driver artifacts. Instead of measuring into a busy
+    # window and stamping the result tainted, WAIT (bounded) for the box
+    # to go quiet — loadavg_1m below threshold AND canary inside its
+    # clean band — re-probing every 30s; only after the budget expires
+    # does the run proceed tainted.
+    wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "360"))
+    deadline = time.time() + wait_budget
+    waited = 0.0
+    while True:
+        load_start = round(os.getloadavg()[0], 2)
+        canary_sec = round(min(_canary() for _ in range(3)), 3)
+        quiet = load_start <= 1.0 and CANARY_REF[0] <= canary_sec <= CANARY_REF[1]
+        if quiet or time.time() >= deadline:
+            break
+        print(
+            f"waiting for quiet window: loadavg_1m={load_start}, "
+            f"canary={canary_sec} vs {CANARY_REF} "
+            f"({int(deadline - time.time())}s of budget left)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        waited = round(waited + 30, 1)
+    if load_start > 1.0:
+        print(
+            f"WARNING: loadavg_1m={load_start} still >1.0 after {waited}s "
+            "wait — timings are load-contaminated; the artifact will be "
+            "stamped tainted and bench_compare will not score it.",
+            file=sys.stderr,
+        )
     if not (CANARY_REF[0] <= canary_sec <= CANARY_REF[1]):
         print(
             f"WARNING: canary_local1_sec={canary_sec} outside the clean "
-            f"reference band {CANARY_REF} — degraded machine window; the "
-            "artifact will be stamped tainted='canary'.",
+            f"reference band {CANARY_REF} after {waited}s wait — degraded "
+            "machine window; the artifact will be stamped tainted='canary'.",
             file=sys.stderr,
         )
 
@@ -748,6 +798,35 @@ def main() -> None:
     ep3_lstm_dist_sec = min(ep3_lstm_dist_sec, _ld2)
     _, ep3_baseline_acc = run_ep3("baseline")
     release_tracked()
+
+    # EP3 HARD fixture (VERDICT r10 #6): the sf* events give persistence
+    # 0.9979, so model-over-baseline margins demonstrate nothing. The
+    # phase-coded fixture (ml/fixtures.py) pins persistence at ~0.81
+    # while keeping the next label an exact function of the windowed
+    # features — the margin rows below are the reference-style
+    # model-beats-trivial-baseline evidence (report.pdf p.11's gap),
+    # scored on the same pipeline + test-split protocol as the sf rows.
+    from financial_big_data_spark.ml.fixtures import hard_regime_bars
+
+    hard_bars = hard_regime_bars(spark, n_series=8, n_bars=1200)
+
+    def run_ep3_hard(model_name: str, **kw) -> tuple[float, float]:
+        release_tracked()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fres = forecast_and_evaluate(
+            hard_bars,
+            series="user_id", time="ts", close="value", high="value",
+            low="value", volume="value", model=model_name,
+            order_tiebreak=["event_id"], macd_buckets=8, **kw,
+        )
+        acc = fres.accuracy.collect()[0].accuracy
+        return round(time.time() - t0, 3), round(acc, 4)
+
+    _, ep3_hard_baseline_acc = run_ep3_hard("baseline")
+    ep3_hard_mlp_sec, ep3_hard_mlp_acc = run_ep3_hard("mlp")
+    ep3_hard_lstm_sec, ep3_hard_lstm_acc = run_ep3_hard("lstm", seq_len=30)
+    release_tracked()
     spark.catalog.clearCache()
 
     # ANN quality probe: IVF recall@10 against exact brute force at this sf —
@@ -1251,6 +1330,15 @@ def main() -> None:
         "ep3_mlp_sec": ep3_mlp_sec,
         "ep3_mlp_acc": ep3_mlp_acc,
         "ep3_baseline_acc": ep3_baseline_acc,
+        "ep3_hard_baseline_acc": ep3_hard_baseline_acc,
+        "ep3_hard_mlp_acc": ep3_hard_mlp_acc,
+        "ep3_hard_mlp_sec": ep3_hard_mlp_sec,
+        "ep3_hard_mlp_margin": round(ep3_hard_mlp_acc - ep3_hard_baseline_acc, 4),
+        "ep3_hard_lstm_acc": ep3_hard_lstm_acc,
+        "ep3_hard_lstm_sec": ep3_hard_lstm_sec,
+        "ep3_hard_lstm_margin": round(
+            ep3_hard_lstm_acc - ep3_hard_baseline_acc, 4
+        ),
         "media_decode_sec": media_decode_sec,
         "media_decode_mb_per_sec": media_mb_per_sec,
         "media_paeth_mb_per_core": media_paeth_mb_per_core,
@@ -1279,6 +1367,7 @@ def main() -> None:
         # True (load) or the string "canary".
         "canary_ref": CANARY_REF,
         "canary_end_sec": canary_end_sec,
+        "quiet_wait_sec": waited,
         "tainted": (
             True
             if load_start > 1.0
