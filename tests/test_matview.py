@@ -1535,3 +1535,109 @@ def test_vacuum_keeps_unreadable_but_present_view_registered(spark, paths):
         fh.write(saved)
     out = vacuum(base, keep_last=1)
     assert isinstance(out, dict)
+
+
+# ---- round 11: concurrency contract (VERDICT r10 #8) ----
+
+
+def test_pinned_reader_isolated_from_concurrent_refresh(spark, paths):
+    """A reader pinned to a view/sidecar version sees byte-identical rows
+    across a concurrent refresh: manifests are immutable and the CURRENT
+    flip is atomic, so the refresh can only add versions, never tear one."""
+    from financial_big_data_spark.sources.matview import _partials_path
+
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=4)
+    create_matview(
+        spark, base, view, group="g", value="v",
+        aggs=("sum", "count", "min", "max"),
+    )
+    from financial_big_data_spark.sources.versioned import current_version
+
+    v_pin = current_version(view)
+    pinned_before = sorted(
+        map(tuple, read_matview(spark, view, version=v_pin).collect())
+    )
+    sc_pin = current_version(_partials_path(view))
+    sidecar_before = sorted(
+        map(tuple, read_version(spark, _partials_path(view), sc_pin).collect())
+    )
+    # the "concurrent" writer: a delete-bearing DML + refresh that rewrites
+    # view and sidecar while the reader's pins are outstanding
+    delete_version(spark, base, spark.range(150, 200).select("id"), key="id")
+    refresh_matview(spark, base, view, key="id")
+    assert current_version(view) > v_pin
+    pinned_after = sorted(
+        map(tuple, read_matview(spark, view, version=v_pin).collect())
+    )
+    sidecar_after = sorted(
+        map(tuple, read_version(spark, _partials_path(view), sc_pin).collect())
+    )
+    assert pinned_after == pinned_before
+    assert sidecar_after == sidecar_before
+    # and the current version reflects the refresh, not a blend
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+
+
+def test_racing_refresh_writer_collides_loudly(spark, paths):
+    """Two refreshes racing one view: the second writer's first version
+    claim collides on the O_EXCL manifest link and raises the named
+    ConcurrentCommitError with nothing published (CURRENT never flipped
+    by the loser) — simulated deterministically by pre-claiming the
+    sidecar's next version number the way a concurrent winner would."""
+    import json as _json
+
+    from financial_big_data_spark.sources.matview import _partials_path
+    from financial_big_data_spark.sources.versioned import (
+        ConcurrentCommitError,
+        current_version,
+    )
+
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=4)
+    create_matview(
+        spark, base, view, group="g", value="v",
+        aggs=("sum", "count", "min", "max"),
+    )
+    delete_version(spark, base, spark.range(10).select("id"), key="id")
+    ppath = _partials_path(view)
+    nxt = current_version(ppath) + 1
+    claim = os.path.join(ppath, "_versions", f"v{nxt}.json")
+    with open(claim, "w") as fh:
+        _json.dump({"version": nxt, "files": []}, fh)
+    with pytest.raises(ConcurrentCommitError, match=str(nxt)):
+        refresh_matview(spark, base, view, key="id")
+    # loser published nothing: CURRENT still points at the pre-race version
+    assert current_version(ppath) == nxt - 1
+    # release the simulated winner's claim; the retry completes cleanly
+    os.remove(claim)
+    refresh_matview(spark, base, view, key="id")
+    assert _view_rows_minmax(spark, view) == _recompute_minmax(spark, base)
+
+
+def test_refresh_replay_from_stale_meta_is_idempotent(spark, paths):
+    """Crash/race replay: a refresh re-run from STALE meta (as if the
+    first attempt died between its commits and the meta update) must
+    converge to the same correct state, not double-apply the delta."""
+    import json as _json
+
+    from financial_big_data_spark.sources.matview import _meta_path
+
+    base, view = paths
+    write_version(_base(spark), base, key="id", n_files=4)
+    create_matview(
+        spark, base, view, group="g", value="v",
+        aggs=("sum", "count", "min", "max"),
+    )
+    with open(_meta_path(view)) as fh:
+        stale = fh.read()
+    delete_version(spark, base, spark.range(20).select("id"), key="id")
+    refresh_matview(spark, base, view, key="id")
+    want = _recompute_minmax(spark, base)
+    assert _view_rows_minmax(spark, view) == want
+    # replay: restore the pre-refresh meta and refresh again
+    with open(_meta_path(view), "w") as fh:
+        fh.write(stale)
+    out = refresh_matview(spark, base, view, key="id")
+    assert _view_rows_minmax(spark, view) == want
+    assert out["base_version"] == _json.loads(stale)["base_version"] + 1
