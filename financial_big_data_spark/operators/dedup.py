@@ -204,9 +204,17 @@ def _cap_bucket(
     bucket ≤ cap the result is EXACT (overflow empty); the registered
     oracle queries run far below the default caps at test SFs, so their
     hashes certify the capped path in its exact regime.
+
+    The ranked frame is ``tracked_persist``-ed: four consumers read it
+    (head self-join a/b sides, overflow, representative) and without the
+    pin each would re-execute the whole upstream signature pipeline —
+    measured ~2× the query (released by ``cache.release_tracked``, the
+    registry/bench contract).
     """
+    from ..cache import tracked_persist
+
     w = Window.partitionBy(*keys).orderBy(F.xxhash64(F.col(id_col)), id_col)
-    ranked = banded.withColumn("_rk", F.row_number().over(w))
+    ranked = tracked_persist(banded.withColumn("_rk", F.row_number().over(w)))
     head = ranked.where(F.col("_rk") <= cap).drop("_rk")
     overflow = ranked.where(F.col("_rk") > cap).drop("_rk")
     rep = ranked.where(F.col("_rk") == 1).select(
@@ -313,8 +321,12 @@ def jaccard_pairs(
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     joinable = exploded
     if pairs is None and shingle_doc_cap is not None:
+        from ..cache import tracked_persist
+
         w = Window.partitionBy("shingle").orderBy(F.xxhash64(F.col(id_col)), id_col)
-        joinable = (
+        # pinned: both self-join sides read the capped table — without
+        # the pin each re-runs the shingle explode + rank window
+        joinable = tracked_persist(
             exploded.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= shingle_doc_cap)
             .drop("_rk")
