@@ -1119,6 +1119,64 @@ def main() -> None:
     }
     hot_slots.unpersist()
 
+    # LSH hot-bucket probe (VERDICT r10 #1): near-identical boilerplate
+    # families form hot (band,key) buckets whose pair expansion is B² —
+    # 20k identical docs land in ONE bucket per band (~200M candidate
+    # pairs uncapped) among 4k genuinely unique docs (every shingle
+    # carries the doc id, so they form no buckets). bucket_cap bounds the
+    # expansion at cap² head pairs + one linear star edge per overflow
+    # member, keeping the bucket a single connected component through its
+    # representative.
+    from financial_big_data_spark.cache import release_tracked as _release
+    from financial_big_data_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    _uid = F.col("id").cast("string")
+    hot_docs = (
+        spark.range(20_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit(
+                "the same boilerplate paragraph repeated across this "
+                "near duplicate document family"
+            ).alias("text"),
+        )
+        .unionByName(
+            spark.range(20_000, 24_000).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ", *[F.concat(F.lit(f"w{j}x"), _uid) for j in range(6)]
+                ).alias("text"),
+            )
+        )
+    )
+    hot_sigs = minhash_signatures(hot_docs, num_hashes=8, shingle_n=3).cache()
+    hot_sigs.count()  # materialize outside the timed window
+
+    def _lsh(cap):
+        def run():
+            _release()  # drop the previous run's _cap_bucket pin
+            lsh_candidate_pairs(
+                hot_sigs, num_hashes=8, bands=4, bucket_cap=cap
+            ).write.format("noop").mode("overwrite").save()
+
+        return run
+
+    _lsh(1024)()  # warm
+    lsh_capped = round(min(time_noop_fn(_lsh(1024)) for _ in range(2)), 3)
+    lsh_uncapped = round(time_noop_fn(_lsh(None)), 3)  # quadratic: once
+    _release()
+    lsh_skew = {
+        "hot_bucket_members": 20_000,
+        "bucket_cap": 1024,
+        "capped_sec": lsh_capped,
+        "uncapped_sec": lsh_uncapped,
+        "uncapped_over_capped": round(lsh_uncapped / max(lsh_capped, 1e-9), 2),
+    }
+    hot_sigs.unpersist()
+
     # Louvain at scale (VERDICT r6 #7): a planted-partition synthetic —
     # 200 communities x 500 nodes, ~1M edges (8 intra + 2 inter
     # pseudo-random edges per node, hash-generated, no driver data) —
@@ -1313,6 +1371,7 @@ def main() -> None:
         "matview_scale": matview_scale,
         "sketch_ops": sketch_ops,
         "cooccurrence_skew": cooc_skew,
+        "lsh_skew": lsh_skew,
         "louvain_scale": louvain_scale,
         "ep2_8x_rows_sec": ep2_8x,
         "ep2_scale_factor_8x": round(ep2_8x / max(timings["market_analysis_plan"], 1e-9), 2),
