@@ -2588,38 +2588,31 @@ FROM s GROUP BY user_id, sid
 """
 
 
-def q_ev_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W12 STREAMING twin in the oracle gate (VERDICT r10 #7): the
-    regime-labeled events replay through ``streaming_regime_transitions``
-    (O(1)-state applyInPandasWithState, streaming/regime.py) as a real
-    file-source stream cut into ≥3 event-time-ordered micro-batches, the
-    append output materializes via a memory sink, and the rows must
-    hash-match the SAME batch gaps-and-islands SQL that oracle-backs
-    ``ev_transitions`` — the replay-equals-batch contract, previously
-    pytest-only, now hash-checked at every SF the gate runs."""
+def _replay_stream(
+    spark: SparkSession, df: DataFrame, transform, prefix: str
+) -> DataFrame:
+    """Replay a batch frame through a STREAMING operator as a real
+    file-source stream cut into 3 event-time-ordered micro-batches, and
+    return the memory-sink result — the harness behind every
+    ``ev_streaming_*`` oracle entry (replay-equals-batch hash checks).
+
+    The cuts are GLOBAL event-time thirds (linear interpolation of
+    [min, max] ts — TIMESTAMP_NTZ-safe, computed driver-side from one
+    2-value aggregate): equal timestamps land in one cut, so every
+    series' rows arrive across batches in event-time order (the
+    operators' enforced contract); a skewed or empty cut only changes
+    batch sizes, never the order. Ascending mtimes are set explicitly —
+    the file source orders micro-batches by modification time, which is
+    therefore the event-time order of the cuts."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
     import uuid as _uuid
 
-    from .streaming.regime import streaming_regime_transitions
-
-    labeled = _ev_regime5(spark, sf_dir).select(
-        F.col("user_id").cast("string").alias("user_id"),
-        "ts",
-        "event_id",
-        "regime",
-    )
-    d = _tempfile.mkdtemp(prefix="ev_stream_trans_")
-    name = f"ev_stream_trans_{_uuid.uuid4().hex[:8]}"
+    d = _tempfile.mkdtemp(prefix=f"{prefix}_")
+    name = f"{prefix}_{_uuid.uuid4().hex[:8]}"
     try:
-        # cut into 3 micro-batches on GLOBAL event-time thirds (linear
-        # interpolation of [min, max] — TIMESTAMP_NTZ-safe, computed
-        # driver-side from one 2-value aggregate): equal timestamps land
-        # in one cut, so every series' rows arrive across batches in
-        # event-time order (the operator's enforced contract); a skewed
-        # or empty cut only changes batch sizes, never the order
-        mm = labeled.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        mm = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
         span = mm["hi"] - mm["lo"]
         c1 = mm["lo"] + span / 3
         c2 = mm["lo"] + 2 * span / 3
@@ -2631,9 +2624,7 @@ def q_ev_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         t0 = 1_700_000_000
         for j, cond in enumerate(cuts):
             fdir = f"{d}/f{j}"
-            labeled.where(cond).coalesce(1).write.mode("overwrite").parquet(fdir)
-            # explicit ascending mtimes: the file source orders batches by
-            # modification time, which IS the event-time order of the cuts
+            df.where(cond).coalesce(1).write.mode("overwrite").parquet(fdir)
             for p in _os.listdir(fdir):
                 _os.utime(_os.path.join(fdir, p), (t0 + 60 * j, t0 + 60 * j))
         schema = spark.read.parquet(f"{d}/f0").schema
@@ -2643,10 +2634,7 @@ def q_ev_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(f"{d}/f*")
         )
         q = (
-            streaming_regime_transitions(
-                stream, series="user_id", time="ts", regime="regime",
-                order_tiebreak=["event_id"],
-            )
+            transform(stream)
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("append")
@@ -2656,22 +2644,76 @@ def q_ev_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(600)
         q.stop()
-        out = spark.table(name)
-        # memory-sink rows live in the session; the parquet replay dir can
-        # go. Round durations exactly as the batch query/oracle do.
-        return out.select(
-            "user_id",
-            "from_regime",
-            "to_regime",
-            "start_time",
-            "end_time",
-            _r6(F.col("duration")).alias("duration"),
-            _r6(F.col("duration_days")).alias("duration_days"),
-            "is_volatility_increase",
-            "is_trend_change",
-        )
+        # memory-sink rows live in the session; the replay dir can go
+        return spark.table(name)
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def q_ev_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 STREAMING twin in the oracle gate (VERDICT r10 #7): the
+    regime-labeled events replay through ``streaming_regime_transitions``
+    (O(1)-state applyInPandasWithState, streaming/regime.py) via
+    ``_replay_stream``, and the rows must hash-match the SAME batch
+    gaps-and-islands SQL that oracle-backs ``ev_transitions`` — the
+    replay-equals-batch contract, previously pytest-only, now
+    hash-checked at every SF the gate runs."""
+    from .streaming.regime import streaming_regime_transitions
+
+    labeled = _ev_regime5(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"),
+        "ts",
+        "event_id",
+        "regime",
+    )
+    out = _replay_stream(
+        spark,
+        labeled,
+        lambda s: streaming_regime_transitions(
+            s, series="user_id", time="ts", regime="regime",
+            order_tiebreak=["event_id"],
+        ),
+        "ev_stream_trans",
+    )
+    return out.select(
+        "user_id",
+        "from_regime",
+        "to_regime",
+        "start_time",
+        "end_time",
+        _r6(F.col("duration")).alias("duration"),
+        _r6(F.col("duration_days")).alias("duration_days"),
+        "is_volatility_increase",
+        "is_trend_change",
+    )
+
+
+def q_ev_streaming_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 STREAMING twin in the oracle gate (VERDICT r10 #7, second
+    continuation path): events replay through ``streaming_macd``
+    (three doubles of O(1) state per series, streaming/ewm.py) in 3
+    event-time micro-batches and must hash-match the SAME recursive-CTE
+    EWM oracle as the batch ``ev_macd`` — the carried-state recurrence is
+    bit-identical to the single-pass kernel for any micro-batch split."""
+    from .streaming.ewm import streaming_macd
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    out = _replay_stream(
+        spark,
+        ev,
+        lambda s: streaming_macd(
+            s, close="value", series="user_id", time="ts",
+            order_tiebreak=["event_id"],
+        ),
+        "ev_stream_macd",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        _r6(F.col("macd")).alias("macd"),
+        _r6(F.col("macd_signal")).alias("macd_signal"),
+        _r6(F.col("macd_hist")).alias("macd_hist"),
+    )
 
 
 # identical islands arithmetic to ev_transitions; only the series key is
@@ -6957,12 +6999,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_dbscan": (q_emb_dbscan, None),
     # composite / operator-mirror entries (components oracle-checked above)
     "ev_session_windows": (q_ev_session_windows, _SQL_EV_SESSION_WINDOWS),
-    # round 11: the STREAMING W12 twin, hash-checked against the batch
-    # islands SQL (replay-equals-batch, previously pytest-only)
+    # round 11: the STREAMING W12/W8 twins, hash-checked against the same
+    # batch SQLs (replay-equals-batch, previously pytest-only)
     "ev_streaming_transitions": (
         q_ev_streaming_transitions,
         _SQL_EV_STREAMING_TRANSITIONS,
     ),
+    "ev_streaming_macd": (q_ev_streaming_macd, _SQL_EV_MACD),
     # round-3 capability mirrors (rows-only; pinned by test_graph_skew.py
     # and test_sources_multimodal.py)
     "ev_user_modularity": (q_ev_user_modularity, None),
