@@ -150,25 +150,66 @@ def _register_view(table_path: str, view_path: str) -> None:
     so the registry can never lag a refresh; entries whose meta file is
     gone (deleted views) are pruned there. Best-effort like
     ``_save_schema``: a failed write degrades vacuum back to the named
-    next-refresh error, never corrupts data."""
+    next-refresh error, never corrupts data.
+
+    The read-modify-write is serialized under an ``flock`` on a lock file
+    beside the registry (ADVICE r10's "similarly non-atomic" note): two
+    concurrent ``create_matview`` calls on one base table could otherwise
+    interleave read→write and drop one registration — an entry whose pin
+    vacuum would then never honor. Lock acquisition failure falls back to
+    the unserialized path (flock is advisory; the failure mode is the
+    pre-lock behavior, not corruption)."""
     import uuid
 
     reg = os.path.join(table_path, "_views.json")
     try:
-        try:
-            with open(reg) as fh:
-                views = json.load(fh).get("views", [])
-        except (OSError, ValueError):
-            views = []
-        ap = os.path.abspath(view_path)
-        if ap not in views:
-            views.append(ap)
-        tmp = reg + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump({"views": sorted(views)}, fh)
-        os.replace(tmp, reg)
+        with _registry_lock(reg):
+            try:
+                with open(reg) as fh:
+                    views = json.load(fh).get("views", [])
+            except (OSError, ValueError):
+                views = []
+            ap = os.path.abspath(view_path)
+            if ap not in views:
+                views.append(ap)
+            tmp = reg + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump({"views": sorted(views)}, fh)
+            os.replace(tmp, reg)
     except OSError:
         pass
+
+
+class _registry_lock:
+    """Advisory flock on ``<registry>.lock`` serializing registry
+    read-modify-writes (create vs create, create vs vacuum). Degrades to
+    a no-op where flock is unavailable."""
+
+    def __init__(self, reg: str) -> None:
+        self._path = reg + ".lock"
+        self._fh = None
+
+    def __enter__(self):
+        try:
+            import fcntl
+
+            self._fh = open(self._path, "a")
+            fcntl.flock(self._fh.fileno(), fcntl.LOCK_EX)
+        except (ImportError, OSError):
+            if self._fh is not None:
+                self._fh.close()
+                self._fh = None
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._fh is not None:
+            try:
+                import fcntl
+
+                fcntl.flock(self._fh.fileno(), fcntl.LOCK_UN)
+            except (ImportError, OSError):
+                pass
+            self._fh.close()
 
 
 def _read_meta(view_path: str) -> dict:

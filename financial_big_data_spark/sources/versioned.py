@@ -694,15 +694,18 @@ def vacuum(path: str, keep_last: int = 2, on_pinned: str = "retain") -> dict:
         try:
             import uuid as _uuid
 
-            with open(reg) as fh:
-                registered = json.load(fh).get("views", [])
-            kept_views = sorted(
-                set(pinned) | {vp for vp in registered if os.path.isdir(vp)}
-            )
-            tmp = reg + f".tmp-{_uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as fh:
-                json.dump({"views": kept_views}, fh)
-            os.replace(tmp, reg)
+            from .matview import _registry_lock
+
+            with _registry_lock(reg):
+                with open(reg) as fh:
+                    registered = json.load(fh).get("views", [])
+                kept_views = sorted(
+                    set(pinned) | {vp for vp in registered if os.path.isdir(vp)}
+                )
+                tmp = reg + f".tmp-{_uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as fh:
+                    json.dump({"views": kept_views}, fh)
+                os.replace(tmp, reg)
         except (OSError, ValueError):
             pass
     referenced: set[str] = set()

@@ -1641,3 +1641,30 @@ def test_refresh_replay_from_stale_meta_is_idempotent(spark, paths):
     out = refresh_matview(spark, base, view, key="id")
     assert _view_rows_minmax(spark, view) == want
     assert out["base_version"] == _json.loads(stale)["base_version"] + 1
+
+
+def test_register_view_concurrent_creates_keep_both(spark, paths):
+    """ADVICE r10 (noted in passing): _register_view's read-modify-write is
+    flock-serialized, so two concurrent creates on one base table both end
+    up registered — exercised with real threads hammering the registry."""
+    import json as _json
+    import threading
+
+    from financial_big_data_spark.sources.matview import _register_view
+
+    base, _ = paths
+    os.makedirs(base, exist_ok=True)
+    views = [os.path.join(base, f"v{i}") for i in range(16)]
+
+    def reg(vp):
+        for _ in range(5):
+            _register_view(base, vp)
+
+    threads = [threading.Thread(target=reg, args=(vp,)) for vp in views]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    with open(os.path.join(base, "_views.json")) as fh:
+        got = set(_json.load(fh)["views"])
+    assert got == {os.path.abspath(v) for v in views}
