@@ -49,7 +49,10 @@ SHOWCASE = {
     "doc_near_dup_lsh": (
         "LSH near-dup: banded equi-join on (band, key) generates "
         "candidates — no cartesian anywhere; rescoring joins candidates "
-        "only."
+        "only. Round 11: per-bucket membership is bucket_cap-bounded "
+        "(row_number over the banded table, pinned once in memory for its "
+        "four consumers) with overflow star-linked to the bucket "
+        "representative — hot buckets cost cap² + linear overflow, never B²."
     ),
     "emb_topk": (
         "ANN brute-force baseline: the probe set broadcasts; the corpus "
