@@ -213,6 +213,11 @@ def _cap_bucket(
     """
     from ..cache import tracked_persist
 
+    if cap < 1:
+        # cap=0 would empty the head and star the rank-1 representative to
+        # ITSELF (id_a == id_b), violating the id_a < id_b contract; None
+        # is the documented disable value
+        raise ValueError(f"bucket cap must be >= 1 (got {cap}); pass None to disable")
     w = Window.partitionBy(*keys).orderBy(F.xxhash64(F.col(id_col)), id_col)
     ranked = tracked_persist(banded.withColumn("_rk", F.row_number().over(w)))
     head = ranked.where(F.col("_rk") <= cap).drop("_rk")
@@ -323,6 +328,13 @@ def jaccard_pairs(
     if pairs is None and shingle_doc_cap is not None:
         from ..cache import tracked_persist
 
+        if shingle_doc_cap < 2:
+            # a 1-doc shingle membership can never form a pair — the whole
+            # exact mode would silently return empty
+            raise ValueError(
+                f"shingle_doc_cap must be >= 2 (got {shingle_doc_cap}); "
+                "pass None to disable"
+            )
         w = Window.partitionBy("shingle").orderBy(F.xxhash64(F.col(id_col)), id_col)
         # pinned: both self-join sides read the capped table — without
         # the pin each re-runs the shingle explode + rank window

@@ -2609,9 +2609,14 @@ def _replay_stream(
     import tempfile as _tempfile
     import uuid as _uuid
 
+    from .cache import tracked_persist
+
     d = _tempfile.mkdtemp(prefix=f"{prefix}_")
     name = f"{prefix}_{_uuid.uuid4().hex[:8]}"
     try:
+        # pinned: the min/max agg + three cut writes are four consumers of
+        # the (possibly expensive) upstream frame — one execution, not four
+        df = tracked_persist(df)
         mm = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
         span = mm["hi"] - mm["lo"]
         c1 = mm["lo"] + span / 3
@@ -2642,8 +2647,16 @@ def _replay_stream(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        finished = q.awaitTermination(600)
         q.stop()
+        if not finished:
+            # a stopped-at-timeout memory sink holds a PARTIAL replay — a
+            # hash mismatch downstream would falsely implicate the
+            # streaming operator's replay-equals-batch contract
+            raise RuntimeError(
+                f"{prefix}: streaming replay did not finish within 600s — "
+                "partial memory-sink result discarded"
+            )
         # memory-sink rows live in the session; the replay dir can go
         return spark.table(name)
     finally:

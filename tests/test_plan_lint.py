@@ -145,3 +145,37 @@ def test_self_join_sweep_repo_sites_all_justified():
             "bound its per-key expansion or register it in "
             "SELF_JOIN_JUSTIFIED"
         )
+
+
+def test_self_join_sweep_catches_select_rename_idiom(tmp_path):
+    """Round-11 widening: the `left = Z.select(...)` / `right = Z.select(...)`
+    rename idiom (simhash_near_dups' shape) and two-line alias pairs split
+    by comment blocks must both be visible to the sweep."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from lint_report import _self_join_sites
+
+    (tmp_path / "sel.py").write_text(
+        "def build(bands):\n"
+        "    left = bands.select(\n"
+        "        bands.x.alias(\"id_a\"),\n"
+        "    )\n"
+        "    right = bands.select(\n"
+        "        bands.x.alias(\"id_b\"),\n"
+        "    )\n"
+        "    return left.join(right, on=\"k\")\n"
+    )
+    (tmp_path / "gap.py").write_text(
+        "def build(z):\n"
+        "    a = z.alias(\"a\")\n"
+        "    # comment line 1\n"
+        "    # comment line 2\n"
+        "    # comment line 3\n"
+        "    # comment line 4\n"
+        "    # comment line 5\n"
+        "    b = z.alias(\"b\")\n"
+        "    return a.join(b, on=\"k\")\n"
+    )
+    by_file = {(s[0].split("/")[-1], s[2]) for s in _self_join_sites(str(tmp_path))}
+    assert ("sel.py", "build") in by_file
+    assert ("gap.py", "build") in by_file

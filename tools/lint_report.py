@@ -169,16 +169,46 @@ SELF_JOIN_JUSTIFIED: dict[str, str] = {
         "per-hr group bounded by the user_id < 200 slice the query "
         "takes; the unbounded build belongs to cooccurrence_pairs"
     ),
+    "financial_big_data_spark/queries.py::q_emb_knn_dist": (
+        "brute-force kNN baseline over the bounded vec_id<100 sample "
+        "(the exact-baseline class; similarity.lsh_topk is the scale "
+        "path) — same argument as its _BOUNDED_PROBE BNLJ entry"
+    ),
+    "financial_big_data_spark/operators/similarity.py::semdedup": (
+        "SemDeDup's within-cluster rescoring: the quadratic stage is "
+        "confined per-cluster by construction (Abbas et al. 2023's own "
+        "cost knob — cluster count bounds member count); join key is "
+        "the cluster id"
+    ),
+    "financial_big_data_spark/ml/clustering.py::_dbscan_driver": (
+        "driver-routed DBSCAN path: size-gated to bounded samples "
+        "before the pairwise stage (the distributed ε-grid path is the "
+        "scale route)"
+    ),
+    "financial_big_data_spark/ml/clustering.py::power_iteration_pca": (
+        "d×d scatter-matrix build: pair expansion over the FEATURE "
+        "dimension (bounded, not row count)"
+    ),
 }
 
 # One-line idiom: `x, y = Z.alias("a"), Z.alias("b")`.
 _SJ_ONE = r"=\s*(\w+)\.alias\(\"a\"\),\s*(\w+)\.alias\(\"b\"\)"
-# Two-line idiom: `a = Z.alias("a")` then (within the next few lines,
-# possibly with comments between) `b = Z.alias("b")` on the SAME frame.
+# Two-line idiom: `a = Z.alias("a")` then (within the next several lines —
+# comments/blank lines between must not hide it) `b = Z.alias("b")` on the
+# SAME frame.
 _SJ_TWO = (
     r"(\w+)\s*=\s*(\w+)\.alias\(\"a\"\)[^\n]*\n"
-    r"(?:[^\n]*\n){0,3}?"
+    r"(?:[^\n]*\n){0,12}?"
     r"\s*(\w+)\s*=\s*(\w+)\.alias\(\"b\"\)"
+)
+# Select-rename idiom: `left = Z.select(...)` / `right = Z.select(...)` on
+# the SAME frame (the shape simhash_near_dups uses) — renaming columns per
+# side instead of .alias() must not evade the sweep. Multiline select args
+# allowed (non-greedy across lines).
+_SJ_SELECT = (
+    r"(?:left|l|a)\w*\s*=\s*(\w+)\.select\((?:[^\n]*\n){0,6}?[^\n]*\)[^\n]*\n"
+    r"(?:[^\n]*\n){0,12}?"
+    r"\s*(?:right|r|b)\w*\s*=\s*(\w+)\.select\("
 )
 
 
@@ -201,6 +231,7 @@ def _self_join_sites(pkg: str | None = None) -> list[tuple[str, int, str]]:
         pkg = os.path.join(root, "financial_big_data_spark")
     one = _re.compile(_SJ_ONE)
     two = _re.compile(_SJ_TWO)
+    sel = _re.compile(_SJ_SELECT)
     sites = []
     for dirpath, _dirs, files in os.walk(pkg):
         for f in sorted(files):
@@ -216,6 +247,9 @@ def _self_join_sites(pkg: str | None = None) -> list[tuple[str, int, str]]:
                     found[src.count("\n", 0, m.start()) + 1] = _enclosing_def(src, m.start())
             for m in two.finditer(src):
                 if m.group(2) == m.group(4):
+                    found[src.count("\n", 0, m.start()) + 1] = _enclosing_def(src, m.start())
+            for m in sel.finditer(src):
+                if m.group(1) == m.group(2):
                     found[src.count("\n", 0, m.start()) + 1] = _enclosing_def(src, m.start())
             sites.extend((rel, lineno, fn) for lineno, fn in sorted(found.items()))
     return sites
