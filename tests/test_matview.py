@@ -1668,3 +1668,50 @@ def test_register_view_concurrent_creates_keep_both(spark, paths):
     with open(os.path.join(base, "_views.json")) as fh:
         got = set(_json.load(fh)["views"])
     assert got == {os.path.abspath(v) for v in views}
+
+
+def test_compact_matview_sidecar_composite_key(spark, paths):
+    """Layout-preserving compaction re-derives the COMPOSITE key's _gkey
+    extras from the view meta (the single-column test's twin)."""
+    from financial_big_data_spark.sources.bloom import sidecar_path
+    from financial_big_data_spark.sources.matview import (
+        _partials_path,
+        compact_matview_sidecar,
+    )
+    from financial_big_data_spark.sources.versioned import _load_manifest
+
+    base, view = paths
+    df = _base(spark).withColumn("g2", (F.col("id") % 3).cast("long"))
+    write_version(df, base, key="id", n_files=4)
+    create_matview(
+        spark, base, view, group=["g", "g2"], value="v",
+        aggs=("sum", "count", "min", "max"),
+    )
+    upd = spark.range(10, 30).select(
+        F.col("id"), (F.col("id") % 7).alias("g"),
+        (F.col("id") * 4.0).alias("v"), (F.col("id") % 3).cast("long").alias("g2"),
+    )
+    upsert_version(spark, base, upd, key="id", dedupe_updates=False)
+    refresh_matview(spark, base, view, key="id")
+    compact_matview_sidecar(spark, view, target_file_bytes=64 * 1024)
+    ppath = _partials_path(view)
+    for f in _load_manifest(ppath, None)["files"]:
+        assert os.path.exists(sidecar_path(f) + "-_gkey")
+    delete_version(spark, base, spark.range(190, 200).select("id"), key="id")
+    refresh_matview(spark, base, view, key="id")
+    want = {
+        (r.g, r.g2, round(r.s, 6), r.c, round(r.mn, 6), round(r.mx, 6))
+        for r in read_version(spark, base)
+        .groupBy("g", "g2")
+        .agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    got = {
+        (r.g, r.g2, round(r.agg_sum, 6), r.agg_count,
+         round(r.agg_min, 6), round(r.agg_max, 6))
+        for r in read_matview(spark, view).collect()
+    }
+    assert got == want

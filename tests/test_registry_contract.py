@@ -38,3 +38,22 @@ def test_registry_ordering_contract():
     entries = list(REGISTRY.items())
     assert len(entries) >= 50
     assert all(s is not None for _, (_f, s) in entries[:50])
+
+
+def test_driver_window_carries_showcase_and_is_fully_oracle_backed():
+    """Round-11 rotation (VERDICT r10 #5): the first 50 registry entries —
+    the driver's hash window — must all be oracle-backed and keep the
+    showcase families in view; a future edit that silently pushes them
+    past the boundary would downgrade CORRECTNESS_r{N} evidence."""
+    from financial_big_data_spark.queries import REGISTRY
+
+    window = list(REGISTRY)[:50]
+    assert len(set(window)) == 50
+    missing_oracle = [n for n in window if REGISTRY[n][1] is None]
+    assert not missing_oracle, f"windowed entries without oracle: {missing_oracle}"
+    showcase = {
+        "ev_incremental_agg", "ev_incremental_minmax", "ev_incremental_mixed",
+        "ev_incremental_distinct_dml", "doc_simhash_pairs", "doc_dup_clusters",
+        "doc_span_dedup", "emb_semdedup", "ev_pagerank", "doc_curation",
+    }
+    assert showcase <= set(window), sorted(showcase - set(window))
