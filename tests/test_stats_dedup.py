@@ -471,3 +471,62 @@ def test_jaccard_cap_exact_below_cap(spark):
         for r in D.jaccard_pairs(docs, shingle_n=2, shingle_doc_cap=None).collect()
     }
     assert capped == uncapped
+
+
+def test_lsh_cap_preserves_components_exactly(spark):
+    """INVARIANT (any corpus, any cap >= 1): the capped candidate graph has
+    exactly the same connected components as the uncapped one. Per bucket,
+    uncapped forms a clique; capped forms the head clique (which contains
+    the rank-1 representative) plus one star edge from every overflow
+    member to that representative — the same member set, still one
+    component. Buckets are identical in both, so the merged components are
+    too. This is the formal statement behind 'capped pairs + transitivity
+    lose no clusters'."""
+    import random
+
+    rng = random.Random(411)
+    words = [f"tok{i}" for i in range(30)]
+    rows = []
+    doc_id = 0
+    # a few near-dup families of varied sizes + unique docs
+    for fam in range(6):
+        base = [rng.choice(words) for _ in range(8)]
+        for _ in range(rng.randint(2, 12)):
+            doc = list(base)
+            if rng.random() < 0.4:
+                doc[rng.randrange(len(doc))] = rng.choice(words)
+            rows.append((doc_id, " ".join(doc)))
+            doc_id += 1
+    for _ in range(15):
+        rows.append((doc_id, " ".join(rng.choice(words) for _ in range(8))))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = D.minhash_signatures(docs, num_hashes=4, shingle_n=2)
+    for cap in (1, 2, 5):
+        capped = [
+            (r.id_a, r.id_b)
+            for r in D.lsh_candidate_pairs(
+                sig, num_hashes=4, bands=2, bucket_cap=cap
+            ).collect()
+        ]
+        uncapped = [
+            (r.id_a, r.id_b)
+            for r in D.lsh_candidate_pairs(
+                sig, num_hashes=4, bands=2, bucket_cap=None
+            ).collect()
+        ]
+        comp_c = _components(capped)
+        comp_u = _components(uncapped)
+        assert comp_c == comp_u, f"cap={cap} changed components"
+        assert len(capped) <= len(uncapped)
+
+
+def test_cap_bucket_rejects_nonpositive_cap(spark):
+    sig = D.minhash_signatures(_docs(spark), num_hashes=4, shingle_n=2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 1"):
+        D.lsh_candidate_pairs(sig, num_hashes=4, bands=2, bucket_cap=0).collect()
+    docs = _docs(spark)
+    with _pytest.raises(ValueError, match=">= 2"):
+        D.jaccard_pairs(docs, shingle_n=1, shingle_doc_cap=1).collect()
