@@ -21,10 +21,112 @@ hygiene at 100 TB. Design notes per scale:
 
 from __future__ import annotations
 
+import warnings
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+class _CapSignal:
+    """Truncation telemetry for one bucket-cap site (ADVICE r11).
+
+    The caps (``bucket_cap``/``shingle_doc_cap``) silently switch a query
+    from the exact regime to the capped one when a hot bucket exceeds
+    them; without a runtime signal a caller can't tell which regime
+    produced their result. Each cap site attaches a zero-cost
+    ``DataFrame.observe`` aggregate (computed inside the already-running
+    ranking job — no extra Spark job, no extra scan) counting rows past
+    the cap; :func:`cap_truncation_events` drains the filled observations
+    non-blockingly after the caller's action and warns on any that
+    actually truncated.
+    """
+
+    __slots__ = ("site", "cap", "observation")
+
+    def __init__(self, site: str, cap: int, observation) -> None:
+        self.site = site
+        self.cap = cap
+        self.observation = observation
+
+    def result(self) -> dict | None:
+        """Metrics if the observed plan has run an action, else None
+        (never blocks)."""
+        jo = getattr(self.observation, "_jo", None)
+        if jo is None:
+            return None
+        try:
+            if jo.getRowOrEmpty().isEmpty():
+                return None
+            got = self.observation.get
+        except Exception:  # pragma: no cover - py4j surface drift
+            return None
+        overflow = int(got.get("overflow_rows") or 0)
+        return {
+            "site": self.site,
+            "cap": self.cap,
+            "overflow_rows": overflow,
+            "max_bucket_members": int(got.get("max_bucket_members") or 0),
+            "truncated": overflow > 0,
+        }
+
+
+_CAP_SIGNALS: list[_CapSignal] = []
+_CAP_SIGNALS_MAX = 64  # bounded: a long gate session can't accumulate
+
+
+def _register_cap_signal(df: DataFrame, site: str, cap: int, rank_col: str = "_rk"):
+    """Attach an overflow-counting observation to a ranked frame and
+    register it for :func:`cap_truncation_events`. Returns the observed
+    frame (metrics fill when any action first materializes it)."""
+    try:
+        from pyspark.sql.observation import Observation
+    except ImportError:  # pragma: no cover
+        return df
+    import uuid
+
+    obs = Observation(f"cap_{site}_{uuid.uuid4().hex[:8]}")
+    observed = df.observe(
+        obs,
+        F.sum(F.when(F.col(rank_col) > cap, 1).otherwise(0)).alias("overflow_rows"),
+        F.max(rank_col).alias("max_bucket_members"),
+    )
+    if len(_CAP_SIGNALS) >= _CAP_SIGNALS_MAX:
+        del _CAP_SIGNALS[: len(_CAP_SIGNALS) - _CAP_SIGNALS_MAX + 1]
+    _CAP_SIGNALS.append(_CapSignal(site, cap, obs))
+    return observed
+
+
+def cap_truncation_events(clear: bool = True, warn: bool = True) -> list[dict]:
+    """Drain filled cap observations; the runtime signal that a
+    ``bucket_cap``/``shingle_doc_cap`` actually truncated (ADVICE r11).
+
+    Call after materializing a dedup query. Returns one dict per filled
+    site (``overflow_rows``, ``max_bucket_members``, ``truncated``);
+    unfilled observations (plan never ran) stay registered unless
+    ``clear``. Emits a ``UserWarning`` per truncated site when ``warn`` —
+    the documented under-link/under-count bias applies to that result.
+    """
+    out, keep = [], []
+    for sig in _CAP_SIGNALS:
+        res = sig.result()
+        if res is None:
+            if not clear:
+                keep.append(sig)
+            continue
+        out.append(res)
+        if warn and res["truncated"]:
+            warnings.warn(
+                f"{res['site']}: bucket cap {res['cap']} truncated "
+                f"{res['overflow_rows']} row(s) (hottest bucket had "
+                f"{res['max_bucket_members']} members) — result is in the "
+                "capped regime: pairwise links between overflow members are "
+                "delegated to star pairs + transitivity (never a false "
+                "link). Pass cap=None for exact semantics.",
+                stacklevel=2,
+            )
+    _CAP_SIGNALS[:] = keep  # drained sites always leave; unfilled per `clear`
+    return out
 
 
 def normalized_text(text: Column | str) -> Column:
@@ -187,7 +289,8 @@ def minhash_signatures(
 
 
 def _cap_bucket(
-    banded: DataFrame, keys: list[str], id_col: str, cap: int
+    banded: DataFrame, keys: list[str], id_col: str, cap: int,
+    site: str = "_cap_bucket",
 ) -> tuple[DataFrame, DataFrame]:
     """Bound a banded table's per-bucket membership at ``cap``.
 
@@ -219,7 +322,11 @@ def _cap_bucket(
         # is the documented disable value
         raise ValueError(f"bucket cap must be >= 1 (got {cap}); pass None to disable")
     w = Window.partitionBy(*keys).orderBy(F.xxhash64(F.col(id_col)), id_col)
-    ranked = tracked_persist(banded.withColumn("_rk", F.row_number().over(w)))
+    ranked = tracked_persist(
+        _register_cap_signal(
+            banded.withColumn("_rk", F.row_number().over(w)), site, cap
+        )
+    )
     head = ranked.where(F.col("_rk") <= cap).drop("_rk")
     overflow = ranked.where(F.col("_rk") > cap).drop("_rk")
     rep = ranked.where(F.col("_rk") == 1).select(
@@ -264,7 +371,10 @@ def lsh_candidate_pairs(
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     star = None
     if bucket_cap is not None:
-        banded, overflow = _cap_bucket(banded, ["band", "key"], id_col, bucket_cap)
+        banded, overflow = _cap_bucket(
+            banded, ["band", "key"], id_col, bucket_cap,
+            site="lsh_candidate_pairs.bucket_cap",
+        )
         star = overflow.select(
             F.least(F.col(id_col), F.col(f"{id_col}_rep")).alias("id_a"),
             F.greatest(F.col(id_col), F.col(f"{id_col}_rep")).alias("id_b"),
@@ -339,7 +449,11 @@ def jaccard_pairs(
         # pinned: both self-join sides read the capped table — without
         # the pin each re-runs the shingle explode + rank window
         joinable = tracked_persist(
-            exploded.withColumn("_rk", F.row_number().over(w))
+            _register_cap_signal(
+                exploded.withColumn("_rk", F.row_number().over(w)),
+                "jaccard_pairs.shingle_doc_cap",
+                shingle_doc_cap,
+            )
             .where(F.col("_rk") <= shingle_doc_cap)
             .drop("_rk")
         )
@@ -529,7 +643,10 @@ def simhash_near_dups(
     )
     star = None
     if bucket_cap is not None:
-        bands, overflow = _cap_bucket(bands, ["band", "bkey"], id_col, bucket_cap)
+        bands, overflow = _cap_bucket(
+            bands, ["band", "bkey"], id_col, bucket_cap,
+            site="simhash_near_dups.bucket_cap",
+        )
         star_ham = F.bit_count(
             F.col("simhash").bitwiseXOR(F.col("simhash_rep"))
         ).cast("bigint")

@@ -2618,6 +2618,12 @@ def _replay_stream(
         # the (possibly expensive) upstream frame — one execution, not four
         df = tracked_persist(df)
         mm = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+        if mm["hi"] is None:
+            # ADVICE r11: an empty input would otherwise surface as an
+            # opaque TypeError on None arithmetic below
+            raise ValueError(
+                f"{prefix}: input frame is empty — nothing to replay"
+            )
         span = mm["hi"] - mm["lo"]
         c1 = mm["lo"] + span / 3
         c2 = mm["lo"] + 2 * span / 3
@@ -2657,8 +2663,16 @@ def _replay_stream(
                 f"{prefix}: streaming replay did not finish within 600s — "
                 "partial memory-sink result discarded"
             )
-        # memory-sink rows live in the session; the replay dir can go
-        return spark.table(name)
+        # ADVICE r11: the memory sink's uuid-named temp view would
+        # otherwise live (and hold the full replay result in driver
+        # memory) for the session — and repeated gate runs accumulate
+        # one per call. Decouple the result from the view with an eager
+        # localCheckpoint (blocks are executor-side and reclaimed by the
+        # ContextCleaner once the returned frame is GC'd), then drop the
+        # view immediately.
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
     finally:
         _shutil.rmtree(d, ignore_errors=True)
 

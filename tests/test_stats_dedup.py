@@ -530,3 +530,52 @@ def test_cap_bucket_rejects_nonpositive_cap(spark):
     docs = _docs(spark)
     with _pytest.raises(ValueError, match=">= 2"):
         D.jaccard_pairs(docs, shingle_n=1, shingle_doc_cap=1).collect()
+
+
+def test_cap_truncation_signal_fires_on_hot_bucket(spark):
+    """ADVICE r11: a cap that actually truncates must leave a runtime
+    signal — observe-based (no extra job), drained non-blockingly."""
+    import pytest as _pytest
+
+    D.cap_truncation_events(warn=False)  # drain leftovers from other tests
+    n, cap = 200, 8
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(n)],
+        "doc_id long, text string",
+    )
+    sig = D.minhash_signatures(docs, num_hashes=4, shingle_n=2)
+    D.lsh_candidate_pairs(sig, num_hashes=4, bands=2, bucket_cap=cap).collect()
+    with _pytest.warns(UserWarning, match="truncated"):
+        events = D.cap_truncation_events()
+    ev = [e for e in events if e["site"] == "lsh_candidate_pairs.bucket_cap"]
+    assert ev and ev[0]["truncated"]
+    assert ev[0]["overflow_rows"] == (n - cap) * 2  # 2 bands, one bucket each
+    assert ev[0]["max_bucket_members"] == n
+
+
+def test_cap_signal_silent_in_exact_regime(spark):
+    """Below the cap the result is exact — the signal reports
+    truncated=False and no warning fires."""
+    import warnings as _warnings
+
+    D.cap_truncation_events(warn=False)
+    sig = D.minhash_signatures(_docs(spark), num_hashes=4, shingle_n=2)
+    D.lsh_candidate_pairs(sig, num_hashes=4, bands=2).collect()
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        events = D.cap_truncation_events()
+    assert events and all(not e["truncated"] for e in events)
+
+
+def test_cap_signal_jaccard_and_simhash_sites(spark):
+    D.cap_truncation_events(warn=False)
+    n = 50
+    docs = spark.createDataFrame(
+        [(i, "omega psi chi phi upsilon tau") for i in range(n)],
+        "doc_id long, text string",
+    )
+    D.simhash_near_dups(docs, bits=48, n_bands=4, max_hamming=3, bucket_cap=4).collect()
+    D.jaccard_pairs(docs, shingle_n=1, shingle_doc_cap=4).collect()
+    sites = {e["site"]: e for e in D.cap_truncation_events(warn=False)}
+    assert sites["simhash_near_dups.bucket_cap"]["truncated"]
+    assert sites["jaccard_pairs.shingle_doc_cap"]["truncated"]
