@@ -323,10 +323,12 @@ def main() -> None:
         "ev_asof_join",
         "ev_range_join",
         "ev_time_rollup",
-        # round 9: CUBE grouping sets + the CDC-maintained materialized
-        # aggregate (create + 2 delta refreshes incl. versioned-table DML)
+        # round 9: CUBE grouping sets (the CDC-maintained materialized
+        # aggregate moved to its own create/refresh rows below — VERDICT
+        # r11 #5: the single registry-callable row spanned [0.33, 13.1]
+        # because the one-time fixture build + result-cache hit landed in
+        # the same band, hiding any real regression)
         "ev_cube",
-        "ev_incremental_agg",
     ):
         fn, _ = REGISTRY[name]
         samples = []
@@ -338,6 +340,66 @@ def main() -> None:
             samples.append(time.time() - t0)
         bands[name] = [round(min(samples), 3), round(max(samples), 3)]
         alignment_ops[name] = round(min(samples), 3)
+    _rel()
+    spark.catalog.clearCache()
+
+    # CDC-maintained materialized aggregate, SPLIT create vs refresh
+    # (VERDICT r11 #5): a versioned events base is built untimed, then
+    # the CREATE (full aggregate + versioned view write) and a keys-known
+    # delta REFRESH (upsert advanced untimed) are banded as separate rows
+    # — either regressing is now detectable where the old combined
+    # registry-callable row (fixture build + result-cache hit in one
+    # band) could hide a 10x swing.
+    import shutil as _ia_shutil
+    import tempfile as _ia_tempfile
+
+    from financial_big_data_spark.sources.matview import (
+        create_matview as _ia_create,
+        refresh_matview as _ia_refresh,
+    )
+    from financial_big_data_spark.sources.versioned import (
+        upsert_version as _ia_upsert,
+        write_version as _ia_write,
+    )
+
+    _ia_dir = _ia_tempfile.mkdtemp(prefix="bench_incr_agg_")
+    try:
+        _ia_ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        _ia_base = f"{_ia_dir}/base"
+        _ia_write(_ia_ev, _ia_base, key="event_id")
+        _c_samples, _r_samples = [], []
+        # warm the whole path once (untimed view; same steady-state
+        # discipline as every other matview row)
+        _ia_create(spark, _ia_base, f"{_ia_dir}/warm", group="user_id", value="value")
+        for i in range(2):
+            _view = f"{_ia_dir}/view{i}"
+            _rel()
+            spark.catalog.clearCache()
+            _t0 = time.time()
+            _ia_create(spark, _ia_base, _view, group="user_id", value="value")
+            _c_samples.append(time.time() - _t0)
+            _upd = _ia_ev.where(F.col("event_id") % 100 == i).withColumn(
+                "value", F.col("value") + F.lit(1.0 + i)
+            )
+            _ia_upsert(spark, _ia_base, _upd, key="event_id", dedupe_updates=False)
+            _t0 = time.time()
+            _ia_refresh(
+                spark, _ia_base, _view, key="event_id",
+                changed_keys=_upd.select("event_id"),
+            )
+            _r_samples.append(time.time() - _t0)
+        bands["ev_incremental_agg_create"] = [
+            round(min(_c_samples), 3), round(max(_c_samples), 3)
+        ]
+        bands["ev_incremental_agg_refresh"] = [
+            round(min(_r_samples), 3), round(max(_r_samples), 3)
+        ]
+        alignment_ops["ev_incremental_agg_create"] = round(min(_c_samples), 3)
+        alignment_ops["ev_incremental_agg_refresh"] = round(min(_r_samples), 3)
+    finally:
+        _ia_shutil.rmtree(_ia_dir, ignore_errors=True)
     _rel()
     spark.catalog.clearCache()
 
@@ -978,6 +1040,72 @@ def main() -> None:
         len(exact & approx_opq_cached) / max(len(exact), 1), 3
     )
 
+    # Persisted ANN index economics (round 12 — VERDICT r11 #1): the
+    # trained IVF-PQ state committed once as a versioned artifact, then
+    # maintained append-only. The scale claims measured here: append cost
+    # is O(batch) — encode 5% of the corpus against FROZEN codebooks and
+    # extend the codes manifest by reference — and query-after-append
+    # reads stored centroids/codebooks/codes with ZERO training, so it
+    # must land well under ann_ivfpq_opq_cached_sec (which still
+    # re-trains codebooks + re-encodes the corpus per call; only the
+    # rotation is cached there).
+    import shutil as _ai_shutil
+    import tempfile as _ai_tempfile
+
+    from financial_big_data_spark.sources.ann_index import (
+        append_ann_index,
+        build_ann_index,
+        query_ann_index,
+    )
+
+    ann_index_ops: dict[str, float] = {}
+    _ai_dir = _ai_tempfile.mkdtemp(prefix="bench_ann_index_")
+    try:
+        _max_vec = emb.agg(F.max("vec_id")).first()[0]
+        _ai_cut = int(_max_vec * 0.95)
+        _ai_b1 = emb.where(F.col("vec_id") < _ai_cut)
+        _ai_b2 = emb.where(F.col("vec_id") >= _ai_cut)
+        _ai_idx = f"{_ai_dir}/idx"
+        t0 = time.time()
+        build_ann_index(
+            spark, _ai_b1, _ai_idx, m=8, nbits=8, n_cells=16,
+            residual=True, seed=42,
+        )
+        ann_index_ops["index_build_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        append_ann_index(spark, _ai_b2, _ai_idx)
+        ann_index_ops["index_append_sec"] = round(time.time() - t0, 3)
+        ann_index_ops["append_vs_build_ratio"] = round(
+            ann_index_ops["index_append_sec"]
+            / max(ann_index_ops["index_build_sec"], 1e-9),
+            3,
+        )
+
+        def _ai_query_once():
+            _t0 = time.time()
+            got = {
+                (r.query_id, r.vec_id)
+                for r in query_ann_index(
+                    spark, probes, _ai_idx, k=10, n_probe=10,
+                    refine_factor=8, corpus=emb, exclude_self=True,
+                )
+                .select("query_id", "vec_id")
+                .collect()
+            }
+            return round(time.time() - _t0, 3), got
+
+        _ai_t1, _ai_got = _ai_query_once()
+        _ai_t2, _ = _ai_query_once()
+        bands["ann_index_query_sec"] = [min(_ai_t1, _ai_t2), max(_ai_t1, _ai_t2)]
+        ann_index_ops["index_query_after_append_sec"] = min(_ai_t1, _ai_t2)
+        ann_index_ops["index_query_recall_at_10"] = round(
+            len(exact & _ai_got) / max(len(exact), 1), 3
+        )
+    finally:
+        _ai_shutil.rmtree(_ai_dir, ignore_errors=True)
+    _rel()
+    spark.catalog.clearCache()
+
     # Dedup recall probe: LSH near-dup pairs vs the EXACT Jaccard ground
     # truth at the same threshold/shingling — approximate-dedup quality as
     # a recorded number. LSH candidates are exact-verified, so the LSH set
@@ -1415,6 +1543,7 @@ def main() -> None:
         "alignment_ops": alignment_ops,
         "matview_ops": matview_ops,
         "matview_scale": matview_scale,
+        "ann_index_ops": ann_index_ops,
         "sketch_ops": sketch_ops,
         "cooccurrence_skew": cooc_skew,
         "lsh_skew": lsh_skew,

@@ -34,39 +34,50 @@ class _CapSignal:
     The caps (``bucket_cap``/``shingle_doc_cap``) silently switch a query
     from the exact regime to the capped one when a hot bucket exceeds
     them; without a runtime signal a caller can't tell which regime
-    produced their result. Each cap site attaches a zero-cost
-    ``DataFrame.observe`` aggregate (computed inside the already-running
-    ranking job — no extra Spark job, no extra scan) counting rows past
-    the cap; :func:`cap_truncation_events` drains the filled observations
-    non-blockingly after the caller's action and warns on any that
-    actually truncated.
+    produced their result. Each cap site registers its (persisted)
+    ranked frame here; :func:`cap_truncation_events` aggregates rows past
+    the cap over that cache after the caller's action and warns on any
+    site that actually truncated.
+
+    Deliberately NOT ``DataFrame.observe``: in Spark 4.1 registering even
+    one ``Observation`` on a session leaves the non-serializable
+    ``ObservationManager`` reachable from later job closures, and every
+    subsequent MLlib fit in the session dies with "Task not serializable"
+    (reproduced; pinned by
+    tests/test_stats_dedup.py::test_cap_signal_does_not_poison_mllib).
     """
 
-    __slots__ = ("site", "cap", "observation")
+    __slots__ = ("site", "cap", "frame", "rank_col")
 
-    def __init__(self, site: str, cap: int, observation) -> None:
+    def __init__(self, site: str, cap: int, frame: DataFrame, rank_col: str) -> None:
         self.site = site
         self.cap = cap
-        self.observation = observation
+        self.frame = frame
+        self.rank_col = rank_col
 
     def result(self) -> dict | None:
-        """Metrics if the observed plan has run an action, else None
-        (never blocks)."""
-        jo = getattr(self.observation, "_jo", None)
-        if jo is None:
+        """One tiny aggregate over the site's PERSISTED ranked frame
+        (map-side combine, no shuffle of fact data). Returns None — and
+        skips the job — if the cache was already released
+        (``release_tracked`` ran): the signal window has passed."""
+        lvl = self.frame.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
             return None
         try:
-            if jo.getRowOrEmpty().isEmpty():
-                return None
-            got = self.observation.get
-        except Exception:  # pragma: no cover - py4j surface drift
+            row = self.frame.agg(
+                F.sum(
+                    F.when(F.col(self.rank_col) > self.cap, 1).otherwise(0)
+                ).alias("overflow_rows"),
+                F.max(self.rank_col).alias("max_bucket_members"),
+            ).first()
+        except Exception:  # pragma: no cover - stopped session etc.
             return None
-        overflow = int(got.get("overflow_rows") or 0)
+        overflow = int(row["overflow_rows"] or 0)
         return {
             "site": self.site,
             "cap": self.cap,
             "overflow_rows": overflow,
-            "max_bucket_members": int(got.get("max_bucket_members") or 0),
+            "max_bucket_members": int(row["max_bucket_members"] or 0),
             "truncated": overflow > 0,
         }
 
@@ -76,36 +87,26 @@ _CAP_SIGNALS_MAX = 64  # bounded: a long gate session can't accumulate
 
 
 def _register_cap_signal(df: DataFrame, site: str, cap: int, rank_col: str = "_rk"):
-    """Attach an overflow-counting observation to a ranked frame and
-    register it for :func:`cap_truncation_events`. Returns the observed
-    frame (metrics fill when any action first materializes it)."""
-    try:
-        from pyspark.sql.observation import Observation
-    except ImportError:  # pragma: no cover
-        return df
-    import uuid
-
-    obs = Observation(f"cap_{site}_{uuid.uuid4().hex[:8]}")
-    observed = df.observe(
-        obs,
-        F.sum(F.when(F.col(rank_col) > cap, 1).otherwise(0)).alias("overflow_rows"),
-        F.max(rank_col).alias("max_bucket_members"),
-    )
+    """Register a ranked frame (persisted by the caller right after this)
+    for :func:`cap_truncation_events`. Returns ``df`` unchanged."""
     if len(_CAP_SIGNALS) >= _CAP_SIGNALS_MAX:
         del _CAP_SIGNALS[: len(_CAP_SIGNALS) - _CAP_SIGNALS_MAX + 1]
-    _CAP_SIGNALS.append(_CapSignal(site, cap, obs))
-    return observed
+    _CAP_SIGNALS.append(_CapSignal(site, cap, df, rank_col))
+    return df
 
 
 def cap_truncation_events(clear: bool = True, warn: bool = True) -> list[dict]:
-    """Drain filled cap observations; the runtime signal that a
+    """Drain cap-site telemetry; the runtime signal that a
     ``bucket_cap``/``shingle_doc_cap`` actually truncated (ADVICE r11).
 
-    Call after materializing a dedup query. Returns one dict per filled
-    site (``overflow_rows``, ``max_bucket_members``, ``truncated``);
-    unfilled observations (plan never ran) stay registered unless
-    ``clear``. Emits a ``UserWarning`` per truncated site when ``warn`` —
-    the documented under-link/under-count bias applies to that result.
+    Call after materializing a dedup query and BEFORE
+    ``cache.release_tracked`` (each site costs one aggregate over its
+    still-cached ranked frame; released sites are skipped — their signal
+    window has passed). Returns one dict per live site (``overflow_rows``,
+    ``max_bucket_members``, ``truncated``); emits a ``UserWarning`` per
+    truncated site when ``warn`` — the documented under-link/under-count
+    bias applies to that result. ``clear=False`` keeps undrained
+    (released) sites registered.
     """
     out, keep = [], []
     for sig in _CAP_SIGNALS:
@@ -125,7 +126,7 @@ def cap_truncation_events(clear: bool = True, warn: bool = True) -> list[dict]:
                 "link). Pass cap=None for exact semantics.",
                 stacklevel=2,
             )
-    _CAP_SIGNALS[:] = keep  # drained sites always leave; unfilled per `clear`
+    _CAP_SIGNALS[:] = keep  # drained sites always leave; skipped per `clear`
     return out
 
 
@@ -322,11 +323,8 @@ def _cap_bucket(
         # is the documented disable value
         raise ValueError(f"bucket cap must be >= 1 (got {cap}); pass None to disable")
     w = Window.partitionBy(*keys).orderBy(F.xxhash64(F.col(id_col)), id_col)
-    ranked = tracked_persist(
-        _register_cap_signal(
-            banded.withColumn("_rk", F.row_number().over(w)), site, cap
-        )
-    )
+    ranked = tracked_persist(banded.withColumn("_rk", F.row_number().over(w)))
+    _register_cap_signal(ranked, site, cap)
     head = ranked.where(F.col("_rk") <= cap).drop("_rk")
     overflow = ranked.where(F.col("_rk") > cap).drop("_rk")
     rep = ranked.where(F.col("_rk") == 1).select(
@@ -447,16 +445,16 @@ def jaccard_pairs(
             )
         w = Window.partitionBy("shingle").orderBy(F.xxhash64(F.col(id_col)), id_col)
         # pinned: both self-join sides read the capped table — without
-        # the pin each re-runs the shingle explode + rank window
-        joinable = tracked_persist(
-            _register_cap_signal(
-                exploded.withColumn("_rk", F.row_number().over(w)),
-                "jaccard_pairs.shingle_doc_cap",
-                shingle_doc_cap,
-            )
-            .where(F.col("_rk") <= shingle_doc_cap)
-            .drop("_rk")
+        # the pin each re-runs the shingle explode + rank window (the
+        # pin sits on the PRE-filter ranked frame so the cap signal can
+        # count overflow rows from the same cache)
+        ranked = tracked_persist(
+            exploded.withColumn("_rk", F.row_number().over(w))
         )
+        _register_cap_signal(
+            ranked, "jaccard_pairs.shingle_doc_cap", shingle_doc_cap
+        )
+        joinable = ranked.where(F.col("_rk") <= shingle_doc_cap).drop("_rk")
     a = joinable.alias("a")
     b = joinable.alias("b")
     shared = (

@@ -1558,6 +1558,141 @@ SELECT query_id, vec_id, round(adc_ip, 6) AS adc_ip, rank FROM (
 """
 
 
+_ANN_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def q_emb_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED ANN index with append-only incremental maintenance
+    (sources/ann_index.py — VERDICT r11 #1), hash-checked end-to-end:
+    build the index on vec_id < 300 with PINNED md5-bottom-16 codebooks
+    (the emb_pq_adc discipline), append 300 ≤ vec_id < 400 by encoding
+    against the FROZEN artifact read back from disk (one append_version
+    snapshot commit — the corpus codes are carried by manifest reference,
+    never re-encoded), then ADC top-10 over the appended snapshot.
+
+    The oracle re-derives the codebooks from BATCH 1 ONLY and scores all
+    400 vectors from scratch — so a Spark side that retrained codebooks
+    on the union, re-encoded batch 1, or failed to pick up the appended
+    codes would hash-mismatch: the check certifies the frozen-codebook
+    append SEMANTICS, not just the ADC arithmetic (which emb_pq_adc
+    already pins). Repeat calls reuse the collected result per sf_dir
+    (the artifact lives in a temp dir; the incremental path itself is
+    benchmarked head-on in bench.py's ann_index_ops)."""
+    import shutil
+    import tempfile
+
+    cached = _ANN_INDEX_CACHE.get(sf_dir)
+    if cached is not None:
+        return spark.createDataFrame(*cached)
+
+    from .sources.ann_index import (
+        append_ann_index,
+        build_ann_index,
+        query_ann_index,
+    )
+
+    m, dsub, kcb = 8, 8, 16
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    b1 = emb.where(F.col("vec_id") < 300)
+    b2 = emb.where(F.col("vec_id") >= 300)
+    seed_rows = (
+        b1.select("vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("_hk"))
+        .orderBy("_hk")
+        .limit(kcb)
+        .collect()
+    )
+    cb_rows = [
+        (j, c, [float(x) for x in r.embedding[j * dsub : (j + 1) * dsub]])
+        for c, r in enumerate(seed_rows)
+        for j in range(m)
+    ]
+    codebooks = spark.createDataFrame(cb_rows, "subspace int, code int, ctr array<double>")
+    d = tempfile.mkdtemp(prefix="ann_index_q_")
+    try:
+        idx = f"{d}/idx"
+        build_ann_index(
+            spark, b1, idx, m=m, nbits=4, n_cells=None,
+            codebooks=codebooks, normalize=False,
+        )
+        append_ann_index(spark, b2, idx)
+        probes = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = query_ann_index(spark, probes, idx, k=10).select(
+            "query_id", "vec_id", _r6(F.col("adc_ip")).alias("adc_ip"), "rank"
+        )
+        # bounded: 3 probes × 10 ranks
+        rows = out.collect()
+        _ANN_INDEX_CACHE[sf_dir] = (rows, out.schema)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# emb_pq_adc's oracle with the index-maintenance twist: codebook seeds come
+# from batch 1 only (vec_id < 300 — frozen at build), while encode + ADC
+# scoring run over the full appended corpus (vec_id < 400)
+_SQL_EMB_INDEX_INCREMENTAL = """
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 400
+),
+seeds AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS code, v
+  FROM base WHERE vec_id < 300 ORDER BY md5(vec_id::VARCHAR) LIMIT 16
+),
+cb AS MATERIALIZED (
+  SELECT j AS subspace, code, v[j * 8 + 1 : j * 8 + 8] AS ctr
+  FROM seeds, range(8) t(j)
+),
+sub AS MATERIALIZED (
+  SELECT vec_id, j AS subspace, v[j * 8 + 1 : j * 8 + 8] AS sv
+  FROM base, range(8) t(j)
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, subspace, code FROM (
+    SELECT s.vec_id, s.subspace, c.code,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.subspace
+             ORDER BY list_sum(list_transform(list_zip(s.sv, c.ctr),
+                      x -> (x[1] - x[2]) * (x[1] - x[2]))), c.code
+           ) AS rn
+    FROM sub s JOIN cb c USING (subspace)
+  ) WHERE rn = 1
+),
+enc_arr AS MATERIALIZED (
+  SELECT vec_id, list(code ORDER BY subspace) AS codes FROM enc GROUP BY vec_id
+),
+probes AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 3),
+lutv AS MATERIALIZED (
+  SELECT p.query_id, c.subspace, c.code,
+         list_dot_product(p.qv[c.subspace * 8 + 1 : c.subspace * 8 + 8], c.ctr) AS ip
+  FROM probes p CROSS JOIN cb c
+),
+lut_rows AS MATERIALIZED (
+  SELECT query_id, subspace, list(ip ORDER BY code) AS lrow
+  FROM lutv GROUP BY 1, 2
+),
+lut AS MATERIALIZED (
+  SELECT query_id, list(lrow ORDER BY subspace) AS lut FROM lut_rows GROUP BY 1
+),
+score AS (
+  SELECT l.query_id, e.vec_id,
+         list_sum(list_transform(generate_series(1, 8),
+                  j -> l.lut[j][e.codes[j] + 1])) AS adc_ip
+  FROM enc_arr e CROSS JOIN lut l
+)
+SELECT query_id, vec_id, round(adc_ip, 6) AS adc_ip, rank FROM (
+  SELECT query_id, vec_id, adc_ip,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_ip DESC, vec_id
+         ) AS rank
+  FROM score
+) WHERE rank <= 10
+"""
+
+
 def q_emb_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ rotation + PQ encode + ADC scan, hash-checked end-to-end
     (round 11): the real ``rotate_vectors`` matrix application feeding
@@ -2588,13 +2723,11 @@ FROM s GROUP BY user_id, sid
 """
 
 
-def _replay_stream(
-    spark: SparkSession, df: DataFrame, transform, prefix: str
-) -> DataFrame:
-    """Replay a batch frame through a STREAMING operator as a real
-    file-source stream cut into 3 event-time-ordered micro-batches, and
-    return the memory-sink result — the harness behind every
-    ``ev_streaming_*`` oracle entry (replay-equals-batch hash checks).
+def _stream_cuts(spark: SparkSession, df: DataFrame, d: str, prefix: str):
+    """Cut a batch frame into 3 event-time-ordered micro-batch files
+    under ``d`` and return the file-source stream (one file per
+    trigger). Shared by the memory-sink replay harness and the
+    foreachBatch-sink replay twins.
 
     The cuts are GLOBAL event-time thirds (linear interpolation of
     [min, max] ts — TIMESTAMP_NTZ-safe, computed driver-side from one
@@ -2605,45 +2738,55 @@ def _replay_stream(
     the file source orders micro-batches by modification time, which is
     therefore the event-time order of the cuts."""
     import os as _os
+
+    from .cache import tracked_persist
+
+    # pinned: the min/max agg + three cut writes are four consumers of
+    # the (possibly expensive) upstream frame — one execution, not four
+    df = tracked_persist(df)
+    mm = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    if mm["hi"] is None:
+        # ADVICE r11: an empty input would otherwise surface as an
+        # opaque TypeError on None arithmetic below
+        raise ValueError(f"{prefix}: input frame is empty — nothing to replay")
+    span = mm["hi"] - mm["lo"]
+    c1 = mm["lo"] + span / 3
+    c2 = mm["lo"] + 2 * span / 3
+    cuts = [
+        F.col("ts") < F.lit(c1),
+        (F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2)),
+        F.col("ts") >= F.lit(c2),
+    ]
+    t0 = 1_700_000_000
+    for j, cond in enumerate(cuts):
+        fdir = f"{d}/f{j}"
+        df.where(cond).coalesce(1).write.mode("overwrite").parquet(fdir)
+        for p in _os.listdir(fdir):
+            _os.utime(_os.path.join(fdir, p), (t0 + 60 * j, t0 + 60 * j))
+    schema = spark.read.parquet(f"{d}/f0").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/f*")
+    )
+
+
+def _replay_stream(
+    spark: SparkSession, df: DataFrame, transform, prefix: str
+) -> DataFrame:
+    """Replay a batch frame through a STREAMING operator as a real
+    file-source stream cut into 3 event-time-ordered micro-batches
+    (``_stream_cuts``), and return the memory-sink result — the harness
+    behind every transformation-shaped ``ev_streaming_*`` oracle entry
+    (replay-equals-batch hash checks)."""
     import shutil as _shutil
     import tempfile as _tempfile
     import uuid as _uuid
 
-    from .cache import tracked_persist
-
     d = _tempfile.mkdtemp(prefix=f"{prefix}_")
     name = f"{prefix}_{_uuid.uuid4().hex[:8]}"
     try:
-        # pinned: the min/max agg + three cut writes are four consumers of
-        # the (possibly expensive) upstream frame — one execution, not four
-        df = tracked_persist(df)
-        mm = df.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-        if mm["hi"] is None:
-            # ADVICE r11: an empty input would otherwise surface as an
-            # opaque TypeError on None arithmetic below
-            raise ValueError(
-                f"{prefix}: input frame is empty — nothing to replay"
-            )
-        span = mm["hi"] - mm["lo"]
-        c1 = mm["lo"] + span / 3
-        c2 = mm["lo"] + 2 * span / 3
-        cuts = [
-            F.col("ts") < F.lit(c1),
-            (F.col("ts") >= F.lit(c1)) & (F.col("ts") < F.lit(c2)),
-            F.col("ts") >= F.lit(c2),
-        ]
-        t0 = 1_700_000_000
-        for j, cond in enumerate(cuts):
-            fdir = f"{d}/f{j}"
-            df.where(cond).coalesce(1).write.mode("overwrite").parquet(fdir)
-            for p in _os.listdir(fdir):
-                _os.utime(_os.path.join(fdir, p), (t0 + 60 * j, t0 + 60 * j))
-        schema = spark.read.parquet(f"{d}/f0").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{d}/f*")
-        )
+        stream = _stream_cuts(spark, df, d, prefix)
         q = (
             transform(stream)
             .writeStream.format("memory")
@@ -2750,6 +2893,93 @@ _SQL_EV_STREAMING_TRANSITIONS = _SQL_EV_TRANSITIONS.replace(
     "SELECT user_id, from_regime, to_regime, start_time, end_time,",
     "SELECT user_id::VARCHAR AS user_id, from_regime, to_regime, start_time, end_time,",
 )
+
+
+_STREAMING_INCR_AGG_CACHE: dict[str, tuple] = {}
+
+
+def q_ev_streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING matview maintenance for the sum/count family in the
+    oracle gate (VERDICT r11 #7): events replay as a real file-source
+    stream in 3 event-time micro-batches through
+    ``streaming_versioned_upsert_with_matview`` (streaming/upsert.py) —
+    each micro-batch commits a versioned-table snapshot and advances the
+    per-user (sum, count) view by ±DELTA with the batch's own keys as
+    the changed-key set (O(batch) maintenance, never a table rescan) —
+    and the maintained view must hash-match a from-scratch SQL aggregate
+    of the FINAL logical state.
+
+    The replay exercises the UPDATE path, not just inserts: every
+    event_id % 10 == 0 row is re-emitted 1000 days later at double
+    value, so it lands in a later micro-batch and upserts over its
+    original row (−old/+new delta arithmetic under the hash). The oracle
+    aggregates the equivalent final state (value doubled where
+    event_id % 10 == 0) directly from the parquet. Repeat calls reuse
+    the collected result per sf_dir (the versioned fixture lives in a
+    temp dir; the view is group-cardinality bounded)."""
+    import shutil
+    import tempfile
+
+    cached = _STREAMING_INCR_AGG_CACHE.get(sf_dir)
+    if cached is not None:
+        return spark.createDataFrame(*cached)
+
+    from .sources.matview import read_matview
+    from .streaming.upsert import streaming_versioned_upsert_with_matview
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value", "ts")
+    re_emit = ev.where(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        "user_id",
+        (F.col("value") * 2).alias("value"),
+        (F.col("ts") + F.expr("INTERVAL 1000 DAYS")).alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="ev_stream_incr_")
+    try:
+        stream = _stream_cuts(
+            spark, ev.unionByName(re_emit), d, "ev_streaming_incremental_agg"
+        )
+        q = streaming_versioned_upsert_with_matview(
+            stream,
+            path=f"{d}/tbl",
+            key="event_id",
+            order="ts",
+            checkpoint=f"{d}/_sink_ckpt",
+            view_path=f"{d}/view",
+            group="user_id",
+            value="value",
+        )
+        finished = q.awaitTermination(600)
+        q.stop()
+        if not finished:
+            raise RuntimeError(
+                "ev_streaming_incremental_agg: replay did not finish within "
+                "600s — partial view state discarded"
+            )
+        out = read_matview(spark, f"{d}/view").select(
+            "user_id",
+            F.round("agg_sum", 2).alias("agg_sum"),
+            F.col("agg_count"),
+        )
+        # bounded: one row per user (150 at sf0.01)
+        rows = out.collect()
+        _STREAMING_INCR_AGG_CACHE[sf_dir] = (rows, out.schema)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# the maintained view must equal a from-scratch aggregate of the final
+# logical state: value doubled where event_id % 10 == 0 (the re-emitted
+# upserts), one row per original event (re-emissions replace, never add)
+_SQL_EV_STREAMING_INCREMENTAL_AGG = """
+SELECT user_id,
+       round(sum(CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END), 2)
+         AS agg_sum,
+       count(*)::BIGINT AS agg_count
+FROM events
+GROUP BY user_id
+"""
 
 
 def q_emb_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6929,70 +7159,129 @@ QUALIFY row_number() OVER (
 # doc_signatures, regime mapping → ev_coarse_distribution, accuracy →
 # pred_summary, top-transitions → (transition_matrix + ordered-limit queries).
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # ── Driver window (first 50 entries — the external driver hash-checks
-    # exactly these against their DuckDB oracles each round). Round 11
-    # rotation (VERDICT r10 #5): ten §2-core entries whose op families
-    # stay represented in-window moved just PAST the boundary (still
-    # oracle-backed via the local gate), and ten showcase queries —
-    # matview incremental families, SemDeDup, PageRank, span-dedup,
-    # SimHash pairs, dup clusters, end-to-end curation — moved IN so the
-    # engine's hardest evidence lands in CORRECTNESS_r{N}.json. ──
-    # relational
+    # ── Driver window (first 50 entries — the external driver
+    # hash-checks exactly these against their DuckDB oracles each
+    # round). Round-12 rotation policy (VERDICT r11 #8, schedule in
+    # COVERAGE.md): a 20-entry CORE SPINE — one flagship per §2
+    # family — stays in-window every round; the other 30 slots
+    # rotate least-recently-driver-checked-first, so every
+    # oracle-backed registry entry lands a driver hash row on a
+    # provable cadence (~3 rounds to sweep the backlog, then cycle).
+    # ── spine: relational / windows / regimes / aggregates ──
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
-    "top_revenue_orders": (q_top_revenue_orders, _SQL_TOP_REVENUE),
     "nation_revenue": (q_nation_revenue, _SQL_NATION_REVENUE),
     "customer_segment_stats": (q_customer_segment_stats, _SQL_SEGMENT_STATS),
-    # windows
     "ev_returns": (q_ev_returns, _SQL_EV_RETURNS),
     "ev_rolling": (q_ev_rolling, _SQL_EV_ROLLING),
     "ev_rsi": (q_ev_rsi, _SQL_EV_RSI),
-    "ev_zscore": (q_ev_zscore, _SQL_EV_ZSCORE),
     "ev_macd": (q_ev_macd, _SQL_EV_MACD),
-    # regimes
     "ev_coarse_regime": (q_ev_coarse_regime, _SQL_EV_COARSE),
     "ev_regime5": (q_ev_regime5, _SQL_EV_REGIME5),
-    "ev_regime_distribution": (q_ev_regime_distribution, _SQL_EV_REGIME_DIST),
     "ev_transitions": (q_ev_transitions, _SQL_EV_TRANSITIONS),
-    "ev_daily_regime": (q_ev_daily_regime, _SQL_EV_DAILY_REGIME),
-    # aggregates / matrices
-    "ev_type_share": (q_ev_type_share, _SQL_EV_TYPE_SHARE),
     "ev_user_profile": (q_ev_user_profile, _SQL_EV_USER_PROFILE),
     "ev_hour_type_pivot": (q_ev_hour_type_pivot, _SQL_EV_HOUR_PIVOT),
-    "ev_type_corr_pairs": (q_ev_type_corr_pairs, _SQL_EV_TYPE_CORR),
-    # text / dedup
+    # ── spine: text / dedup / embeddings ──
     "doc_text_stats": (q_doc_text_stats, _SQL_DOC_TEXT_STATS),
+    "doc_minhash": (q_doc_minhash, _SQL_DOC_MINHASH),
+    "doc_near_dup_lsh": (q_doc_near_dup_lsh, _SQL_DOC_NEAR_DUP),
+    "doc_dup_clusters": (q_doc_dup_clusters, _SQL_DOC_DUP_CLUSTERS),
+    # ── spine: ANN / as-of / metrics / matview ──
+    "emb_topk": (q_emb_topk, _SQL_EMB_TOPK),
+    "ev_asof_join": (q_ev_asof_join, _SQL_EV_ASOF),
+    "pred_f1": (q_pred_f1, _SQL_PRED_F1),
+    "ev_incremental_agg": (q_ev_incremental_agg, _SQL_EV_INCREMENTAL_AGG),
+    # ── r12 rotating segment (30): never-driver-checked until now —
+    # TPC-H round-9 shapes, matview variants, CUBE/canonical, the ML
+    # oracle twins, the round-12 persisted ANN index, the streaming
+    # twins and the media decode check ──
+    "min_cost_supplier": (q_min_cost_supplier, _SQL_MIN_COST_SUPPLIER),
+    "discount_band_revenue": (q_discount_band_revenue, _SQL_DISCOUNT_BAND_REVENUE),
+    "nation_market_share": (q_nation_market_share, _SQL_NATION_MARKET_SHARE),
+    "product_type_profit": (q_product_type_profit, _SQL_PRODUCT_TYPE_PROFIT),
+    "returned_item_ranking": (q_returned_item_ranking, _SQL_RETURNED_ITEM_RANKING),
+    "important_parts": (q_important_parts, _SQL_IMPORTANT_PARTS),
+    "order_count_distribution": (
+        q_order_count_distribution, _SQL_ORDER_COUNT_DISTRIBUTION
+    ),
+    "part_supplier_variety": (q_part_supplier_variety, _SQL_PART_SUPPLIER_VARIETY),
+    "disjunctive_band_revenue": (
+        q_disjunctive_band_revenue, _SQL_DISJUNCTIVE_BAND_REVENUE
+    ),
+    "excess_shippers": (q_excess_shippers, _SQL_EXCESS_SHIPPERS),
+    "ev_incremental_composite": (
+        q_ev_incremental_composite,
+        _SQL_EV_INCREMENTAL_COMPOSITE,
+    ),
+    "ev_incremental_multi": (
+        q_ev_incremental_multi,
+        _SQL_EV_INCREMENTAL_MULTI,
+    ),
+    "ev_incremental_filtered": (
+        q_ev_incremental_filtered,
+        _SQL_EV_INCREMENTAL_FILTERED,
+    ),
+    "ev_incremental_distinct": (
+        q_ev_incremental_distinct,
+        _SQL_EV_INCREMENTAL_DISTINCT,
+    ),
+    "ev_cube": (q_ev_cube, _SQL_EV_CUBE),
+    "doc_canonical": (q_doc_canonical, _SQL_DOC_CANONICAL),
+    "emb_lloyd_kmeans": (q_emb_lloyd_kmeans, _SQL_EMB_LLOYD_KMEANS),
+    "emb_dbscan_relational": (q_emb_dbscan_relational, _SQL_EMB_DBSCAN_RELATIONAL),
+    "emb_pca_power": (q_emb_pca_power, _SQL_EMB_PCA_POWER),
+    "emb_pq_adc": (q_emb_pq_adc, _SQL_EMB_PQ_ADC),
+    "emb_opq_adc": (q_emb_opq_adc, _SQL_EMB_OPQ_ADC),
+    "emb_ivf_seeded": (q_emb_ivf_seeded, _SQL_EMB_IVF_SEEDED),
+    "doc_quality_scores": (q_doc_quality_scores, _SQL_DOC_QUALITY_SCORES),
+    "doc_bpe_relational": (q_doc_bpe_relational, _SQL_DOC_BPE_RELATIONAL),
+    "ev_type_modularity": (q_ev_type_modularity, _SQL_EV_TYPE_MODULARITY),
+    "ev_user_cc_communities": (
+        q_ev_user_cc_communities, _cluster_sql(_SQL_EV_USER_CC_PAIRS, "user_id")
+    ),
+    "emb_index_incremental": (
+        q_emb_index_incremental, _SQL_EMB_INDEX_INCREMENTAL
+    ),
+    "ev_streaming_transitions": (
+        q_ev_streaming_transitions,
+        _SQL_EV_STREAMING_TRANSITIONS,
+    ),
+    "ev_streaming_macd": (q_ev_streaming_macd, _SQL_EV_MACD),
+    # round 12: the sum/count matview family's STREAMING maintenance twin
+    # (3-micro-batch replay with upserting re-emissions; view hash ==
+    # from-scratch aggregate of the final state)
+    "ev_streaming_incremental_agg": (
+        q_ev_streaming_incremental_agg,
+        _SQL_EV_STREAMING_INCREMENTAL_AGG,
+    ),
+    # ── end of driver window (50 entries) ──
+    # Everything below is past the window: hash-verified every round
+    # by the local 3-SF gate (tools/check_correctness.py), rows-only
+    # where no SQL form exists, and scheduled to rotate in per
+    # COVERAGE.md (r13: curation/doc batch + sketches/graph; r14:
+    # remaining TPC-H-era + range/time-rollup + the r11 rotated-out
+    # ten; then least-recently-checked cycling). ──
+    "top_revenue_orders": (q_top_revenue_orders, _SQL_TOP_REVENUE),
+    "ev_zscore": (q_ev_zscore, _SQL_EV_ZSCORE),
+    "ev_regime_distribution": (q_ev_regime_distribution, _SQL_EV_REGIME_DIST),
+    "ev_daily_regime": (q_ev_daily_regime, _SQL_EV_DAILY_REGIME),
+    "ev_type_share": (q_ev_type_share, _SQL_EV_TYPE_SHARE),
+    "ev_type_corr_pairs": (q_ev_type_corr_pairs, _SQL_EV_TYPE_CORR),
     "doc_signatures": (q_doc_signatures, _SQL_DOC_SIGNATURES),
     "doc_exact_dedup": (q_doc_exact_dedup, _SQL_DOC_EXACT_DEDUP),
-    "doc_minhash": (q_doc_minhash, _SQL_DOC_MINHASH),
     "doc_jaccard_pairs": (q_doc_jaccard_pairs, _SQL_DOC_JACCARD),
-    "doc_near_dup_lsh": (q_doc_near_dup_lsh, _SQL_DOC_NEAR_DUP),
     "doc_token_counts": (q_doc_token_counts, _SQL_DOC_TOKEN_COUNTS),
     "emb_near_dup": (q_emb_near_dup, _SQL_EMB_NEAR_DUP),
-    # embeddings
-    "emb_topk": (q_emb_topk, _SQL_EMB_TOPK),
     "emb_label_centroid_dist": (q_emb_label_centroid_dist, _SQL_EMB_CENTROID),
     "emb_knn_dist": (q_emb_knn_dist, _SQL_EMB_KNN),
-    # as-of join
-    "ev_asof_join": (q_ev_asof_join, _SQL_EV_ASOF),
-    # sessionization
     "ev_sessions": (q_ev_sessions, _SQL_EV_SESSIONS),
-    # sequences / split
     "ev_sequences": (q_ev_sequences, _SQL_EV_SEQUENCES),
     "ev_ordered_split": (q_ev_ordered_split, _SQL_EV_ORDERED_SPLIT),
-    # eval metrics
     "pred_confusion": (q_pred_confusion, _SQL_PRED_CONFUSION),
     "pred_summary": (q_pred_summary, _SQL_PRED_SUMMARY),
-    "pred_f1": (q_pred_f1, _SQL_PRED_F1),
-    # scrubs / exclusions / scalar / datetime / rollup
     "ev_excluded_users": (q_ev_excluded_users, _SQL_EV_EXCLUDED),
     "scalar_functions": (q_scalar_functions, _SQL_SCALAR_FUNCS),
     "ev_parse_datetime": (q_ev_parse_datetime, _SQL_EV_PARSE),
     "order_rollup": (q_order_rollup, _SQL_ORDER_ROLLUP),
-    # showcase rotation (round 11): CDC-maintained matviews across all
-    # four maintenance families, LSH/SimHash near-dup with the r11
-    # bucket caps, connected-component dup clusters, span dedup,
-    # SemDeDup, iterative PageRank, and the end-to-end curation DAG
-    "ev_incremental_agg": (q_ev_incremental_agg, _SQL_EV_INCREMENTAL_AGG),
     "ev_incremental_minmax": (q_ev_incremental_minmax, _SQL_EV_INCREMENTAL_MINMAX),
     "ev_incremental_mixed": (q_ev_incremental_mixed, _SQL_EV_INCREMENTAL_MIXED),
     "ev_incremental_distinct_dml": (
@@ -7000,14 +7289,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _SQL_EV_INCREMENTAL_DISTINCT_DML,
     ),
     "doc_simhash_pairs": (q_doc_simhash_pairs, _SQL_DOC_SIMHASH_PAIRS),
-    "doc_dup_clusters": (q_doc_dup_clusters, _SQL_DOC_DUP_CLUSTERS),
     "doc_span_dedup": (q_doc_span_dedup, _SQL_DOC_SPAN_DEDUP),
     "emb_semdedup": (q_emb_semdedup, _SQL_EMB_SEMDEDUP),
     "ev_pagerank": (q_ev_pagerank, _SQL_EV_PAGERANK),
     "doc_curation": (q_doc_curation, _SQL_DOC_CURATION),
-    # ── end of driver window (50 entries) ──
-    # rotated out round 11 (op families still represented in-window;
-    # hash-verified every round by the local gate):
     "order_priority_pivot": (q_order_priority_pivot, _SQL_ORDER_PIVOT),
     "top_parts_by_price": (q_top_parts_by_price, _SQL_TOP_PARTS),
     "ev_bollinger": (q_ev_bollinger, _SQL_EV_BOLLINGER),
@@ -7018,30 +7303,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ev_describe": (q_ev_describe, _SQL_EV_DESCRIBE),
     "ev_argmax_type": (q_ev_argmax_type, _SQL_EV_ARGMAX),
     "nation_coverage": (q_nation_coverage, _SQL_NATION_COVERAGE),
-    # ML (rows-only: non-SQL-expressible; past the driver's 50-entry window,
-    # pinned by tests/test_clustering_quality.py + test_features_ml.py)
     "emb_kmeans": (q_emb_kmeans, None),
     "emb_pca": (q_emb_pca, None),
     "ev_user_communities": (q_ev_user_communities, None),
     "emb_dbscan": (q_emb_dbscan, None),
-    # composite / operator-mirror entries (components oracle-checked above)
     "ev_session_windows": (q_ev_session_windows, _SQL_EV_SESSION_WINDOWS),
-    # round 11: the STREAMING W12/W8 twins, hash-checked against the same
-    # batch SQLs (replay-equals-batch, previously pytest-only)
-    "ev_streaming_transitions": (
-        q_ev_streaming_transitions,
-        _SQL_EV_STREAMING_TRANSITIONS,
-    ),
-    "ev_streaming_macd": (q_ev_streaming_macd, _SQL_EV_MACD),
-    # round-3 capability mirrors (rows-only; pinned by test_graph_skew.py
-    # and test_sources_multimodal.py)
     "ev_user_modularity": (q_ev_user_modularity, None),
     "media_features": (q_media_features, None),
+    # bumped from the r12 rotating segment to r13 (the round-12 streaming
+    # sum/count matview twin took its slot — see COVERAGE.md schedule)
     "media_decode_check": (q_media_decode_check, _SQL_MEDIA_DECODE_CHECK),
     "doc_contamination": (q_doc_contamination, _SQL_DOC_CONTAMINATION),
     "doc_packing": (q_doc_packing, _SQL_DOC_PACKING),
-    # round-5 corpus-curation additions (past the driver window; oracle
-    # SQL hash-verified by the local gate)
     "doc_quality_flags": (q_doc_quality_flags, _SQL_DOC_QUALITY),
     "doc_tfidf_topk": (q_doc_tfidf_topk, _SQL_DOC_TFIDF),
     "doc_unigram_lm": (q_doc_unigram_lm, _SQL_DOC_UNIGRAM_LM),
@@ -7051,9 +7324,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_incremental_dedup": (q_doc_incremental_dedup, _SQL_DOC_INCREMENTAL),
     "doc_budget_selection": (q_doc_budget_selection, _SQL_DOC_BUDGET),
     "doc_source_mix": (q_doc_source_mix, _SQL_DOC_SOURCE_MIX),
-    # round-6 additions (past the driver window; oracle SQL hash-verified
-    # by the local gate): sliding-window chunking, corpus boilerplate
-    # n-grams, language-ID evaluation
     "doc_chunks": (q_doc_chunks, _SQL_DOC_CHUNKS),
     "doc_top_ngrams": (q_doc_top_ngrams, _SQL_DOC_TOP_NGRAMS),
     "doc_lang_confusion": (q_doc_lang_confusion, _SQL_DOC_LANG_CONFUSION),
@@ -7064,11 +7334,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_interleave": (q_doc_interleave, _SQL_DOC_INTERLEAVE),
     "ev_funnel": (q_ev_funnel, _SQL_EV_FUNNEL),
     "ev_cohort": (q_ev_cohort, _SQL_EV_COHORT),
-    # rows-only: iterative merge learning is not SQL-expressible; pinned
-    # against a pure-python BPE reference in tests/test_bpe.py
     "doc_bpe": (q_doc_bpe, None),
-    # round-7 additions (past the driver window; oracle SQL hash-verified
-    # by the local gate): mergeable cardinality sketches
     "ev_kmv_users": (q_ev_kmv_users, _SQL_EV_KMV_USERS),
     "ev_hll_users": (q_ev_hll_users, _SQL_EV_HLL_USERS),
     "ev_quantile_sketch": (q_ev_quantile_sketch, _SQL_EV_QUANTILE_SKETCH),
@@ -7093,71 +7359,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "ev_triangles": (q_ev_triangles, _SQL_EV_TRIANGLES),
     "ev_user_overlap": (q_ev_user_overlap, _SQL_EV_USER_OVERLAP),
-    # round-9 additions: the remaining TPC-H shapes (Q2/Q6/Q8/Q9/Q10/
-    # Q11/Q13/Q16/Q19/Q20 — the full 22 are now covered; partsupp-based
-    # shapes derive the part-supplier relation from lineitem, documented
-    # per-query). Past the driver window; hash-verified by the local gate.
-    "min_cost_supplier": (q_min_cost_supplier, _SQL_MIN_COST_SUPPLIER),
-    "discount_band_revenue": (q_discount_band_revenue, _SQL_DISCOUNT_BAND_REVENUE),
-    "nation_market_share": (q_nation_market_share, _SQL_NATION_MARKET_SHARE),
-    "product_type_profit": (q_product_type_profit, _SQL_PRODUCT_TYPE_PROFIT),
-    "returned_item_ranking": (q_returned_item_ranking, _SQL_RETURNED_ITEM_RANKING),
-    "important_parts": (q_important_parts, _SQL_IMPORTANT_PARTS),
-    "order_count_distribution": (
-        q_order_count_distribution, _SQL_ORDER_COUNT_DISTRIBUTION
-    ),
-    "part_supplier_variety": (q_part_supplier_variety, _SQL_PART_SUPPLIER_VARIETY),
-    "disjunctive_band_revenue": (
-        q_disjunctive_band_revenue, _SQL_DISJUNCTIVE_BAND_REVENUE
-    ),
-    "excess_shippers": (q_excess_shippers, _SQL_EXCESS_SHIPPERS),
-    # CDC-maintained materialized aggregates (the four headline families
-    # moved into the driver window round 11; these remaining variants are
-    # hash-checked by the local gate against a from-scratch SQL aggregate
-    # of the final logical state — sources/matview.py, tests/test_matview.py)
-    "ev_incremental_composite": (
-        q_ev_incremental_composite,
-        _SQL_EV_INCREMENTAL_COMPOSITE,
-    ),
-    "ev_incremental_multi": (
-        q_ev_incremental_multi,
-        _SQL_EV_INCREMENTAL_MULTI,
-    ),
-    "ev_incremental_filtered": (
-        q_ev_incremental_filtered,
-        _SQL_EV_INCREMENTAL_FILTERED,
-    ),
-    "ev_incremental_distinct": (
-        q_ev_incremental_distinct,
-        _SQL_EV_INCREMENTAL_DISTINCT,
-    ),
-    # CUBE grouping sets (one Expand pass) + quality-based canonical
-    # selection per dup cluster (min-struct ≡ QUALIFY rank-1, hash-checked)
-    "ev_cube": (q_ev_cube, _SQL_EV_CUBE),
-    "doc_canonical": (q_doc_canonical, _SQL_DOC_CANONICAL),
-    # rows-only: KMeans codebooks are iterative, not SQL-expressible;
-    # pinned by tests/test_pq.py + the per-bench recall probe
     "emb_ivfpq": (q_emb_ivfpq, None),
-    # rows-only: distributed L-BFGS training is iterative; pinned by
-    # tests/test_quality_model.py (held-out separation, deterministic
-    # negative sample)
     "doc_quality_model": (q_doc_quality_model, None),
-    "doc_quality_scores": (q_doc_quality_scores, _SQL_DOC_QUALITY_SCORES),
-    # round-10 additions (past the driver window; hash-verified by the
-    # local gate): relational Lloyd k-means with the full unrolled
-    # trajectory re-derived in SQL (SemDeDup moved into the window r11)
-    "emb_lloyd_kmeans": (q_emb_lloyd_kmeans, _SQL_EMB_LLOYD_KMEANS),
     "doc_stratified_split": (q_doc_stratified_split, _SQL_DOC_STRATIFIED_SPLIT),
-    "emb_dbscan_relational": (q_emb_dbscan_relational, _SQL_EMB_DBSCAN_RELATIONAL),
-    "ev_type_modularity": (q_ev_type_modularity, _SQL_EV_TYPE_MODULARITY),
-    "ev_user_cc_communities": (
-        q_ev_user_cc_communities, _cluster_sql(_SQL_EV_USER_CC_PAIRS, "user_id")
-    ),
-    "doc_bpe_relational": (q_doc_bpe_relational, _SQL_DOC_BPE_RELATIONAL),
-    "emb_pca_power": (q_emb_pca_power, _SQL_EMB_PCA_POWER),
-    "emb_pq_adc": (q_emb_pq_adc, _SQL_EMB_PQ_ADC),
-    "emb_opq_adc": (q_emb_opq_adc, _SQL_EMB_OPQ_ADC),
-    "emb_ivf_seeded": (q_emb_ivf_seeded, _SQL_EMB_IVF_SEEDED),
 }
 
 

@@ -1,0 +1,207 @@
+"""Persisted ANN index artifact: build / append-only maintenance / query
+(sources/ann_index.py — VERDICT r11 #1).
+
+The invariants that make the artifact trustworthy at 100 TB:
+- append encodes against FROZEN codebooks: appending batches one at a
+  time must be bit-identical to building once over the union (given
+  pinned codebooks — deterministic encode);
+- append is O(batch): the codes manifest carries every pre-existing file
+  by reference (no rewrite, no corpus re-read);
+- the versioned codes table gives time travel (query the index as of an
+  earlier append) and atomic commits for free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from financial_big_data_spark.sources.ann_index import (
+    append_ann_index,
+    build_ann_index,
+    query_ann_index,
+)
+from financial_big_data_spark.sources.versioned import _load_manifest, read_version
+
+
+def _vecs(spark, n, d=16, seed=7, id_start=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1, (n, d))
+    return spark.createDataFrame(
+        [(id_start + i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _pinned_codebooks(spark, corpus, m=4, k=8):
+    """The emb_pq_adc discipline: codeword c of subspace j = the j-th
+    slice of the corpus vector with the c-th smallest md5(id)."""
+    rows = (
+        corpus.select(
+            "vec_id", "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("_hk"),
+        )
+        .orderBy("_hk")
+        .limit(k)
+        .collect()
+    )
+    d = len(rows[0].embedding)
+    dsub = d // m
+    cb = [
+        (j, c, [float(x) for x in r.embedding[j * dsub : (j + 1) * dsub]])
+        for c, r in enumerate(rows)
+        for j in range(m)
+    ]
+    return spark.createDataFrame(cb, "subspace int, code int, ctr array<double>")
+
+
+def test_append_equals_build_on_union(spark, tmp_path):
+    """Frozen-codebook append: build(b1)+append(b2) == build(b1 ∪ b2)
+    bit-for-bit when codebooks are pinned (deterministic encode)."""
+    b1, b2 = _vecs(spark, 60, seed=1), _vecs(spark, 40, seed=2, id_start=60)
+    cb = _pinned_codebooks(spark, b1)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_ann_index(
+        spark, b1, inc, m=4, nbits=3, n_cells=None,
+        codebooks=cb, normalize=False,
+    )
+    append_ann_index(spark, b2, inc)
+    build_ann_index(
+        spark, b1.unionByName(b2), full, m=4, nbits=3, n_cells=None,
+        codebooks=cb, normalize=False,
+    )
+    got_inc = {
+        (r.vec_id, tuple(r.codes)) for r in read_version(spark, f"{inc}/codes").collect()
+    }
+    got_full = {
+        (r.vec_id, tuple(r.codes)) for r in read_version(spark, f"{full}/codes").collect()
+    }
+    assert got_inc == got_full
+    probes = b1.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    q_inc = {
+        (r.query_id, r.vec_id, r.rank, round(r.adc_ip, 9))
+        for r in query_ann_index(spark, probes, inc, k=5).collect()
+    }
+    q_full = {
+        (r.query_id, r.vec_id, r.rank, round(r.adc_ip, 9))
+        for r in query_ann_index(spark, probes, full, k=5).collect()
+    }
+    assert q_inc == q_full
+
+
+def test_append_carries_corpus_files_by_reference(spark, tmp_path):
+    """O(batch) commit: every pre-append codes file appears verbatim in
+    the post-append manifest (extended by reference, never rewritten)."""
+    b1, b2 = _vecs(spark, 50, seed=3), _vecs(spark, 10, seed=4, id_start=50)
+    idx = str(tmp_path / "idx")
+    build_ann_index(
+        spark, b1, idx, m=4, nbits=3, n_cells=None,
+        codebooks=_pinned_codebooks(spark, b1), normalize=False,
+    )
+    before = _load_manifest(f"{idx}/codes", None)
+    append_ann_index(spark, b2, idx)
+    after = _load_manifest(f"{idx}/codes", None)
+    assert after["version"] == before["version"] + 1
+    assert set(before["files"]) <= set(after["files"])
+    added = set(after["files"]) - set(before["files"])
+    assert added  # the batch landed in new files only
+
+
+def test_time_travel_queries_pre_append_snapshot(spark, tmp_path):
+    b1, b2 = _vecs(spark, 40, seed=5), _vecs(spark, 20, seed=6, id_start=40)
+    idx = str(tmp_path / "idx")
+    build_ann_index(
+        spark, b1, idx, m=4, nbits=3, n_cells=None,
+        codebooks=_pinned_codebooks(spark, b1), normalize=False,
+    )
+    append_ann_index(spark, b2, idx)
+    probes = b2.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    now = query_ann_index(spark, probes, idx, k=60)
+    old = query_ann_index(spark, probes, idx, k=60, version=1)
+    assert {r.vec_id for r in old.collect()} <= set(range(40))
+    assert {r.vec_id for r in now.collect()} & set(range(40, 60))
+
+
+def test_trained_ivf_residual_recall(spark, tmp_path):
+    """Trained path (seeded KMeans cells + trained codebooks + residual):
+    recall@5 against exact brute-force cosine stays usable, and the
+    refine path (corpus=) returns exact cosine scores."""
+    from financial_big_data_spark.operators.similarity import brute_force_topk
+
+    corpus = _vecs(spark, 300, d=16, seed=8)
+    idx = str(tmp_path / "idx")
+    build_ann_index(
+        spark, corpus, idx, m=4, nbits=5, n_cells=8, residual=True, seed=11,
+    )
+    probes = corpus.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(corpus, probes, k=5)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in query_ann_index(
+            spark, probes, idx, k=5, n_probe=6, refine_factor=6,
+            corpus=corpus, exclude_self=True,
+        ).collect()
+    }
+    # brute_force_topk excludes self-matches the same way
+    assert len(exact & got) / max(len(exact), 1) >= 0.75
+
+
+def test_opq_rotation_persists_and_appends(spark, tmp_path):
+    """opq=True stores the learned rotation in the meta; appended vectors
+    rotate with the SAME matrix (append==build-union invariant holds
+    because rotation+codebooks are both frozen)."""
+    import json
+    import os
+
+    b1 = _vecs(spark, 80, d=16, seed=9)
+    b2 = _vecs(spark, 20, d=16, seed=10, id_start=80)
+    idx = str(tmp_path / "idx")
+    meta = build_ann_index(
+        spark, b1, idx, m=4, nbits=4, n_cells=None, opq=True, seed=13,
+    )
+    assert meta["rotation"] is not None
+    R = np.array(meta["rotation"])
+    assert R.shape == (16, 16)
+    assert np.allclose(R @ R.T, np.eye(16), atol=1e-8)  # orthonormal
+    append_ann_index(spark, b2, idx)
+    # rebuild-union with the STORED rotation + stored codebooks must match
+    with open(os.path.join(idx, "ann_meta.json")) as fh:
+        stored = json.load(fh)
+    full = str(tmp_path / "full")
+    build_ann_index(
+        spark, b1.unionByName(b2), full, m=4, nbits=4, n_cells=None,
+        rotation=stored["rotation"],
+        codebooks=read_version(spark, f"{idx}/codebooks"),
+    )
+    got_inc = {
+        (r.vec_id, tuple(r.codes)) for r in read_version(spark, f"{idx}/codes").collect()
+    }
+    got_full = {
+        (r.vec_id, tuple(r.codes)) for r in read_version(spark, f"{full}/codes").collect()
+    }
+    assert got_inc == got_full
+
+
+def test_build_refuses_overwrite_and_missing_raises(spark, tmp_path):
+    b = _vecs(spark, 20, seed=12)
+    idx = str(tmp_path / "idx")
+    build_ann_index(
+        spark, b, idx, m=4, nbits=3, n_cells=None,
+        codebooks=_pinned_codebooks(spark, b), normalize=False,
+    )
+    with pytest.raises(FileExistsError, match="already exists"):
+        build_ann_index(spark, b, idx, m=4, nbits=3, n_cells=None)
+    with pytest.raises(FileNotFoundError, match="no ANN index"):
+        query_ann_index(
+            spark,
+            b.select(F.col("vec_id").alias("query_id"), "embedding"),
+            str(tmp_path / "nope"),
+        )

@@ -579,3 +579,37 @@ def test_cap_signal_jaccard_and_simhash_sites(spark):
     sites = {e["site"]: e for e in D.cap_truncation_events(warn=False)}
     assert sites["simhash_near_dups.bucket_cap"]["truncated"]
     assert sites["jaccard_pairs.shingle_doc_cap"]["truncated"]
+
+
+def test_cap_signal_does_not_poison_mllib(spark):
+    """Regression pin for the Spark 4.1 landmine that ruled out
+    DataFrame.observe for the cap signal: registering even one filled
+    Observation on a session leaves the non-serializable
+    ObservationManager reachable from later job closures, and every
+    subsequent MLlib fit dies with 'Task not serializable' (reproduced
+    on pyspark 4.1.2). The aggregate-over-cache signal must leave MLlib
+    fits working after a capped query + drain."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    D.cap_truncation_events(warn=False)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(60)],
+        "doc_id long, text string",
+    )
+    sig = D.minhash_signatures(docs, num_hashes=4, shingle_n=2)
+    D.lsh_candidate_pairs(sig, num_hashes=4, bands=2, bucket_cap=4).collect()
+    events = D.cap_truncation_events(warn=False)
+    assert any(e["truncated"] for e in events)
+    lr_docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} alpha beta", float(i % 2)) for i in range(40)],
+        "doc_id long, text string, label double",
+    )
+    pipe = Pipeline(stages=[
+        Tokenizer(inputCol="text", outputCol="toks"),
+        HashingTF(inputCol="toks", outputCol="features", numFeatures=64),
+        LogisticRegression(maxIter=3),
+    ])
+    model = pipe.fit(lr_docs)  # would raise 'Task not serializable' via observe
+    assert model.transform(lr_docs).count() == 40
