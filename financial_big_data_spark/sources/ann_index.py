@@ -276,6 +276,35 @@ def append_ann_index(
     return {"version": v, "path": path}
 
 
+def compact_ann_index(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    keep_last: int = 2,
+) -> dict:
+    """Index maintenance: compact the codes table's append fragments and
+    retire old snapshots.
+
+    A stream of small appends leaves the codes manifest referencing many
+    tiny files (one-per-batch); queries then pay per-file open cost.
+    ``compact_version`` rewrites the CURRENT snapshot into
+    ceil(bytes/target) id-clustered files as a NEW snapshot (time travel
+    to pre-compaction versions keeps working until ``vacuum`` retires
+    them — ``keep_last`` newest manifests survive). Centroids/codebooks
+    are bounded metadata and never need compaction. Codes are unchanged
+    bytes — queries before and after must return identical rows (pinned
+    by tests/test_ann_index.py)."""
+    from .versioned import compact_version, vacuum
+
+    meta = _load_meta(path)
+    codes = os.path.join(path, "codes")
+    v = compact_version(
+        spark, codes, key=meta["id_col"], target_file_bytes=target_file_bytes
+    )
+    stats = vacuum(codes, keep_last=keep_last)
+    return {"version": v, **stats}
+
+
 def query_ann_index(
     spark: SparkSession,
     queries: DataFrame,

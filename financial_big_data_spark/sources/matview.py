@@ -1129,40 +1129,44 @@ def refresh_matview(
                     F.xxhash64(*fp_cols) if fp_cols else F.lit(0).cast("long")
                 )
 
-                # MULTISET digest per (key, side) in ONE shuffle — count
-                # + bit_xor + bounded mod-sum of the row fingerprints,
-                # side-split by conditional aggregates over the tagged
-                # union (no join). A plain row-pairing join assumes one
-                # row per key (the DML invariant) and would miss
-                # count-only changes on duplicate-key tables
-                # (append_version logs): count catches cardinality, xor
-                # catches any single-row change, and the mod-2^31 sum
-                # covers xor's paired-identical-rows blind spot
-                # ({a,a} → {b,b}) without long overflow below 2^32 rows
-                # per key. One side absent → counts 0 vs >0 → changed.
-                def side(files, tag):
+                # SIGNED multiset digest per key in ONE shuffle — the
+                # r12 form of the side-split digest: instead of six
+                # per-side aggregates compared pairwise, each row carries
+                # a ±1 side sign and the three aggregates cancel to zero
+                # exactly when the key's multisets match —
+                #   Σ sign        == 0  ⟺  count0 == count1,
+                #   bit_xor(fp)   == 0  ⟺  xor0 == xor1 (xor self-inverse
+                #                          over the concatenated sides),
+                #   Σ sign·mod(fp)== 0  ⟺  modsum0 == modsum1.
+                # Same detection power as the pairwise form (a plain
+                # row-pairing join would miss count-only changes on
+                # duplicate-key append-log tables; the mod-2^31 sum covers
+                # xor's paired-identical-rows blind spot {a,a} → {b,b};
+                # no long overflow below 2^32 rows per key; a key absent
+                # from one side leaves Σ sign ≠ 0) at HALF the aggregate
+                # state — the digest shuffle carries 3 longs per key, not
+                # 6, and the agg runs one expression per column.
+                def side(files, sign):
                     return _scan_files(spark, table_path, files).select(
-                        F.col(key), fp_expr.alias("_fp"), F.lit(tag).alias("_s")
+                        F.col(key),
+                        fp_expr.alias("_fp"),
+                        F.lit(sign).alias("_s"),
                     )
 
-                is0, is1 = F.col("_s") == 0, F.col("_s") == 1
                 mod = F.pmod(F.col("_fp"), F.lit(2 ** 31))
                 dig = (
-                    side(only0, 0).unionByName(side(only1, 1))
+                    side(only0, -1).unionByName(side(only1, 1))
                     .groupBy(key)
                     .agg(
-                        F.count(F.when(is0, 1)).alias("_c0"),
-                        F.count(F.when(is1, 1)).alias("_c1"),
-                        F.bit_xor(F.when(is0, F.col("_fp"))).alias("_x0"),
-                        F.bit_xor(F.when(is1, F.col("_fp"))).alias("_x1"),
-                        F.sum(F.when(is0, mod)).alias("_m0"),
-                        F.sum(F.when(is1, mod)).alias("_m1"),
+                        F.sum("_s").alias("_dc"),
+                        F.bit_xor(F.col("_fp")).alias("_dx"),
+                        F.sum(F.col("_s") * mod).alias("_dm"),
                     )
                 )
                 changed_keys = dig.where(
-                    (F.col("_c0") != F.col("_c1"))
-                    | ~F.col("_x0").eqNullSafe(F.col("_x1"))
-                    | ~F.col("_m0").eqNullSafe(F.col("_m1"))
+                    (F.col("_dc") != 0)
+                    | (F.col("_dx") != 0)
+                    | (F.col("_dm") != 0)
                 ).select(key)
             else:
                 # one-sided DML (pure append / whole-file delete): every

@@ -205,3 +205,41 @@ def test_build_refuses_overwrite_and_missing_raises(spark, tmp_path):
             b.select(F.col("vec_id").alias("query_id"), "embedding"),
             str(tmp_path / "nope"),
         )
+
+
+def test_compact_after_appends_preserves_queries(spark, tmp_path):
+    """Ten small appends fragment the codes manifest; compaction rewrites
+    them into few id-clustered files as a new snapshot WITHOUT changing
+    any code byte — queries before/after are identical rows."""
+    from financial_big_data_spark.sources.ann_index import compact_ann_index
+
+    b1 = _vecs(spark, 60, seed=20)
+    idx = str(tmp_path / "idx")
+    build_ann_index(
+        spark, b1, idx, m=4, nbits=3, n_cells=None,
+        codebooks=_pinned_codebooks(spark, b1), normalize=False,
+    )
+    for i in range(10):
+        append_ann_index(
+            spark, _vecs(spark, 5, seed=21 + i, id_start=60 + 5 * i), idx
+        )
+    probes = b1.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    before = {
+        (r.query_id, r.vec_id, r.rank, round(r.adc_ip, 9))
+        for r in query_ann_index(spark, probes, idx, k=8).collect()
+    }
+    n_before = len(_load_manifest(f"{idx}/codes", None)["files"])
+    assert n_before >= 11  # build + 10 append fragments
+    res = compact_ann_index(spark, idx, keep_last=1)
+    n_after = len(_load_manifest(f"{idx}/codes", None)["files"])
+    assert n_after < n_before
+    assert res["files_removed"] > 0  # vacuum reclaimed the fragments
+    after = {
+        (r.query_id, r.vec_id, r.rank, round(r.adc_ip, 9))
+        for r in query_ann_index(spark, probes, idx, k=8).collect()
+    }
+    assert before == after
+    # maintenance continues post-compaction: another append still lands
+    append_ann_index(spark, _vecs(spark, 5, seed=99, id_start=110), idx)
+    got = {r.vec_id for r in read_version(spark, f"{idx}/codes").collect()}
+    assert got == set(range(115))
