@@ -25,6 +25,10 @@ APPEND-ONLY, so:
   to the CALLER's vector table (`corpus=`): the index never duplicates
   raw vectors — at 100 TB the codes table is the only thing this artifact
   owns at corpus cardinality, ~400× smaller than the embeddings.
+- **maintain like a table** — `delete_from_ann_index` (keyed
+  copy-on-write delete; takedowns never force a rebuild) and
+  `compact_ann_index` (defragment append fragments + vacuum history),
+  both riding the versioned table's own machinery.
 
 Freezing codebooks trades adaptivity for incrementality exactly like
 IVF/PQ deployments do in practice (FAISS `add` after `train`): appended
@@ -272,6 +276,35 @@ def append_ann_index(
     v = append_version(
         spark, os.path.join(path, "codes"), codes, key=meta["id_col"],
         n_files=n_files,
+    )
+    return {"version": v, "path": path}
+
+
+def delete_from_ann_index(
+    spark: SparkSession, ids: DataFrame | list, path: str
+) -> dict:
+    """Remove vectors from the index by id — one keyed-DELETE snapshot
+    on the codes table (footer-pruned copy-on-write: only files whose
+    key range overlaps the delete set rewrite; the rest carry by
+    reference). The operational requirement a 100 TB corpus index can't
+    skip: takedowns / right-to-be-forgotten must not force a rebuild.
+
+    Codebooks/centroids are unaffected — they are trained STATISTICS,
+    not per-row state, so removing rows never invalidates them (the same
+    frozen-state argument as append; heavy removal drift is a rebuild,
+    like heavy append drift). Time travel still reads pre-delete
+    snapshots until ``compact_ann_index``'s vacuum retires them — pass
+    ``keep_last=1`` there if deleted vectors must also leave history.
+    Returns {"version": v}."""
+    from .versioned import delete_version
+
+    meta = _load_meta(path)
+    if isinstance(ids, list):
+        ids = spark.createDataFrame([(k,) for k in ids], [meta["id_col"]])
+    v = delete_version(
+        spark, os.path.join(path, "codes"),
+        ids.select(F.col(ids.columns[0]).alias(meta["id_col"])),
+        key=meta["id_col"],
     )
     return {"version": v, "path": path}
 

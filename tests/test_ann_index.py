@@ -243,3 +243,49 @@ def test_compact_after_appends_preserves_queries(spark, tmp_path):
     append_ann_index(spark, _vecs(spark, 5, seed=99, id_start=110), idx)
     got = {r.vec_id for r in read_version(spark, f"{idx}/codes").collect()}
     assert got == set(range(115))
+
+
+def test_delete_from_index(spark, tmp_path):
+    """Keyed delete: removed ids vanish from queries without a rebuild;
+    untouched code files carry by reference; time travel still sees the
+    pre-delete snapshot; vacuum after compaction retires it."""
+    from financial_big_data_spark.sources.ann_index import (
+        compact_ann_index,
+        delete_from_ann_index,
+    )
+
+    b1 = _vecs(spark, 80, seed=30)
+    idx = str(tmp_path / "idx")
+    build_ann_index(
+        spark, b1, idx, m=4, nbits=3, n_cells=None,
+        codebooks=_pinned_codebooks(spark, b1), normalize=False,
+        n_files=4,
+    )
+    probes = b1.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    dead = [3, 7, 11, 42]
+    before_files = set(_load_manifest(f"{idx}/codes", None)["files"])
+    delete_from_ann_index(spark, dead, idx)
+    after_files = set(_load_manifest(f"{idx}/codes", None)["files"])
+    assert before_files & after_files  # untouched files carried
+    got = {r.vec_id for r in read_version(spark, f"{idx}/codes").collect()}
+    assert got == set(range(80)) - set(dead)
+    hits = {
+        r.vec_id for r in query_ann_index(spark, probes, idx, k=80).collect()
+    }
+    assert not (hits & set(dead))
+    # pre-delete snapshot still queryable (version 1 = the build)
+    old_hits = {
+        r.vec_id
+        for r in query_ann_index(spark, probes, idx, k=80, version=1).collect()
+    }
+    assert set(dead) <= old_hits | {r.query_id for r in probes.collect()}
+    # appends keep working after a delete
+    append_ann_index(spark, _vecs(spark, 5, seed=31, id_start=80), idx)
+    got = {r.vec_id for r in read_version(spark, f"{idx}/codes").collect()}
+    assert got == (set(range(85)) - set(dead))
+    # compaction + vacuum(keep_last=1) retires the deleted rows' history
+    compact_ann_index(spark, idx, keep_last=1)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        query_ann_index(spark, probes, idx, k=10, version=1).collect()
