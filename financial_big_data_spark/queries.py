@@ -1693,6 +1693,80 @@ SELECT query_id, vec_id, round(adc_ip, 6) AS adc_ip, rank FROM (
 """
 
 
+_STREAMING_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def q_emb_streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest into the persisted ANN index (streaming/ann.py),
+    hash-checked: the index is built on vec_id < 300 with the pinned
+    md5-bottom-16 codebooks, then 300 ≤ vec_id < 400 arrives as a real
+    file-source stream in 3 micro-batches — each encoded against the
+    FROZEN artifact and committed append-only by
+    ``streaming_append_to_ann_index`` — and the ADC top-10 over the
+    final snapshot must hash-match the SAME oracle as
+    ``emb_index_incremental`` (identical final logical state: streaming
+    ingest ≡ one batch append ≡ the from-scratch SQL re-derivation).
+    Exercises at-least-once foreachBatch + one snapshot per micro-batch
+    under the hash; repeat calls reuse the collected result per sf_dir."""
+    import shutil
+    import tempfile
+
+    cached = _STREAMING_INDEX_CACHE.get(sf_dir)
+    if cached is not None:
+        return spark.createDataFrame(*cached)
+
+    from .sources.ann_index import build_ann_index, query_ann_index
+    from .streaming.ann import streaming_append_to_ann_index
+
+    m, dsub, kcb = 8, 8, 16
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    b1 = emb.where(F.col("vec_id") < 300)
+    seed_rows = (
+        b1.select("vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("_hk"))
+        .orderBy("_hk")
+        .limit(kcb)
+        .collect()
+    )
+    cb_rows = [
+        (j, c, [float(x) for x in r.embedding[j * dsub : (j + 1) * dsub]])
+        for c, r in enumerate(seed_rows)
+        for j in range(m)
+    ]
+    codebooks = spark.createDataFrame(cb_rows, "subspace int, code int, ctr array<double>")
+    d = tempfile.mkdtemp(prefix="ann_stream_q_")
+    try:
+        idx = f"{d}/idx"
+        build_ann_index(
+            spark, b1, idx, m=m, nbits=4, n_cells=None,
+            codebooks=codebooks, normalize=False,
+        )
+        b2 = emb.where(F.col("vec_id") >= 300).withColumn(
+            "ts", F.col("vec_id").cast("timestamp")
+        )
+        stream = _stream_cuts(spark, b2, d, "emb_streaming_index")
+        q = streaming_append_to_ann_index(stream, idx, checkpoint=f"{d}/_sink_ckpt")
+        finished = q.awaitTermination(600)
+        q.stop()
+        if not finished:
+            raise RuntimeError(
+                "emb_streaming_index: streaming ingest did not finish "
+                "within 600s — partial index state discarded"
+            )
+        probes = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = query_ann_index(spark, probes, idx, k=10).select(
+            "query_id", "vec_id", _r6(F.col("adc_ip")).alias("adc_ip"), "rank"
+        )
+        rows = out.collect()  # bounded: 3 probes × 10 ranks
+        _STREAMING_INDEX_CACHE[sf_dir] = (rows, out.schema)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_emb_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ rotation + PQ encode + ADC scan, hash-checked end-to-end
     (round 11): the real ``rotate_vectors`` matrix application feeding
@@ -7362,6 +7436,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "emb_ivfpq": (q_emb_ivfpq, None),
     "doc_quality_model": (q_doc_quality_model, None),
     "doc_stratified_split": (q_doc_stratified_split, _SQL_DOC_STRATIFIED_SPLIT),
+    # round 12 (past-window, r13 rotation candidate): streaming ingest
+    # into the persisted ANN index — identical final logical state to
+    # emb_index_incremental, so the SAME oracle certifies
+    # streaming ≡ batch append ≡ from-scratch SQL
+    "emb_streaming_index": (q_emb_streaming_index, _SQL_EMB_INDEX_INCREMENTAL),
 }
 
 
