@@ -773,15 +773,19 @@ def main() -> None:
         "excess_shippers",
     ):
         fn, _ = REGISTRY[name]
-        best = None
+        samples = []
         for _ in range(2):
             _rel()
             spark.catalog.clearCache()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        tpch_ops[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        # banded (round 12): these sub-second rows are job-floor-noise
+        # dominated — the r12 clean runs direction-scored +20-105% swings
+        # on UNCHANGED code that a second run walked back; bands let
+        # bench_compare treat overlap as same-distribution instead.
+        bands[name] = [round(min(samples), 3), round(max(samples), 3)]
+        tpch_ops[name] = round(min(samples), 3)
     _rel()
     spark.catalog.clearCache()
 

@@ -3788,7 +3788,18 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force O(n²) comparison bit-for-bit. The corpus is salted with
     exact copies (doc_id+100000) and one-token-appended variants
     (doc_id+200000) of the first 30 docs so the check exercises both the
-    hamming-0 and the small-positive-hamming paths."""
+    hamming-0 and the small-positive-hamming paths.
+
+    ``bucket_cap=8192``: the oracle is EXACT brute force, so this entry
+    must run the capped plan in its exact regime (cap machinery in the
+    plan, overflow empty). The sf0.1 corpus is templated enough that
+    band buckets reach ~1700 members — at the production default of 1024
+    the cap fired and the round-12 close-out gate caught the documented
+    under-link as a hash mismatch (spark 876k pairs vs oracle 1.02M);
+    8192 exceeds any bucket possible at the gate SFs (≤5060 docs). The
+    CAPPED regime's guarantees are pinned separately by
+    tests/test_stats_dedup.py (connectivity for any cap ≥1 + the
+    truncation signal)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     low = docs.where(F.col("doc_id") < 30)
     copies = low.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
@@ -3797,7 +3808,9 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
     salted = docs.unionByName(copies).unionByName(variants)
-    return D.simhash_near_dups(salted, bits=48, n_bands=4, max_hamming=3)
+    return D.simhash_near_dups(
+        salted, bits=48, n_bands=4, max_hamming=3, bucket_cap=8192
+    )
 
 
 _SH48_VOTES = ",\n".join(
