@@ -193,9 +193,19 @@ def main() -> None:
         m = _cal_min()
         if m is None:
             return [0.10, _CANARY_EDGE_FLOOR + 0.01]  # never-calibrated fallback
-        # lo is informational only; hi is the taint edge (floored at the
-        # documented clean range so the band can't over-tighten)
-        return [round(0.8 * m, 3), max(round(1.7 * m, 3), _CANARY_EDGE_FLOOR)]
+        # lo is informational only; hi is the taint edge. The floor
+        # applies ONLY on the documented host class (min >= 0.10 — the
+        # r6-r12 clean canaries are 0.104-0.158): there it stops one
+        # spuriously fast measurement tightening the band below
+        # historically clean values. On a much faster host an absolute
+        # 0.20 edge would MASK the 1.5-2.5x degradation windows the
+        # canary exists to catch (min 0.06 → a 0.15 canary is 2.5x
+        # degraded but under the floor), so those hosts keep the pure
+        # 1.7x relative edge (code-review r12).
+        hi = round(1.7 * m, 3)
+        if m >= 0.10:
+            hi = max(hi, _CANARY_EDGE_FLOOR)
+        return [round(0.8 * m, 3), hi]
 
     # Quiet-window wait (VERDICT r10 #4): both r9 and r10 driver runs were
     # loadavg-tainted end to end, leaving round-over-round performance

@@ -47,29 +47,58 @@ class _CapSignal:
     tests/test_stats_dedup.py::test_cap_signal_does_not_poison_mllib).
     """
 
-    __slots__ = ("site", "cap", "frame", "rank_col")
+    __slots__ = ("site", "cap", "frame", "rank_col", "group_cols")
 
-    def __init__(self, site: str, cap: int, frame: DataFrame, rank_col: str) -> None:
+    def __init__(
+        self,
+        site: str,
+        cap: int,
+        frame: DataFrame,
+        rank_col: str | None = None,
+        group_cols: list[str] | None = None,
+    ) -> None:
         self.site = site
         self.cap = cap
         self.frame = frame
         self.rank_col = rank_col
+        self.group_cols = group_cols
 
     def result(self) -> dict | None:
-        """One tiny aggregate over the site's PERSISTED ranked frame
-        (map-side combine, no shuffle of fact data). Returns None — and
+        """RANK mode (``rank_col``): one tiny aggregate over the site's
+        PERSISTED ranked frame (map-side combine); returns None — and
         skips the job — if the cache was already released
-        (``release_tracked`` ran): the signal window has passed."""
-        lvl = self.frame.storageLevel
-        if not (lvl.useMemory or lvl.useDisk):
-            return None
+        (``release_tracked`` ran): the signal window has passed.
+
+        COUNTS mode (``group_cols``): per-bucket membership count over
+        an UNPERSISTED frame + a 1-row reduce — used where caching the
+        pre-cap frame would materialize the very blowup the cap bounds
+        (jaccard's exploded shingle table, code-review r12); the drain
+        re-evaluates that frame's lineage once (groupBy+count, no window,
+        no self-join — the bounded probe a caller opts into by
+        draining)."""
         try:
-            row = self.frame.agg(
-                F.sum(
-                    F.when(F.col(self.rank_col) > self.cap, 1).otherwise(0)
-                ).alias("overflow_rows"),
-                F.max(self.rank_col).alias("max_bucket_members"),
-            ).first()
+            if self.rank_col is not None:
+                lvl = self.frame.storageLevel
+                if not (lvl.useMemory or lvl.useDisk):
+                    return None
+                row = self.frame.agg(
+                    F.sum(
+                        F.when(F.col(self.rank_col) > self.cap, 1).otherwise(0)
+                    ).alias("overflow_rows"),
+                    F.max(self.rank_col).alias("max_bucket_members"),
+                ).first()
+            else:
+                row = (
+                    self.frame.groupBy(*self.group_cols)
+                    .count()
+                    .agg(
+                        F.sum(
+                            F.greatest(F.col("count") - self.cap, F.lit(0))
+                        ).alias("overflow_rows"),
+                        F.max("count").alias("max_bucket_members"),
+                    )
+                    .first()
+                )
         except Exception:  # pragma: no cover - stopped session etc.
             return None
         overflow = int(row["overflow_rows"] or 0)
@@ -86,12 +115,19 @@ _CAP_SIGNALS: list[_CapSignal] = []
 _CAP_SIGNALS_MAX = 64  # bounded: a long gate session can't accumulate
 
 
-def _register_cap_signal(df: DataFrame, site: str, cap: int, rank_col: str = "_rk"):
-    """Register a ranked frame (persisted by the caller right after this)
-    for :func:`cap_truncation_events`. Returns ``df`` unchanged."""
+def _register_cap_signal(
+    df: DataFrame,
+    site: str,
+    cap: int,
+    rank_col: str | None = "_rk",
+    group_cols: list[str] | None = None,
+):
+    """Register a cap site for :func:`cap_truncation_events` — rank mode
+    (``rank_col``, caller persists the ranked frame) or counts mode
+    (``group_cols``, unpersisted membership table). Returns ``df``."""
     if len(_CAP_SIGNALS) >= _CAP_SIGNALS_MAX:
         del _CAP_SIGNALS[: len(_CAP_SIGNALS) - _CAP_SIGNALS_MAX + 1]
-    _CAP_SIGNALS.append(_CapSignal(site, cap, df, rank_col))
+    _CAP_SIGNALS.append(_CapSignal(site, cap, df, rank_col, group_cols))
     return df
 
 
@@ -444,17 +480,22 @@ def jaccard_pairs(
                 "pass None to disable"
             )
         w = Window.partitionBy("shingle").orderBy(F.xxhash64(F.col(id_col)), id_col)
-        # pinned: both self-join sides read the capped table — without
-        # the pin each re-runs the shingle explode + rank window (the
-        # pin sits on the PRE-filter ranked frame so the cap signal can
-        # count overflow rows from the same cache)
-        ranked = tracked_persist(
-            exploded.withColumn("_rk", F.row_number().over(w))
-        )
+        # counts-mode signal over the UNPERSISTED exploded table: caching
+        # the pre-cap ranked frame here would materialize the hot-shingle
+        # blowup the cap exists to bound (code-review r12) — the drain
+        # recomputes one groupBy+count instead
         _register_cap_signal(
-            ranked, "jaccard_pairs.shingle_doc_cap", shingle_doc_cap
+            exploded, "jaccard_pairs.shingle_doc_cap", shingle_doc_cap,
+            rank_col=None, group_cols=["shingle"],
         )
-        joinable = ranked.where(F.col("_rk") <= shingle_doc_cap).drop("_rk")
+        # pinned: both self-join sides read the capped table — without
+        # the pin each re-runs the shingle explode + rank window; only
+        # the ≤cap rows per shingle are cached
+        joinable = tracked_persist(
+            exploded.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= shingle_doc_cap)
+            .drop("_rk")
+        )
     a = joinable.alias("a")
     b = joinable.alias("b")
     shared = (
@@ -487,6 +528,7 @@ def near_dup_lsh(
     bands: int = 4,
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """The scale path for near-duplicate detection: MinHash → LSH banding →
     exact Jaccard verification on candidates only.
@@ -513,7 +555,9 @@ def near_dup_lsh(
             for i, c in enumerate(minhash_min_slices(num_hashes))
         ])
     )
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_hashes, bands, bucket_cap=bucket_cap
+    )
     sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
     out = (
         cands.join(
@@ -686,6 +730,7 @@ def dup_clusters(
     bands: int = 4,
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
+    bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate CLUSTERS and elect one
     canonical survivor per cluster.
@@ -708,7 +753,10 @@ def dup_clusters(
     overwhelming majority — emitting them would turn a dup-sized result
     into a corpus-sized one).
     """
-    pairs = near_dup_lsh(docs, text, id_col, num_hashes, bands, shingle_n, min_jaccard)
+    pairs = near_dup_lsh(
+        docs, text, id_col, num_hashes, bands, shingle_n, min_jaccard,
+        bucket_cap=bucket_cap,
+    )
     return pair_clusters(pairs, id_col)
 
 

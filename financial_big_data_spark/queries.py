@@ -937,10 +937,23 @@ FROM hashed GROUP BY doc_id
 """
 
 
+# Exact-regime headroom for every cap-bearing EXACT-oracle entry
+# (code-review r12, generalizing the doc_simhash_pairs sf0.1 fix): bucket
+# membership is bounded by corpus cardinality and the gate SFs cap the
+# documents table at 5,000 rows (+60 salted), so 8192 exceeds any
+# possible bucket — the capped plan runs with EMPTY overflow (exact
+# regime, cap machinery still exercised) at every gate SF. The production
+# default stays 1024 (the scale knob); the gate's CAP TRUNCATED guard
+# announces loudly if a future fixture breaks this bound.
+_EXACT_CAP_HEADROOM = 8192
+
+
 def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup scoring over 3-shingles (pairs sharing ≥ 3)."""
+    """n-gram Jaccard near-dup scoring over 3-shingles (pairs sharing ≥ 3);
+    ``shingle_doc_cap=_EXACT_CAP_HEADROOM`` keeps the exact regime the
+    all-pairs oracle requires."""
     docs = load_table(spark, sf_dir, "documents")
-    out = D.jaccard_pairs(docs, shingle_n=3)
+    out = D.jaccard_pairs(docs, shingle_n=3, shingle_doc_cap=_EXACT_CAP_HEADROOM)
     return out.where(F.col("n_shared") >= 3).select(
         "id_a", "id_b", "n_a", "n_b", "n_shared", _r6(F.col("jaccard")).alias("jaccard")
     )
@@ -1033,9 +1046,14 @@ FROM scored WHERE cosine_sim >= 0.35
 
 
 def q_doc_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash→LSH→Jaccard-verify near-dup pipeline (the 100 TB-scale path)."""
+    """MinHash→LSH→Jaccard-verify near-dup pipeline (the 100 TB-scale
+    path); ``bucket_cap=_EXACT_CAP_HEADROOM`` keeps the exact regime the
+    band-mirroring oracle requires."""
     docs = load_table(spark, sf_dir, "documents")
-    out = D.near_dup_lsh(docs, num_hashes=8, bands=4, shingle_n=3, min_jaccard=0.5)
+    out = D.near_dup_lsh(
+        docs, num_hashes=8, bands=4, shingle_n=3, min_jaccard=0.5,
+        bucket_cap=_EXACT_CAP_HEADROOM,
+    )
     return out.select(
         "id_a", "id_b", "n_a", "n_b", "n_shared", _r6(F.col("jaccard")).alias("jaccard")
     )
@@ -3610,7 +3628,10 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_size, is_canonical). Oracle re-derives components with a
     recursive min-label CTE over the identical LSH pair set."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.dup_clusters(docs, num_hashes=8, bands=4, shingle_n=3, min_jaccard=0.5)
+    return D.dup_clusters(
+        docs, num_hashes=8, bands=4, shingle_n=3, min_jaccard=0.5,
+        bucket_cap=_EXACT_CAP_HEADROOM,
+    )
 
 
 def _cluster_sql(pair_sql: str, id_name: str) -> str:
@@ -3790,16 +3811,16 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id+200000) of the first 30 docs so the check exercises both the
     hamming-0 and the small-positive-hamming paths.
 
-    ``bucket_cap=8192``: the oracle is EXACT brute force, so this entry
-    must run the capped plan in its exact regime (cap machinery in the
-    plan, overflow empty). The sf0.1 corpus is templated enough that
-    band buckets reach ~1700 members — at the production default of 1024
-    the cap fired and the round-12 close-out gate caught the documented
-    under-link as a hash mismatch (spark 876k pairs vs oracle 1.02M);
-    8192 exceeds any bucket possible at the gate SFs (≤5060 docs). The
-    CAPPED regime's guarantees are pinned separately by
-    tests/test_stats_dedup.py (connectivity for any cap ≥1 + the
-    truncation signal)."""
+    ``bucket_cap=_EXACT_CAP_HEADROOM``: the oracle is EXACT brute force,
+    so this entry must run the capped plan in its exact regime (cap
+    machinery in the plan, overflow empty). The sf0.1 corpus is templated
+    enough that band buckets reach ~1700 members — at the production
+    default of 1024 the cap fired and the round-12 close-out gate caught
+    the documented under-link as a hash mismatch (spark 876k pairs vs
+    oracle 1.02M); the headroom constant exceeds any bucket possible at
+    the gate SFs (≤5060 docs). The CAPPED regime's guarantees are pinned
+    separately by tests/test_stats_dedup.py (connectivity for any cap ≥1
+    + the truncation signal)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     low = docs.where(F.col("doc_id") < 30)
     copies = low.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
@@ -3809,7 +3830,8 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     salted = docs.unionByName(copies).unionByName(variants)
     return D.simhash_near_dups(
-        salted, bits=48, n_bands=4, max_hamming=3, bucket_cap=8192
+        salted, bits=48, n_bands=4, max_hamming=3,
+        bucket_cap=_EXACT_CAP_HEADROOM,
     )
 
 

@@ -127,7 +127,16 @@ def _encode_batch(
     """(id, _cell, codes) for a batch, against the index's FROZEN state:
     assign → (residual-subtract) → (rotate) → pq_encode. Reads only
     bounded artifacts (centroids/codebooks broadcast, rotation from
-    meta) plus the batch itself — O(batch) by construction."""
+    meta) plus the batch itself — O(batch) by construction.
+
+    ``to_enc`` is tracked_persist-ed (code-review r12): pq_encode's
+    input and the (id, _cell) join-back are two consumers of the same
+    assign/residual/rotate pipeline inside the caller's one write
+    action — without the pin the batch prep would run 2-3× per encode
+    (released by ``cache.release_tracked``, the registry/bench
+    contract)."""
+    from ..cache import tracked_persist
+
     if meta["n_cells"]:
         centers = read_version(spark, os.path.join(path, "centroids"))
         assigned = _assign_cells(prepped, centers, id_col)
@@ -141,12 +150,16 @@ def _encode_batch(
             to_enc = assigned
     else:
         to_enc = prepped.withColumn("_cell", F.lit(0))
+    # pin BEFORE the rotation fork: keep/rot below are two readers of the
+    # assign/residual pipeline, and the rotated frame is itself read
+    # twice (pq_encode + the _cell join-back)
+    to_enc = tracked_persist(to_enc)
     if meta["rotation"] is not None:
         keep = to_enc.select(id_col, "_cell")
         rot = rotate_vectors(
             to_enc.select(id_col, "_v"), meta["rotation"], vec_col="_v"
         )
-        to_enc = rot.join(keep, id_col)
+        to_enc = tracked_persist(rot.join(keep, id_col))
     books = read_version(spark, os.path.join(path, "codebooks"))
     codes = pq_encode(to_enc, books, id_col=id_col, vec_col="_v")
     return to_enc.select(id_col, "_cell").join(codes, id_col).select(
@@ -248,15 +261,22 @@ def build_ann_index(
                 to_train, vec_col="_v", m=m, nbits=nbits, seed=seed
             )
         write_version(codebooks, os.path.join(path, "codebooks"), key="subspace")
-        # meta BEFORE codes: _encode_batch reads the frozen artifacts the
-        # same way append will
-        with open(_meta_path(path) + ".tmp", "w") as fh:
-            json.dump(meta, fh)
-        os.replace(_meta_path(path) + ".tmp", _meta_path(path))
         codes = _encode_batch(spark, prepped, meta, path, id_col)
         write_version(
             codes, os.path.join(path, "codes"), key=id_col, n_files=n_files
         )
+        # meta publishes LAST (code-review r12): its presence is the
+        # "index exists and is complete" marker — the FileExistsError
+        # guard above keys on it, so a crash anywhere mid-build (the
+        # corpus encode is the long step) leaves a path that a re-run of
+        # build_ann_index simply rebuilds (write_version commits fresh
+        # replacement snapshots over any partial tables) instead of a
+        # wedged meta-but-no-codes state that can neither be queried nor
+        # rebuilt. _encode_batch reads the frozen state from the meta
+        # DICT, not from disk, so the ordering is free.
+        with open(_meta_path(path) + ".tmp", "w") as fh:
+            json.dump(meta, fh)
+        os.replace(_meta_path(path) + ".tmp", _meta_path(path))
     finally:
         prepped.unpersist()
     return meta
@@ -269,7 +289,7 @@ def append_ann_index(
     codes table in ONE append-only snapshot commit — O(batch) cost: the
     corpus codes are carried by manifest reference, never read, never
     rewritten. The caller owns id uniqueness across appends (same
-    contract as ``append_version``). Returns {version, appended}."""
+    contract as ``append_version``). Returns {"version": v, "path": path}."""
     meta = _load_meta(path)
     prepped = _prep(batch, meta, meta["id_col"])
     codes = _encode_batch(spark, prepped, meta, path, meta["id_col"])
@@ -295,14 +315,20 @@ def delete_from_ann_index(
     like heavy append drift). Time travel still reads pre-delete
     snapshots until ``compact_ann_index``'s vacuum retires them — pass
     ``keep_last=1`` there if deleted vectors must also leave history.
-    Returns {"version": v}."""
-    from .versioned import delete_version
+    Returns {"version": v, "path": path} (version unchanged on an empty
+    delete set — a no-op, not an error)."""
+    from .versioned import current_version, delete_version
 
     meta = _load_meta(path)
+    codes = os.path.join(path, "codes")
     if isinstance(ids, list):
+        if not ids:
+            # an empty purge batch is routine in a takedown pipeline;
+            # createDataFrame([]) cannot infer a schema, so no-op early
+            return {"version": current_version(codes), "path": path}
         ids = spark.createDataFrame([(k,) for k in ids], [meta["id_col"]])
     v = delete_version(
-        spark, os.path.join(path, "codes"),
+        spark, codes,
         ids.select(F.col(ids.columns[0]).alias(meta["id_col"])),
         key=meta["id_col"],
     )

@@ -121,12 +121,34 @@ def main() -> int:
     for name, (fn, sql) in REGISTRY.items():
         if only and name not in only:
             continue
+        # Round-12 guard: an oracle entry silently running in a CAPPED
+        # dedup regime is exactly how doc_simhash_pairs under-linked at
+        # sf0.1 for a round before the close-out gate caught it — drain
+        # the truncation signal per query (rows-only entries included)
+        # so the regime is visible in the gate output (a truncated CAP
+        # on a green row means the oracle happens to tolerate the bias:
+        # still a bug to fix).
+        def drain_caps() -> None:
+            from financial_big_data_spark.operators.dedup import (
+                cap_truncation_events,
+            )
+
+            for ev in cap_truncation_events(warn=False):
+                if ev["truncated"]:
+                    print(
+                        f"    CAP TRUNCATED: {ev['site']} cap={ev['cap']} "
+                        f"overflow_rows={ev['overflow_rows']} hottest="
+                        f"{ev['max_bucket_members']} — result is in the "
+                        "capped regime, not exact"
+                    )
+
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
             if sql is None:
                 n = df.count()
                 print(f"  {name:28s} rows-only n={n} [{time.time()-t0:.1f}s]")
+                drain_caps()
                 continue
             duck_pdf = con.execute(sql).df()
             errs = compare(name, df, duck_pdf)
@@ -140,24 +162,7 @@ def main() -> int:
                 print(f"    {e}")
         else:
             print(f"✓ {name:28s} [{dt:.1f}s]")
-        # Round-12 guard: an oracle entry silently running in a CAPPED
-        # dedup regime is exactly how doc_simhash_pairs under-linked at
-        # sf0.1 for a round before the close-out gate caught it — drain
-        # the truncation signal per query so the regime is visible in
-        # the gate output (a truncated CAP on a green row means the
-        # oracle happens to tolerate the bias: still a bug to fix).
-        from financial_big_data_spark.operators.dedup import (
-            cap_truncation_events,
-        )
-
-        for ev in cap_truncation_events(warn=False):
-            if ev["truncated"]:
-                print(
-                    f"    CAP TRUNCATED: {ev['site']} cap={ev['cap']} "
-                    f"overflow_rows={ev['overflow_rows']} hottest="
-                    f"{ev['max_bucket_members']} — result is in the "
-                    "capped regime, not exact"
-                )
+        drain_caps()
     print(f"\n{'FAIL' if failures else 'OK'}: {failures} failures")
     return 1 if failures else 0
 
