@@ -116,6 +116,26 @@ def with_global_stats(df, aggs: list[Column]):
     return df.crossJoin(F.broadcast(df.agg(*aggs)))
 
 
+def with_group_total(df, n: str = "n", total: str = "_total"):
+    """Attach ``sum(n)`` to every row of an ALREADY-AGGREGATED frame.
+
+    For post-aggregate frames whose cardinality is bounded by the group
+    count (regime counts, type shares — a handful of rows at any data
+    scale), the single-partition global window is the RIGHT formulation:
+    :func:`with_global_stats`'s broadcast-crossJoin duplicates ``df``'s
+    whole lineage (aggregate branch + main branch, no ReusedExchange
+    across differing projections), so a windowed-feature pipeline above
+    the count runs TWICE (measured: ev_regime_distribution's plan held
+    two full Window+Exchange subtrees, optimization r12 §per-operator).
+    ``sum(n) OVER ()`` on the aggregated rows computes the total in the
+    same pass — one lineage, one tiny single-partition exchange of ≤
+    |groups| rows. NEVER use this on a fact table (see with_global_stats).
+    """
+    from pyspark.sql import Window
+
+    return df.withColumn(total, F.sum(n).over(Window.partitionBy()))
+
+
 _NUMERIC_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
 _TEMPORAL_TYPES = ("timestamp", "timestamp_ntz", "date")
 

@@ -645,42 +645,61 @@ def pagerank(
     norm = e.join(wout, "src").select(
         "src", "dst", (F.col("w") / F.col("wout")).alias("wnorm")
     ).cache()
-    # derive node/out-degree sets from the CACHED normalized frame — the
-    # caller's edge lineage (often a heavy self-join) materializes once,
-    # not once per derived set
-    nodes = (
-        norm.select(F.col("src").alias("node"))
-        .unionByName(norm.select(F.col("dst").alias("node")))
-        .distinct()
+    # ONE-PASS node setup (optimization round 12): the old form derived
+    # nodes (union+distinct), has_out (distinct) and dangling_nodes
+    # (left_anti) as separate frames and paid THREE setup jobs
+    # (nodes.count, n_reset count, dangling limit(1)) before the first
+    # iteration — pure job-floor cost on a local cluster and three
+    # scans of the node set on a real one. A single grouped flags frame
+    # (node, max(has_out)) carries all of it, and one aggregate returns
+    # n / n_dangling / n_reset together. Arithmetic (n, _p, teleport,
+    # dangling handling) is byte-identical — oracle hashes unchanged.
+    flags = (
+        norm.select(F.col("src").alias("node"), F.lit(1).alias("_has_out"))
+        .unionByName(
+            norm.select(F.col("dst").alias("node"), F.lit(0).alias("_has_out"))
+        )
+        .groupBy("node")
+        .agg(F.max("_has_out").alias("_has_out"))
     )
-    has_out = norm.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()
-    if n == 0:
-        norm.unpersist()
-        return nodes.withColumn("rank", F.lit(0.0))
-    if reset is None:
-        # constant-teleport arithmetic kept EXACTLY as the oracle mirrors it
-        nodes = nodes.withColumn("_p", F.lit(1.0) / F.lit(float(n)))
-        teleport = F.lit(1.0 - damping) / F.lit(float(n))
-    else:
+    if reset is not None:
         keys = reset.select(
             F.col(reset.columns[0]).alias("node")
         ).distinct().withColumn("_in_reset", F.lit(1))
-        nodes = nodes.join(keys, "node", "left")
-        n_reset = nodes.where(F.col("_in_reset") == 1).count()
+        flags = flags.join(keys, "node", "left")
+    flags = flags.cache()
+    stat_cols = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("_has_out") == 0, 1).otherwise(0)).alias("_n_dangling"),
+    ]
+    if reset is not None:
+        stat_cols.append(
+            F.sum(F.when(F.col("_in_reset") == 1, 1).otherwise(0)).alias("_n_reset")
+        )
+    stats = flags.agg(*stat_cols).first()
+    n = stats["_n"]
+    if n == 0:
+        norm.unpersist()
+        flags.unpersist()
+        return flags.select("node").withColumn("rank", F.lit(0.0))
+    if reset is None:
+        # constant-teleport arithmetic kept EXACTLY as the oracle mirrors it
+        nodes = flags.select("node").withColumn("_p", F.lit(1.0) / F.lit(float(n)))
+        teleport = F.lit(1.0 - damping) / F.lit(float(n))
+    else:
+        n_reset = stats["_n_reset"]
         if n_reset == 0:
             raise ValueError("reset set shares no nodes with the graph")
-        nodes = nodes.select(
+        nodes = flags.select(
             "node",
             F.when(F.col("_in_reset") == 1, F.lit(1.0) / F.lit(float(n_reset)))
             .otherwise(F.lit(0.0))
             .alias("_p"),
         )
         teleport = F.lit(1.0 - damping) * F.col("_p")
-    nodes = nodes.cache()
     ranks = nodes.select("node", F.col("_p").alias("rank"))
-    dangling_nodes = nodes.select("node").join(has_out, "node", "left_anti").cache()
-    any_dangling = dangling_nodes.limit(1).count() > 0
+    dangling_nodes = flags.where(F.col("_has_out") == 0).select("node")
+    any_dangling = stats["_n_dangling"] > 0
     for _it in range(n_iter):
         inflow = (
             norm.join(ranks, norm.src == ranks.node)
@@ -733,8 +752,7 @@ def pagerank(
             if delta is not None and delta < tol:
                 break
     norm.unpersist()
-    nodes.unpersist()
-    dangling_nodes.unpersist()
+    flags.unpersist()
     return ranks
 
 
@@ -755,7 +773,12 @@ def triangle_count(edges: DataFrame, per_node: bool = False) -> DataFrame:
     ``per_node``, (node, n_triangles) counting triangles each node
     participates in. Three shuffles total (degree aggregate rides the
     canonical-edge distinct)."""
-    und = (
+    from ..cache import tracked_persist
+
+    # `und` feeds the degree aggregate AND both degree joins (3 reads);
+    # persisting it keeps the caller's edge lineage (quadratic slot
+    # self-join for the co-occurrence graph) to ONE execution.
+    und = tracked_persist(
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
@@ -788,6 +811,15 @@ def triangle_count(edges: DataFrame, per_node: bool = False) -> DataFrame:
             F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
         ).alias("vkey"),
     )
+    # THREE consumers read `oriented` (w1, w2, closing) and each would
+    # otherwise replay the whole upstream pipeline — canonical-edge
+    # distinct, degree aggregate, two degree joins, and the caller's
+    # edge generation (often a quadratic slot self-join): measured as a
+    # 486-Exchange plan on the co-occurrence graph (optimization r12).
+    # One O(edges) persist collapses that to a single execution; the
+    # storage is a row per edge, the same order as the shuffle the wedge
+    # join pays anyway (MEMORY_AND_DISK spills, never OOMs).
+    oriented = tracked_persist(oriented)
     w1 = oriented.select(F.col("u"), F.col("v").alias("x"), F.col("vkey").alias("xk"))
     w2 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("vkey").alias("yk"))
     wedges = (
@@ -804,8 +836,6 @@ def triangle_count(edges: DataFrame, per_node: bool = False) -> DataFrame:
     # the three union branches each read tri — tracked-persist it so the
     # wedge join (the Σ out_deg² dominant cost) runs once, not three
     # times (ReuseExchange shares shuffle outputs, not join operators)
-    from ..cache import tracked_persist
-
     tri = tracked_persist(tri)
     per = (
         tri.select(F.col("u").alias("node"))

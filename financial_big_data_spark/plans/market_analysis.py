@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..cache import tracked_persist
-from ..functions.stats import kurtosis_pandas, skew_pandas, with_global_stats
+from ..functions.stats import kurtosis_pandas, skew_pandas, with_group_total
 from ..operators.regime import ShortTermThresholds, detect_regime_5way, regime_features
 from ..operators.transitions import regime_transitions, top_transitions, transition_matrix
 
@@ -90,7 +90,9 @@ def market_analysis_plan(
     labeled = tracked_persist(detect_regime_5way(feats, thresholds).select(*dict.fromkeys(keep)))
 
     counts = labeled.groupBy("regime").agg(F.count(F.lit(1)).alias("n"))
-    regime_distribution = with_global_stats(counts, [F.sum("n").alias("_total")]).select(
+    # post-aggregate total over ≤5 regime rows (with_group_total): the
+    # crossJoin form scheduled the cached-labeled scan + aggregate twice
+    regime_distribution = with_group_total(counts).select(
         "regime", "n", (F.col("n") / F.col("_total")).alias("share")
     )
 

@@ -27,7 +27,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.stats import with_global_stats
+from .cache import tracked_persist as _tp
+from .functions.stats import with_global_stats, with_group_total
 from .functions.windows import bar_window, bollinger, log_return, pct_change, price_diff, rolling_mean, rolling_std, rsi
 from .operators import dedup as D
 from .operators import similarity as S
@@ -514,7 +515,10 @@ def q_ev_coarse_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0), F.lit("bull"), F.lit(1), F.lit("bear"), F.lit(2), F.lit("consolidation")
     )
     counts = out.groupBy("market_regime").agg(F.count(F.lit(1)).alias("n"))
-    counts = with_global_stats(counts, [F.sum("n").alias("_total")])
+    # post-aggregate total via the tiny global window — the crossJoin
+    # form re-ran the whole window+threshold pipeline for the 1-row
+    # aggregate branch (optimization r12)
+    counts = with_group_total(counts)
     return counts.select(
         "market_regime",
         mapping[F.col("market_regime")].alias("regime_label"),
@@ -556,7 +560,11 @@ def q_ev_regime_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A16: regime counts + share of total per regime (the flagship shape)."""
     labeled = _ev_regime5(spark, sf_dir)
     counts = labeled.groupBy("regime").agg(F.count(F.lit(1)).alias("n"))
-    counts = with_global_stats(counts, [F.sum("n").alias("_total")])
+    # post-aggregate total via the tiny global window — the crossJoin
+    # form re-ran the whole regime5 window pipeline a second time for
+    # the 1-row aggregate branch (optimization r12: 2 full Window
+    # subtrees in the before-plan)
+    counts = with_group_total(counts)
     return counts.select(
         "regime", "n", _r6(F.col("n") / F.col("_total")).alias("share")
     )
@@ -674,7 +682,8 @@ def q_ev_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), _r6(F.avg("value")).alias("avg_value")
     )
-    counts = with_global_stats(counts, [F.sum("n").alias("_total")])
+    # post-aggregate total: one events scan instead of two (r12)
+    counts = with_group_total(counts)
     return counts.select(
         "event_type", "n", "avg_value", _r6(F.col("n") / F.col("_total")).alias("share")
     )
@@ -5616,7 +5625,11 @@ def q_ev_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ml.graph import cooccurrence_pairs, triangle_count
 
     ev = _events(spark, sf_dir)
-    pairs = cooccurrence_pairs(
+    # tracked-persist: the symmetrizing union (and downstream degree /
+    # normalization branches) reference `pairs` 2-3×, and each reference
+    # would replay the quadratic slot self-join (optimization r12 —
+    # measured ~2× on the pagerank family; released by release_tracked)
+    pairs = _tp(cooccurrence_pairs(
         ev.select(
             "user_id", "event_type",
             F.date_trunc("hour", F.col("ts")).alias("hr"),
@@ -5624,7 +5637,7 @@ def q_ev_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         node="user_id",
         keys=["event_type", "hr"],
         min_shared=3,
-    )
+    ))
     return (
         triangle_count(pairs, per_node=True)
         .select(F.col("node").alias("user_id"), "n_triangles")
@@ -5793,7 +5806,11 @@ def q_ev_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ml.graph import cooccurrence_pairs, pagerank
 
     ev = _events(spark, sf_dir)
-    pairs = cooccurrence_pairs(
+    # tracked-persist: the symmetrizing union (and downstream degree /
+    # normalization branches) reference `pairs` 2-3×, and each reference
+    # would replay the quadratic slot self-join (optimization r12 —
+    # measured ~2× on the pagerank family; released by release_tracked)
+    pairs = _tp(cooccurrence_pairs(
         ev.select(
             "user_id", "event_type",
             F.date_trunc("hour", F.col("ts")).alias("hr"),
@@ -5801,7 +5818,7 @@ def q_ev_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         node="user_id",
         keys=["event_type", "hr"],
         min_shared=3,
-    )
+    ))
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -5823,7 +5840,11 @@ def q_ev_pagerank_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ml.graph import cooccurrence_pairs, pagerank
 
     ev = _events(spark, sf_dir)
-    pairs = cooccurrence_pairs(
+    # tracked-persist: the symmetrizing union (and downstream degree /
+    # normalization branches) reference `pairs` 2-3×, and each reference
+    # would replay the quadratic slot self-join (optimization r12 —
+    # measured ~2× on the pagerank family; released by release_tracked)
+    pairs = _tp(cooccurrence_pairs(
         ev.select(
             "user_id", "event_type",
             F.date_trunc("hour", F.col("ts")).alias("hr"),
@@ -5831,7 +5852,7 @@ def q_ev_pagerank_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         node="user_id",
         keys=["event_type", "hr"],
         min_shared=3,
-    )
+    ))
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -5849,7 +5870,11 @@ def q_ev_ppr_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ml.graph import cooccurrence_pairs, pagerank
 
     ev = _events(spark, sf_dir)
-    pairs = cooccurrence_pairs(
+    # tracked-persist: the symmetrizing union (and downstream degree /
+    # normalization branches) reference `pairs` 2-3×, and each reference
+    # would replay the quadratic slot self-join (optimization r12 —
+    # measured ~2× on the pagerank family; released by release_tracked)
+    pairs = _tp(cooccurrence_pairs(
         ev.select(
             "user_id", "event_type",
             F.date_trunc("hour", F.col("ts")).alias("hr"),
@@ -5857,7 +5882,7 @@ def q_ev_ppr_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         node="user_id",
         keys=["event_type", "hr"],
         min_shared=3,
-    )
+    ))
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -5958,7 +5983,11 @@ def q_ev_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ml.graph import cooccurrence_pairs, pagerank
 
     ev = _events(spark, sf_dir)
-    pairs = cooccurrence_pairs(
+    # tracked-persist: the symmetrizing union (and downstream degree /
+    # normalization branches) reference `pairs` 2-3×, and each reference
+    # would replay the quadratic slot self-join (optimization r12 —
+    # measured ~2× on the pagerank family; released by release_tracked)
+    pairs = _tp(cooccurrence_pairs(
         ev.select(
             "user_id", "event_type",
             F.date_trunc("hour", F.col("ts")).alias("hr"),
@@ -5966,7 +5995,7 @@ def q_ev_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         node="user_id",
         keys=["event_type", "hr"],
         min_shared=3,
-    )
+    ))
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -5991,7 +6020,11 @@ def q_ev_type_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ml.graph import cooccurrence_pairs
 
     ev = _events(spark, sf_dir)
-    pairs = cooccurrence_pairs(
+    # tracked-persist: the symmetrizing union (and downstream degree /
+    # normalization branches) reference `pairs` 2-3×, and each reference
+    # would replay the quadratic slot self-join (optimization r12 —
+    # measured ~2× on the pagerank family; released by release_tracked)
+    pairs = _tp(cooccurrence_pairs(
         ev.select(
             "user_id", "event_type",
             F.date_trunc("hour", F.col("ts")).alias("hr"),
@@ -5999,7 +6032,7 @@ def q_ev_type_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         node="user_id",
         keys=["event_type", "hr"],
         min_shared=3,
-    )
+    ))
     w_fav = Window.partitionBy("user_id").orderBy(
         F.desc("n"), F.col("event_type")
     )

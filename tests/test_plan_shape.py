@@ -122,17 +122,26 @@ def test_global_stats_no_partitionless_window(spark):
         assert frag.split(",")[0].strip().startswith("user_id"), frag[:80]
 
 
-def test_share_queries_reuse_grouped_exchange(spark):
-    """When the share-of-total pattern's two branches are identical
-    aggregations (ev_regime_distribution), Spark must reuse the groupBy
-    exchange rather than recompute the regime pipeline twice. (Queries whose
-    main branch carries extra agg columns, like ev_type_share, legitimately
-    re-aggregate — column pruning makes the exchanges differ.)"""
-    from financial_big_data_spark.queries import q_ev_regime_distribution
+def test_share_queries_single_lineage(spark):
+    """Share-of-total queries attach the total with `with_group_total`
+    (a tiny post-aggregate global window), so the plan holds ONE events
+    lineage — no second aggregate branch, no broadcast nested-loop join
+    (optimization r12: the crossJoin form re-ran the regime pipeline for
+    the 1-row total, only partially recovered by runtime exchange reuse,
+    and for ev_type_share not recovered at all)."""
+    from financial_big_data_spark.queries import (
+        q_ev_regime_distribution,
+        q_ev_type_share,
+    )
 
-    df = q_ev_regime_distribution(spark, SF)
-    df.collect()
-    assert "ReusedExchange" in _plan(df)
+    for q in (q_ev_regime_distribution, q_ev_type_share):
+        df = q(spark, SF)
+        df.collect()
+        # AQE's toString prints the final AND the initial plan; count scans
+        # in the final section only
+        plan = _plan(df).split("== Initial Plan ==")[0]
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert plan.count("Scan parquet") == 1, q.__name__
 
 
 def test_plan_caches_released_on_unpersist(spark, bars_df):
