@@ -737,20 +737,30 @@ def pagerank(
                 ).alias("rank"),
             )
         prev = ranks
-        if (_it + 1) % checkpoint_interval == 0 or _it == n_iter - 1:
+        if tol is not None:
+            # fuse the per-round L1 delta INTO the checkpointed state: the
+            # prev-join runs inside the same job that materializes the new
+            # ranks, and the convergence test becomes a trivial aggregate
+            # over already-checkpointed rows. The round-11 form joined two
+            # checkpointed frames in a SECOND full job per round (2
+            # exchanges + agg) purely to read the delta (optimization
+            # guide §2.4 — two operations keyed the same way share one
+            # pass). Rank values are untouched: `_d` is a carried column,
+            # dropped before the state feeds the next round.
+            with_d = new.join(
+                prev.select("node", F.col("rank").alias("_prev")), "node"
+            ).select(
+                "node", "rank", F.abs(F.col("rank") - F.col("_prev")).alias("_d")
+            )
+            ck = _ckpt(with_d)
+            delta = ck.agg(F.sum("_d").alias("d")).first()["d"]
+            ranks = ck.drop("_d")
+            if delta is not None and delta < tol:
+                break
+        elif (_it + 1) % checkpoint_interval == 0 or _it == n_iter - 1:
             ranks = _ckpt(new)
         else:
             ranks = new
-        if tol is not None:
-            delta = (
-                ranks.join(
-                    prev.select("node", F.col("rank").alias("_prev")), "node"
-                )
-                .agg(F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("d"))
-                .first()["d"]
-            )
-            if delta is not None and delta < tol:
-                break
     norm.unpersist()
     flags.unpersist()
     return ranks

@@ -215,35 +215,33 @@ def shingle_table(
     aggregates are duplicate-insensitive (MinHash ``min``, ``collect_set``
     rescoring); Jaccard row-counting needs ``distinct=True``.
 
-    ``posexplode`` evaluates the tokenizing ``split`` ONCE per document (a
-    generator materializes its child), then n-grams come from ``lead(tok, k)``
-    over (id ORDER BY idx) — token positions are consecutive by
-    construction, so ONE window pass (single exchange on the doc id)
-    replaces the n-1 self-joins of the equivalent relational form the
-    DuckDB oracle uses; results are identical, the Spark plan has two
-    fewer shuffles.
+    n-grams are assembled PER ROW from the materialized token array
+    (``split`` runs once per document, ``slice``/``array_join`` build the
+    i-th shingle from attribute references — no re-tokenization), then one
+    ``explode`` yields the (id, shingle) rows. Tokens never cross a
+    shuffle: the round-11 formulation built n-grams with ``lead(tok, k)``
+    over (id ORDER BY idx), which forced an Exchange(id) + Sort of EVERY
+    TOKEN ROW before the window — at corpus scale that is a full shuffle
+    of the tokenized corpus purely to see adjacent tokens that were
+    already adjacent in the source row (optimization guide §2.4). Results
+    are identical: docs shorter than ``n`` tokens emit no rows, matching
+    both the old ``_last IS NOT NULL`` filter and the DuckDB oracle's
+    self-join form.
     """
-    from pyspark.sql import Window
-
-    toks = _repartitioned(docs).select(
-        F.col(id_col),
-        F.posexplode(F.split(normalized_text(text), " ")).alias("idx", "tok"),
-    )
+    toks = F.split(normalized_text(text), " ")
+    base = _repartitioned(docs).select(F.col(id_col), toks.alias("_toks"))
     if n == 1:
-        out = toks.select(id_col, F.col("tok").alias("shingle"))
+        out = base.select(id_col, F.explode("_toks").alias("shingle"))
         return out.distinct() if distinct else out
-    w = Window.partitionBy(id_col).orderBy("idx")
-    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
-    shingle = F.concat_ws(" ", *parts)
-    out = (
-        toks.select(
-            F.col(id_col),
-            F.lead("tok", n - 1).over(w).alias("_last"),
-            shingle.alias("shingle"),
-        )
-        .where(F.col("_last").isNotNull())
-        .select(id_col, "shingle")
-    )
+    # sequence(0, size-n) would run BACKWARDS for short docs — guard first.
+    shingles = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - n),
+            lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = base.select(F.col(id_col), F.explode(shingles).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -276,9 +274,24 @@ def minhash_digest(num_hashes: int, shingle: str | Column = "shingle") -> Column
 def minhash_min_slices(num_hashes: int, h: str | Column = "h") -> list[Column]:
     """The per-signature aggregate: min over the i-th 8-hex slice of the
     digest (fixed-width lowercase hex preserves numeric order). Unaliased
-    — callers name or array-pack them."""
+    — callers name or array-pack them.
+
+    Computed as ``min`` over the slice parsed to BIGINT, formatted back to
+    the identical 8-char lowercase hex afterwards: a string-typed ``min``
+    buffer forces SortAggregate (UnsafeRow aggregation needs fixed-width
+    mutable buffers), so the round-11 form sorted every shingle row by doc
+    id; the numeric buffer gets HashAggregate with map-side partial
+    aggregation, and only per-doc partials reach the exchange
+    (optimization guide §2.3 "aggregate before you shuffle"). ``%08x`` on
+    a value below 2^32 reproduces the hex slice byte-for-byte, so every
+    consumer (and the DuckDB oracle comparison) sees unchanged values."""
     c = F.col(h) if isinstance(h, str) else h
-    return [F.min(c.substr(1 + 8 * i, 8)) for i in range(num_hashes)]
+    return [
+        F.format_string(
+            "%08x", F.min(F.conv(c.substr(1 + 8 * i, 8), 16, 10).cast("bigint"))
+        )
+        for i in range(num_hashes)
+    ]
 
 
 def band_structs(num_hashes: int, bands: int, slot) -> list[Column]:
