@@ -610,27 +610,31 @@ def pagerank(
     set get teleport mass 0; iteration starts from the reset
     distribution.
 
-    ``tol`` adds a convergence early-exit: after each round, the L1 rank
-    delta (ONE keyed join + 1-row aggregate over the checkpointed state,
-    no node data on the driver) stops the loop once it drops below
-    ``tol``, capped at ``n_iter`` rounds. At scale a converged graph
-    stops paying for dead iterations; ``tol=None`` (default) keeps the
-    fixed-iteration mode the unrolled-CTE oracles mirror exactly.
+    ``tol`` adds a convergence early-exit: the L1 rank delta between the
+    two most recent rounds (computed INSIDE the job that materializes the
+    state — no extra join job, no node data on the driver) stops the loop
+    once it drops below ``tol``, capped at ``n_iter`` rounds. At scale a
+    converged graph stops paying for dead iterations; ``tol=None``
+    (default) keeps the fixed-iteration mode the unrolled-CTE oracles
+    mirror exactly.
 
-    ``checkpoint_interval=k`` (fixed-iteration mode only) materializes
-    the rank state every k-th round instead of every round: k rounds
-    fuse into ONE job (the un-checkpointed iterations stack as k-deep
-    plan lineage — bounded, since the next checkpoint cuts it), trading
-    a deeper plan for fewer sequential job floors. The arithmetic is
-    IDENTICAL (checkpointing never changes the computed values, only
-    where lineage is cut), so oracle hashes are unaffected. With ``tol``
-    set the interval is forced to 1 — the convergence test needs each
-    round materialized anyway.
+    ``checkpoint_interval=k`` materializes the rank state every k-th
+    round instead of every round: k rounds fuse into ONE job (the
+    un-checkpointed iterations stack as k-deep plan lineage — bounded,
+    since the next checkpoint cuts it), trading a deeper plan for fewer
+    sequential job floors. The arithmetic per round is IDENTICAL
+    (checkpointing never changes the computed values, only where lineage
+    is cut), so fixed-iteration oracle hashes are unaffected. With
+    ``tol`` set, the convergence test runs at each checkpoint — i.e.
+    every k-th round — so with k>1 the loop can overshoot convergence by
+    at most k-1 rounds (extra converged rounds only tighten the result;
+    the exit criterion itself, L1(rank_t − rank_{t−1}) < tol, is
+    unchanged). The round-12 form paid one job per round purely to read
+    the delta; fusing the test into the interval halves the tol path's
+    job count at interval 2 (optimization guide §2.4).
     """
     if checkpoint_interval < 1:
         raise ValueError("checkpoint_interval must be >= 1")
-    if tol is not None:
-        checkpoint_interval = 1
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
     if n_iter < 1:
@@ -737,16 +741,21 @@ def pagerank(
                 ).alias("rank"),
             )
         prev = ranks
-        if tol is not None:
-            # fuse the per-round L1 delta INTO the checkpointed state: the
-            # prev-join runs inside the same job that materializes the new
-            # ranks, and the convergence test becomes a trivial aggregate
-            # over already-checkpointed rows. The round-11 form joined two
-            # checkpointed frames in a SECOND full job per round (2
-            # exchanges + agg) purely to read the delta (optimization
-            # guide §2.4 — two operations keyed the same way share one
-            # pass). Rank values are untouched: `_d` is a carried column,
-            # dropped before the state feeds the next round.
+        at_ckpt = (_it + 1) % checkpoint_interval == 0 or _it == n_iter - 1
+        if tol is not None and at_ckpt:
+            # fuse the L1 delta INTO the checkpointed state: the prev-join
+            # (prev = the previous ROUND's frame — un-checkpointed inside
+            # an interval, so its lineage re-evaluates within this same
+            # job, never as a separate one) runs inside the job that
+            # materializes the new ranks, and the convergence test is a
+            # trivial aggregate over already-checkpointed rows. The
+            # round-11 form joined two checkpointed frames in a SECOND
+            # full job per round (2 exchanges + agg) purely to read the
+            # delta; the round-12 form still checkpointed every round —
+            # fusing the test to the interval halves the tol path's job
+            # count at interval 2 (guide §2.4). Rank values are
+            # untouched: `_d` is a carried column, dropped before the
+            # state feeds the next round.
             with_d = new.join(
                 prev.select("node", F.col("rank").alias("_prev")), "node"
             ).select(
@@ -757,7 +766,7 @@ def pagerank(
             ranks = ck.drop("_d")
             if delta is not None and delta < tol:
                 break
-        elif (_it + 1) % checkpoint_interval == 0 or _it == n_iter - 1:
+        elif at_ckpt:
             ranks = _ckpt(new)
         else:
             ranks = new

@@ -794,9 +794,12 @@ def pair_clusters(
     from ..ml.graph import connected_components
 
     pairs = tracked_persist(pairs.select("id_a", "id_b"))
-    n_pairs = pairs.count()
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    if n_pairs <= driver_max_pairs:
+    # ONE bounded job decides the route AND feeds the driver path: head(max+1)
+    # returns every pair iff there are ≤ max (the old form paid a count job
+    # and then a full collect job over the same persisted frame —
+    # optimization r12, two actions fused into one)
+    head_rows = pairs.head(driver_max_pairs + 1)
+    if len(head_rows) <= driver_max_pairs:
         parent: dict = {}
 
         def find(x):
@@ -807,7 +810,7 @@ def pair_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for a, b in pairs.collect():
+        for a, b in head_rows:
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -815,16 +818,32 @@ def pair_clusters(
                 # union by MIN root so component = min node id directly
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        rows = [(node, find(node)) for node in parent]
-        comp = pairs.sparkSession.createDataFrame(
-            rows, schema=pairs.select(F.col("id_a").alias("node")).schema.add(
-                "component", pairs.schema["id_a"].dataType
-            ),
+        # sizes + canonical flags resolved driver-side too: the graph is
+        # already in memory (bounded by driver_max_pairs), so the old
+        # groupBy(component) + join — two more shuffles over a tiny frame —
+        # collapse into one createDataFrame of final rows
+        sizes: dict = {}
+        comp_of = {node: find(node) for node in parent}
+        for c in comp_of.values():
+            sizes[c] = sizes.get(c, 0) + 1
+        rows = [
+            (node, c, sizes[c], int(node == c)) for node, c in comp_of.items()
+        ]
+        id_type = pairs.schema["id_a"].dataType
+        schema = (
+            pairs.select(F.col("id_a").alias(id_col)).schema
+            .add("cluster_id", id_type)
         )
-    else:
-        comp = connected_components(edges)
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return comp.join(sizes, on="component").select(
+        from pyspark.sql.types import IntegerType, LongType
+
+        schema = schema.add("cluster_size", LongType()).add(
+            "is_canonical", IntegerType()
+        )
+        return pairs.sparkSession.createDataFrame(rows, schema=schema)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)
+    sizes_df = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes_df, on="component").select(
         F.col("node").alias(id_col),
         F.col("component").alias("cluster_id"),
         F.col("cluster_size"),

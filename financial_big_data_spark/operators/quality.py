@@ -49,12 +49,25 @@ def _word_trigrams(toks: Column) -> Column:
     return F.when(F.size(toks) >= 3, tri).otherwise(F.array().cast("array<string>"))
 
 
-def quality_metric_columns(text: str = "text") -> dict[str, Column]:
+def quality_metric_columns(
+    text: str = "text", toks_attr: str | None = None
+) -> dict[str, Column]:
     """The repetition/quality metrics as named pure Column expressions —
     shared by the batch profile (``repetition_profile``) and the streaming
     curation gate (streaming/curation.py), which can both apply them
-    map-only because nothing here shuffles."""
-    toks = tokens(F.col(text))
+    map-only because nothing here shuffles.
+
+    ``toks_attr``: name of an already-materialized token-array column to
+    read instead of re-splitting ``text``. Higher-order functions are
+    evaluated *interpreted* with no common-subexpression elimination, so
+    with the default (expression) form every HOF metric re-runs the
+    ``split`` — five extra O(tokens) passes per row (optimization r12;
+    the same lesson as dedup.shingle_table). Callers that can afford a
+    two-step select (repetition_profile) pass it; single-select callers
+    (the streaming gates) keep the self-contained form.
+    """
+    toks = F.col(toks_attr) if toks_attr else tokens(F.col(text))
+    t = F.col(text)
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     # longest equal-run over the sorted tokens == max token frequency
@@ -76,7 +89,10 @@ def quality_metric_columns(text: str = "text") -> dict[str, Column]:
     tri = _word_trigrams(toks)
     n_tri = F.size(tri)
     dup_tri = n_tri - F.size(F.array_distinct(tri))
-    sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    # Σ length(token) ≡ n_chars − n_single_spaces for a bare single-space
+    # split (delimiters are the only chars split drops): one codegen'd
+    # length/replace pair instead of an interpreted O(tokens) aggregate.
+    sum_len = F.length(F.regexp_replace(t, r" ", ""))
 
     top_share = F.try_divide(top_count.cast("double"), n)
     dup_frac = F.coalesce(F.try_divide(dup_tri.cast("double"), n_tri), F.lit(0.0))
@@ -114,9 +130,14 @@ def repetition_profile(
     """
     from .dedup import _repartitioned
 
-    cols = quality_metric_columns(text)
-    return _repartitioned(docs).select(
-        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
+    # two-step select: the token array becomes a materialized attribute so
+    # the interpreted HOF metrics (sort/run-scan, trigrams, distinct) read
+    # it instead of each re-running the split (see quality_metric_columns)
+    cols = quality_metric_columns(text, toks_attr="_toks")
+    return (
+        _repartitioned(docs)
+        .select(F.col(id_col), F.col(text), tokens(F.col(text)).alias("_toks"))
+        .select(F.col(id_col), *[c.alias(name) for name, c in cols.items()])
     )
 
 

@@ -42,6 +42,30 @@ def _count_token(toks: Column, word: str) -> Column:
     return F.size(F.filter(toks, lambda t: t == F.lit(word)))
 
 
+def _count_tokens_any(text: Column, words: list[str]) -> Column:
+    """Total occurrences of any ``words`` member as a single-space-split
+    token of ``text`` — ONE codegen'd ``regexp_count`` scan.
+
+    Exactly equivalent to ``sum(_count_token(split(text, " "), w))``: a
+    token matches iff it is delimited by string start/end or a literal
+    space, and exact equality means each token can match at most one
+    alternative, so the alternation never double-counts. The lambda form
+    it replaces ran 30 *interpreted* higher-order filters per row — and,
+    with no common-subexpression elimination in interpreted expressions,
+    re-ran the ``split`` for every one of them (measured 2-3s of the
+    curation gate's quality stage at sf0.1; optimization guide §4.1
+    "prefer built-ins"). NULL text → NULL, matching size(filter(NULL)).
+
+    The leading delimiter is CONSUMED by each match while the trailing one
+    is a lookahead, so consecutive stopword tokens ("the the") each find
+    their own leading space (the shared space is consumed exactly once as
+    the second token's lead)."""
+    import re as _re
+
+    alt = "|".join(_re.escape(w) for w in words)
+    return F.regexp_count(text, F.lit(f"(?:^| )(?:{alt})(?= |$)"))
+
+
 def text_stats(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality features: token/char counts, avg token length,
     punctuation & digit & whitespace ratios, stopword ratio, uppercase ratio.
@@ -50,9 +74,7 @@ def text_stats(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> D
     toks = tokens(t)
     n_chars = F.length(t)
     n_tokens = F.size(toks)
-    stop_hits = sum(
-        (_count_token(toks, wd) for wd in STOPWORDS), start=F.lit(0)
-    )
+    stop_hits = F.lit(0) + _count_tokens_any(t, STOPWORDS)
     punct = n_chars - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
     digits = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
     spaces = n_chars - F.length(F.regexp_replace(t, r" ", ""))
@@ -73,9 +95,9 @@ def language_id(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> 
     Emits one score column per candidate language plus the predicted label;
     ties break on language code order (deterministic).
     """
-    toks = tokens(F.col(text))
+    t = F.col(text)
     scores = {
-        lang: sum((_count_token(toks, wd) for wd in words), start=F.lit(0))
+        lang: F.lit(0) + _count_tokens_any(t, words)
         for lang, words in LANG_MARKERS.items()
     }
     out = docs.select(
@@ -100,27 +122,39 @@ def fingerprint(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> 
     )
 
 
-def text_profile(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_profile(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    keep_text: bool = False,
+) -> DataFrame:
     """``text_stats`` + ``language_id`` fused into ONE map-only select.
 
     Same columns as the two operators joined on ``id_col``, without the join:
     every expression shares the single tokenize pass and the whole profile
     stays inside one whole-stage-codegen span (no shuffle at any scale).
+
+    ``keep_text`` carries the raw ``text`` column through the projection —
+    consumers that need the text alongside the stats (the curation DAG's
+    quality gate) would otherwise re-join the corpus to itself on
+    ``id_col``, a full shuffle of both sides purely to re-attach a column
+    this select already had in hand (optimization guide §2.4).
     """
     t = F.col(text)
     toks = tokens(t)
     n_chars = F.length(t)
     n_tokens = F.size(toks)
-    stop_hits = sum((_count_token(toks, wd) for wd in STOPWORDS), start=F.lit(0))
+    stop_hits = F.lit(0) + _count_tokens_any(t, STOPWORDS)
     punct = n_chars - F.length(F.regexp_replace(t, r"[\.,;:!\?]", ""))
     digits = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
     spaces = n_chars - F.length(F.regexp_replace(t, r" ", ""))
     scores = {
-        lang: sum((_count_token(toks, wd) for wd in words), start=F.lit(0))
+        lang: F.lit(0) + _count_tokens_any(t, words)
         for lang, words in LANG_MARKERS.items()
     }
     out = docs.select(
         F.col(id_col),
+        *([t] if keep_text else []),
         n_chars.alias("n_chars_text"),
         n_tokens.alias("n_tokens"),
         F.try_divide((n_chars - spaces).cast("double"), n_tokens).alias("avg_token_len"),

@@ -81,9 +81,11 @@ def curate_corpus(
     text the heuristics cannot see. The audit gains an
     ``n_model_quality`` column when enabled.
     """
-    profiled = text_profile(docs, text=text, id_col=id_col).join(
-        docs.select(id_col, text), on=id_col
-    )
+    # keep_text: the profile select carries the text column through, so the
+    # quality gate reads one map-only pass — the old form re-joined the
+    # corpus to itself on id_col (two exchanges) purely to re-attach text
+    # (optimization r12, guide §2.4 "remove shuffles outright")
+    profiled = text_profile(docs, text=text, id_col=id_col, keep_text=True)
 
     quality = profiled.where(
         (F.col("n_tokens") >= min_tokens)

@@ -185,6 +185,25 @@ def test_personalized_pagerank_tol_early_exit(spark):
         assert early[n] == pytest.approx(fixed[n], abs=1e-9)
 
 
+def test_pagerank_tol_with_interval_matches_converged_fixed(spark):
+    """tol + checkpoint_interval>1 (optimization r12: the convergence
+    test fused to the checkpoint stride) still converges to the same
+    ranks as fixed iteration — the stride can only overshoot by up to
+    k-1 CONVERGED rounds, never exit early on a stale delta."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 4)]
+    df = _edges_df(spark, edges)
+    fixed = {r.node: r.rank for r in pagerank(df, n_iter=200).collect()}
+    strided = {
+        r.node: r.rank
+        for r in pagerank(
+            df, n_iter=200, tol=1e-12, checkpoint_interval=2
+        ).collect()
+    }
+    assert set(strided) == set(fixed)
+    for n in fixed:
+        assert strided[n] == pytest.approx(fixed[n], abs=1e-9)
+
+
 def test_pagerank_checkpoint_interval_is_bit_identical(spark):
     # Checkpointing cuts lineage; it must never change the arithmetic.
     # interval=3 with n_iter=7 exercises both a mid-stride checkpoint and
