@@ -231,13 +231,29 @@ def embedding_near_dups(
     each surviving pair is scored once regardless of how many bands caught
     it. No all-pairs stage anywhere.
     """
+    # per-row norm computed ONCE and carried through the pair stage: the
+    # quadratic rescore then runs one interpreted array pass per pair (the
+    # dot) instead of three — dot/(‖a‖·‖b‖) over the same carried doubles
+    # is bit-identical to the inline cosine (optimization r12)
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    c = c.select(F.col(id_col), "_v", l2_norm(F.col("_v")).alias("_n"))
+    pair_cos = F.try_divide(
+        dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")
+    )
     if planes is None:
-        a1 = c.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
-        a2 = c.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+        a1 = c.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
+        )
+        a2 = c.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+        )
         pairs = a1.join(a2, F.col("id_a") < F.col("id_b"))
         return pairs.select(
-            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim")
+            "id_a", "id_b", pair_cos.alias("cosine_sim")
         ).where(F.col("cosine_sim") >= threshold)
 
     bands = planes if isinstance(planes[0][0], (list, tuple)) else [planes]
@@ -262,12 +278,20 @@ def embedding_near_dups(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = c.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
-    vb = c.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    va = c.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    vb = c.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
     return (
         cand.join(va, on="id_a")
         .join(vb, on="id_b")
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
+        .select("id_a", "id_b", pair_cos.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
 
@@ -506,24 +530,38 @@ def semdedup(
     w_rank = Window.partitionBy("cluster").orderBy(F.desc("seed_sim"), F.col(id_col))
     from ..cache import tracked_persist
 
+    # each row's L2 norm rides the persisted frame: the quadratic prune
+    # stage then pays ONE interpreted array pass per pair (the dot) instead
+    # of three — cosine(a,b) = dot/(‖a‖·‖b‖) with the SAME doubles, since a
+    # row's norm is a pure per-row function and multiplication order is
+    # unchanged, so the predicate is bit-identical to the inline form
+    # (optimization r12, guide §1.2 "per-task work"; HOFs are interpreted)
     ranked = tracked_persist(
         members.withColumn("rank_in_cluster", F.row_number().over(w_rank))
+        .withColumn("_n", l2_norm(F.col("_v")))
     )
     lhs = ranked.select(
         "cluster",
         F.col(id_col).alias("_ia"),
         F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
         F.col("rank_in_cluster").alias("_ra"),
     )
     rhs = ranked.select(
         "cluster",
         F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
         F.col("rank_in_cluster").alias("_rb"),
     )
     removed = (
         lhs.join(rhs, on="cluster")
         .where(F.col("_rb") < F.col("_ra"))
-        .where(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+        .where(
+            F.try_divide(
+                dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")
+            )
+            >= F.lit(threshold)
+        )
         .select(F.col("_ia").alias(id_col))
         .distinct()
         .withColumn("_removed", F.lit(True))
