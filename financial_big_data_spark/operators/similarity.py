@@ -396,6 +396,22 @@ def _assign_nearest_seed(emb: DataFrame, seeds: DataFrame, id_col: str) -> DataF
             )
     n_scalars = sum(len(v) for _, v in seed_rows)
     _NULL_SIM = F.lit(-2.0)
+
+    # seed norms are CONSTANTS — fold them in Python with the exact IEEE
+    # sequence l2_norm uses (left fold of v*v from 0.0 in array order,
+    # then sqrt), so cosine = dot/(‖v‖·‖sv‖) over the precomputed doubles
+    # is bit-identical to the inline form; the row's own norm is
+    # materialized once per row below. The inline cosine re-ran BOTH
+    # norms per (row, seed) — 3 interpreted array passes per seed where
+    # one (the dot) suffices (optimization r12, same lesson as the
+    # embedding pair stages).
+    def _py_l2(vec: list) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    seed_norms = {sid: _py_l2(vec) for sid, vec in seed_rows}
     if n_scalars <= _SEED_LITERAL_MAX:
         # one parsed literal (single F.expr — never per-element lit() py4j
         # calls); each seed's score is computed ONCE by transform (the
@@ -403,8 +419,10 @@ def _assign_nearest_seed(emb: DataFrame, seeds: DataFrame, id_col: str) -> DataF
         # and the result), then array_max's lexicographic (sim, -sid)
         # order IS (sim DESC, seed ASC)
         structs = ", ".join(
-            "named_struct('sid', CAST({sid} AS BIGINT), 'sv', array({xs}))".format(
+            "named_struct('sid', CAST({sid} AS BIGINT), "
+            "'sn', CAST({sn!r} AS DOUBLE), 'sv', array({xs}))".format(
                 sid=int(sid),
+                sn=seed_norms[sid],
                 xs=", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec),
             )
             for sid, vec in seed_rows
@@ -413,13 +431,18 @@ def _assign_nearest_seed(emb: DataFrame, seeds: DataFrame, id_col: str) -> DataF
         scored_arr = F.transform(
             seed_arr,
             lambda s: F.struct(
-                F.coalesce(cosine(F.col("_v"), s["sv"]), _NULL_SIM).alias("sim"),
+                F.coalesce(
+                    F.try_divide(dot(F.col("_v"), s["sv"]), F.col("_n") * s["sn"]),
+                    _NULL_SIM,
+                ).alias("sim"),
                 (-s["sid"]).alias("negsid"),
                 s["sid"].alias("sid"),
             ),
         )
         best = F.array_max(scored_arr)
         return emb.select(
+            F.col(id_col), F.col("_v"), l2_norm(F.col("_v")).alias("_n")
+        ).select(
             F.col(id_col),
             F.col("_v"),
             best["sid"].alias("cluster"),
@@ -428,13 +451,19 @@ def _assign_nearest_seed(emb: DataFrame, seeds: DataFrame, id_col: str) -> DataF
             .alias("seed_sim"),
         )
     small = emb.sparkSession.createDataFrame(
-        seed_rows, "sid bigint, sv array<double>"
+        [(sid, vec, seed_norms[sid]) for sid, vec in seed_rows],
+        "sid bigint, sv array<double>, sn double",
     )
-    scored = emb.join(F.broadcast(small)).select(
+    scored = emb.select(
+        F.col(id_col), F.col("_v"), l2_norm(F.col("_v")).alias("_n")
+    ).join(F.broadcast(small)).select(
         F.col(id_col),
         F.col("_v"),
         F.col("sid"),
-        F.coalesce(cosine(F.col("_v"), F.col("sv")), _NULL_SIM).alias("_sim"),
+        F.coalesce(
+            F.try_divide(dot(F.col("_v"), F.col("sv")), F.col("_n") * F.col("sn")),
+            _NULL_SIM,
+        ).alias("_sim"),
     )
     # max of (sim, -sid) lexicographic = argmax sim, ties to smaller sid;
     # partial aggregation reduces the k-fan map-side before the exchange
