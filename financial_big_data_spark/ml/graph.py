@@ -642,13 +642,36 @@ def pagerank(
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(F.col("src"), F.col("dst"), w.alias("w"))
     if weight:
+        # weighted: the aggregate+join form keeps the oracle's exact
+        # fold order for sum(w); reads `e` twice (wout branch + join side)
         wout = e.groupBy("src").agg(F.sum("w").alias("wout"))
+        norm = e.join(wout, "src").select(
+            "src", "dst", (F.col("w") / F.col("wout")).alias("wnorm")
+        ).cache()
     else:
-        # exact integer degree: transition weights are then 1/k, bit-stable
-        wout = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("wout"))
-    norm = e.join(wout, "src").select(
-        "src", "dst", (F.col("w") / F.col("wout")).alias("wnorm")
-    ).cache()
+        # exact integer degree: transition weights are then 1/k, bit-stable.
+        # Computed as a WINDOW count over src (optimization r13) instead of
+        # a groupBy + join-back: ONE read of the caller's edge lineage and
+        # one exchange instead of two reads + an extra join stage — and at
+        # scale, where the per-node degree table outgrows the broadcast
+        # threshold, the join form degraded to a sort-merge join that
+        # sorted `e` anyway; the window form pays that same single
+        # hash(src) exchange + sort without the second pass (guide §2.4).
+        # count() is an exact integer either way — wnorm is bit-identical.
+        cnt = F.count(F.lit(1)).over(Window.partitionBy("src"))
+        norm = e.select(
+            "src", "dst", (F.col("w") / cnt.cast("double")).alias("wnorm")
+        ).cache()
+    # Materialize the cached edge frame BEFORE any multi-branch consumer:
+    # the flags union below reads `norm` twice and AQE schedules the two
+    # branches as CONCURRENT query stages — against an unmaterialized
+    # cache each branch re-executes the whole edge build (the caller's
+    # quadratic slot self-join) into the same cache blocks (measured as
+    # overlapping duplicate ~0.9 s jobs + "Block already exists" warnings;
+    # optimization r13, guide §1/§5). One eager count pays the build
+    # exactly once; every later consumer reads cached rows. Values are
+    # untouched — this only sequences materialization.
+    norm.count()
     # ONE-PASS node setup (optimization round 12): the old form derived
     # nodes (union+distinct), has_out (distinct) and dangling_nodes
     # (left_anti) as separate frames and paid THREE setup jobs
@@ -659,12 +682,20 @@ def pagerank(
     # n / n_dangling / n_reset together. Arithmetic (n, _p, teleport,
     # dangling handling) is byte-identical — oracle hashes unchanged.
     flags = (
-        norm.select(F.col("src").alias("node"), F.lit(1).alias("_has_out"))
+        norm.select(
+            F.col("src").alias("node"),
+            F.lit(1).alias("_has_out"),
+            F.lit(0).alias("_has_in"),
+        )
         .unionByName(
-            norm.select(F.col("dst").alias("node"), F.lit(0).alias("_has_out"))
+            norm.select(
+                F.col("dst").alias("node"),
+                F.lit(0).alias("_has_out"),
+                F.lit(1).alias("_has_in"),
+            )
         )
         .groupBy("node")
-        .agg(F.max("_has_out").alias("_has_out"))
+        .agg(F.max("_has_out").alias("_has_out"), F.max("_has_in").alias("_has_in"))
     )
     if reset is not None:
         keys = reset.select(
@@ -675,6 +706,7 @@ def pagerank(
     stat_cols = [
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.when(F.col("_has_out") == 0, 1).otherwise(0)).alias("_n_dangling"),
+        F.sum(F.when(F.col("_has_in") == 0, 1).otherwise(0)).alias("_n_no_in"),
     ]
     if reset is not None:
         stat_cols.append(
@@ -704,42 +736,101 @@ def pagerank(
     ranks = nodes.select("node", F.col("_p").alias("rank"))
     dangling_nodes = flags.where(F.col("_has_out") == 0).select("node")
     any_dangling = stats["_n_dangling"] > 0
+    # FUSED-AGGREGATE fast path (optimization round 13): when every node
+    # has at least one in-edge (``_n_no_in == 0`` — always true for the
+    # symmetrized co-occurrence graphs the registered queries run), the
+    # dst aggregate's group set IS the full node set, so the per-iteration
+    # ``nodes ⋈ inflow`` LEFT join existed only to re-attach teleport mass
+    # to no-inflow nodes — a no-op. Folding the rank arithmetic into the
+    # aggregate removes one join (one broadcast build + one AQE stage) per
+    # iteration (guide §2.4 "remove shuffles/joins outright"). Arithmetic
+    # is bit-identical: the group always has ≥1 row, so ``coalesce(sum,
+    # 0.0)`` ≡ ``sum`` and the surrounding teleport/damping expression is
+    # unchanged; the fixed-iteration oracle hashes certify it. For PPR the
+    # per-node teleport probability rides the EDGE frame (``_pdst``,
+    # attached once at setup and carried through the groupBy key — the
+    # value is functionally dependent on dst, so groups are unchanged)
+    # instead of being re-joined from the node table every round.
+    fused = stats["_n_no_in"] == 0
+    if fused and reset is not None:
+        iter_edges = norm.join(
+            nodes.select(F.col("node").alias("dst"), F.col("_p").alias("_pdst")),
+            "dst",
+        ).cache()
+        # eager: the first fused iteration otherwise materializes this
+        # cache from two concurrent AQE stages (same race as `norm` above)
+        iter_edges.count()
+        fused_teleport = F.lit(1.0 - damping) * F.col("_pdst")
+        fused_group = [F.col("dst").alias("node"), F.col("_pdst")]
+    else:
+        iter_edges = norm
+        fused_teleport = teleport
+        fused_group = [F.col("dst").alias("node")]
     for _it in range(n_iter):
-        inflow = (
-            norm.join(ranks, norm.src == ranks.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("wnorm")).alias("inflow"))
-        )
-        if any_dangling:
-            dang = (
-                dangling_nodes.join(ranks, "node")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        if fused:
+            infl = (
+                iter_edges.join(ranks, iter_edges.src == ranks.node)
+                .groupBy(*fused_group)
+                .agg(F.sum(F.col("rank") * F.col("wnorm")).alias("inflow"))
             )
-            dang_share = (
-                F.col("dmass") / F.lit(float(n))
-                if reset is None
-                else F.col("dmass") * F.col("_p")
+            if any_dangling:
+                dang = (
+                    dangling_nodes.join(ranks, "node")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+                )
+                dang_share = (
+                    F.col("dmass") / F.lit(float(n))
+                    if reset is None
+                    else F.col("dmass") * F.col("_pdst")
+                )
+                new = infl.crossJoin(F.broadcast(dang)).select(
+                    "node",
+                    (
+                        fused_teleport
+                        + F.lit(damping) * (F.col("inflow") + dang_share)
+                    ).alias("rank"),
+                )
+            else:
+                new = infl.select(
+                    "node",
+                    (fused_teleport + F.lit(damping) * F.col("inflow")).alias("rank"),
+                )
+        else:
+            inflow = (
+                norm.join(ranks, norm.src == ranks.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") * F.col("wnorm")).alias("inflow"))
             )
-            new = (
-                nodes.join(inflow, "node", "left")
-                .crossJoin(F.broadcast(dang))
-                .select(
+            if any_dangling:
+                dang = (
+                    dangling_nodes.join(ranks, "node")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+                )
+                dang_share = (
+                    F.col("dmass") / F.lit(float(n))
+                    if reset is None
+                    else F.col("dmass") * F.col("_p")
+                )
+                new = (
+                    nodes.join(inflow, "node", "left")
+                    .crossJoin(F.broadcast(dang))
+                    .select(
+                        "node",
+                        (
+                            teleport
+                            + F.lit(damping)
+                            * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dang_share)
+                        ).alias("rank"),
+                    )
+                )
+            else:
+                new = nodes.join(inflow, "node", "left").select(
                     "node",
                     (
                         teleport
-                        + F.lit(damping)
-                        * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dang_share)
+                        + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                     ).alias("rank"),
                 )
-            )
-        else:
-            new = nodes.join(inflow, "node", "left").select(
-                "node",
-                (
-                    teleport
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
-            )
         prev = ranks
         at_ckpt = (_it + 1) % checkpoint_interval == 0 or _it == n_iter - 1
         if tol is not None and at_ckpt:
@@ -770,6 +861,8 @@ def pagerank(
             ranks = _ckpt(new)
         else:
             ranks = new
+    if iter_edges is not norm:
+        iter_edges.unpersist()
     norm.unpersist()
     flags.unpersist()
     return ranks

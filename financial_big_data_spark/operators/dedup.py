@@ -362,7 +362,10 @@ def _cap_bucket(
     (head self-join a/b sides, overflow, representative) and without the
     pin each would re-execute the whole upstream signature pipeline —
     measured ~2× the query (released by ``cache.release_tracked``, the
-    registry/bench contract).
+    registry/bench contract). The persisted ranked frame is returned as
+    the third element so callers can run bounded probes (bucket-size
+    selectivity, candidate-doc sets) against the cache instead of
+    re-deriving the banding (optimization r13).
     """
     from ..cache import tracked_persist
 
@@ -384,7 +387,7 @@ def _cap_bucket(
             if c not in keys
         ],
     )
-    return head, overflow.join(rep, on=keys)
+    return head, overflow.join(rep, on=keys), ranked
 
 
 def lsh_candidate_pairs(
@@ -412,13 +415,31 @@ def lsh_candidate_pairs(
     consumers, never a false link (every emitted pair truly shared a
     bucket). ``bucket_cap=None`` disables (exact-parity escape hatch).
     """
+    pairs, _ranked = _lsh_candidate_pairs_ranked(
+        signatures, id_col, num_hashes, bands, bucket_cap
+    )
+    return pairs
+
+
+def _lsh_candidate_pairs_ranked(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    bucket_cap: int | None = 1024,
+) -> tuple[DataFrame, DataFrame | None]:
+    """``lsh_candidate_pairs`` plus the PERSISTED ranked band table (None
+    when ``bucket_cap`` is None) — callers that need a cheap candidate
+    selectivity probe (``near_dup_lsh``'s gated rescore, optimization r13)
+    read bucket sizes off the cache instead of re-deriving the banding."""
     band_cols = band_structs(num_hashes, bands, lambda i: F.col(f"mh_{i}"))
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     star = None
+    ranked = None
     if bucket_cap is not None:
-        banded, overflow = _cap_bucket(
+        banded, overflow, ranked = _cap_bucket(
             banded, ["band", "key"], id_col, bucket_cap,
             site="lsh_candidate_pairs.bucket_cap",
         )
@@ -438,7 +459,7 @@ def lsh_candidate_pairs(
     )
     if star is not None:
         pairs = pairs.unionByName(star)
-    return pairs.distinct()
+    return pairs.distinct(), ranked
 
 
 def jaccard_pairs(
@@ -542,6 +563,7 @@ def near_dup_lsh(
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
     bucket_cap: int | None = 1024,
+    rescore_selectivity: bool = False,
 ) -> DataFrame:
     """The scale path for near-duplicate detection: MinHash → LSH banding →
     exact Jaccard verification on candidates only.
@@ -552,6 +574,32 @@ def near_dup_lsh(
     shingle arrays are joined broadcast-style). At (1/bands)^(rows/band) ≈
     j* = 0.5 the banding keeps recall high for pairs above ``min_jaccard``.
     Returns (id_a, id_b, n_a, n_b, n_shared, jaccard).
+
+    Candidate-pruned rescore (optimization r13, VERDICT r12 #6): the
+    ``collect_set`` rescore input aggregates the shingles of EVERY doc,
+    but the pair join only ever consults docs that appear in a candidate
+    pair, and a doc is in a candidate pair iff it shares some (band, key)
+    bucket with another doc. ``rescore_selectivity`` semi-joins the
+    rescore input to exactly those ids, derived IN-PLAN from the cap's
+    persisted band table (bucket size = window count over the banding's
+    own partitioning — no extra exchange, no driver action). Pruning is a
+    pure row-subset of rows the inner join would drop anyway — results
+    are identical (oracle-hash certified). On a selective corpus the
+    collect_set shuffle shrinks to candidate docs only (guide §2.3
+    "shuffle fewer bytes", §3.2 semi-join pre-filter). Default OFF: on
+    the DENSE local fixtures (most docs are candidates) the prune's own
+    work — window bucket count + candidate distinct + a broadcast hash
+    probe per shingle row — measured +0.3-0.9 s per query for zero
+    pruning (min-of-5 A/B, optimization r13), and a driver-side
+    selectivity probe was worse still (its eager pipeline
+    materialization serialized ~2 s of otherwise-overlapped stages).
+    Opt in for corpora where near-dups are a small fraction of docs —
+    the usual web-dedup regime; route parity is pinned by
+    tests/test_stats_dedup.py and the pruned route is measured against
+    the unpruned one on a sparse fixture in bench.py's scale-proof
+    section. Requires ``bucket_cap`` (the candidate set reads the cap's
+    persisted ranked frame); ``bucket_cap=None`` keeps the unpruned
+    form.
     """
     # min()/collect_set() are duplicate-insensitive -> distinct shuffle skipped.
     # tracked: signatures AND the candidate rescoring read this frame; the
@@ -568,10 +616,27 @@ def near_dup_lsh(
             for i, c in enumerate(minhash_min_slices(num_hashes))
         ])
     )
-    cands = lsh_candidate_pairs(
+    cands, ranked = _lsh_candidate_pairs_ranked(
         sigs, id_col, num_hashes, bands, bucket_cap=bucket_cap
     )
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+    sets_src = sh
+    if ranked is not None and rescore_selectivity:
+        # candidate ids = docs sharing a (band, key) bucket with ≥1 other
+        # doc — EXACTLY the ids the pair join can emit (head pairs need a
+        # ≥2 bucket; star pairs' overflow members and representatives live
+        # in over-cap buckets, which are ≥2 by definition). Bucket size is
+        # a window count over the banding's own persisted partitioning
+        # (no new exchange); the semi-join is lazy and runs INSIDE the
+        # caller's job — no driver action, no serialization point.
+        bsz = F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+        cand_ids = (
+            ranked.select(F.col(id_col), bsz.alias("_bsz"))
+            .where(F.col("_bsz") >= 2)
+            .select(id_col)
+            .distinct()
+        )
+        sets_src = sh.join(cand_ids, on=id_col, how="left_semi")
+    sets = sets_src.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
     out = (
         cands.join(
             sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), on="id_a"
@@ -698,7 +763,7 @@ def simhash_near_dups(
     )
     star = None
     if bucket_cap is not None:
-        bands, overflow = _cap_bucket(
+        bands, overflow, _ranked = _cap_bucket(
             bands, ["band", "bkey"], id_col, bucket_cap,
             site="simhash_near_dups.bucket_cap",
         )

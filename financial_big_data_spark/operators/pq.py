@@ -106,13 +106,34 @@ def pq_train(
     )
 
 
+def _sqdist_np(S, C, Sn=None):
+    """Pairwise squared distances via the BLAS expansion
+    ‖s‖² + ‖c‖² − 2·s·c (one dgemm) instead of materializing the
+    (n, k, dsub) broadcast temp — the old form allocated a 33 MB temp and
+    ran interpreted ufunc reductions per Lloyd iteration, 40+ s of the
+    57 s ann_ivfpq_opq build (optimization r13, cProfile-measured;
+    guide §1.2 "per-task work"). Distances can differ from the direct
+    form in the last float bits (near-ties may flip argmin), which is why
+    the LEARNED rotation is pinned by property tests (orthonormality,
+    error reduction, recall lift) rather than exact floats; the
+    oracle-checked OPQ query (emb_opq_adc) uses a closed-form pinned
+    rotation and never enters this code."""
+    import numpy as np
+
+    Sn = (S * S).sum(1) if Sn is None else Sn
+    d2 = Sn[:, None] + (C * C).sum(1)[None, :] - 2.0 * (S @ C.T)
+    return np.maximum(d2, 0.0)
+
+
 def _lloyd_np(S, k: int, n_iter: int = 10):
     """Small deterministic numpy Lloyd over a driver-held sample slice:
     seeds are evenly-spaced rows of the (already hash-ordered) sample,
     empty clusters keep their previous center. Driver-side by design —
     OPQ's alternation needs m × n_iter tiny k-means fits over ≤ a few
     thousand rows; a distributed fit per alternation would be all job
-    floor."""
+    floor. Assignment + center update are fully vectorized (one dgemm +
+    one bincount per iteration) — the per-cluster boolean-mask mean loop
+    was 184k interpreted numpy calls per opq_train (optimization r13)."""
     import numpy as np
 
     n = S.shape[0]
@@ -120,13 +141,14 @@ def _lloyd_np(S, k: int, n_iter: int = 10):
     C = S[idx].copy()
     if len(C) < k:  # degenerate tiny sample: pad by repeating rows
         C = np.vstack([C, C[: k - len(C)]])
+    Sn = (S * S).sum(1)  # constant across iterations
     for _ in range(n_iter):
-        d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        a = d2.argmin(1)
-        for c in range(k):
-            mask = a == c
-            if mask.any():
-                C[c] = S[mask].mean(0)
+        a = _sqdist_np(S, C, Sn).argmin(1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, S)
+        cnt = np.bincount(a, minlength=k)
+        nz = cnt > 0
+        C[nz] = sums[nz] / cnt[nz, None]
     return C
 
 
@@ -180,8 +202,7 @@ def opq_train(
         for j in range(m):
             S = Y[:, j * dsub : (j + 1) * dsub]
             C = _lloyd_np(S, k, n_iter=kmeans_iter)
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            Yhat[:, j * dsub : (j + 1) * dsub] = C[d2.argmin(1)]
+            Yhat[:, j * dsub : (j + 1) * dsub] = C[_sqdist_np(S, C).argmin(1)]
             err += float(((S - Yhat[:, j * dsub : (j + 1) * dsub]) ** 2).sum())
         return Yhat, err / n
 

@@ -30,7 +30,7 @@ declares in COVERAGE.md.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,12 +41,35 @@ from ..operators.dedup import exact_dedup_keys, near_dup_lsh
 from ..operators.text import text_profile
 
 
-@dataclass
 class CurationResult:
-    """Curated corpus + per-stage audit counts (lazy DataFrames)."""
+    """Curated corpus (lazy DataFrame) + per-stage audit counts.
 
-    corpus: DataFrame          # surviving (doc_id, text, n_tokens, pred_lang)
-    audit: DataFrame           # 1-row stage-by-stage survivor counts
+    ``audit`` is computed on FIRST ACCESS by a short driver-sequenced
+    count pass and returned as a one-row LocalRelation DataFrame (same
+    columns and values as the old crossJoin-of-aggregates form). The old
+    form built the audit as a crossJoin of six independent 1-row
+    aggregates; Spark executes those branches as CONCURRENT broadcast
+    futures, and before the pipeline's tracked-persisted stages are
+    materialized each concurrent branch re-computes the same heavy
+    lineage into the same cache blocks (observed as overlapping ~0.7 s
+    duplicate jobs + "Block already exists" warnings — optimization r13,
+    guide §5 "caching"/§1 measure-first). Sequencing the counts walks the
+    stages IN ORDER, so each stage's cache is materialized exactly once
+    and every later count is a cheap aggregate over cached rows. The
+    counts themselves are the same bounded 1-row aggregates as before —
+    nothing row-sized reaches the driver.
+    """
+
+    def __init__(self, corpus: DataFrame, audit: Callable[[], DataFrame]):
+        self.corpus = corpus       # surviving (doc_id, text, n_tokens, pred_lang)
+        self._audit_fn = audit
+        self._audit: DataFrame | None = None
+
+    @property
+    def audit(self) -> DataFrame:  # 1-row stage-by-stage survivor counts
+        if self._audit is None:
+            self._audit = self._audit_fn()
+        return self._audit
 
 
 def curate_corpus(
@@ -161,20 +184,29 @@ def curate_corpus(
 
     out = curated.select(id_col, text, "n_tokens", "pred_lang")
 
-    audit = (
-        docs.agg(F.count(F.lit(1)).alias("n_input"))
-        .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
-    )
-    if quality_seed is not None:
-        audit = audit.crossJoin(
-            gated.agg(F.count(F.lit(1)).alias("n_model_quality"))
+    def _audit() -> DataFrame:
+        # sequenced bounded counts (see CurationResult.audit): same values
+        # and schema as the old crossJoin-of-aggregates, but each persisted
+        # stage is materialized exactly once, in pipeline order
+        spark = docs.sparkSession
+        cols: list[tuple[str, int | None]] = [
+            ("n_input", docs.count()),
+            ("n_quality", quality.count()),
+        ]
+        if quality_seed is not None:
+            cols.append(("n_model_quality", gated.count()))
+        cols.append(("n_exact_dedup", exact.count()))
+        n_near = near.count()
+        cols.append(("n_near_dedup", n_near))
+        cols.append(
+            ("n_decontaminated", deduped.count() if benchmark is not None else n_near)
         )
-    audit = (
-        audit
-        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_dedup")))
-        .crossJoin(near.agg(F.count(F.lit(1)).alias("n_near_dedup")))
-        .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_decontaminated")))
-        .crossJoin(out.agg(F.count(F.lit(1)).alias("n_final"),
-                           F.sum("n_tokens").alias("total_tokens")))
-    )
-    return CurationResult(corpus=out, audit=audit)
+        fin = out.agg(
+            F.count(F.lit(1)).alias("n_final"), F.sum("n_tokens").alias("total_tokens")
+        ).first()
+        cols.append(("n_final", fin["n_final"]))
+        cols.append(("total_tokens", fin["total_tokens"]))
+        schema = ", ".join(f"{name} bigint" for name, _ in cols)
+        return spark.createDataFrame([tuple(v for _, v in cols)], schema)
+
+    return CurationResult(corpus=out, audit=_audit)

@@ -5819,9 +5819,20 @@ def q_ev_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type", "hr"],
         min_shared=3,
     ))
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # symmetrize with ONE scan of the persisted pairs (explode of both
+    # directions) instead of a two-branch union: the union's branches scan
+    # the cache as concurrent tasks of the same stage and, before the cache
+    # materializes, each re-runs the quadratic slot self-join per partition
+    # (optimization r13 — observed as duplicate concurrent jobs + "Block
+    # already exists" warnings). Same rows, same schema, map-only.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     # checkpoint_interval=2: two rounds fuse into one job (same
     # arithmetic, same oracle hash; measured -27% at sf0.1)
     pr = pagerank(edges, n_iter=10, damping=0.85, checkpoint_interval=2)
@@ -5853,9 +5864,20 @@ def q_ev_pagerank_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type", "hr"],
         min_shared=3,
     ))
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # symmetrize with ONE scan of the persisted pairs (explode of both
+    # directions) instead of a two-branch union: the union's branches scan
+    # the cache as concurrent tasks of the same stage and, before the cache
+    # materializes, each re-runs the quadratic slot self-join per partition
+    # (optimization r13 — observed as duplicate concurrent jobs + "Block
+    # already exists" warnings). Same rows, same schema, map-only.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     # checkpoint_interval=2 + tol: the convergence test runs at each
     # 2-round checkpoint, halving the tol path's job count; the exit
     # may land one converged round later (bench-only row — the tol
@@ -5888,9 +5910,20 @@ def q_ev_ppr_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type", "hr"],
         min_shared=3,
     ))
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # symmetrize with ONE scan of the persisted pairs (explode of both
+    # directions) instead of a two-branch union: the union's branches scan
+    # the cache as concurrent tasks of the same stage and, before the cache
+    # materializes, each re-runs the quadratic slot self-join per partition
+    # (optimization r13 — observed as duplicate concurrent jobs + "Block
+    # already exists" warnings). Same rows, same schema, map-only.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     seeds = (
         edges.select(F.col("src").alias("node"))
         .where(F.col("node") < 50)
@@ -6003,9 +6036,20 @@ def q_ev_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type", "hr"],
         min_shared=3,
     ))
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # symmetrize with ONE scan of the persisted pairs (explode of both
+    # directions) instead of a two-branch union: the union's branches scan
+    # the cache as concurrent tasks of the same stage and, before the cache
+    # materializes, each re-runs the quadratic slot self-join per partition
+    # (optimization r13 — observed as duplicate concurrent jobs + "Block
+    # already exists" warnings). Same rows, same schema, map-only.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     seeds = edges.select(F.col("src").alias("node")).where(F.col("node") < 50).distinct()
     pr = pagerank(
         edges, n_iter=10, damping=0.85, reset=seeds, checkpoint_interval=2

@@ -75,6 +75,28 @@ def test_near_dup_lsh_end_to_end(spark):
     assert rows.get((0, 3)) == 1.0
 
 
+def test_near_dup_lsh_pruned_rescore_parity(spark):
+    """The candidate-pruned rescore route (rescore_selectivity=True,
+    optimization r13) returns EXACTLY the unpruned result — the semi-join
+    only drops docs the candidate join could never consult — on a sparse
+    corpus (one dup pair among many unrelated docs) where the prune
+    actually removes most of the rescore input."""
+    rows = [(i, f"unique text number {i} alpha beta gamma delta {i}") for i in range(40)]
+    rows.append((100, rows[7][1]))  # exact dup of doc 7
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=8, bands=4, shingle_n=2, min_jaccard=0.5)
+    base = {
+        tuple(r)
+        for r in D.near_dup_lsh(docs, rescore_selectivity=False, **kw).collect()
+    }
+    pruned = {
+        tuple(r)
+        for r in D.near_dup_lsh(docs, rescore_selectivity=True, **kw).collect()
+    }
+    assert pruned == base
+    assert any(a == 7 and b == 100 for a, b, *_ in base)
+
+
 def test_simhash_similar_docs_close(spark):
     out = {r.doc_id: r.simhash for r in D.simhash(_docs(spark), bits=16).collect()}
     assert out[0] == out[3]  # identical docs, identical fingerprint

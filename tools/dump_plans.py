@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for registry queries to plans/r12/<name>_<tag>.txt.
+"""Dump .explain('formatted') for registry queries to plans/r13/<name>_<tag>.txt.
 
 Usage: python tools/dump_plans.py <tag> [name ...]
 Defaults to the bench HEADLINE set when no names are given.
@@ -28,7 +28,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = build_session("dump_plans", cpus=cpus, shuffle_partitions=cpus)
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         fn, _ = REGISTRY[name]
