@@ -1392,6 +1392,166 @@ def main() -> None:
     }
     hot_sigs.unpersist()
 
+    # SCALE-PROOF section (VERDICT r12 #5): every sf0.1 headline row is
+    # job-floor bound, so the 8-vs-32-core driver comparison measured
+    # scheduling overhead, not parallel scaling (all 16 ratios < 1).
+    # These rows run the heaviest operator families on 10x fixtures
+    # (disjoint id-offset copies of the sf0.1 inputs — deterministic,
+    # derived in-plan, nothing persisted across runs) sized to be
+    # compute-bound, so the driver's two runs (BENCH c32 vs c8) yield
+    # real scaling ratios for them. Timed once each (the operators are
+    # already JIT-warmed by the headline rows; a second run would double
+    # a deliberately-heavy section for band cosmetics). Additive JSON
+    # key; the headline metric/value and `queries` dict are untouched.
+    # Skippable for quick local iterations with SPARK_GRAFT_SCALE_PROOF=0.
+    scale_proof: dict[str, float | int] = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_PROOF", "1") != "0":
+        from financial_big_data_spark.ml.graph import (
+            cooccurrence_pairs as _sp_cooc,
+            pagerank as _sp_pagerank,
+            triangle_count as _sp_tri,
+        )
+        from financial_big_data_spark.operators.dedup import (
+            near_dup_lsh as _sp_neardup,
+        )
+
+        _sp_mult = 10
+        scale_proof["fixture_multiplier"] = _sp_mult
+        # 10x events: disjoint user_id ranges per copy -> 10 disjoint
+        # co-occurrence subgraphs (linear growth, same per-slot density)
+        _sp_ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        _sp_max_uid = _sp_ev.agg(F.max("user_id")).collect()[0][0] or 0
+        _sp_copies = F.explode(
+            F.sequence(F.lit(0), F.lit(_sp_mult - 1))
+        ).alias("_copy")
+
+        def _sp_events10():
+            # user ids AND slot keys are offset per copy: disjoint users
+            # with shared (event_type, hr) slots would grow the slot
+            # self-join 100x (quadratic in slot membership), not 10x
+            return (
+                load_table(spark, sf_dir, "events")
+                .select(
+                    "user_id", "event_type",
+                    F.date_trunc("hour", F.col("ts")).alias("hr"),
+                )
+                .select(F.col("user_id"), "event_type", "hr", _sp_copies)
+                .select(
+                    (F.col("user_id") + F.col("_copy") * (_sp_max_uid + 1)).alias(
+                        "user_id"
+                    ),
+                    F.concat(
+                        F.col("event_type"), F.lit("#"),
+                        F.col("_copy").cast("string"),
+                    ).alias("event_type"),
+                    "hr",
+                )
+            )
+
+        def _sp_graph_pairs():
+            return _sp_cooc(
+                _sp_events10(), node="user_id", keys=["event_type", "hr"],
+                min_shared=3,
+            )
+
+        spark.sparkContext.setJobDescription("scale_proof: pagerank_10x")
+        _rel()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _sp_pairs = _sp_graph_pairs().persist()
+        _sp_edges = _sp_pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("_e")
+        ).select("_e.src", "_e.dst")
+        _sp_pagerank(
+            _sp_edges, n_iter=10, damping=0.85, checkpoint_interval=2
+        ).write.format("noop").mode("overwrite").save()
+        scale_proof["pagerank_10x_sec"] = round(time.time() - t0, 3)
+        _sp_pairs.unpersist()
+
+        spark.sparkContext.setJobDescription("scale_proof: triangles_10x")
+        _rel()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _sp_tri(_sp_graph_pairs(), per_node=True).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        scale_proof["triangles_10x_sec"] = round(time.time() - t0, 3)
+        _rel()
+
+        # 10x documents: per-copy token suffix makes copies DISJOINT in
+        # shingle space (no cross-copy near-dups; linear candidate growth)
+        def _sp_docs10():
+            # per-token copy suffix (replacement is a Column: "$1c<copy>")
+            return (
+                load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text", _sp_copies)
+                .select(
+                    (F.col("doc_id") + F.col("_copy") * F.lit(10_000_000)).alias(
+                        "doc_id"
+                    ),
+                    F.regexp_replace(
+                        F.col("text"),
+                        F.lit(r"(\S+)"),
+                        F.concat(F.lit("$1c"), F.col("_copy").cast("string")),
+                    ).alias("text"),
+                )
+            )
+
+        spark.sparkContext.setJobDescription("scale_proof: neardup_10x")
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _sp_neardup(
+            _sp_docs10(), min_jaccard=0.5
+        ).write.format("noop").mode("overwrite").save()
+        scale_proof["neardup_10x_sec"] = round(time.time() - t0, 3)
+        _rel()
+
+        # sparse-corpus LSH rescore prune (optimization r13): unique docs
+        # (id-salted text) + one 600-member dup family — candidate docs
+        # ~1.5% of the corpus, the regime near_dup_lsh's opt-in
+        # rescore_selectivity exists for. Same operator, same arguments,
+        # pruned vs unpruned; results are identical (parity pinned by
+        # tests/test_stats_dedup.py), only the collect_set shuffle width
+        # changes.
+        _sp_uid = F.col("id").cast("string")
+        _sp_sparse = (
+            spark.range(40_000)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ", *[F.concat(F.lit(f"u{j}q"), _sp_uid) for j in range(12)]
+                ).alias("text"),
+            )
+            .unionByName(
+                spark.range(40_000, 40_600).select(
+                    F.col("id").alias("doc_id"),
+                    F.lit(
+                        "shared boilerplate body for the duplicated "
+                        "document family across this sparse corpus probe"
+                    ).alias("text"),
+                )
+            )
+        )
+        for _sp_tag, _sp_flag in (("unpruned", False), ("pruned", True)):
+            spark.sparkContext.setJobDescription(f"scale_proof: lsh_sparse_{_sp_tag}")
+            _rel()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            _sp_neardup(
+                _sp_sparse, min_jaccard=0.5, rescore_selectivity=_sp_flag
+            ).write.format("noop").mode("overwrite").save()
+            scale_proof[f"lsh_sparse_{_sp_tag}_sec"] = round(time.time() - t0, 3)
+            _rel()
+        spark.sparkContext.setJobDescription(None)
+        spark.catalog.clearCache()
+
     # Louvain at scale (VERDICT r6 #7): a planted-partition synthetic —
     # 200 communities x 500 nodes, ~1M edges (8 intra + 2 inter
     # pseudo-random edges per node, hash-generated, no driver data) —
@@ -1589,6 +1749,7 @@ def main() -> None:
         "sketch_ops": sketch_ops,
         "cooccurrence_skew": cooc_skew,
         "lsh_skew": lsh_skew,
+        "scale_proof": scale_proof,
         "louvain_scale": louvain_scale,
         "ep2_8x_rows_sec": ep2_8x,
         "ep2_scale_factor_8x": round(ep2_8x / max(timings["market_analysis_plan"], 1e-9), 2),

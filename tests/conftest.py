@@ -78,6 +78,210 @@ def assert_series_close(spark_vals, pandas_vals, atol=1e-9, name=""):
     )
 
 
+
+
+# Slow tier (VERDICT r12 #1): the full suite outgrew the driver's verify
+# window (728 tests, ~48 min measured 2026-08-18) — the r12 driver run was
+# truncated mid-dots with zero failures, leaving no green full-suite
+# artifact. The DEFAULT invocation now deselects the individually-slow
+# tests below (pytest.ini `addopts = -m "not slow"`; ~680 s of captured
+# call time remains, every module keeps at least one unmarked test), and
+# the heavy parity/property tests stay runnable with `pytest -m slow`
+# (or everything: `pytest -m "slow or not slow"`). Selection law mirrors
+# SMOKE_PICKS: central name list, measured from `--durations=0` (cutoff:
+# any test whose slowest variant took >= 5 s on the reference host),
+# so the test files stay untouched.
+SLOW_TESTS: dict[str, set[str]] = {
+    "test_ann_index": {
+        "test_append_carries_corpus_files_by_reference",
+        "test_append_equals_build_on_union",
+        "test_compact_after_appends_preserves_queries",
+        "test_delete_from_index",
+        "test_opq_rotation_persists_and_appends",
+        "test_time_travel_queries_pre_append_snapshot",
+        "test_trained_ivf_residual_recall",
+    },
+    "test_bloom": {
+        "test_streaming_matview_still_green_with_blooms",
+    },
+    "test_bpe": {
+        "test_learning_is_deterministic",
+        "test_merge_sequence_matches_reference",
+        "test_segmentation_matches_reference",
+    },
+    "test_chunk_ngrams_simhash": {
+        "test_simhash_near_dups_matches_bruteforce",
+    },
+    "test_clustering_quality": {
+        "test_correlation_matrix_distributed_parity",
+        "test_correlation_matrix_routed_parity",
+        "test_dbscan_auto_eps_layout_invariant",
+        "test_dbscan_distributed_parity",
+        "test_dbscan_distributed_scale",
+        "test_dbscan_pca_blocking_highdim_degenerate_dims",
+    },
+    "test_contamination_packing": {
+        "test_ngram_overlap_shuffle_join_mode_matches",
+        "test_pack_documents_layout_invariant",
+        "test_pack_stats_spill_bounded",
+    },
+    "test_corpus_curation": {
+        "test_curate_corpus_decontamination",
+        "test_curate_corpus_model_quality_stage",
+        "test_curate_corpus_stages",
+        "test_curate_corpus_token_budget",
+        "test_global_running_sum_layout_invariant",
+    },
+    "test_features_ml": {
+        "test_ewm_mean_pandas_parity",
+        "test_lstm_features_complete_and_bounded",
+        "test_sequences_shape",
+        "test_weighted_f1",
+        "test_welch_ttest_matches_numpy",
+    },
+    "test_forecasting": {
+        "test_batch_score_mlp_production_roundtrip",
+        "test_mllib_logistic_model_path",
+        "test_mllib_mlp_model_path",
+        "test_predict_batch_udf_mlp_seam",
+        "test_predict_batch_udf_scoring_seam",
+        "test_seq_mlp_model_path",
+        "test_seq_mlp_sequence_assembly_shape",
+    },
+    "test_graph_skew": {
+        "test_connected_components_chain",
+        "test_distributed_louvain_matches_networkx",
+        "test_lpa_modularity_near_louvain",
+        "test_lpa_modularity_uses_abs_weights",
+    },
+    "test_hard_fixture": {
+        "test_lstm_beats_persistence_by_margin",
+        "test_mlp_beats_persistence_by_margin",
+    },
+    "test_matview": {
+        "test_compact_matview_sidecar_composite_key",
+        "test_compact_matview_sidecar_keeps_bloom_extras_and_sort",
+        "test_composite_key_distinct_matview_with_deletes",
+        "test_composite_key_matview_through_delete_bearing_dml",
+        "test_distinct_matview_partials_group_wipe",
+        "test_distinct_matview_partials_survives_deletes",
+        "test_distinct_matview_partials_unbounded_touched_groups",
+        "test_distinct_matview_unbounded_touched_groups",
+        "test_filtered_matview_rows_cross_the_predicate",
+        "test_filtered_minmax_matview",
+        "test_minmax_matview_group_wipe_and_noop",
+        "test_minmax_matview_survives_delete_of_the_max",
+        "test_minmax_matview_unbounded_touched_groups",
+        "test_mixed_spec_matview_through_delete_bearing_dml",
+        "test_sidecar_commit_flat_over_successive_dml",
+        "test_sidecar_compaction_then_refresh",
+        "test_sidecar_layout_guard_refuses_old_layout",
+        "test_streaming_upsert_keeps_view_current",
+        "test_unbounded_refresh_preserves_view_physical_types",
+        "test_vacuum_matview_retires_view_and_sidecar_history",
+    },
+    "test_matview_interleave": {
+        "test_upsert_interleaved_with_refresh_converges",
+    },
+    "test_pagerank": {
+        "test_pagerank_mass_conserved",
+        "test_pagerank_matches_dense_reference_with_dangling",
+        "test_pagerank_tol_early_exit_matches_converged_fixed",
+        "test_pagerank_tol_with_interval_matches_converged_fixed",
+        "test_pagerank_weighted_matches_dense_reference",
+        "test_personalized_pagerank_concentrates_near_seeds",
+        "test_personalized_pagerank_matches_dense_reference",
+        "test_personalized_pagerank_tol_early_exit",
+    },
+    "test_pq": {
+        "test_ivf_pq_deterministic",
+        "test_ivf_pq_exclude_self_opt_out",
+        "test_ivf_pq_recall_with_refine",
+        "test_ivf_pq_refined_scores_are_exact_cosine",
+        "test_opq_lifts_ivfpq_recall_on_correlated_embeddings",
+        "test_precomputed_rotation_reproduces_opq_exactly",
+        "test_residual_encoding_beats_raw_on_tight_clusters",
+    },
+    "test_properties": {
+        "test_budget_selection_invariants",
+        "test_global_running_sum_property",
+        "test_islands_partition_rows_and_transitions_count",
+        "test_jaccard_bounds_and_identity",
+        "test_session_window_equals_islands",
+        "test_span_dedup_matches_bruteforce_oracle",
+        "test_transition_probabilities_property",
+    },
+    "test_quality_model": {
+        "test_negative_sample_layout_invariant",
+        "test_seed_classifier_separates_heldout",
+    },
+    "test_rangejoin": {
+        "test_range_join_property_matches_theta",
+    },
+    "test_stats_dedup": {
+        "test_cap_truncation_signal_fires_on_hot_bucket",
+    },
+    "test_streaming_ann": {
+        "test_one_snapshot_per_microbatch_and_frozen_encode",
+    },
+    "test_streaming_ewm": {
+        "test_streaming_ewm_buffered_absorbs_bounded_disorder",
+        "test_streaming_ewm_buffered_carries_input_columns",
+        "test_streaming_ewm_mean_bit_exact_across_batches",
+        "test_streaming_ewm_out_of_order_raises_named",
+        "test_streaming_macd_buffered_absorbs_disorder_and_carries_columns",
+    },
+    "test_streaming_near_dup": {
+        "test_crash_before_manifest_claim_invisible_and_replay_converges",
+        "test_crash_between_manifest_and_current_is_repaired",
+        "test_rejected_doc_still_vetoes",
+        "test_stream_matches_batch_curation",
+    },
+    "test_streaming_plans": {
+        "test_streaming_labels_match_batch",
+    },
+    "test_streaming_transitions": {
+        "test_label_to_transitions_buffered_end_to_end",
+        "test_streaming_transitions_buffered_beyond_bound_raises",
+        "test_streaming_transitions_buffered_disordered_byte_match",
+        "test_streaming_transitions_byte_match_batch",
+    },
+    "test_streaming_upsert": {
+        "test_streaming_append_keeps_distinct_matview_current",
+        "test_streaming_append_sink_tolerates_non_monotone_new_keys",
+        "test_streaming_upsert_merges_batch",
+        "test_streaming_upsert_replay_idempotent",
+    },
+    "test_versioned": {
+        "test_changefeed_touched_files_scope_matches_full",
+        "test_compact_version_preserves_rows_and_history",
+        "test_compact_version_zorder_prunes_box_and_preserves_history",
+        "test_delete_all_rows_yields_readable_empty_snapshot",
+        "test_delete_shares_untouched_files",
+        "test_delete_version",
+        "test_pure_append_does_not_collapse_to_one_file",
+        "test_streaming_versioned_upsert_snapshots",
+        "test_time_travel_preserves_old_snapshot",
+        "test_upsert_correct_under_key_collisions_across_files",
+        "test_upsert_shares_untouched_files",
+        "test_vacuum_reference_counts",
+    },
+    "test_zorder": {
+        "test_zorder_write_is_deterministic",
+        "test_zorder_write_prunes_both_dimensions",
+    },
+}
+
+
+def _apply_slow_marks(items) -> None:
+    slow = __import__("pytest").mark.slow
+    for it in items:
+        mod = it.module.__name__.rsplit(".", 1)[-1]
+        base = it.name.split("[")[0]
+        if base in SLOW_TESTS.get(mod, ()):
+            it.add_marker(slow)
+
+
 def pytest_collection_modifyitems(config, items):
     """Smoke tier (VERDICT r11 #3): `pytest -m smoke` runs a fast
     representative of EVERY test module in <5 min.
@@ -118,3 +322,4 @@ def pytest_collection_modifyitems(config, items):
             if named:
                 pick = named[0]
         pick.add_marker(smoke)
+    _apply_slow_marks(items)
